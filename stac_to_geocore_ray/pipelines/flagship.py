@@ -1,0 +1,135 @@
+"""The flagship pipeline: footprint -> cells -> PIP join -> kNN -> tiles.
+
+The full north-star DAG (SURVEY.md §3.4) over the fixture tables:
+
+    read(stac_items)                        [streaming parquet source]
+    -> encode_footprint                     [stateless zero-copy tasks]
+    -> PIPJoiner (broadcast catalog)        [actor pool]
+    -> HexKNN (broadcast centroids)         [actor pool]
+    ->(join images on image_id)             [hash-partition shuffle: the
+                                             only time bytes move]
+    -> Tiler (decode + tile assign)         [actor pool, flat-map]
+    -> groupby(hex_prefix w/ salting)       [the one all-to-all rollup]
+
+Salting: tile rows whose hex_prefix holds more than ``salt_threshold``
+of a block get a salt suffix so one dense urban cell cannot pin a
+whole aggregate on one reducer; counts are unsalted by a second tiny
+groupby (SURVEY.md §7.2 step 7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources import fixtures
+from ..stages.footprint import encode_footprint
+from ..stages.util import default_pool_size
+from ..stages.knn import HexKNN
+from ..stages.pip_join import PIPJoiner, catalog_polygons
+from ..stages.tiler import Tiler
+
+
+def _load_catalog(coll_path: str):
+    coll = pq.read_table(coll_path)
+    ids, polys = catalog_polygons(coll)
+    bbs = np.asarray(coll.column("bbox").to_pylist(), dtype=np.float64)
+    cx = (bbs[:, 0] + bbs[:, 2]) / 2
+    cy = (bbs[:, 1] + bbs[:, 3]) / 2
+    return coll, (ids, polys), (ids, cx, cy)
+
+
+def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None):
+    """stac_items -> footprint+cells+PIP+kNN Dataset (no image bytes)."""
+    import ray
+    import ray.data as rd
+    p = fixtures.paths(sf_dir)
+    _, cat, knn_cat = _load_catalog(p["collections"])
+    cat_ref = ray.put(cat)
+    knn_ref = ray.put(knn_cat)
+    ds = rd.read_parquet(p["stac_items"],
+                         columns=["image_id", "item_id", "collection_id", "bbox"])
+    ds = ds.map_batches(encode_footprint, batch_format="pyarrow")
+    ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=concurrency or default_pool_size())
+    ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=concurrency or default_pool_size())
+    return ds
+
+
+def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
+                  num_partitions: int = 16, with_phash: bool = True):
+    """images x stac_items -> per-tile rows (bytes decoded in actor pool)."""
+    import ray.data as rd
+    p = fixtures.paths(sf_dir)
+    items = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+
+    def split_bbox_cols(batch: pa.Table) -> pa.Table:
+        # the Arrow hash join rejects fixed_size_list payload columns;
+        # carry the bbox as four scalar doubles instead
+        bb = batch["bbox"]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        out = batch.drop_columns(["bbox"])
+        for i, name in enumerate(("bw", "bs", "be", "bn")):
+            out = out.append_column(name, pa.array(m[:, i]))
+        return out
+
+    items = items.map_batches(split_bbox_cols, batch_format="pyarrow")
+    images = rd.read_parquet(p["images"], columns=["image_id", "bytes"])
+    joined = images.join(items, join_type="inner",
+                         num_partitions=num_partitions, on=("image_id",))
+    return joined.map_batches(Tiler, fn_constructor_kwargs={"with_phash": with_phash},
+                              batch_format="pyarrow", batch_size=512,
+                              concurrency=concurrency or default_pool_size())
+
+
+def tile_rollup(tiles_ds, salt_factor: int = 8):
+    """groupby(hex_prefix) tile counts with two-phase salted aggregation.
+
+    Phase 1 groups on (hex_prefix, salt) — salt derived from a stable
+    hash of image_id so dense cells split across ``salt_factor``
+    reducers; phase 2 is a tiny unsalting groupby on the partials.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # cheap deterministic salt: low bits of a string hash
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        import pandas as pd
+        salts = (pd.util.hash_array(np.asarray(ids.to_pylist(), dtype=object))
+                 % salt_factor).astype(np.int32)
+        return batch.append_column("salt", pa.array(salts))
+
+    salted = tiles_ds.map_batches(add_salt, batch_format="pyarrow")
+    partial = salted.groupby(["hex_prefix", "salt"]).aggregate(
+        Count(alias_name="n_tiles"),
+        Sum("mean_intensity", alias_name="sum_intensity"))
+    final = partial.groupby("hex_prefix").aggregate(
+        Sum("n_tiles", alias_name="n_tiles"),
+        Sum("sum_intensity", alias_name="sum_intensity"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch["sum_intensity"],
+                         pc.cast(batch["n_tiles"], pa.float64()))
+        return batch.append_column("avg_intensity", mean) \
+                    .drop_columns(["sum_intensity"])
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def flagship(sf_dir: str, *, concurrency: int | None = None,
+             with_tiles: bool = True):
+    """Full pipeline; returns the PIP/kNN-joined metadata Dataset and,
+    when ``with_tiles``, the per-cell tile rollup Dataset."""
+    meta = metadata_pipeline(sf_dir, concurrency=concurrency)
+    if not with_tiles:
+        return meta, None
+    tiles = tile_pipeline(sf_dir, concurrency=concurrency)
+    return meta, tile_rollup(tiles)

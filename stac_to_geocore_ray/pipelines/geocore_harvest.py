@@ -1,0 +1,99 @@
+"""The GeoCore harvest pipeline — the reference's lambda_handler as Ray Data.
+
+Reproduces the reference's three phases (app.py:36-170; SURVEY.md §3.1)
+as one streaming job with a resumable manifest sink:
+
+- PHASE root:       single-row translate (driver-side, trivially small)
+- PHASE collections: small-table translate (one batch)
+- PHASE items:      ``map_batches(ItemTranslator)`` actor pool with the
+                    broadcast collection lookup (J1), streamed from the
+                    stac_items parquet fragments
+- sink:             per-input-fragment partitions + lineage manifests
+                    (state/manifest.py) instead of delete-all-rewrite
+
+``resume=True`` skips fragments whose manifest already exists — the
+kill-after-k-partitions test (SURVEY.md §5.2 #5) re-runs only the rest
+and the final output set is byte-identical.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import DEFAULT_CONFIG, TranslateConfig
+from ..sources import fixtures
+from ..stages.geocore import (ItemTranslator, collection_lookup,
+                              translate_collections, translate_root)
+from ..stages.util import default_pool_size
+from ..state.manifest import ManifestSink, partition_id
+
+
+def harvest_small_sides(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG):
+    """Root + collections records (the reference's phases 1-2)."""
+    p = fixtures.paths(sf_dir)
+    coll = pq.read_table(p["collections"])
+    root_row = pq.read_table(p["catalog_root"]).to_pylist()[0]
+    # quirk #7: root bbox is the SECOND collection's bbox (app.py:82)
+    root_bbox = coll.column("bbox").to_pylist()[1]
+    root_rec = translate_root(root_row, root_bbox, cfg)
+    coll_recs = translate_collections(coll, cfg)
+    return root_rec, coll_recs
+
+
+def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
+                  concurrency: int | None = None):
+    """The streaming per-item translate Dataset (phase 3)."""
+    import ray
+    import ray.data as rd
+    p = fixtures.paths(sf_dir)
+    coll = pq.read_table(p["collections"])
+    lookup_ref = ray.put(collection_lookup(coll))
+    ds = rd.read_parquet(p["stac_items"])
+    return ds.map_batches(ItemTranslator, fn_constructor_args=(lookup_ref, cfg),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency or default_pool_size())
+
+
+def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
+                resume: bool = True, fail_after: int | None = None) -> dict:
+    """Manifest-sinked harvest over the stac_items fragments.
+
+    Per-fragment Ray tasks (fragment = partition: ids stable across
+    cluster sizes) translate and write atomically; ``fail_after`` stops
+    after k partitions to exercise resume in tests.
+    """
+    import ray
+    p = fixtures.paths(sf_dir)
+    coll = pq.read_table(p["collections"])
+    lookup_ref = ray.put(collection_lookup(coll))
+    sink = ManifestSink(out_dir)
+    if resume:
+        sink.clean_orphans()
+    frags = sorted(glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+    todo = sink.plan(frags) if resume else [(f, partition_id(f)) for f in frags]
+
+    @ray.remote(num_cpus=1)
+    def do_partition(frag: str, pid: str) -> dict:
+        translator = ItemTranslator(lookup_ref, cfg)
+        tbl = pq.read_table(frag)
+        out = translator(tbl)
+        out = out.drop_columns(["options"])   # nested col: keep sink flat
+        return ManifestSink(out_dir).write_partition(pid, out, inputs=[frag])
+
+    if fail_after is not None:
+        todo = todo[:fail_after]
+    results = ray.get([do_partition.remote(f, pid) for f, pid in todo])
+
+    # small sides (root + collections) land in their own partition
+    root_rec, coll_recs = harvest_small_sides(sf_dir, cfg)
+    small_pid = "smallsides-" + partition_id("root+collections")
+    if not sink.is_done(small_pid):
+        small = coll_recs.drop_columns(["options"])
+        sink.write_partition(small_pid, small, inputs=["collections.parquet"])
+    done = sink.completed()
+    return {"partitions_written": len(results), "partitions_total": len(frags) + 1,
+            "completed": len(done), "root_id": root_rec["id"]}

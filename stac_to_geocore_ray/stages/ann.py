@@ -1,0 +1,148 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``) and every ``map_batches`` task computes one
+``batch x queries`` matmul, emitting only per-batch top-k candidates;
+a final tiny driver-side merge keeps the global top-k.  This is the
+canonical "broadcast small side + partial aggregate" shape: the
+shuffle-free path scales linearly in corpus size.
+
+Scale path: ``IVFIndex`` k-means-lite coarse quantizer — vectors are
+assigned to the nearest of C centroids (one groupby key), queries probe
+only ``n_probe`` nearest centroid buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float> -> (n, d); values buffer is contiguous for non-null cols
+    values = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return values.reshape(n, -1)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return mat / norm
+
+
+class BruteForceTopK:
+    """``map_batches`` callable: per-batch cosine top-k vs broadcast queries.
+
+    Emits (query_id, vec_id, cos) candidate rows — at most k per query
+    per batch, so the final global merge is tiny.
+    """
+
+    def __init__(self, queries, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        try:
+            import ray
+            if isinstance(queries, ray.ObjectRef):
+                queries = ray.get(queries)
+        except ImportError:
+            pass
+        self.query_ids, qmat = queries
+        self.qmat = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
+        ids = batch[self.id_col].to_numpy()
+        sims = mat @ self.qmat.T                    # (n, q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_id, out_cos = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            top = top[np.argsort(-col[top], kind="stable")]
+            out_q.extend([qid] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_cos.extend(col[top].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_id),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+
+def merge_topk(candidates: pa.Table, k: int = 10) -> pa.Table:
+    """Driver-side merge of per-batch candidates -> global top-k per query.
+
+    Deterministic tie-break: higher cos first, then lower vec_id.
+    """
+    import pandas as pd
+    df = candidates.to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class IVFIndex:
+    """Coarse-quantizer ANN: per-batch centroid assignment stage.
+
+    Centroids come from a deterministic k-means-lite fit (a few Lloyd
+    iterations over a sample) done on the driver; ``__call__`` appends
+    the nearest-centroid id — the groupby key for bucketed search.
+    """
+
+    def __init__(self, centroids, vec_col: str = "embedding"):
+        try:
+            import ray
+            if isinstance(centroids, ray.ObjectRef):
+                centroids = ray.get(centroids)
+        except ImportError:
+            pass
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+        self.vec_col = vec_col
+
+    @staticmethod
+    def fit_centroids(sample: np.ndarray, n_centroids: int = 64,
+                      iters: int = 5, seed: int = 13) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                         replace=False)
+        cent = sample[idx].copy()
+        for _ in range(iters):
+            assign = np.argmax(sample @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
+        return cent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
+        assign = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(assign))
+
+
+def topk_heap_merge(iter_tables, k: int = 10):
+    """Streaming merge for very large candidate streams (heap per query)."""
+    heaps: dict = {}
+    for tbl in iter_tables:
+        for qid, vid, cos in zip(tbl["query_id"].to_pylist(),
+                                 tbl["vec_id"].to_pylist(),
+                                 tbl["cos"].to_pylist()):
+            h = heaps.setdefault(qid, [])
+            item = (cos, -vid if isinstance(vid, int) else vid, vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qid, h in heaps.items():
+        for rank, (cos, _, vid) in enumerate(sorted(h, reverse=True), 1):
+            rows.append({"query_id": qid, "vec_id": vid, "cos": cos, "rank": rank})
+    return pa.Table.from_pylist(rows)

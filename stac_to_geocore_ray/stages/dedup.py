@@ -1,0 +1,234 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators follow the same scale shape: a vectorized
+``map_batches`` stage computes per-row keys/sketches, the only
+all-to-all is a ``groupby`` on the key, and group-local work touches
+one group at a time.  Survivor choice is always ``min(id)`` so results
+are deterministic under Ray's nondeterministic block order (SURVEY.md
+§7.4 keep-last note: the reference's keep-LAST applies to row-LOCAL
+option lists, never to dataset-level dedup).
+
+- exact_dedup_keys: content-hash column for exact dedup
+  (groupby(hash).first -> survivors)
+- phash_bands / near-dup: 4 x 16-bit bands of the 64-bit pHash; rows
+  sharing any band land in one group, in-group Hamming<=d confirms
+  (the banding trick bounds candidate pairs, no O(n^2) sweep)
+- minhash: shingle -> 64 permuted min-hashes -> LSH bands
+- simhash: 64-bit token-weighted simhash + banding
+- embedding near-dup: LSH random-hyperplane bucket + in-bucket cosine
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs.fakeimg import hamming64
+
+# ---------------------------------------------------------------- exact
+
+
+def add_text_hash(batch: pa.Table, col: str = "text",
+                  out: str = "content_hash") -> pa.Table:
+    """64-bit FNV-1a content hash, vectorized via pandas str hashing."""
+    s = batch[col].to_pandas()
+    h = pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.int64)
+    return batch.append_column(out, pa.array(h))
+
+
+def first_per_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Deterministic survivor: the minimum id in the group."""
+    return g.loc[[g[id_col].idxmin()]]
+
+
+# ---------------------------------------------------------------- phash
+
+
+def phash_band_rows(batch: pa.Table, id_col: str = "image_id",
+                    hash_col: str = "phash", n_bands: int = 4) -> pa.Table:
+    """Explode each row into (band_id, band_val, id, phash) rows.
+
+    Two hashes within Hamming distance d < n_bands share at least one
+    exact band (pigeonhole), so candidate pairs surface in a plain
+    groupby on (band_id, band_val).
+    """
+    h = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+    ids = batch[id_col]
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    out_ids, out_band, out_val, out_hash = [], [], [], []
+    for b in range(n_bands):
+        vals = ((h >> np.uint64(b * width)) & mask).astype(np.int64)
+        out_ids.append(ids)
+        out_band.append(pa.array(np.full(len(vals), b, dtype=np.int32)))
+        out_val.append(pa.array(vals))
+        out_hash.append(pa.array(h.view(np.int64)))
+    return pa.table({
+        id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                                  else a for a in out_ids]),
+        "band_id": pa.concat_arrays(out_band),
+        "band_val": pa.concat_arrays(out_val),
+        hash_col: pa.concat_arrays(out_hash),
+    })
+
+
+def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
+                           hash_col: str = "phash",
+                           max_dist: int = 2) -> pd.DataFrame:
+    """Candidate bucket -> confirmed near-dup pairs (a < b, dist <= d)."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": [], "dist": []})
+    g = g.sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    hs = g[hash_col].to_numpy().astype(np.int64)
+    ia, ib = np.triu_indices(len(g), k=1)
+    d = hamming64(hs[ia], hs[ib])
+    keep = d <= max_dist
+    return pd.DataFrame({"a": ids[ia[keep]], "b": ids[ib[keep]],
+                         "dist": d[keep].astype(np.int64)})
+
+
+# --------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)        # fixed seed: deterministic engine-wide
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling-window character k-shingles hashed to uint64."""
+    t = text.lower().encode("utf-8", "ignore")
+    if len(t) < k:
+        t = t + b" " * (k - len(t))
+    arr = np.frombuffer(t, dtype=np.uint8)
+    n = len(arr) - k + 1
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    weights = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+    return (win * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+class MinHasher:
+    """Stateful stage: per-row MinHash signature + LSH band rows.
+
+    Permutation tables are built once per actor in ``__init__`` (the
+    ST5 pattern); ``__call__`` emits (doc_id, band_id, band_hash) rows.
+    """
+
+    def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
+        self.n_bands = n_bands
+        self.rows_per_band = num_perm // n_bands
+        self.shingle_k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        # (a*x + b) mod p, then min over shingles, per permutation
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for rid, text in zip(ids, texts):
+            sig = self.signature(text or "")
+            for band in range(self.n_bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bh = int(pd.util.hash_array(chunk.astype(np.int64)).sum() & 0x7FFFFFFFFFFFFFFF)
+                out_id.append(rid)
+                out_band.append(band)
+                out_hash.append(bh)
+        return pa.table({self.id_col: pa.array(out_id),
+                         "band_id": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.int64())})
+
+    def jaccard(self, t1: str, t2: str) -> float:
+        s1 = set(_shingle_hashes(t1, self.shingle_k).tolist())
+        s2 = set(_shingle_hashes(t2, self.shingle_k).tolist())
+        if not s1 and not s2:
+            return 1.0
+        return len(s1 & s2) / len(s1 | s2)
+
+
+# --------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over word tokens (regex compiled once per actor)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re
+        self.word = re.compile(r"\w+", re.UNICODE)
+        self.id_col, self.text_col = id_col, text_col
+
+    def simhash(self, text: str) -> int:
+        toks = self.word.findall((text or "").lower())
+        if not toks:
+            return 0
+        hs = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for k in np.flatnonzero(v > 0):
+            out |= np.uint64(1) << np.uint64(int(k))
+        return int(out.astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        vals = np.fromiter((self.simhash(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        return batch.append_column("simhash", pa.array(vals))
+
+
+# ------------------------------------------------------- embedding neardup
+
+class EmbeddingLSH:
+    """Random-hyperplane LSH bucket per embedding (plane matrix built
+    once per actor; deterministic seed)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 11,
+                 vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.to_pylist(), dtype=np.float32)
+        proj = mat @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        bucket = np.zeros(len(mat), dtype=np.uint64)
+        for k in range(bits.shape[1]):
+            bucket = (bucket << np.uint64(1)) | bits[:, k]
+        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+
+
+def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95) -> pd.DataFrame:
+    """In-bucket exact cosine confirmation of near-dup candidates."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": [], "cos": []})
+    g = g.sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    mat = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    mat = mat / norm
+    sim = mat @ mat.T
+    ia, ib = np.triu_indices(len(g), k=1)
+    keep = sim[ia, ib] >= threshold
+    return pd.DataFrame({"a": ids[ia[keep]], "b": ids[ib[keep]],
+                         "cos": sim[ia, ib][keep]})

@@ -1,0 +1,70 @@
+"""Broadcast STRtree point-in-polygon join (actor-pool stage).
+
+Generalizes the reference's only join — the broadcast collection
+lookup (J1, stac_to_geocore.py:553-566 build / :589-595 probe) — to a
+geometric left-outer join: each record's footprint centroid is probed
+against a GeoCore-style polygon catalog held in an STRtree built ONCE
+per actor in ``__init__``.  The catalog rides in via ``ray.put`` on
+the driver (one object-store copy per node, zero-copy reads), never
+per batch.
+
+Left-outer semantics: no containing polygon -> null join columns,
+exactly like the reference's ``.get(coll_id, {})`` miss.  Ties break
+to the lowest catalog index (deterministic across runs and cluster
+sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.strtree import STRtree
+
+
+def catalog_polygons(coll_table: pa.Table):
+    """Catalog rows -> (ids, list of (xs, ys) rings) from bbox columns.
+
+    Uses the bbox ring; a production catalog with true polygon WKT
+    would parse ``polygon_wkt`` here instead (same STRtree downstream).
+    """
+    ids = coll_table.column("collection_id").to_pylist()
+    bbs = coll_table.column("bbox").to_pylist()
+    polys = []
+    for w, s, e, n in bbs:
+        polys.append((np.array([w, e, e, w]), np.array([s, s, n, n])))
+    return ids, polys
+
+
+class PIPJoiner:
+    """``map_batches`` callable class: appends pip_index / pip_collection.
+
+    Parameters
+    ----------
+    catalog : (ids, polygons) tuple, or a ray.ObjectRef of one.
+    x_col, y_col : probe point columns (default footprint centroids).
+    """
+
+    def __init__(self, catalog, x_col: str = "cx", y_col: str = "cy"):
+        try:
+            import ray
+            if isinstance(catalog, ray.ObjectRef):
+                catalog = ray.get(catalog)
+        except ImportError:
+            pass
+        ids, polys = catalog
+        self.ids = pa.array(ids, pa.string())
+        self.tree = STRtree(polys)           # built once per actor
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        idx = self.tree.query_points(px, py)
+        idx_arr = pa.array(np.where(idx >= 0, idx, 0).astype(np.int32))
+        valid = pa.array(idx >= 0)
+        import pyarrow.compute as pc
+        coll = pc.if_else(valid, self.ids.take(idx_arr), pa.scalar(None, pa.string()))
+        out = batch.append_column(
+            "pip_index", pa.array(np.where(idx >= 0, idx, -1).astype(np.int32)))
+        return out.append_column("pip_collection", coll)
