@@ -61,11 +61,13 @@ def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None):
 
 
 def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
-                  num_partitions: int = 16, with_phash: bool = True):
+                  num_partitions: int = 16, with_phash: bool = True,
+                  passthrough: tuple[str, ...] = ()):
     """images x stac_items -> per-tile rows (bytes decoded in actor pool)."""
     import ray.data as rd
     p = fixtures.paths(sf_dir)
-    items = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    items = rd.read_parquet(p["stac_items"],
+                            columns=["image_id", "bbox", *passthrough])
 
     def split_bbox_cols(batch: pa.Table) -> pa.Table:
         # the Arrow hash join rejects fixed_size_list payload columns;
@@ -83,9 +85,12 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
     images = rd.read_parquet(p["images"], columns=["image_id", "bytes"])
     joined = images.join(items, join_type="inner",
                          num_partitions=num_partitions, on=("image_id",))
-    return joined.map_batches(Tiler, fn_constructor_kwargs={"with_phash": with_phash},
-                              batch_format="pyarrow", batch_size=512,
-                              concurrency=concurrency or default_pool_size())
+    return joined.map_batches(
+        Tiler,
+        fn_constructor_kwargs={"with_phash": with_phash,
+                               "passthrough": passthrough},
+        batch_format="pyarrow", batch_size=512,
+        concurrency=concurrency or default_pool_size())
 
 
 def tile_rollup(tiles_ds, salt_factor: int = 8):

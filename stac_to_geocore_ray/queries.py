@@ -1,0 +1,1100 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset/Table``;
+``ORACLE`` holds the equivalent DuckDB SQL over the same data (the
+TPC-H-ish driver tables are pre-registered views; the geospatial
+fixture tables are referenced by absolute parquet path, deterministic
+per sf).  Numeric outputs that depend on float summation order are
+rounded so both sides hash identically (money sums to whole units,
+averages/cosines to 6 and 4 decimals).
+
+Queries without an ORACLE entry are genuinely non-SQL-expressible
+(cell indexes, sketches, decode); they get the driver's rows-only
+check plus dedicated pytest coverage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sources import fixtures
+
+# the driver's oracle runs at this scale; fixture paths in SQL are fixed
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _fx(sf_dir: str) -> dict[str, str]:
+    return fixtures.paths(sf_dir)
+
+
+def _fx_glob(table: str, sf_dir: str = ORACLE_SF_DIR) -> str:
+    return fixtures.duckdb_glob(fixtures.paths(sf_dir)[table])
+
+
+# ------------------------------------------------------------------ tpch
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: grouped pricing summary over lineitem.
+
+    Money sums are accumulated as integer cents inside map_batches
+    (partial pre-aggregation) so equality with the SQL oracle is exact,
+    then presented as whole units.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc_price", "sum"),
+            n=("l_quantity", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base_raw"),
+        Sum("sum_disc", alias_name="sum_disc_raw"),
+        Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(batch["sum_qty"]), pa.int64()),
+            "sum_base_price": pc.cast(pc.round(batch["sum_base_raw"]), pa.int64()),
+            "sum_disc_price": pc.cast(pc.round(batch["sum_disc_raw"]), pa.int64()),
+            "count_order": pc.cast(batch["n"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Join customer x orders x lineitem, revenue per order, top 10.
+
+    Broadcast semi-join pattern: the filtered customer key set rides
+    into the orders filter; revenue aggregates partially per batch.
+    Deterministic top-k tie-break on (revenue desc, orderkey asc).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = set(pc.filter(cust["c_custkey"],
+                         pc.equal(cust["c_mktsegment"], "BUILDING")).to_pylist())
+    keys_ref = ray.put(keys)
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    class SemiFilter:
+        def __init__(self, ref):
+            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.value_set = pa.array(list(keys), pa.int64())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["o_custkey"],
+                                         value_set=self.value_set))
+
+    orders = orders.map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
+                                batch_format="pyarrow", concurrency=2)
+    okeys = set(orders.to_pandas()["o_orderkey"])   # small survivor set
+    okeys_ref = ray.put(okeys)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class RevPartial:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = batch.to_pandas()
+            df = df[df.l_orderkey.isin(self.keys)]
+            df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+            g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(RevPartial, fn_constructor_args=(okeys_ref,),
+                         batch_format="pyarrow", concurrency=2)
+    agg = rev.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
+    df = agg.to_pandas()
+    df["revenue"] = df["rev"].round(0).astype("int64")
+    df = df.drop(columns=["rev"]).sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Multi-way star join rolled up per nation (broadcast dimensions).
+
+    nation/supplier/customer are broadcast maps; orders x lineitem is
+    the fact path with partial aggregation before one tiny groupby.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    n_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    s_nat = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist()))
+    ref = ray.put((n_name, s_nat))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    class NatRev:
+        def __init__(self, r):
+            self.n_name, self.s_nat = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = batch.to_pandas()
+            df["nation"] = df.l_suppkey.map(self.s_nat).map(self.n_name)
+            df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+            g = df.groupby("nation", sort=False)["revenue"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(NatRev, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", concurrency=2)
+    agg = rev.groupby("nation").aggregate(Sum("revenue", alias_name="rev"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "revenue": pc.cast(pc.round(batch["rev"]), pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT n_name AS nation,
+       CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- events
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + integer-cent sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = (df.value * 100).round().astype("int64")
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(win, batch_format="pyarrow")
+    agg = partial.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": batch["hour"],
+            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "sum_cents": pc.cast(batch["sum_cents"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Per-user sessionization (30-min gap) — the stream-shaped op.
+
+    groupby(user).map_groups over ts-sorted groups; the ordering
+    assumption (complete per-user history in one group) is what the
+    hash shuffle provides.
+    """
+    import ray.data as rd
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sess(g):
+        import pandas as pd
+        g = g.sort_values("ts")
+        gaps = g.ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g.user_id.iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1],
+                             "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id,
+       CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------- documents
+
+def doc_token_stats(sf_dir: str):
+    """Whitespace-token and char counts per language (quality stage)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["ws_tokens"] = df.text.str.split().str.len().fillna(0).astype("int64")
+        df["chars"] = df.text.str.len().fillna(0).astype("int64")
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("text", "size"), tokens=("ws_tokens", "sum"),
+            chars=("chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(stats, batch_format="pyarrow")
+    agg = partial.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("tokens", alias_name="total_tokens"),
+        Sum("chars", alias_name="total_chars"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                         "total_tokens": pc.cast(batch["total_tokens"], pa.int64()),
+                         "total_chars": pc.cast(batch["total_chars"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+           AS total_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_exact_dedup(sf_dir: str):
+    """Exact text dedup: survivors (min doc_id) + group sizes.
+
+    Hash-partition the content hash, keep the deterministic first; the
+    oracle groups on the raw text, so a hash collision would surface as
+    a mismatch (none at these scales).
+    """
+    import ray.data as rd
+    from .stages.dedup import add_text_hash
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_text_hash, batch_format="pyarrow")
+
+    def survivor(g):
+        import pandas as pd
+        return pd.DataFrame({"doc_id": [int(g.doc_id.min())],
+                             "n_copies": [len(g)]})
+    out = hashed.groupby("content_hash").map_groups(survivor, batch_format="pandas")
+    return out
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# ------------------------------------------------------------ embeddings
+
+_ANN_QUERY_IDS = (0, 1, 2)
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 3 fixed query vectors (broadcast
+    query matrix, per-batch partial top-k, tiny global merge)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from .stages.ann import BruteForceTopK, merge_topk
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QUERY_IDS))
+    qtbl = emb.filter(qmask)
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    qref = ray.put((qids, qmat))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
+                          batch_format="pyarrow", concurrency=2)
+    # candidates are tiny (<= k per query per batch): safe to collect
+    cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+    out = merge_topk(cand_tbl).to_pandas()
+    out["cos_r"] = out["cos"].round(4)
+    return pa.Table.from_pandas(
+        out[["query_id", "vec_id", "rank", "cos_r"]], preserve_index=False)
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN {tuple(_ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def embedding_neardup_exact(sf_dir: str):
+    """All cosine>=0.40 pairs (a<b) via block x broadcast matmul.
+
+    Each batch multiplies against the broadcast normalized corpus —
+    linear scan per block, no shuffle; the LSH-bucketed variant
+    (embedding_neardup_lsh) is the sub-quadratic scale path.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1
+    mat = mat / norm
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self, r):
+            self.ids, self.mat = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.lookup = {v: i for i, v in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch["vec_id"].to_numpy()
+            rows = np.asarray([self.lookup[v] for v in bids])
+            sims = self.mat[rows] @ self.mat.T
+            out_a, out_b, out_cos = [], [], []
+            for r, a in enumerate(bids):
+                hits = np.flatnonzero(sims[r] >= 0.40)
+                for h in hits:
+                    b = self.ids[h]
+                    if a < b:
+                        out_a.append(int(a)); out_b.append(int(b))
+                        out_cos.append(round(float(sims[r, h]), 4))
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "cos_r": pa.array(out_cos, pa.float64())})
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ds.map_batches(PairFinder, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=2)
+
+
+EMB_NEARDUP_SQL = """
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                    CAST(e2.embedding AS DOUBLE[])), 4) AS cos_r
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.40
+"""
+
+
+# ------------------------------------------------------------ geospatial
+#
+# Fixture tables (deterministic per sf; sources/fixtures.py) are
+# referenced by absolute parquet path in the oracle SQL.  The engine
+# side always calls fixtures.paths() first, which generates-or-reuses
+# the cached fixtures, so the SQL target exists by the time the driver
+# compares.
+
+def geo_footprint_wkt(sf_dir: str):
+    """Per-item reference-form WKT (round-2 quirk #1) — string parity."""
+    import ray.data as rd
+    from .stages.footprint import encode_footprint
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["stac_items"], columns=["item_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=True),
+                        batch_format="pyarrow")
+    return ds.select_columns(["item_id", "geometry_wkt"])
+
+
+def _wkt_sql_expr(prefix: str = "") -> str:
+    c = lambda i: (f"CAST(round(CAST({prefix}bbox[{i}] AS DOUBLE), 2) AS VARCHAR)")
+    w, s, e, n = c(1), c(2), c(3), c(4)
+    return (f"'POLYGON((' || {w} || ' ' || {s} || ', ' || {e} || ' ' || {s} || "
+            f"', ' || {e} || ' ' || {n} || ', ' || {w} || ' ' || {n} || ', ' || "
+            f"{w} || ' ' || {s} || '))'")
+
+
+def _geo_footprint_wkt_sql() -> str:
+    return f"""
+SELECT item_id, {_wkt_sql_expr()} AS geometry_wkt
+FROM read_parquet('{_fx_glob("stac_items")}')
+"""
+
+
+def geo_pip_join(sf_dir: str):
+    """Left-outer PIP broadcast join: (image_id, pip_collection)."""
+    import ray
+    import ray.data as rd
+    from .pipelines.flagship import _load_catalog
+    from .stages.footprint import encode_footprint
+    from .stages.pip_join import PIPJoiner
+    p = _fx(sf_dir)
+    _, cat, _ = _load_catalog(p["collections"])
+    cat_ref = ray.put(cat)
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
+                        batch_format="pyarrow", batch_size=8192, concurrency=2)
+    return ds.select_columns(["image_id", "pip_collection"])
+
+
+def _geo_pip_join_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}'))
+SELECT p.image_id,
+       (SELECT c.collection_id
+        FROM read_parquet('{_fx_glob("collections")}') c
+        WHERE p.cx >= c.bbox[1] AND p.cx <= c.bbox[3]
+          AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
+        ORDER BY c.coll_index LIMIT 1) AS pip_collection
+FROM pts p
+"""
+
+
+def geo_knn(sf_dir: str):
+    """Hex-ring kNN nearest catalog centroid: (image_id, knn_id)."""
+    import ray
+    import ray.data as rd
+    from .pipelines.flagship import _load_catalog
+    from .stages.footprint import encode_footprint
+    from .stages.knn import HexKNN
+    p = _fx(sf_dir)
+    _, _, knn_cat = _load_catalog(p["collections"])
+    knn_ref = ray.put(knn_cat)
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
+                        batch_format="pyarrow", batch_size=8192, concurrency=2)
+    return ds.select_columns(["image_id", "knn_id"])
+
+
+def _geo_knn_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+cat AS (
+  SELECT collection_id, coll_index,
+         (bbox[1] + bbox[3]) / 2 AS kx, (bbox[2] + bbox[4]) / 2 AS ky
+  FROM read_parquet('{_fx_glob("collections")}')),
+ranked AS (
+  SELECT p.image_id, c.collection_id,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY (p.cx - c.kx) * (p.cx - c.kx)
+                  + (p.cy - c.ky) * (p.cy - c.ky) ASC,
+                  c.coll_index ASC) AS rn
+  FROM pts p CROSS JOIN cat c)
+SELECT image_id, collection_id AS knn_id FROM ranked WHERE rn = 1
+"""
+
+
+def geo_cell_rollup(sf_dir: str):
+    """items per hex prefix cell (no SQL equivalent: rows-only check)."""
+    from ray.data.aggregate import Count
+    from .pipelines.flagship import metadata_pipeline
+    ds = metadata_pipeline(sf_dir, concurrency=2)
+    return ds.groupby("hex_prefix").aggregate(Count(alias_name="n_items"))
+
+
+def geo_cells(sf_dir: str):
+    """Per-item cell assignments (rows-only; covered by geo pytest)."""
+    import ray.data as rd
+    from .stages.footprint import encode_footprint
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    return ds.select_columns(["image_id", "s2_cell", "hex_cell", "hex_prefix"])
+
+
+def geocore_items(sf_dir: str):
+    """Flat GeoCore item records (the reference's M7 path, columnar)."""
+    from .pipelines.geocore_harvest import items_dataset
+    ds = items_dataset(sf_dir, concurrency=2)
+    return ds.select_columns([
+        "item_id", "id", "parent_identifier", "title_en", "title_fr",
+        "temporal_begin", "temporal_end", "keywords_en", "keywords_fr",
+        "description_en", "date_published", "geometry_wkt"])
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _geocore_items_sql() -> str:
+    from .config import DEFAULT_CONFIG as cfg
+    en, fr = cfg.root_name.split("/")[:2]
+    return f"""
+WITH coll AS (
+  SELECT collection_id,
+    CASE WHEN title IS NULL THEN collection_id
+         ELSE split_part(title, '/', 1) END AS t_en,
+    CASE WHEN title IS NULL THEN collection_id
+         WHEN strpos(title, '/') > 0 THEN split_part(title, '/', 2)
+         ELSE collection_id END AS t_fr,
+    CASE WHEN description IS NULL THEN NULL
+         ELSE split_part(description, '/', 1) END AS d_en,
+    CASE WHEN keywords IS NULL THEN NULL
+         ELSE array_to_string(keywords[1:CAST(len(keywords) // 2 AS INT)], ', ')
+         END AS k_en,
+    CASE WHEN keywords IS NULL THEN NULL
+         ELSE array_to_string(
+              keywords[CAST(len(keywords) // 2 AS INT) + 1:CAST(len(keywords) AS INT)],
+              ', ') END AS k_fr
+  FROM read_parquet('{_fx_glob("collections")}'))
+SELECT i.item_id,
+  '{cfg.source}-' || i.collection_id || '-' || i.item_id AS id,
+  '{cfg.source}-' || i.collection_id AS parent_identifier,
+  CASE
+    WHEN i.collection_id = 'monthly-vegetation-parameters-20m-v1'
+      THEN regexp_extract(i.item_id, '-([^-]*)$', 1) || ' - ' || c.t_en
+    WHEN i.collection_id IN ('hrdem-arcticdem', 'hrdem-lidar')
+      THEN substr(i.datetime, 1, 4) || ' - ' || i.item_id || '-' || c.t_en
+    ELSE substr(i.datetime, 1, 4) || ' - ' || c.t_en END AS title_en,
+  CASE
+    WHEN i.collection_id = 'monthly-vegetation-parameters-20m-v1'
+      THEN regexp_extract(i.item_id, '-([^-]*)$', 1) || ' - ' || c.t_fr
+    WHEN i.collection_id IN ('hrdem-arcticdem', 'hrdem-lidar')
+      THEN substr(i.datetime, 1, 4) || ' - ' || i.item_id || '-' || c.t_fr
+    ELSE substr(i.datetime, 1, 4) || ' - ' || c.t_fr END AS title_fr,
+  substr(i.datetime, 1, 10) AS temporal_begin,
+  'Present' AS temporal_end,
+  'SpatioTemporal Asset Catalog, stac, ' || coalesce(c.k_en, '') AS keywords_en,
+  'SpatioTemporal Asset Catalog, stac, ' || coalesce(c.k_fr, '') AS keywords_fr,
+  coalesce(c.d_en, '') || ' ' || '{_sqlq(cfg.disclaimer_en)}' AS description_en,
+  i.created AS date_published,
+  {_wkt_sql_expr("i.")} AS geometry_wkt
+FROM read_parquet('{_fx_glob("stac_items")}') i
+LEFT JOIN coll c ON i.collection_id = c.collection_id
+"""
+
+
+def geocore_collections(sf_dir: str):
+    """Flat GeoCore collection records (M6+M8)."""
+    import pyarrow.parquet as pq
+    from .stages.geocore import translate_collections
+    p = _fx(sf_dir)
+    tbl = translate_collections(pq.read_table(p["collections"]))
+    return tbl.select(["collection_id", "id", "parent_identifier", "title_en",
+                       "title_fr", "temporal_begin", "temporal_end",
+                       "keywords_en", "keywords_fr", "geometry_wkt",
+                       "n_options"])
+
+
+def _geocore_collections_sql() -> str:
+    from .config import DEFAULT_CONFIG as cfg
+    # n_options for collections: links (6 rels incl. planted) + assets,
+    # distinct over the full option struct
+    return f"""
+WITH c AS (SELECT * FROM read_parquet('{_fx_glob("collections")}')),
+fields AS (
+  SELECT collection_id,
+    CASE WHEN title IS NULL THEN collection_id
+         ELSE split_part(title, '/', 1) END AS t_en,
+    CASE WHEN title IS NULL THEN collection_id
+         WHEN strpos(title, '/') > 0 THEN split_part(title, '/', 2)
+         ELSE collection_id END AS t_fr,
+    title,
+    CASE WHEN keywords IS NULL THEN NULL
+         ELSE array_to_string(keywords[1:CAST(len(keywords) // 2 AS INT)], ', ')
+         END AS k_en,
+    CASE WHEN keywords IS NULL THEN NULL
+         ELSE array_to_string(
+              keywords[CAST(len(keywords) // 2 AS INT) + 1:CAST(len(keywords) AS INT)],
+              ', ') END AS k_fr,
+    time_begin, time_end, bbox
+  FROM c),
+lopt AS (
+  SELECT c.collection_id,
+         l.href AS url,
+         CASE l.rel
+           WHEN 'self' THEN 'Self - ' || c.collection_id
+           WHEN 'root' THEN 'Root - {_sqlq(cfg.root_name.split("/")[0])}'
+           WHEN 'parent' THEN 'Root - {_sqlq(cfg.root_name.split("/")[0])}'
+           WHEN 'child' THEN 'Item - ' || coalesce(l.title, 'Unknown')
+           WHEN 'item' THEN 'Item - ' || coalesce(l.title, 'Unknown')
+           WHEN 'items' THEN 'Items Listing'
+           ELSE coalesce(l.title, 'Unknown') END AS name_en,
+         CASE l.rel
+           WHEN 'self' THEN 'Soi - ' || c.collection_id
+           WHEN 'root' THEN 'Racine - {_sqlq(cfg.root_name.split("/")[1])}'
+           WHEN 'parent' THEN 'Racine - {_sqlq(cfg.root_name.split("/")[1])}'
+           WHEN 'child' THEN 'Item - ' || coalesce(l.title, 'Unknown')
+           WHEN 'item' THEN 'Item - ' || coalesce(l.title, 'Unknown')
+           WHEN 'items' THEN 'Items Listing'
+           ELSE coalesce(l.title, 'Inconnue') END AS name_fr,
+         CASE l.rel
+           WHEN 'self' THEN 'STAC Collection;JSON;eng'
+           WHEN 'root' THEN 'STAC API;JSON;eng'
+           WHEN 'parent' THEN 'STAC API;JSON;eng'
+           WHEN 'child' THEN 'STAC Item / OGC API - Features;GeoJSON;eng'
+           WHEN 'item' THEN 'STAC Item / OGC API - Features;GeoJSON;eng'
+           WHEN 'items' THEN 'STAC Item / OGC API - Features;GeoJSON;eng'
+           ELSE 'Other;Autre;eng' END AS desc_en
+  FROM c, UNNEST(c.links) AS t(l)),
+aopt AS (
+  SELECT c.collection_id,
+         a.href AS url,
+         'Asset - ' || CASE WHEN strpos(coalesce(a.title, 'Unknown/Inconnu'), '/') > 0
+             THEN split_part(coalesce(a.title, 'Unknown/Inconnu'), '/', 1)
+             ELSE coalesce(a.title, 'Unknown/Inconnu') END AS name_en,
+         'Asset - ' || CASE WHEN strpos(coalesce(a.title, 'Unknown/Inconnu'), '/') > 0
+             THEN split_part(coalesce(a.title, 'Unknown/Inconnu'), '/', 2)
+             ELSE coalesce(a.title, 'Unknown/Inconnu') END AS name_fr,
+         (CASE array_to_string(a.roles, ', ')
+            WHEN 'thumbnail' THEN 'Thumbnail' WHEN 'overview' THEN 'Overview'
+            WHEN 'data' THEN 'Data' WHEN 'metadata' THEN 'Metadata'
+            ELSE 'Other' END) || ';' ||
+         (CASE a.type
+            WHEN 'image/tiff; application=geotiff; profile=cloud-optimized' THEN 'TIFF'
+            WHEN 'image/tiff; application=geotiff' THEN 'TIFF'
+            WHEN 'image/png' THEN 'PNG' WHEN 'image/jpeg' THEN 'JPEG'
+            WHEN 'application/json' THEN 'JSON' WHEN 'text/plain' THEN 'TXT'
+            ELSE 'Other' END) || ';eng' AS desc_en
+  FROM c, UNNEST(c.assets) AS t(a)
+  WHERE c.assets IS NOT NULL),
+allopt AS (
+  SELECT collection_id, url, name_en, name_fr, desc_en FROM lopt
+  UNION ALL
+  SELECT collection_id, url, name_en, name_fr, desc_en FROM aopt),
+counts AS (
+  SELECT collection_id,
+         count(DISTINCT (url, name_en, name_fr, desc_en)) AS n_options
+  FROM allopt GROUP BY collection_id)
+SELECT f.collection_id,
+  '{cfg.source}-' || f.collection_id AS id,
+  '{cfg.source}-root-{cfg.root_id}' AS parent_identifier,
+  CASE WHEN f.t_en IS NULL OR f.t_fr IS NULL THEN NULL
+       ELSE 'Collection - ' || f.t_en END AS title_en,
+  CASE WHEN f.t_en IS NULL OR f.t_fr IS NULL THEN NULL
+       ELSE 'Collection - ' || f.t_fr END AS title_fr,
+  CASE WHEN f.time_begin IS NULL THEN '0001-01-01'
+       ELSE substr(f.time_begin, 1, 10) END AS temporal_begin,
+  CASE WHEN f.time_end IS NULL THEN 'Present'
+       ELSE substr(f.time_end, 1, 10) END AS temporal_end,
+  'SpatioTemporal Asset Catalog, stac, ' || coalesce(f.k_en, '') AS keywords_en,
+  'SpatioTemporal Asset Catalog, stac, ' || coalesce(f.k_fr, '') AS keywords_fr,
+  {_wkt_sql_expr("f.")} AS geometry_wkt,
+  ct.n_options AS n_options
+FROM fields f JOIN counts ct USING (collection_id)
+"""
+
+
+def geocore_options_count(sf_dir: str):
+    """Per-item option count after keep-last dedup (F3+F4+A1 parity)."""
+    from .pipelines.geocore_harvest import items_dataset
+    ds = items_dataset(sf_dir, concurrency=2)
+    return ds.select_columns(["item_id", "n_options"])
+
+
+def _geocore_options_count_sql() -> str:
+    from .config import DEFAULT_CONFIG as cfg
+    en, fr = cfg.root_name.split("/")[:2]
+    return f"""
+WITH i AS (SELECT * FROM read_parquet('{_fx_glob("stac_items")}')),
+lopt AS (
+  SELECT i.item_id,
+         l.href AS url,
+         CASE l.rel
+           WHEN 'self' THEN 'Self - ' || i.item_id
+           WHEN 'root' THEN 'Root - {_sqlq(en)}'
+           WHEN 'parent' THEN 'Collection - ' || i.collection_id
+           ELSE coalesce(l.title, 'Unknown') END AS name_en,
+         CASE l.rel
+           WHEN 'self' THEN 'Soi - ' || i.item_id
+           WHEN 'root' THEN 'Racine - {_sqlq(fr)}'
+           WHEN 'parent' THEN 'Collection - ' || i.collection_id
+           ELSE coalesce(l.title, 'Inconnue') END AS name_fr,
+         CASE l.rel
+           WHEN 'self' THEN 'STAC Item / OGC API - Features;GeoJSON;eng'
+           WHEN 'root' THEN 'STAC API;JSON;eng'
+           WHEN 'parent' THEN 'STAC Collection;JSON;eng'
+           ELSE 'Other;Autre;eng' END AS desc_en
+  FROM i, UNNEST(i.links) AS t(l)
+  WHERE l.rel <> 'collection'),
+aopt AS (
+  SELECT i.item_id,
+         a.href AS url,
+         'Asset - ' || CASE WHEN strpos(coalesce(a.title, 'Unknown/Inconnu'), '/') > 0
+             THEN split_part(coalesce(a.title, 'Unknown/Inconnu'), '/', 1)
+             ELSE coalesce(a.title, 'Unknown/Inconnu') END AS name_en,
+         'Asset - ' || CASE WHEN strpos(coalesce(a.title, 'Unknown/Inconnu'), '/') > 0
+             THEN split_part(coalesce(a.title, 'Unknown/Inconnu'), '/', 2)
+             ELSE coalesce(a.title, 'Unknown/Inconnu') END AS name_fr,
+         (CASE array_to_string(a.roles, ', ')
+            WHEN 'thumbnail' THEN 'Thumbnail' WHEN 'overview' THEN 'Overview'
+            WHEN 'data' THEN 'Data' WHEN 'metadata' THEN 'Metadata'
+            ELSE 'Other' END) || ';' ||
+         (CASE a.type
+            WHEN 'image/tiff; application=geotiff; profile=cloud-optimized' THEN 'TIFF'
+            WHEN 'image/tiff; application=geotiff' THEN 'TIFF'
+            WHEN 'image/png' THEN 'PNG' WHEN 'image/jpeg' THEN 'JPEG'
+            WHEN 'application/json' THEN 'JSON' WHEN 'text/plain' THEN 'TXT'
+            ELSE 'Other' END) || ';eng' AS desc_en
+  FROM i, UNNEST(i.assets) AS t(a)
+  WHERE i.assets IS NOT NULL),
+allopt AS (
+  SELECT item_id, url, name_en, name_fr, desc_en FROM lopt
+  UNION ALL
+  SELECT item_id, url, name_en, name_fr, desc_en FROM aopt)
+SELECT item_id,
+       CAST(count(DISTINCT (url, name_en, name_fr, desc_en)) AS BIGINT)
+           AS n_options
+FROM allopt GROUP BY item_id
+"""
+
+
+def tiles_by_collection(sf_dir: str):
+    """Tile counts per collection from the REAL decode+tile path; the
+    oracle recomputes ceil(w/T)*ceil(h/T) arithmetically."""
+    from ray.data.aggregate import Count
+    from .pipelines.flagship import tile_pipeline
+    tiles = tile_pipeline(sf_dir, with_phash=False,
+                          passthrough=("collection_id",), concurrency=2)
+    agg = tiles.groupby("collection_id").aggregate(Count(alias_name="n_tiles"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"collection_id": batch["collection_id"],
+                         "n_tiles": pc.cast(batch["n_tiles"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _tiles_by_collection_sql() -> str:
+    return f"""
+SELECT s.collection_id,
+       CAST(sum(ceil(im.w / 64.0) * ceil(im.h / 64.0)) AS BIGINT) AS n_tiles
+FROM read_parquet('{_fx_glob("stac_items")}') s
+JOIN read_parquet('{_fx_glob("images")}') im USING (image_id)
+GROUP BY s.collection_id
+"""
+
+
+def phash_exact_dedup(sf_dir: str):
+    """Exact pHash dedup: survivor (min image_id) + copies per hash."""
+    import ray.data as rd
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
+
+    def survivor(g):
+        import pandas as pd
+        return pd.DataFrame({"phash": [int(g.phash.iloc[0])],
+                             "image_id": [g.image_id.min()],
+                             "n_copies": [len(g)]})
+    return ds.groupby("phash").map_groups(survivor, batch_format="pandas")
+
+
+def _phash_exact_dedup_sql() -> str:
+    return f"""
+SELECT phash, min(image_id) AS image_id, count(*) AS n_copies
+FROM read_parquet('{_fx_glob("images")}')
+GROUP BY phash
+"""
+
+
+def phash_near_dedup(sf_dir: str):
+    """Banded pHash near-dup pairs (Hamming <= 2).
+
+    4 x 16-bit bands guarantee every pair within distance 3 shares a
+    band (pigeonhole), so the groupby-on-band + in-group Hamming scan
+    finds EXACTLY the pairs the O(n^2) SQL oracle finds.
+    """
+    import ray.data as rd
+    from .stages.dedup import hamming_pairs_in_group, phash_band_rows
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
+    bands = ds.map_batches(phash_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        lambda g: hamming_pairs_in_group(g, max_dist=2), batch_format="pandas")
+
+    # a pair sharing multiple bands appears multiple times: dedup
+    def uniq(g):
+        import pandas as pd
+        return g.head(1)
+    out = pairs.groupby(["a", "b"]).map_groups(uniq, batch_format="pandas")
+    return out
+
+
+def _phash_near_dedup_sql() -> str:
+    return f"""
+SELECT i1.image_id AS a, i2.image_id AS b,
+       CAST(bit_count(xor(i1.phash, i2.phash)) AS BIGINT) AS dist
+FROM read_parquet('{_fx_glob("images")}') i1
+JOIN read_parquet('{_fx_glob("images")}') i2 ON i1.image_id < i2.image_id
+WHERE bit_count(xor(i1.phash, i2.phash)) <= 2
+"""
+
+
+def decode_stats(sf_dir: str):
+    """Decode-invariant audit per fmt (rows-only: SQL cannot decode)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+    from .stages.tiler import DecodeVerifier
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["images"], columns=["image_id", "bytes", "fmt", "phash"])
+    ver = ds.map_batches(DecodeVerifier, batch_format="pyarrow",
+                         batch_size=512, concurrency=2)
+
+    def to_flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": batch["fmt"],
+            "ok": pc.cast(batch["decode_ok"], pa.int64()),
+            "match": pc.cast(batch["phash_match"], pa.int64()),
+            "psnr_floor": pc.cast(pc.greater_equal(batch["psnr"], 40.0), pa.int64())})
+    flags = ver.map_batches(to_flags, batch_format="pyarrow")
+    return flags.groupby("fmt").aggregate(
+        Count(alias_name="n"),
+        Sum("ok", alias_name="n_decoded"),
+        Sum("match", alias_name="n_phash_match"),
+        Sum("psnr_floor", alias_name="n_psnr_ok"))
+
+
+# --------------------------------------------------- sketch/rows-only ops
+
+def minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.5."""
+    import ray
+    import ray.data as rd
+    from .stages.dedup import MinHasher
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+
+    def pairs(g):
+        import pandas as pd
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ids = sorted(g.doc_id.tolist())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame(out, columns=["a", "b"])
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def uniqpair(g):
+        return g.head(1)
+    cand = cand.groupby(["a", "b"]).map_groups(uniqpair, batch_format="pandas")
+    cand_df = cand.to_pandas()
+    if len(cand_df) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    # verify candidates against true shingle Jaccard (small candidate set)
+    import pyarrow.parquet as pq
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    mh = MinHasher()
+    rows = []
+    for a, b in zip(cand_df.a, cand_df.b):
+        j = mh.jaccard(text_of[int(a)] or "", text_of[int(b)] or "")
+        if j >= 0.5:
+            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 4)})
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.Table.from_pylist(rows)
+
+
+def simhash_docs(sf_dir: str):
+    """Per-doc 64-bit SimHash (deterministic; rows-only)."""
+    import ray.data as rd
+    from .stages.dedup import SimHasher
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def langid_accuracy(sf_dir: str):
+    """Heuristic language-ID vs the table's lang label (rows-only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from .stages.text import LangId
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+    def flags(df):
+        df["hit"] = (df.lang_pred == df.lang).astype("int64")
+        return df[["lang", "hit"]]
+    f = pred.map_batches(flags, batch_format="pandas")
+    return f.groupby("lang").aggregate(Count(alias_name="n"),
+                                       Sum("hit", alias_name="n_correct"))
+
+
+def doc_quality(sf_dir: str):
+    """Quality metrics per doc (BPE-ish tokens, ratios; rows-only)."""
+    import ray.data as rd
+    from .stages.text import TextQuality
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=2)
+
+    def final(df):
+        df["quality_r"] = df.quality_score.round(6)
+        return df[["doc_id", "n_tokens", "n_chars2", "quality_r"]]
+    return out.map_batches(final, batch_format="pandas")
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash fingerprints per doc (rows-only)."""
+    import ray.data as rd
+    from .stages.text import Fingerprinter
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+    return out.map_batches(lambda df: df[["doc_id", "fingerprint"]],
+                           batch_format="pandas")
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup (the sub-quadratic scale path;
+    rows-only — may legitimately miss cross-bucket pairs)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from .stages.dedup import EmbeddingLSH, cosine_pairs_in_group
+    dim = len(pq.read_table(_t(sf_dir, "embeddings"),
+                            columns=["embedding"]).column(0)[0])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLSH, fn_constructor_args=(dim,),
+        fn_constructor_kwargs={"n_planes": 4, "n_tables": 8},
+        batch_format="pyarrow", concurrency=2)
+    pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
+        lambda g: cosine_pairs_in_group(g, threshold=0.40),
+        batch_format="pandas")
+
+    def uniqpair(g):
+        return g.head(1)                     # pair may surface in many tables
+    return pairs.groupby(["a", "b"]).map_groups(uniqpair, batch_format="pandas")
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "doc_token_stats": doc_token_stats,
+    "doc_exact_dedup": doc_exact_dedup,
+    "ann_topk": ann_topk,
+    "embedding_neardup_exact": embedding_neardup_exact,
+    "geo_footprint_wkt": geo_footprint_wkt,
+    "geo_pip_join": geo_pip_join,
+    "geo_knn": geo_knn,
+    "geo_cell_rollup": geo_cell_rollup,
+    "geo_cells": geo_cells,
+    "geocore_items": geocore_items,
+    "geocore_collections": geocore_collections,
+    "geocore_options_count": geocore_options_count,
+    "tiles_by_collection": tiles_by_collection,
+    "phash_exact_dedup": phash_exact_dedup,
+    "phash_near_dedup": phash_near_dedup,
+    "decode_stats": decode_stats,
+    "minhash_neardup": minhash_neardup,
+    "simhash_docs": simhash_docs,
+    "langid_accuracy": langid_accuracy,
+    "doc_quality": doc_quality,
+    "doc_fingerprints": doc_fingerprints,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+}
+
+
+def oracle() -> dict[str, str]:
+    """SQL strings for the SQL-expressible subset (fixtures ensured)."""
+    fixtures.generate(ORACLE_SF_DIR)         # cheap when cached
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_orders": Q3_SQL,
+        "q5_nation_revenue": Q5_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "doc_token_stats": DOC_TOKEN_STATS_SQL,
+        "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "embedding_neardup_exact": EMB_NEARDUP_SQL,
+        "geo_footprint_wkt": _geo_footprint_wkt_sql(),
+        "geo_pip_join": _geo_pip_join_sql(),
+        "geo_knn": _geo_knn_sql(),
+        "geocore_items": _geocore_items_sql(),
+        "geocore_collections": _geocore_collections_sql(),
+        "geocore_options_count": _geocore_options_count_sql(),
+        "tiles_by_collection": _tiles_by_collection_sql(),
+        "phash_exact_dedup": _phash_exact_dedup_sql(),
+        "phash_near_dedup": _phash_near_dedup_sql(),
+    }

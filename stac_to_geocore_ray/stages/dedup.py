@@ -144,7 +144,8 @@ class MinHasher:
             sig = self.signature(text or "")
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = int(pd.util.hash_array(chunk.astype(np.int64)).sum() & 0x7FFFFFFFFFFFFFFF)
+                bh = int(pd.util.hash_array(chunk.astype(np.int64)).sum()) \
+                    & 0x7FFFFFFFFFFFFFFF
                 out_id.append(rid)
                 out_band.append(band)
                 out_hash.append(bh)
@@ -193,26 +194,47 @@ class SimHasher:
 # ------------------------------------------------------- embedding neardup
 
 class EmbeddingLSH:
-    """Random-hyperplane LSH bucket per embedding (plane matrix built
-    once per actor; deterministic seed)."""
+    """Random-hyperplane LSH bucketing (plane matrices built once per
+    actor; deterministic seed).
+
+    Single-table mode (n_tables=1) appends one ``lsh_bucket`` column.
+    Multi-table mode emits the standard L-tables-of-k-planes expansion:
+    one output row per (vector, table) with (table_id, lsh_bucket) —
+    union of in-bucket pairs across tables recovers moderate-similarity
+    neighbours a single table would split (recall 1-(1-p^k)^L).
+    """
 
     def __init__(self, dim: int, n_planes: int = 16, seed: int = 11,
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", n_tables: int = 1):
         rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+        self.planes = [rng.normal(size=(dim, n_planes)).astype(np.float32)
+                       for _ in range(n_tables)]
         self.vec_col = vec_col
+        self.n_tables = n_tables
+
+    def _buckets(self, mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes > 0).astype(np.uint64)
+        bucket = np.zeros(len(mat), dtype=np.uint64)
+        for k in range(bits.shape[1]):
+            bucket = (bucket << np.uint64(1)) | bits[:, k]
+        return bucket.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.vec_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         mat = np.asarray(col.to_pylist(), dtype=np.float32)
-        proj = mat @ self.planes
-        bits = (proj > 0).astype(np.uint64)
-        bucket = np.zeros(len(mat), dtype=np.uint64)
-        for k in range(bits.shape[1]):
-            bucket = (bucket << np.uint64(1)) | bits[:, k]
-        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+        if self.n_tables == 1:
+            return batch.append_column(
+                "lsh_bucket", pa.array(self._buckets(mat, self.planes[0])))
+        parts = []
+        for t, planes in enumerate(self.planes):
+            part = batch.append_column(
+                "table_id", pa.array(np.full(len(batch), t, dtype=np.int32)))
+            part = part.append_column("lsh_bucket",
+                                      pa.array(self._buckets(mat, planes)))
+            parts.append(part)
+        return pa.concat_tables(parts)
 
 
 def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",

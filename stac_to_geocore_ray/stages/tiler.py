@@ -31,11 +31,13 @@ class Tiler:
     """``map_batches`` callable: images+bbox rows -> per-tile rows."""
 
     def __init__(self, tile: int = TILE, hex_res: int = 9,
-                 prefix_res: int = 4, with_phash: bool = True):
+                 prefix_res: int = 4, with_phash: bool = True,
+                 passthrough: tuple[str, ...] = ()):
         self.tile = tile
         self.hex_res = hex_res
         self.prefix_res = prefix_res
         self.with_phash = with_phash
+        self.passthrough = passthrough       # input cols copied onto each tile row
         fi._dct_matrix()                     # warm the DCT table once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -51,7 +53,11 @@ class Tiler:
                                "lon", "lat", "mean_intensity")}
         if self.with_phash:
             out["tile_phash"] = []
+        pass_in = {c: batch[c].to_pylist() for c in self.passthrough}
+        pass_out: dict[str, list] = {c: [] for c in self.passthrough}
+        row_no = -1
         for rid, buf, bb in zip(ids, bufs, bbs):
+            row_no += 1
             arr = fi.decode(buf)
             h, w = arr.shape[0], arr.shape[1]
             ntx = (w + t - 1) // t
@@ -77,6 +83,8 @@ class Tiler:
                     out["mean_intensity"].append(float(tile.mean()))
                     if self.with_phash:
                         out["tile_phash"].append(fi.phash(tile))
+                    for c in self.passthrough:
+                        pass_out[c].append(pass_in[c][row_no])
         lon = np.asarray(out["lon"], dtype=np.float64)
         lat = np.asarray(out["lat"], dtype=np.float64)
         cells = hexgrid.latlng_to_cell(lat, lon, self.hex_res)
@@ -93,6 +101,8 @@ class Tiler:
         }
         if self.with_phash:
             tbl["tile_phash"] = pa.array(out["tile_phash"], pa.int64())
+        for c in self.passthrough:
+            tbl[c] = pa.array(pass_out[c])
         return pa.table(tbl)
 
 

@@ -1,0 +1,24 @@
+"""Session-scoped Ray fixture (one init per pytest session)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_small(ray_session):
+    """Small fixture dir (generated once, cached)."""
+    from stac_to_geocore_ray.sources import fixtures
+    return fixtures.paths("/root/testdata/sf0.001")

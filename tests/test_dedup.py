@@ -1,0 +1,86 @@
+"""Dedup operator unit tests (no Ray: pure batch-level semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from stac_to_geocore_ray.stages import dedup
+
+
+def test_text_hash_stable_and_distinct():
+    t = pa.table({"text": ["a", "b", "a"]})
+    out = dedup.add_text_hash(t)
+    h = out["content_hash"].to_pylist()
+    assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_phash_band_rows_pigeonhole():
+    # two hashes at Hamming distance 2 must share >= 2 of 4 bands
+    a = 0b1010_1111
+    b = a ^ 0b11                             # 2 flipped bits, same low band? no:
+    t = pa.table({"image_id": ["a", "b"], "phash": pa.array([a, b], pa.int64())})
+    rows = dedup.phash_band_rows(t).to_pandas()
+    shared = rows.groupby(["band_id", "band_val"])["image_id"].nunique()
+    assert (shared == 2).sum() >= 2
+
+
+def test_hamming_pairs_in_group():
+    g = pd.DataFrame({"image_id": ["x", "y", "z"],
+                      "phash": [0b111, 0b110, 0b000]})
+    pairs = dedup.hamming_pairs_in_group(g, max_dist=1)
+    assert set(zip(pairs.a, pairs.b)) == {("x", "y")}
+
+
+def test_minhash_similar_texts_share_bands():
+    mh = dedup.MinHasher()
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = t1 + "and then naps"
+    t3 = "completely different content about spacecraft telemetry " * 5
+    s1, s2, s3 = mh.signature(t1), mh.signature(t2), mh.signature(t3)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5 > sim13
+    assert mh.jaccard(t1, t2) > 0.7
+    assert mh.jaccard(t1, t3) < 0.1
+
+
+def test_minhash_band_rows_shape():
+    mh = dedup.MinHasher(num_perm=64, n_bands=16)
+    t = pa.table({"doc_id": [1, 2], "text": ["hello world", "hello world"]})
+    out = mh(t).to_pandas()
+    assert len(out) == 32                    # 16 bands x 2 docs
+    merged = out.groupby(["band_id", "band_hash"])["doc_id"].nunique()
+    assert (merged == 2).all()               # identical texts share all bands
+
+
+def test_simhash_properties():
+    sh = dedup.SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog")
+    b = sh.simhash("the quick brown fox jumps over the lazy cat")
+    c = sh.simhash("entirely unrelated words appear in this sentence")
+    from stac_to_geocore_ray.codecs.fakeimg import hamming64
+    dab = hamming64(np.array([a]), np.array([b]))[0]
+    dac = hamming64(np.array([a]), np.array([c]))[0]
+    assert dab < dac
+    assert sh.simhash("") == 0
+
+
+def test_embedding_lsh_buckets_similar_vectors():
+    lsh = dedup.EmbeddingLSH(dim=8)
+    base = np.random.RandomState(0).normal(size=8)
+    t = pa.table({"vec_id": [1, 2, 3],
+                  "embedding": [base.tolist(),
+                                (base * 1.001).tolist(),
+                                (-base).tolist()]})
+    out = lsh(t).to_pandas()
+    assert out.lsh_bucket[0] == out.lsh_bucket[1]
+    assert out.lsh_bucket[0] != out.lsh_bucket[2]
+
+
+def test_cosine_pairs_in_group():
+    base = np.random.RandomState(1).normal(size=8)
+    g = pd.DataFrame({"vec_id": [1, 2, 3],
+                      "embedding": [base.tolist(), (base * 2).tolist(),
+                                    np.random.RandomState(2).normal(size=8).tolist()]})
+    pairs = dedup.cosine_pairs_in_group(g, threshold=0.99)
+    assert set(zip(pairs.a, pairs.b)) == {(1, 2)}

@@ -1,0 +1,135 @@
+"""Unit tests: S2, hex grid, STRtree, bbox kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from stac_to_geocore_ray.geo import bbox, hexgrid, s2, strtree
+
+
+class TestS2:
+    def test_roundtrip_center(self):
+        lats = np.array([45.5, -33.86, 0.0, 82.0, -89.9, 42.0, 0.1])
+        lngs = np.array([-73.6, 151.2, 0.0, -141.0, 10.0, 179.9, -0.1])
+        cells = s2.latlng_to_cell(lats, lngs)
+        la, lo = s2.cell_to_latlng(cells)
+        assert np.max(np.abs(la - lats)) < 1e-4
+        assert np.max(np.abs(lo - lngs)) < 1e-4
+
+    def test_levels_and_hierarchy(self):
+        lats = np.linspace(-80, 80, 50)
+        lngs = np.linspace(-170, 170, 50)
+        leaf = s2.latlng_to_cell(lats, lngs)
+        assert (s2.level(leaf) == 30).all()
+        for lvl in (5, 9, 15):
+            direct = s2.latlng_to_cell(lats, lngs, lvl)
+            via_parent = s2.parent(leaf, lvl)
+            assert (direct == via_parent).all()
+            assert (s2.level(direct) == lvl).all()
+
+    def test_nearby_points_share_coarse_cell(self):
+        base = s2.latlng_to_cell(np.array([45.0]), np.array([-75.0]), 5)
+        near = s2.latlng_to_cell(np.array([45.001]), np.array([-75.001]), 5)
+        assert base[0] == near[0]
+
+    def test_distinct_regions_distinct_cells(self):
+        a = s2.latlng_to_cell(np.array([45.0]), np.array([-75.0]), 9)
+        b = s2.latlng_to_cell(np.array([46.0]), np.array([-75.0]), 9)
+        assert a[0] != b[0]
+
+    def test_bbox_covering(self):
+        cells = s2.bbox_covering(-76, 45, -74, 46, 7)
+        assert len(cells) >= 1
+        assert (s2.level(cells) == 7).all()
+        centre = s2.latlng_to_cell(np.array([45.5]), np.array([-75.0]), 7)
+        assert centre[0] in set(cells.tolist())
+
+
+class TestHexGrid:
+    def test_center_roundtrip(self):
+        lats = np.linspace(-80, 80, 30)
+        lngs = np.linspace(-170, 170, 30)
+        for res in (2, 5, 9):
+            cells = hexgrid.latlng_to_cell(lats, lngs, res)
+            x, y = hexgrid.cell_to_xy(cells)
+            again = hexgrid.latlng_to_cell(y, x, res)
+            assert (cells == again).all()
+
+    def test_parent_contains_child_center(self):
+        cells = hexgrid.latlng_to_cell(np.array([45.42]), np.array([-75.69]), 9)
+        parent = hexgrid.cell_to_parent(cells, 5)
+        res, _, _ = hexgrid.unpack(parent)
+        assert res[0] == 5
+        # child's center must land in the parent cell
+        x, y = hexgrid.cell_to_xy(cells)
+        assert hexgrid.latlng_to_cell(y, x, 5)[0] == parent[0]
+
+    def test_grid_disk_ring_sizes(self):
+        c = int(hexgrid.latlng_to_cell(np.array([45.0]), np.array([-75.0]), 6)[0])
+        for k in (1, 2, 3):
+            assert len(hexgrid.grid_disk(c, k)) == 3 * k * k + 3 * k + 1
+            assert len(hexgrid.grid_ring(c, k)) == 6 * k
+        d = hexgrid.grid_disk(c, 2)
+        assert (hexgrid.grid_distance(d, np.full(len(d), c)) <= 2).all()
+
+    def test_aperture7_area_scaling(self):
+        # each res step shrinks the edge by sqrt(7)
+        assert hexgrid.edge(3) / hexgrid.edge(4) == pytest.approx(np.sqrt(7.0))
+
+
+class TestSTRtree:
+    def _polys(self):
+        return [
+            (np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10])),
+            (np.array([5.0, 15, 15, 5]), np.array([5.0, 5, 15, 15])),
+            (np.array([20.0, 25, 22]), np.array([20.0, 20, 25])),  # triangle
+        ]
+
+    def test_first_match_priority(self):
+        t = strtree.STRtree(self._polys())
+        res = t.query_points(np.array([7.0]), np.array([7.0]))
+        assert res[0] == 0                  # overlap resolves to lowest index
+
+    def test_miss_is_negative(self):
+        t = strtree.STRtree(self._polys())
+        assert t.query_points(np.array([50.0]), np.array([50.0]))[0] == -1
+
+    def test_non_rectangular(self):
+        t = strtree.STRtree(self._polys())
+        inside = t.query_points(np.array([21.5]), np.array([20.5]))
+        outside_bbox_corner = t.query_points(np.array([24.9]), np.array([24.9]))
+        assert inside[0] == 2
+        assert outside_bbox_corner[0] == -1  # in bbox, outside triangle
+
+    def test_tree_path_matches_dense(self):
+        rng = np.random.RandomState(3)
+        polys = []
+        for i in range(300):
+            x0, y0 = rng.uniform(0, 100, 2)
+            w, h = rng.uniform(1, 5, 2)
+            polys.append((np.array([x0, x0 + w, x0 + w, x0]),
+                          np.array([y0, y0, y0 + h, y0 + h])))
+        px, py = rng.uniform(0, 100, (2, 2000))
+        dense = strtree.STRtree(polys, dense_limit=4096)
+        tree = strtree.STRtree(polys, dense_limit=10)
+        assert (dense.query_points(px, py) == tree.query_points(px, py)).all()
+
+
+class TestBbox:
+    def test_round2_before_ring(self):
+        r = bbox.rings(np.array([-75.126]), np.array([45.674]),
+                       np.array([-74.994]), np.array([46.0049]))
+        assert r[0, 0, 0] == -75.13          # round HALF-EVEN like Python
+        assert r[0, 2, 1] == 46.0
+        assert (r[0, 0] == r[0, 4]).all()    # ring closure
+
+    def test_wkt_exact_reference_form(self):
+        [w] = bbox.wkt_polygons(np.array([-75.1234]), np.array([45.6789]),
+                                np.array([-74.9876]), np.array([46.0001]))
+        assert w == ("POLYGON((-75.12 45.68, -74.99 45.68, -74.99 46.0, "
+                     "-75.12 46.0, -75.12 45.68))")
+
+    def test_degenerate_flag(self):
+        assert bbox.degenerate(np.array([1.0]), np.array([2.0]),
+                               np.array([1.0]), np.array([3.0]))[0]
+        assert not bbox.degenerate(np.array([1.0]), np.array([2.0]),
+                                   np.array([1.5]), np.array([3.0]))[0]

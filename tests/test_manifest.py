@@ -1,0 +1,72 @@
+"""Lineage manifest + resume semantics (SURVEY.md §5.2 #5-#6)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from stac_to_geocore_ray.state.manifest import (ManifestSink, partition_id,
+                                                table_checksum)
+
+
+@pytest.fixture
+def sink(tmp_path):
+    return ManifestSink(str(tmp_path / "out"))
+
+
+def _tbl(n=5):
+    return pa.table({"a": list(range(n)), "b": [f"s{i}" for i in range(n)]})
+
+
+def test_partition_id_stable():
+    assert partition_id("/x/part-00001.parquet") == partition_id("/x/part-00001.parquet")
+    assert partition_id("/x/a.parquet") != partition_id("/y/a.parquet")
+
+
+def test_write_is_idempotent(sink):
+    m1 = sink.write_partition("p1", _tbl())
+    m2 = sink.write_partition("p1", _tbl(99))    # different data: skipped
+    assert m1["checksum"] == m2["checksum"]
+    assert m2["rows"] == 5
+
+
+def test_plan_is_anti_join(sink):
+    frags = ["/in/f0.parquet", "/in/f1.parquet", "/in/f2.parquet"]
+    todo = sink.plan(frags)
+    assert len(todo) == 3
+    sink.write_partition(todo[0][1], _tbl(), inputs=[todo[0][0]])
+    assert len(sink.plan(frags)) == 2
+
+
+def test_orphan_cleanup(sink):
+    sink.write_partition("ok", _tbl())
+    orphan = os.path.join(sink.out_dir, "part-crashed.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"partial garbage")
+    assert sink.clean_orphans() == 1
+    assert not os.path.exists(orphan)
+    assert sink.is_done("ok")
+
+
+def test_checksum_sensitive_to_content():
+    assert table_checksum(_tbl(5)) != table_checksum(_tbl(6))
+    assert table_checksum(_tbl(5)) == table_checksum(_tbl(5))
+
+
+def test_killed_run_resumes_byte_identical(ray_session, tmp_path):
+    """Kill after k partitions -> rerun -> identical manifest set."""
+    import glob
+    from stac_to_geocore_ray.pipelines.geocore_harvest import run_harvest
+    out1 = str(tmp_path / "run1")
+    out2 = str(tmp_path / "run2")
+    sf = "/root/testdata/sf0.001"
+    r_part = run_harvest(sf, out1, fail_after=0)      # nothing but small sides
+    r_resumed = run_harvest(sf, out1)                 # finish the rest
+    r_clean = run_harvest(sf, out2)                   # fresh complete run
+    assert r_resumed["completed"] == r_clean["completed"]
+    c1 = ManifestSink(out1).completed()
+    c2 = ManifestSink(out2).completed()
+    assert set(c1) == set(c2)
+    for pid in c1:
+        assert c1[pid]["checksum"] == c2[pid]["checksum"]
+        assert c1[pid]["rows"] == c2[pid]["rows"]

@@ -1,0 +1,159 @@
+"""Stage-level tests: footprint encode, PIP join, kNN, tiler, text, ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from stac_to_geocore_ray.codecs import fakeimg as fi
+from stac_to_geocore_ray.geo import hexgrid, s2
+from stac_to_geocore_ray.stages.footprint import encode_footprint
+from stac_to_geocore_ray.stages.knn import HexKNN
+from stac_to_geocore_ray.stages.pip_join import PIPJoiner
+from stac_to_geocore_ray.stages.tiler import DecodeVerifier, Tiler
+
+
+def _items_batch():
+    return pa.table({
+        "image_id": ["a", "b", "c"],
+        "bbox": pa.array([[-75.5, 45.2, -75.1, 45.6],
+                          [-120.0, 50.0, -119.0, 51.0],
+                          [179.9, 10.0, 179.95, 10.1]],
+                         pa.list_(pa.float64(), 4)),
+    })
+
+
+class TestFootprint:
+    def test_columns_and_cells(self):
+        out = encode_footprint(_items_batch())
+        assert {"cx", "cy", "s2_cell", "hex_cell", "hex_prefix",
+                "geometry_wkt", "degenerate"} <= set(out.column_names)
+        cx = out["cx"].to_pylist()
+        assert cx[0] == pytest.approx(-75.3)
+        # cell columns must equal direct encoding of the centroid
+        s2c = s2.latlng_to_cell(np.array([45.4]), np.array([-75.3]), 9)
+        assert out["s2_cell"].to_pylist()[0] == np.int64(s2c[0]).item()
+        hexc = hexgrid.latlng_to_cell(np.array([45.4]), np.array([-75.3]), 7)
+        assert out["hex_cell"].to_pylist()[0] == hexc[0]
+
+
+class TestPIPJoiner:
+    def test_left_outer_and_priority(self):
+        cat = (["first", "second"],
+               [(np.array([-76.0, -75.0, -75.0, -76.0]),
+                 np.array([45.0, 45.0, 46.0, 46.0])),
+                (np.array([-76.5, -74.5, -74.5, -76.5]),
+                 np.array([44.5, 44.5, 46.5, 46.5]))])
+        j = PIPJoiner(cat)
+        batch = encode_footprint(_items_batch())
+        out = j(batch)
+        got = out["pip_collection"].to_pylist()
+        assert got[0] == "first"             # inside both -> lowest index
+        assert got[1] is None                # outside -> null (left outer)
+        assert got[2] is None
+
+
+class TestHexKNNStage:
+    def test_matches_brute_force(self):
+        ids = ["p", "q", "r"]
+        xs = np.array([-75.0, -120.0, 0.0])
+        ys = np.array([45.0, 50.0, 0.0])
+        k = HexKNN((ids, xs, ys))
+        out = k(encode_footprint(_items_batch()))
+        # planar euclid: the antimeridian point (179.9, 10) is nearest
+        # to r at (0,0) in planar space (no wraparound by design)
+        assert out["knn_id"].to_pylist() == ["p", "q", "r"]
+
+
+class TestTiler:
+    def _images_batch(self):
+        arr = fi.synth_pixels(99, 130, 70)   # 130x70 -> 3x2 tiles of 64
+        return pa.table({
+            "image_id": ["img1"],
+            "bytes": pa.array([fi.encode(arr, "png")], pa.binary()),
+            "bbox": pa.array([[-75.5, 45.0, -75.0, 45.5]],
+                             pa.list_(pa.float64(), 4)),
+        })
+
+    def test_tile_counts_and_geometry(self):
+        t = Tiler(tile=64, with_phash=False)
+        out = t(self._images_batch()).to_pandas()
+        assert len(out) == 6                 # ceil(130/64) * ceil(70/64) = 3*2
+        assert out.tile_w.tolist() == [64, 64, 2, 64, 64, 2]
+        assert out.tile_h.tolist() == [64, 64, 64, 6, 6, 6]
+        # all tile centers inside the bbox
+        assert ((out.lon > -75.5) & (out.lon < -75.0)).all()
+        assert ((out.lat > 45.0) & (out.lat < 45.5)).all()
+        # top-left tile center is north of bottom-left (row 0 = north)
+        top = out[(out.tile_x == 0) & (out.tile_y == 0)].lat.iloc[0]
+        bottom = out[(out.tile_x == 0) & (out.tile_y == 1)].lat.iloc[0]
+        assert top > bottom
+
+    def test_passthrough(self):
+        t = Tiler(tile=64, with_phash=False, passthrough=("image_id",))
+        batch = self._images_batch()
+        out = t(batch)
+        assert out["image_id"].to_pylist() == ["img1"] * 6
+
+    def test_decode_verifier(self):
+        arr = fi.synth_pixels(7, 96, 64)
+        enc = fi.encode(arr, "jpeg")
+        batch = pa.table({
+            "image_id": ["x"], "bytes": pa.array([enc], pa.binary()),
+            "fmt": ["jpeg"],
+            "phash": pa.array([fi.phash(fi.decode(enc))], pa.int64())})
+        out = DecodeVerifier()(batch).to_pylist()[0]
+        assert out["decode_ok"] and out["phash_match"]
+        assert out["psnr"] >= 40.0
+
+
+class TestText:
+    def test_quality_metrics(self):
+        from stac_to_geocore_ray.stages.text import TextQuality
+        df = pd.DataFrame({"text": ["The quick brown fox, it jumps!", ""]})
+        out = TextQuality()(df)
+        assert out.n_tokens.iloc[0] == 8     # 6 words + ',' + '!'
+        assert out.n_tokens.iloc[1] == 0
+        assert 0 < out.stop_ratio.iloc[0] < 1
+
+    def test_langid(self):
+        from stac_to_geocore_ray.stages.text import LangId
+        df = pd.DataFrame({"text": [
+            "the house and the garden are in the forest for the king",
+            "les maisons dans les villages pour que les enfants lisent"]})
+        out = LangId()(df)
+        assert out.lang_pred.tolist() == ["en", "fr"]
+
+    def test_fingerprint_deterministic(self):
+        from stac_to_geocore_ray.stages.text import Fingerprinter
+        fp = Fingerprinter()
+        assert fp.fingerprint("hello") == fp.fingerprint("hello")
+        assert fp.fingerprint("hello") != fp.fingerprint("hellp")
+        assert fp.fingerprint("") == 0
+
+
+class TestANN:
+    def test_bruteforce_topk_and_merge(self):
+        from stac_to_geocore_ray.stages.ann import BruteForceTopK, merge_topk
+        rng = np.random.RandomState(5)
+        mat = rng.normal(size=(50, 8))
+        queries = ([101], mat[3:4] * 2.0)    # query = scaled row 3
+        bf = BruteForceTopK(queries, k=5)
+        batch = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                          "embedding": [r.tolist() for r in mat]})
+        cand = bf(batch)
+        top = merge_topk(cand, k=5).to_pandas()
+        assert top.vec_id.iloc[0] == 3       # exact self-match first
+        assert top.cos.iloc[0] == pytest.approx(1.0)
+        assert top["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_ivf_assigns_nearest_centroid(self):
+        from stac_to_geocore_ray.stages.ann import IVFIndex
+        rng = np.random.RandomState(6)
+        sample = rng.normal(size=(100, 8))
+        cents = IVFIndex.fit_centroids(sample, n_centroids=4)
+        ivf = IVFIndex(cents)
+        batch = pa.table({"vec_id": pa.array(range(10), pa.int64()),
+                          "embedding": [r.tolist() for r in sample[:10]]})
+        out = ivf(batch).to_pandas()
+        assert out.ivf_bucket.between(0, 3).all()
