@@ -1,0 +1,122 @@
+"""Benchmark harness — one JSON line per run (driver contract).
+
+Headline metric: spatial-join + tile-assignment throughput in
+images/sec (BASELINE.json `metric`) — the flagship DAG (footprint ->
+S2/hex encode -> STRtree PIP broadcast join -> hex kNN, plus the
+aligned-fragment image join -> decode -> tile -> salted cell rollup)
+over the deterministic fixture images at $GRAFT_SF_DIR's scale.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: run the same job in two fresh processes at N and 4N CPUs
+(default pair from GRAFT_SCALE_PAIR, "2,8") and report throughput at
+both plus efficiency — the sandbox stand-in for the north rule's
+two-cluster-size criterion (no real multi-node cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from stac_to_geocore_ray.sources import fixtures
+    from stac_to_geocore_ray.pipelines import flagship
+    from stac_to_geocore_ray import queries as q
+
+    # fixture generation is one-time (cached); warm the page cache with
+    # an untimed metadata read so timings measure compute + shuffle
+    fixtures.generate(sf_dir)
+    n_images = fixtures.n_images_for(sf_dir)
+    pool = max(2, num_cpus // 4)
+    flagship.metadata_pipeline(sf_dir, concurrency=pool).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline phase 1: metadata spatial join (footprint+cells+PIP+kNN)
+    timed("spatial_join", lambda: flagship.metadata_pipeline(
+        sf_dir, concurrency=pool).count())
+
+    # headline phase 2: image join -> decode -> tile -> salted rollup
+    def tiles():
+        t = flagship.tile_pipeline(sf_dir, concurrency=pool, with_phash=False)
+        return flagship.tile_rollup(t).count()
+    timed("tile_assign", tiles)
+
+    headline = timings["spatial_join"] + timings["tile_assign"]
+    images_per_sec = round(n_images / headline, 1)
+
+    # representative operator benchmarks (same code paths the driver's
+    # correctness gate runs, at bench scale where inputs allow)
+    timed("geocore_translate", lambda: q.geocore_items(sf_dir).count())
+    timed("phash_exact_dedup", lambda: q.phash_exact_dedup(sf_dir).count())
+    timed("q1_pricing", lambda: q.q1_pricing_summary(sf_dir).count()
+          if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else 0)
+    timed("ann_topk", lambda: len(q.ann_topk(sf_dir))
+          if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")) else 0)
+
+    result = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "images_per_sec": images_per_sec,
+        "n_images": n_images,
+        "queries": timings,
+        "sf": os.path.basename(sf_dir),
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    pair = os.environ.get("GRAFT_SCALE_PAIR", "2,8")
+    lo, hi = (int(x) for x in pair.split(","))
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tput_lo = r_lo["images_per_sec"]
+    tput_hi = r_hi["images_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency",
+        "cpus": [lo, hi],
+        "images_per_sec": [tput_lo, tput_hi],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -19,13 +19,15 @@ groupby (SURVEY.md §7.2 step 7).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..sources import fixtures
 from ..stages.footprint import encode_footprint
-from ..stages.util import default_pool_size
+from ..stages.util import autoscale_pool, default_pool_size
 from ..stages.knn import HexKNN
 from ..stages.pip_join import PIPJoiner, catalog_polygons
 from ..stages.tiler import Tiler
@@ -53,19 +55,80 @@ def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None):
     ds = ds.map_batches(encode_footprint, batch_format="pyarrow")
     ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
                         batch_format="pyarrow", batch_size=8192,
-                        concurrency=concurrency or default_pool_size())
+                        concurrency=autoscale_pool(concurrency))
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
                         batch_format="pyarrow", batch_size=8192,
-                        concurrency=concurrency or default_pool_size())
+                        concurrency=autoscale_pool(concurrency))
     return ds
+
+
+class AlignedCoRead:
+    """Zero-shuffle fragment-aligned join of images x stac_items.
+
+    The fixture tables are co-partitioned by construction (shard k of
+    images holds exactly the rows of shard k of stac_items, same
+    order) — the realistic production layout where footprint metadata
+    lives beside the image bytes in one Lance table.  Each task reads
+    BOTH shard files and splices columns; no hash shuffle of binary
+    payloads.  Falls back to ``Dataset.join`` (tile_pipeline
+    join="shuffle") when inputs are not co-partitioned.
+    """
+
+    def __init__(self, images_dir: str, items_dir: str,
+                 item_cols: tuple[str, ...]):
+        self.images_dir = images_dir
+        self.items_dir = items_dir
+        self.item_cols = list(item_cols)
+
+    def __call__(self, batch) -> pa.Table:
+        import os
+        import pyarrow.parquet as pqt
+        out = []
+        for shard in batch["shard"]:
+            name = f"part-{int(shard):05d}.parquet"
+            img = pqt.read_table(os.path.join(self.images_dir, name),
+                                 columns=["image_id", "bytes"])
+            items = pqt.read_table(os.path.join(self.items_dir, name),
+                                   columns=["image_id", "bbox", *self.item_cols])
+            assert img["image_id"].to_pylist() == items["image_id"].to_pylist(), \
+                "shards not co-partitioned; use join='shuffle'"
+            merged = img
+            bb = items["bbox"].combine_chunks() if isinstance(
+                items["bbox"], pa.ChunkedArray) else items["bbox"]
+            m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+            for i, cname in enumerate(("bw", "bs", "be", "bn")):
+                merged = merged.append_column(cname, pa.array(m[:, i]))
+            for c in self.item_cols:
+                merged = merged.append_column(c, items[c])
+            out.append(merged)
+        return pa.concat_tables(out)
 
 
 def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
                   num_partitions: int = 16, with_phash: bool = True,
-                  passthrough: tuple[str, ...] = ()):
-    """images x stac_items -> per-tile rows (bytes decoded in actor pool)."""
+                  passthrough: tuple[str, ...] = (), join: str = "aligned"):
+    """images x stac_items -> per-tile rows (bytes decoded in actor pool).
+
+    join="aligned" (default): fragment-aligned co-read, zero shuffle.
+    join="shuffle": general hash-partitioned Dataset.join on image_id.
+    """
+    import glob as _glob
     import ray.data as rd
     p = fixtures.paths(sf_dir)
+    if join == "aligned":
+        shards = sorted(_glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+        ds = rd.from_items([{"shard": i} for i in range(len(shards))])
+        joined = ds.map_batches(
+            AlignedCoRead,
+            fn_constructor_args=(p["images"], p["stac_items"], passthrough),
+            batch_format="numpy", batch_size=1,
+            concurrency=autoscale_pool(concurrency))
+        return joined.map_batches(
+            Tiler,
+            fn_constructor_kwargs={"with_phash": with_phash,
+                                   "passthrough": passthrough},
+            batch_format="pyarrow", batch_size=512,
+            concurrency=autoscale_pool(concurrency))
     items = rd.read_parquet(p["stac_items"],
                             columns=["image_id", "bbox", *passthrough])
 
@@ -90,7 +153,7 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
         fn_constructor_kwargs={"with_phash": with_phash,
                                "passthrough": passthrough},
         batch_format="pyarrow", batch_size=512,
-        concurrency=concurrency or default_pool_size())
+        concurrency=autoscale_pool(concurrency))
 
 
 def tile_rollup(tiles_ds, salt_factor: int = 8):

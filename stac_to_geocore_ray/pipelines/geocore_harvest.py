@@ -28,7 +28,7 @@ from ..config import DEFAULT_CONFIG, TranslateConfig
 from ..sources import fixtures
 from ..stages.geocore import (ItemTranslator, collection_lookup,
                               translate_collections, translate_root)
-from ..stages.util import default_pool_size
+from ..stages.util import autoscale_pool, default_pool_size
 from ..state.manifest import ManifestSink, partition_id
 
 
@@ -55,7 +55,7 @@ def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
     ds = rd.read_parquet(p["stac_items"])
     return ds.map_batches(ItemTranslator, fn_constructor_args=(lookup_ref, cfg),
                           batch_format="pyarrow", batch_size=4096,
-                          concurrency=concurrency or default_pool_size())
+                          concurrency=autoscale_pool(concurrency))
 
 
 def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,

@@ -125,7 +125,7 @@ def q3_top_orders(sf_dir: str):
                                          value_set=self.value_set))
 
     orders = orders.map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
-                                batch_format="pyarrow", concurrency=2)
+                                batch_format="pyarrow", concurrency=(1, 2))
     okeys = set(orders.to_pandas()["o_orderkey"])   # small survivor set
     okeys_ref = ray.put(okeys)
 
@@ -145,7 +145,7 @@ def q3_top_orders(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     rev = li.map_batches(RevPartial, fn_constructor_args=(okeys_ref,),
-                         batch_format="pyarrow", concurrency=2)
+                         batch_format="pyarrow", concurrency=(1, 2))
     agg = rev.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
     df = agg.to_pandas()
     df["revenue"] = df["rev"].round(0).astype("int64")
@@ -198,7 +198,7 @@ def q5_nation_revenue(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     rev = li.map_batches(NatRev, fn_constructor_args=(ref,),
-                         batch_format="pyarrow", concurrency=2)
+                         batch_format="pyarrow", concurrency=(1, 2))
     agg = rev.groupby("nation").aggregate(Sum("revenue", alias_name="rev"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -379,7 +379,7 @@ def ann_topk(sf_dir: str):
     qref = ray.put((qids, qmat))
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
-                          batch_format="pyarrow", concurrency=2)
+                          batch_format="pyarrow", concurrency=(1, 2))
     # candidates are tiny (<= k per query per batch): safe to collect
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     out = merge_topk(cand_tbl).to_pandas()
@@ -446,7 +446,7 @@ def embedding_neardup_exact(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(PairFinder, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=2)
+                          batch_format="pyarrow", concurrency=(1, 2))
 
 
 EMB_NEARDUP_SQL = """
@@ -507,7 +507,7 @@ def geo_pip_join(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
-                        batch_format="pyarrow", batch_size=8192, concurrency=2)
+                        batch_format="pyarrow", batch_size=8192, concurrency=(1, 2))
     return ds.select_columns(["image_id", "pip_collection"])
 
 
@@ -541,7 +541,7 @@ def geo_knn(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
-                        batch_format="pyarrow", batch_size=8192, concurrency=2)
+                        batch_format="pyarrow", batch_size=8192, concurrency=(1, 2))
     return ds.select_columns(["image_id", "knn_id"])
 
 
@@ -571,7 +571,7 @@ def geo_cell_rollup(sf_dir: str):
     """items per hex prefix cell (no SQL equivalent: rows-only check)."""
     from ray.data.aggregate import Count
     from .pipelines.flagship import metadata_pipeline
-    ds = metadata_pipeline(sf_dir, concurrency=2)
+    ds = metadata_pipeline(sf_dir, concurrency=(1, 2))
     return ds.groupby("hex_prefix").aggregate(Count(alias_name="n_items"))
 
 
@@ -589,7 +589,7 @@ def geo_cells(sf_dir: str):
 def geocore_items(sf_dir: str):
     """Flat GeoCore item records (the reference's M7 path, columnar)."""
     from .pipelines.geocore_harvest import items_dataset
-    ds = items_dataset(sf_dir, concurrency=2)
+    ds = items_dataset(sf_dir, concurrency=(1, 2))
     return ds.select_columns([
         "item_id", "id", "parent_identifier", "title_en", "title_fr",
         "temporal_begin", "temporal_end", "keywords_en", "keywords_fr",
@@ -762,7 +762,7 @@ FROM fields f JOIN counts ct USING (collection_id)
 def geocore_options_count(sf_dir: str):
     """Per-item option count after keep-last dedup (F3+F4+A1 parity)."""
     from .pipelines.geocore_harvest import items_dataset
-    ds = items_dataset(sf_dir, concurrency=2)
+    ds = items_dataset(sf_dir, concurrency=(1, 2))
     return ds.select_columns(["item_id", "n_options"])
 
 
@@ -829,7 +829,7 @@ def tiles_by_collection(sf_dir: str):
     from ray.data.aggregate import Count
     from .pipelines.flagship import tile_pipeline
     tiles = tile_pipeline(sf_dir, with_phash=False,
-                          passthrough=("collection_id",), concurrency=2)
+                          passthrough=("collection_id",), concurrency=(1, 2))
     agg = tiles.groupby("collection_id").aggregate(Count(alias_name="n_tiles"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -911,7 +911,7 @@ def decode_stats(sf_dir: str):
     p = _fx(sf_dir)
     ds = rd.read_parquet(p["images"], columns=["image_id", "bytes", "fmt", "phash"])
     ver = ds.map_batches(DecodeVerifier, batch_format="pyarrow",
-                         batch_size=512, concurrency=2)
+                         batch_size=512, concurrency=(1, 2))
 
     def to_flags(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -935,7 +935,7 @@ def minhash_neardup(sf_dir: str):
     import ray.data as rd
     from .stages.dedup import MinHasher
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
 
     def pairs(g):
         import pandas as pd
@@ -977,7 +977,7 @@ def simhash_docs(sf_dir: str):
     import ray.data as rd
     from .stages.dedup import SimHasher
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -987,7 +987,7 @@ def langid_accuracy(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from .stages.text import LangId
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
 
     def flags(df):
         df["hit"] = (df.lang_pred == df.lang).astype("int64")
@@ -1002,7 +1002,7 @@ def doc_quality(sf_dir: str):
     import ray.data as rd
     from .stages.text import TextQuality
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=(1, 2))
 
     def final(df):
         df["quality_r"] = df.quality_score.round(6)
@@ -1015,7 +1015,7 @@ def doc_fingerprints(sf_dir: str):
     import ray.data as rd
     from .stages.text import Fingerprinter
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 2))
     return out.map_batches(lambda df: df[["doc_id", "fingerprint"]],
                            batch_format="pandas")
 
@@ -1032,7 +1032,7 @@ def embedding_neardup_lsh(sf_dir: str):
     bucketed = ds.map_batches(
         EmbeddingLSH, fn_constructor_args=(dim,),
         fn_constructor_kwargs={"n_planes": 4, "n_tables": 8},
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=(1, 2))
     pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
         lambda g: cosine_pairs_in_group(g, threshold=0.40),
         batch_format="pandas")

@@ -18,3 +18,16 @@ def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:
     except Exception:
         cpus = 4
     return max(floor, int(cpus * fraction))
+
+
+def autoscale_pool(requested: int | None = None,
+                   fraction: float = 0.25) -> tuple[int, int]:
+    """(1, k) autoscaling actor-pool bounds.
+
+    A FIXED pool reserves min=max actors up front; chained fixed pools
+    that cover the session's CPUs deadlock the streaming executor.  An
+    autoscaling (1, k) pool starts at one actor and grows only while
+    spare CPUs exist, so the same pipeline runs on a 4-CPU test
+    session and a 32-CPU bench session unchanged.
+    """
+    return (1, requested if requested else default_pool_size(fraction))

@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests over the sf0.001 fixtures (Ray session)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def meta_df(ray_session, sf_small):
+    from stac_to_geocore_ray.pipelines.flagship import metadata_pipeline
+    return metadata_pipeline("/root/testdata/sf0.001", concurrency=2).to_pandas()
+
+
+class TestMetadataPipeline:
+    def test_row_preservation(self, meta_df):
+        assert len(meta_df) == 1000
+        assert meta_df.image_id.is_unique
+
+    def test_pip_left_outer(self, meta_df):
+        # antimeridian rows (i % 911 == 905) sit outside the catalog
+        misses = meta_df[meta_df.pip_collection.isna()]
+        assert len(misses) == 1
+        assert misses.image_id.iloc[0] == "img-000000905"
+
+    def test_pip_respects_priority_overlap(self, meta_df):
+        # 'cdem' region spans everything, but earlier catalog entries win:
+        # no row whose centroid is in landsat's region maps to cdem
+        hit = meta_df[meta_df.pip_collection.notna()]
+        assert (hit.pip_collection != "cdem").any()
+
+    def test_knn_exactness_sample(self, meta_df):
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.sources import fixtures
+        coll = pq.read_table(fixtures.paths("/root/testdata/sf0.001")["collections"])
+        bbs = np.asarray(coll["bbox"].to_pylist())
+        kx = (bbs[:, 0] + bbs[:, 2]) / 2
+        ky = (bbs[:, 1] + bbs[:, 3]) / 2
+        ids = coll["collection_id"].to_pylist()
+        sample = meta_df.sample(100, random_state=0)
+        d2 = ((sample.cx.to_numpy()[:, None] - kx[None, :]) ** 2
+              + (sample.cy.to_numpy()[:, None] - ky[None, :]) ** 2)
+        expect = [ids[i] for i in np.argmin(d2, axis=1)]
+        assert expect == sample.knn_id.tolist()
+
+    def test_cells_consistent_with_centroid(self, meta_df):
+        from stac_to_geocore_ray.geo import hexgrid
+        sample = meta_df.head(50)
+        cells = hexgrid.latlng_to_cell(sample.cy.to_numpy(),
+                                       sample.cx.to_numpy(), 7)
+        assert (cells == sample.hex_cell.to_numpy()).all()
+
+
+class TestTilePipeline:
+    def test_aligned_equals_shuffle_join(self, ray_session, sf_small):
+        from ray.data.aggregate import Count
+        from stac_to_geocore_ray.pipelines.flagship import tile_pipeline
+        counts = {}
+        for mode in ("aligned", "shuffle"):
+            t = tile_pipeline("/root/testdata/sf0.001", with_phash=False,
+                              join=mode, concurrency=2)
+            df = t.groupby("image_id").aggregate(
+                Count(alias_name="n")).to_pandas()
+            counts[mode] = df.sort_values("image_id").reset_index(drop=True)
+        assert counts["aligned"].equals(counts["shuffle"])
+
+    def test_rollup_conserves_tiles(self, ray_session, sf_small):
+        from stac_to_geocore_ray.pipelines.flagship import (tile_pipeline,
+                                                            tile_rollup)
+        tiles = tile_pipeline("/root/testdata/sf0.001", with_phash=False,
+                              concurrency=2)
+        n_tiles = tiles.count()
+        roll = tile_rollup(tiles).to_pandas()
+        assert roll.n_tiles.sum() == n_tiles
+        assert (roll.avg_intensity.between(0, 255)).all()
+
+
+class TestEntryContract:
+    def test_entry_and_registry(self, ray_session, sf_small):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+        ds = e.entry()
+        assert ds.count() == 1000
+        qs = e.queries()
+        sql = e.oracle_sql()
+        assert set(sql) <= set(qs)
+        assert len(qs) >= 25
+
+    def test_no_ray_init_in_entry_module(self):
+        # the driver owns the session: entry module must never CALL
+        # ray.init / ray.shutdown (docstrings may mention them)
+        import ast
+        import inspect
+        import __ray_entry__ as e
+        tree = ast.parse(inspect.getsource(e))
+        calls = [n for n in ast.walk(tree) if isinstance(n, ast.Call)
+                 and isinstance(n.func, ast.Attribute)
+                 and n.func.attr in ("init", "shutdown")
+                 and isinstance(n.func.value, ast.Name)
+                 and n.func.value.id == "ray"]
+        assert not calls
