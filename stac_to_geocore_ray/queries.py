@@ -1042,6 +1042,43 @@ def embedding_neardup_lsh(sf_dir: str):
     return pairs.groupby(["a", "b"]).map_groups(uniqpair, batch_format="pandas")
 
 
+
+def geocore_assemble(sf_dir: str):
+    """Full nested GeoCore FeatureCollection assembly (M2; rows-only —
+    value parity of the flat fields is SQL-checked in geocore_items)."""
+    import pyarrow.compute as _pc
+    from .pipelines.geocore_harvest import items_dataset
+    from .stages.assemble import RecordAssembler
+    ds = items_dataset(sf_dir, concurrency=2)
+    out = ds.map_batches(RecordAssembler, batch_format="pyarrow",
+                         concurrency=(1, 2))
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch["id"],
+            "json_len": _pc.cast(_pc.utf8_length(batch["geocore_json"]),
+                                 pa.int64())})
+    return out.map_batches(measure, batch_format="pyarrow")
+
+
+def harvest_manifests(sf_dir: str):
+    """Resumable manifest-sinked harvest; returns per-partition lineage
+    rows (stable partition ids + checksums; rows-only)."""
+    import shutil
+    import tempfile
+    from .pipelines.geocore_harvest import run_harvest
+    from .state.manifest import ManifestSink
+    out_dir = tempfile.mkdtemp(prefix="stgr_harvest_")
+    try:
+        run_harvest(sf_dir, out_dir)
+        rows = [{"partition_id": pid, "rows": m["rows"],
+                 "checksum": m["checksum"]}
+                for pid, m in sorted(ManifestSink(out_dir).completed().items())]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.Table.from_pylist(rows)
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1072,6 +1109,8 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "geocore_assemble": geocore_assemble,
+    "harvest_manifests": harvest_manifests,
 }
 
 

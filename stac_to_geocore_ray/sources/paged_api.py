@@ -1,0 +1,94 @@
+"""Paginated STAC-search source (the reference's S3 operator, Ray-native).
+
+The reference walks the /search ``links[rel=='next']`` chain serially,
+validating cumulative ``context.returned`` against ``context.matched``
+(pagination.py:5-61).  The Ray-native shape: a DRIVER-SIDE page-chain
+walk that only enumerates page URLs (cheap, metadata-only), then a
+parallel ``read_pages`` fan-out where each Ray task fetches and parses
+one page — pages become read tasks, exactly the fragments-replace-pages
+mapping from SURVEY.md §2.1.
+
+No network exists in this sandbox, so the transport is pluggable: a
+``fetch`` callable maps url -> JSON dict.  Tests exercise the full
+chain walk + validation + parallel parse against a directory of local
+JSON page files; a real deployment passes ``requests.get(...).json``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+
+class PageValidationError(RuntimeError):
+    pass
+
+
+def walk_pages(first_url: str, fetch: Callable[[str], dict],
+               max_pages: int = 100_000) -> list[str]:
+    """Enumerate the next-link chain; validate returned vs matched.
+
+    Mirrors pagination.py semantics: accumulate ``context.returned``
+    per page and require the total to equal ``context.matched`` at the
+    end of the chain; raise on mismatch (the reference logs + aborts).
+    """
+    urls = []
+    url: str | None = first_url
+    total_returned = 0
+    matched = None
+    while url and len(urls) < max_pages:
+        page = fetch(url)
+        urls.append(url)
+        ctx = page.get("context", {})
+        total_returned += int(ctx.get("returned", 0))
+        if ctx.get("matched") is not None:
+            matched = int(ctx["matched"])
+        url = next((l.get("href") for l in page.get("links", [])
+                    if l.get("rel") == "next"), None)
+    if matched is not None and total_returned != matched:
+        raise PageValidationError(
+            f"returned {total_returned} != matched {matched}")
+    return urls
+
+
+def read_pages(urls: list[str], fetch: Callable[[str], dict],
+               parallelism: int | None = None):
+    """Parallel page fetch+parse -> Dataset of STAC item rows.
+
+    One Ray task per page (the reference fetched pages serially in the
+    driver loop, app.py:142-146).
+    """
+    import ray
+    import ray.data as rd
+
+    fetch_ref = ray.put(fetch)
+
+    def load(batch):
+        import pyarrow as pa
+        f = ray.get(fetch_ref)
+        rows = []
+        for url in batch["url"]:
+            page = f(url)
+            for feat in page.get("features", []):
+                rows.append({
+                    "item_id": feat.get("id"),
+                    "collection_id": feat.get("collection"),
+                    "bbox": feat.get("bbox"),
+                    "datetime": (feat.get("properties") or {}).get("datetime"),
+                    "raw": json.dumps(feat, ensure_ascii=False),
+                })
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"item_id": pa.array([], type=pa.string())})
+
+    ds = rd.from_items([{"url": u} for u in urls])
+    return ds.map_batches(load, batch_format="numpy", batch_size=1,
+                          concurrency=parallelism)
+
+
+def file_fetcher(directory: str) -> Callable[[str], dict]:
+    """Local-file transport for tests: url 'page-N' -> directory/page-N.json."""
+    def fetch(url: str) -> dict:
+        name = url.rsplit("/", 1)[-1]
+        with open(f"{directory}/{name}.json") as f:
+            return json.load(f)
+    return fetch

@@ -1,0 +1,98 @@
+"""Paged-API source, assembler, and exporter tests."""
+
+import json
+import os
+
+import pytest
+
+from stac_to_geocore_ray.sources import paged_api
+
+
+def _write_pages(tmp_path, n_pages=4, per_page=3, matched=None):
+    total = n_pages * per_page
+    matched = total if matched is None else matched
+    for p in range(n_pages):
+        page = {
+            "context": {"returned": per_page, "matched": matched},
+            "features": [
+                {"id": f"item-{p}-{i}", "collection": "c1",
+                 "bbox": [0, 0, 1, 1],
+                 "properties": {"datetime": "2021-01-01T00:00:00Z"}}
+                for i in range(per_page)],
+            "links": ([{"rel": "next", "href": f"x/page-{p + 1}"}]
+                      if p + 1 < n_pages else []),
+        }
+        with open(tmp_path / f"page-{p}.json", "w") as f:
+            json.dump(page, f)
+    return str(tmp_path)
+
+
+class TestPagedSource:
+    def test_walk_chain(self, tmp_path):
+        d = _write_pages(tmp_path)
+        urls = paged_api.walk_pages("x/page-0", paged_api.file_fetcher(d))
+        assert urls == [f"x/page-{i}" for i in range(4)]
+
+    def test_validation_error(self, tmp_path):
+        d = _write_pages(tmp_path, matched=999)
+        with pytest.raises(paged_api.PageValidationError):
+            paged_api.walk_pages("x/page-0", paged_api.file_fetcher(d))
+
+    def test_parallel_read(self, ray_session, tmp_path):
+        d = _write_pages(tmp_path)
+        urls = paged_api.walk_pages("x/page-0", paged_api.file_fetcher(d))
+        ds = paged_api.read_pages(urls, paged_api.file_fetcher(d))
+        df = ds.to_pandas()
+        assert len(df) == 12
+        assert df.item_id.is_unique
+
+
+class TestAssembler:
+    def test_nested_record_shape(self):
+        from stac_to_geocore_ray.stages.assemble import assemble_record
+        row = {
+            "id": "datacube-c1-i1", "title_en": "T", "title_fr": "Tf",
+            "description_en": "d", "description_fr": "df",
+            "keywords_en": "k", "keywords_fr": "kf",
+            "parent_identifier": "datacube-c1",
+            "temporal_begin": "2021-01-01", "temporal_end": "Present",
+            "date_published": "2021-01-01T00:00:00Z",
+            "options": [{"url": "u", "protocol": "Unknown", "name_en": "n",
+                         "name_fr": "nf", "desc_en": "a;b;eng",
+                         "desc_fr": "a;b;fra"}],
+            "geometry_wkt": "POLYGON((-75.13 45.67, -74.99 45.67, "
+                            "-74.99 46.0, -75.13 46.0, -75.13 45.67))",
+        }
+        rec = assemble_record(row)
+        assert rec["type"] == "FeatureCollection"
+        feat = rec["features"][0]
+        assert feat["geometry"]["type"] == "Polygon"
+        ring = feat["geometry"]["coordinates"][0]
+        assert ring[0] == [-75.13, 45.67] and ring[0] == ring[4]
+        props = feat["properties"]
+        assert props["title"] == {"en": "T", "fr": "Tf"}
+        assert props["options"][0]["name"] == {"en": "n", "fr": "nf"}
+        assert props["date"]["published"]["text"] == "publication; publication"
+        assert props["contact"][0]["email"]["en"] == "geoinfo@nrcan-rncan.gc.ca"
+
+    def test_json_sink_end_to_end(self, ray_session, sf_small, tmp_path):
+        from stac_to_geocore_ray.pipelines.geocore_harvest import items_dataset
+        from stac_to_geocore_ray.sources.exporters import write_geocore_json
+        ds = items_dataset("/root/testdata/sf0.001").limit(20)
+        out = write_geocore_json(ds, str(tmp_path / "gc"))
+        files = os.listdir(out)
+        assert files
+        with open(os.path.join(out, files[0])) as f:
+            rec = json.loads(f.readline())
+        assert rec["geocore_json"].startswith('{"type": "FeatureCollection"')
+
+
+class TestCsvExport:
+    def test_parquet_to_csv(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.sources.exporters import parquet_to_csv
+        out = parquet_to_csv("/root/testdata/sf0.001/nation.parquet",
+                             str(tmp_path / "csv"))
+        files = [f for f in os.listdir(out)]
+        assert files
+        text = open(os.path.join(out, files[0])).read()
+        assert "n_nationkey" in text.splitlines()[0]
