@@ -42,22 +42,40 @@ def _load_catalog(coll_path: str):
     return coll, (ids, polys), (ids, cx, cy)
 
 
-def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None):
-    """stac_items -> footprint+cells+PIP+kNN Dataset (no image bytes)."""
+def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None,
+                      actor_threshold: int = 10_000):
+    """stac_items -> footprint+cells+PIP+kNN Dataset (no image bytes).
+
+    Stage placement heuristic: when the broadcast catalog is small
+    (< ``actor_threshold`` entries) the STRtree / kNN index build costs
+    microseconds, so the join runs as elastic TASKS (index rebuilt per
+    task from the broadcast object — no actor ramp-up, perfect
+    scaling).  A big catalog flips to the actor-pool form where the
+    index builds once per actor (the ST5 pattern).
+    """
     import ray
     import ray.data as rd
     p = fixtures.paths(sf_dir)
-    _, cat, knn_cat = _load_catalog(p["collections"])
+    coll, cat, knn_cat = _load_catalog(p["collections"])
     cat_ref = ray.put(cat)
     knn_ref = ray.put(knn_cat)
     ds = rd.read_parquet(p["stac_items"],
                          columns=["image_id", "item_id", "collection_id", "bbox"])
     ds = ds.map_batches(encode_footprint, batch_format="pyarrow")
+    if len(coll) < actor_threshold:
+        def pip_task(batch: pa.Table) -> pa.Table:
+            return PIPJoiner(cat_ref)(batch)
+
+        def knn_task(batch: pa.Table) -> pa.Table:
+            return HexKNN(knn_ref)(batch)
+        ds = ds.map_batches(pip_task, batch_format="pyarrow")
+        ds = ds.map_batches(knn_task, batch_format="pyarrow")
+        return ds
     ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
-                        batch_format="pyarrow", batch_size=8192,
+                        batch_format="pyarrow",
                         concurrency=autoscale_pool(concurrency))
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
-                        batch_format="pyarrow", batch_size=8192,
+                        batch_format="pyarrow",
                         concurrency=autoscale_pool(concurrency))
     return ds
 
@@ -117,18 +135,29 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
     p = fixtures.paths(sf_dir)
     if join == "aligned":
         shards = sorted(_glob.glob(os.path.join(p["stac_items"], "*.parquet")))
-        ds = rd.from_items([{"shard": i} for i in range(len(shards))])
-        joined = ds.map_batches(
-            AlignedCoRead,
-            fn_constructor_args=(p["images"], p["stac_items"], passthrough),
-            batch_format="numpy", batch_size=1,
-            concurrency=autoscale_pool(concurrency))
-        return joined.map_batches(
-            Tiler,
-            fn_constructor_kwargs={"with_phash": with_phash,
-                                   "passthrough": passthrough},
-            batch_format="pyarrow", batch_size=512,
-            concurrency=autoscale_pool(concurrency))
+        # one block per shard so the co-read fans out to one task each
+        ds = rd.from_items([{"shard": i} for i in range(len(shards))],
+                           override_num_blocks=len(shards))
+        # both stages are stateless here (co-read holds no state; the
+        # Tiler's only state is the pHash DCT table): run them as TASK
+        # pools, which scale elastically with free CPUs instead of
+        # waiting on actor-pool ramp-up.  The pHash variant keeps the
+        # actor pool so the DCT table builds once per worker.
+        coread = AlignedCoRead(p["images"], p["stac_items"], passthrough)
+        joined = ds.map_batches(coread.__call__, batch_format="numpy",
+                                batch_size=1)
+        if with_phash:
+            return joined.map_batches(
+                Tiler,
+                fn_constructor_kwargs={"with_phash": True,
+                                       "passthrough": passthrough},
+                batch_format="pyarrow",
+                concurrency=autoscale_pool(concurrency, fraction=0.65))
+        # NOTE: no batch_size here — input blocks are shard-sized
+        # already, and an explicit batch_size makes Ray Data re-bundle
+        # across blocks, copying the binary column (measured 8x slower)
+        tiler = Tiler(with_phash=False, passthrough=passthrough)
+        return joined.map_batches(tiler.__call__, batch_format="pyarrow")
     items = rd.read_parquet(p["stac_items"],
                             columns=["image_id", "bbox", *passthrough])
 
@@ -152,7 +181,7 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
         Tiler,
         fn_constructor_kwargs={"with_phash": with_phash,
                                "passthrough": passthrough},
-        batch_format="pyarrow", batch_size=512,
+        batch_format="pyarrow",
         concurrency=autoscale_pool(concurrency))
 
 

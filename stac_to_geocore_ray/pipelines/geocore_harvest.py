@@ -54,7 +54,7 @@ def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
     lookup_ref = ray.put(collection_lookup(coll))
     ds = rd.read_parquet(p["stac_items"])
     return ds.map_batches(ItemTranslator, fn_constructor_args=(lookup_ref, cfg),
-                          batch_format="pyarrow", batch_size=4096,
+                          batch_format="pyarrow",
                           concurrency=autoscale_pool(concurrency))
 
 

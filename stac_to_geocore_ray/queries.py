@@ -507,7 +507,7 @@ def geo_pip_join(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
-                        batch_format="pyarrow", batch_size=8192, concurrency=(1, 2))
+                        batch_format="pyarrow", concurrency=(1, 2))
     return ds.select_columns(["image_id", "pip_collection"])
 
 
@@ -541,7 +541,7 @@ def geo_knn(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
-                        batch_format="pyarrow", batch_size=8192, concurrency=(1, 2))
+                        batch_format="pyarrow", concurrency=(1, 2))
     return ds.select_columns(["image_id", "knn_id"])
 
 
@@ -911,7 +911,7 @@ def decode_stats(sf_dir: str):
     p = _fx(sf_dir)
     ds = rd.read_parquet(p["images"], columns=["image_id", "bytes", "fmt", "phash"])
     ver = ds.map_batches(DecodeVerifier, batch_format="pyarrow",
-                         batch_size=512, concurrency=(1, 2))
+                         concurrency=(1, 2))
 
     def to_flags(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1079,6 +1079,101 @@ def harvest_manifests(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+
+def ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN: coarse-quantizer assignment + probed search.
+
+    Centroids fit once on a driver-side sample (k-means-lite,
+    deterministic seed); per-batch assignment is the groupby key; the
+    search probes the query's nearest ``n_probe`` buckets only.
+    Rows-only: approximate by construction — recall vs the exact
+    brute-force path is what the query reports per query vector.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from .stages.ann import IVFIndex, _normalize
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    sample = mat[:: max(1, len(mat) // 2000)]
+    cents = IVFIndex.fit_centroids(sample, n_centroids=16)
+    cents_ref = ray.put(cents)
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IVFIndex, fn_constructor_args=(cents_ref,),
+                              batch_format="pyarrow", concurrency=(1, 2))
+    adf = assigned.to_pandas()               # small at test scale; at 1e9
+                                             # rows the probe filter pushes
+                                             # into the read instead
+    nmat = _normalize(mat)
+    qidx = [int(np.flatnonzero(ids == q)[0]) for q in _ANN_QUERY_IDS]
+    rows = []
+    n_probe = 4
+    for qi, q in zip(qidx, _ANN_QUERY_IDS):
+        qv = nmat[qi]
+        probe_buckets = np.argsort(-(cents @ qv))[:n_probe]
+        cand_mask = adf.ivf_bucket.isin(probe_buckets).to_numpy()
+        cand_ids = adf.vec_id.to_numpy()[cand_mask]
+        lookup = {v: i for i, v in enumerate(ids)}
+        cand_rows = np.asarray([lookup[v] for v in cand_ids])
+        sims = nmat[cand_rows] @ qv
+        top = np.argsort(-sims)[:10]
+        approx = set(cand_ids[top].tolist())
+        exact = set(ids[np.argsort(-(nmat @ qv))[:10]].tolist())
+        rows.append({"query_id": int(q),
+                     "n_candidates": int(cand_mask.sum()),
+                     "recall_at_10": round(len(approx & exact) / 10.0, 2)})
+    return pa.Table.from_pylist(rows)
+
+
+def ngram_jaccard_dedup(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs (>= 0.5), banded by cheap
+    signature then exact-verified — the n-gram flavor of MinHash-LSH
+    (rows-only)."""
+    import ray.data as rd
+    from .stages.dedup import MinHasher
+    mh = MinHasher(shingle_k=5)
+
+    def word_ngrams(text: str, n: int = 3) -> set:
+        toks = (text or "").lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+
+    def pairs(g):
+        import pandas as pd
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ids_ = sorted(g.doc_id.tolist())
+        return pd.DataFrame([(x, y) for i, x in enumerate(ids_)
+                             for y in ids_[i + 1:]], columns=["a", "b"])
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                               batch_format="pandas")
+    cand_df = cand.to_pandas()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(cand_df) == 0:
+        return empty
+    import pyarrow.parquet as pq
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    rows = []
+    for a, b in zip(cand_df.a, cand_df.b):
+        s1, s2 = word_ngrams(text_of[int(a)]), word_ngrams(text_of[int(b)])
+        if not s1 and not s2:
+            continue
+        j = len(s1 & s2) / max(1, len(s1 | s2))
+        if j >= 0.5:
+            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 4)})
+    return pa.Table.from_pylist(rows) if rows else empty
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1111,6 +1206,8 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "geocore_assemble": geocore_assemble,
     "harvest_manifests": harvest_manifests,
+    "ann_ivf": ann_ivf,
+    "ngram_jaccard_dedup": ngram_jaccard_dedup,
 }
 
 

@@ -30,4 +30,6 @@ def autoscale_pool(requested: int | None = None,
     spare CPUs exist, so the same pipeline runs on a 4-CPU test
     session and a 32-CPU bench session unchanged.
     """
+    if isinstance(requested, tuple):         # caller passed explicit bounds
+        return requested
     return (1, requested if requested else default_pool_size(fraction))
