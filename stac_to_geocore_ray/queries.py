@@ -345,12 +345,22 @@ def doc_exact_dedup(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     hashed = ds.map_batches(add_text_hash, batch_format="pyarrow")
 
-    def survivor(g):
+    def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
-        return pd.DataFrame({"doc_id": [int(g.doc_id.min())],
-                             "n_copies": [len(g)]})
-    out = hashed.groupby("content_hash").map_groups(survivor, batch_format="pandas")
-    return out
+        df = batch.to_pandas()
+        g = df.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+    agg = hashed.map_batches(partial, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="doc_id"), Sum("n", alias_name="n_copies"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "n_copies": pc.cast(batch["n_copies"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -849,17 +859,33 @@ GROUP BY s.collection_id
 
 
 def phash_exact_dedup(sf_dir: str):
-    """Exact pHash dedup: survivor (min image_id) + copies per hash."""
+    """Exact pHash dedup: survivor (min image_id) + copies per hash.
+
+    Partial-aggregation shape: each batch emits one (phash, min_id,
+    count) row per local hash, then one small groupby folds partials —
+    the shuffle moves per-batch partials, not raw rows.
+    """
     import ray.data as rd
+    from ray.data.aggregate import Min, Sum
     p = _fx(sf_dir)
     ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
 
-    def survivor(g):
+    def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
-        return pd.DataFrame({"phash": [int(g.phash.iloc[0])],
-                             "image_id": [g.image_id.min()],
-                             "n_copies": [len(g)]})
-    return ds.groupby("phash").map_groups(survivor, batch_format="pandas")
+        df = batch.to_pandas()
+        g = df.groupby("phash", sort=False).agg(
+            image_id=("image_id", "min"), n=("image_id", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("phash").aggregate(
+        Min("image_id", alias_name="image_id"), Sum("n", alias_name="n_copies"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"phash": batch["phash"],
+                         "image_id": batch["image_id"],
+                         "n_copies": pc.cast(batch["n_copies"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _phash_exact_dedup_sql() -> str:
@@ -882,15 +908,36 @@ def phash_near_dedup(sf_dir: str):
     p = _fx(sf_dir)
     ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
     bands = ds.map_batches(phash_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        lambda g: hamming_pairs_in_group(g, max_dist=2), batch_format="pandas")
 
-    # a pair sharing multiple bands appears multiple times: dedup
-    def uniq(g):
+    # one map_groups call per (band_id, band_val) would mean tens of
+    # thousands of tiny Python calls; bucket the band space so each
+    # group call handles ~hundreds of bands with one pandas groupby
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(batch["band_val"], pa.scalar(255, pa.int64()))
+        return batch.append_column("bucket", pc.cast(b, pa.int32()))
+
+    def bucket_pairs(g):
         import pandas as pd
-        return g.head(1)
-    out = pairs.groupby(["a", "b"]).map_groups(uniq, batch_format="pandas")
-    return out
+        outs = [hamming_pairs_in_group(sub, max_dist=2)
+                for _, sub in g.groupby(["band_id", "band_val"], sort=False)
+                if len(sub) > 1]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "dist": []})
+        return pd.concat(outs, ignore_index=True)
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = bands.groupby("bucket").map_groups(bucket_pairs,
+                                               batch_format="pandas")
+
+    # a pair sharing multiple bands appears once per shared band: fold
+    # duplicates with a tiny aggregate instead of per-pair map_groups
+    from ray.data.aggregate import Min
+    agg = pairs.groupby(["a", "b"]).aggregate(Min("dist", alias_name="dist"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["a"], "b": batch["b"],
+                         "dist": pc.cast(batch["dist"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _phash_near_dedup_sql() -> str:
@@ -946,10 +993,8 @@ def minhash_neardup(sf_dir: str):
         return pd.DataFrame(out, columns=["a", "b"])
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-
-    def uniqpair(g):
-        return g.head(1)
-    cand = cand.groupby(["a", "b"]).map_groups(uniqpair, batch_format="pandas")
+    from ray.data.aggregate import Count
+    cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
     cand_df = cand.to_pandas()
     if len(cand_df) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
@@ -1037,9 +1082,10 @@ def embedding_neardup_lsh(sf_dir: str):
         lambda g: cosine_pairs_in_group(g, threshold=0.40),
         batch_format="pandas")
 
-    def uniqpair(g):
-        return g.head(1)                     # pair may surface in many tables
-    return pairs.groupby(["a", "b"]).map_groups(uniqpair, batch_format="pandas")
+    # pair may surface in many tables: fold duplicates via aggregate
+    from ray.data.aggregate import Max
+    agg = pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+    return agg
 
 
 
@@ -1152,8 +1198,8 @@ def ngram_jaccard_dedup(sf_dir: str):
                              for y in ids_[i + 1:]], columns=["a", "b"])
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-    cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                               batch_format="pandas")
+    from ray.data.aggregate import Count as _Count
+    cand = cand.groupby(["a", "b"]).aggregate(_Count(alias_name="n_bands"))
     cand_df = cand.to_pandas()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),

@@ -98,3 +98,25 @@ class TestEntryContract:
                  and isinstance(n.func.value, ast.Name)
                  and n.func.value.id == "ray"]
         assert not calls
+
+
+class TestDeterminism:
+    def test_two_runs_identical(self, ray_session, sf_small):
+        """SURVEY §5.2 #6: same input -> identical results across runs."""
+        from stac_to_geocore_ray.pipelines.flagship import (tile_pipeline,
+                                                            tile_rollup)
+        outs = []
+        for _ in range(2):
+            t = tile_pipeline("/root/testdata/sf0.001", with_phash=False,
+                              concurrency=2)
+            df = tile_rollup(t).to_pandas()
+            outs.append(df.sort_values("hex_prefix").reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+
+    def test_metadata_deterministic(self, ray_session, sf_small):
+        from stac_to_geocore_ray.pipelines.flagship import metadata_pipeline
+        a = metadata_pipeline("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        b = metadata_pipeline("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert a.equals(b)

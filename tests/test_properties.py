@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): random bboxes, dedup idempotence,
+cell containment, codec roundtrips (SURVEY.md §5.2 #4, #6)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stac_to_geocore_ray.codecs import fakeimg as fi
+from stac_to_geocore_ray.geo import bbox, hexgrid, s2
+from stac_to_geocore_ray.stages.geocore import _dedup_keep_last
+
+lat_st = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False,
+                   allow_infinity=False, width=64)
+lng_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False,
+                   allow_infinity=False, width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_st, lng=lng_st)
+def test_s2_hierarchy_containment(lat, lng):
+    leaf = s2.latlng_to_cell(np.array([lat]), np.array([lng]))
+    for lvl in (3, 9, 20):
+        assert s2.parent(leaf, lvl)[0] == s2.latlng_to_cell(
+            np.array([lat]), np.array([lng]), lvl)[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_st, lng=lng_st, res=st.integers(min_value=0, max_value=12))
+def test_hex_roundtrip_any_res(lat, lng, res):
+    c = hexgrid.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    x, y = hexgrid.cell_to_xy(c)
+    assert hexgrid.latlng_to_cell(y, x, res)[0] == c[0]
+    # the probe point is at hex distance <= 1 from its own cell's
+    # center cell (cube rounding can't be off by more than a neighbor)
+    c2 = hexgrid.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    assert hexgrid.grid_distance(c, c2)[0] == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=lng_st, s=lat_st, dw=st.floats(0, 2, allow_nan=False),
+       dh=st.floats(0, 2, allow_nan=False))
+def test_ring_closed_and_wkt_parses(w, s, dw, dh):
+    e, n = w + dw, s + dh
+    rings = bbox.rings(np.array([w]), np.array([s]), np.array([e]), np.array([n]))
+    assert (rings[0, 0] == rings[0, 4]).all()
+    [wkt] = bbox.wkt_polygons(np.array([w]), np.array([s]),
+                              np.array([e]), np.array([n]))
+    assert wkt.startswith("POLYGON((") and wkt.endswith("))")
+    pts = wkt[len("POLYGON(("):-2].split(", ")
+    assert len(pts) == 5 and pts[0] == pts[4]
+    # degenerate bboxes flagged, never crash
+    assert bbox.degenerate(np.array([w]), np.array([s]),
+                           np.array([e]), np.array([n]))[0] == ((w == e) or (s == n))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=12))
+def test_keep_last_dedup_idempotent(keys):
+    opts = [{"url": k, "name_en": k, "name_fr": k, "desc_en": k, "desc_fr": k}
+            for k in keys]
+    once = _dedup_keep_last(opts)
+    twice = _dedup_keep_last(once)
+    assert once == twice                       # idempotent
+    assert len({o["url"] for o in once}) == len(once)   # no dups survive
+    # keeps the LAST occurrence order
+    seen = {}
+    for i, k in enumerate(keys):
+        seen[k] = i
+    order = [keys[i] for i in sorted(seen.values())]
+    assert [o["url"] for o in once] == order
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**63 - 1),
+       w=st.integers(min_value=33, max_value=150),
+       h=st.integers(min_value=33, max_value=150))
+def test_codec_roundtrip_properties(seed, w, h):
+    arr = fi.synth_pixels(seed, w, h)
+    assert np.array_equal(fi.decode(fi.encode(arr, "png")), arr)
+    lossy = fi.decode(fi.encode(arr, "jpeg"))
+    assert fi.psnr(arr, lossy) >= 40.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=st.integers(min_value=-2**62, max_value=2**62),
+       flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3))
+def test_phash_banding_pigeonhole(a, flips):
+    """<= 3 flipped bits across a 64-bit hash must leave >= 1 of the 4
+    16-bit bands identical (the guarantee phash_near_dedup relies on)."""
+    b = a
+    for f in flips:
+        b ^= 1 << f
+    shared = 0
+    for band in range(4):
+        mask = 0xFFFF << (band * 16)
+        if (a & mask) == (b & mask):
+            shared += 1
+    assert shared >= 4 - len(flips)
