@@ -73,3 +73,18 @@ def degenerate(w, s, e, n) -> np.ndarray:
     (SURVEY.md §7.4); the engine flags these rows instead of crashing.
     """
     return (np.asarray(w) == np.asarray(e)) | (np.asarray(s) == np.asarray(n))
+
+
+def wkt_polygons_native(w, s, e, n) -> list[str]:
+    """Engine-native full-precision WKT (no round-2 compat quirk).
+
+    The reference-form round-2 path (wkt_polygons) exists for
+    conformance; pipelines that feed real geometry consumers should
+    use this one (SURVEY.md §7.4 compat-vs-native split).
+    """
+    w = np.asarray(w, dtype=np.float64); s = np.asarray(s, dtype=np.float64)
+    e = np.asarray(e, dtype=np.float64); n = np.asarray(n, dtype=np.float64)
+    return [
+        f"POLYGON(({wi} {si}, {ei} {si}, {ei} {ni}, {wi} {ni}, {wi} {si}))"
+        for wi, si, ei, ni in zip(w.tolist(), s.tolist(), e.tolist(), n.tolist())
+    ]

@@ -230,3 +230,46 @@ def flagship(sf_dir: str, *, concurrency: int | None = None,
         return meta, None
     tiles = tile_pipeline(sf_dir, concurrency=concurrency)
     return meta, tile_rollup(tiles)
+
+
+def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
+                            fail_after: int | None = None,
+                            with_phash: bool = False) -> dict:
+    """Resumable flagship tile run: one output partition per input shard.
+
+    The full write path of the north rule: partition ids derive from
+    the input fragment index (stable across cluster sizes), each task
+    co-reads its shard, decodes + tiles, and writes atomically via the
+    manifest sink; ``resume`` skips completed partitions (anti-join).
+    """
+    import glob as _glob
+
+    import ray
+
+    from ..state.manifest import ManifestSink, partition_id
+    p = fixtures.paths(sf_dir)
+    sink = ManifestSink(out_dir)
+    if resume:
+        sink.clean_orphans()
+    frags = sorted(_glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+    todo = sink.plan(frags) if resume else [(f, partition_id(f)) for f in frags]
+    if fail_after is not None:
+        todo = todo[:fail_after]
+
+    images_dir, items_dir = p["images"], p["stac_items"]
+
+    @ray.remote(num_cpus=1)
+    def do_shard(frag: str, pid: str, shard_idx: int) -> dict:
+        coread = AlignedCoRead(images_dir, items_dir, ())
+        tiler = Tiler(with_phash=with_phash)
+        merged = coread({"shard": [shard_idx]})
+        tiles = tiler(merged)
+        return ManifestSink(out_dir).write_partition(pid, tiles, inputs=[frag])
+
+    idx_of = {f: i for i, f in enumerate(frags)}
+    results = ray.get([do_shard.remote(f, pid, idx_of[f]) for f, pid in todo])
+    done = sink.completed()
+    return {"partitions_written": len(results),
+            "partitions_total": len(frags),
+            "completed": len(done),
+            "rows": sum(m["rows"] for m in done.values())}

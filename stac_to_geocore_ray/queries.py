@@ -1220,6 +1220,32 @@ def ngram_jaccard_dedup(sf_dir: str):
     return pa.Table.from_pylist(rows) if rows else empty
 
 
+
+def geo_s2_covering(sf_dir: str):
+    """Per-item S2 covering of the footprint bbox at level 7 — a
+    raster->vector flat-map (one row per covering cell; rows-only:
+    covering is not SQL-expressible)."""
+    import ray.data as rd
+    from .geo import s2 as s2mod
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["stac_items"], columns=["item_id", "bbox"])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        bb = batch["bbox"]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        ids = batch["item_id"].to_pylist()
+        out_id, out_cell = [], []
+        for i, (w, s, e, n) in enumerate(m):
+            cells = s2mod.bbox_covering(w, s, e, n, 7, grid=4)
+            out_id.extend([ids[i]] * len(cells))
+            out_cell.extend(cells.astype("int64").tolist())
+        return pa.table({"item_id": pa.array(out_id, pa.string()),
+                         "s2_cell": pa.array(out_cell, pa.int64())})
+    return ds.map_batches(cover, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1254,6 +1280,7 @@ QUERIES = {
     "harvest_manifests": harvest_manifests,
     "ann_ivf": ann_ivf,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
+    "geo_s2_covering": geo_s2_covering,
 }
 
 

@@ -39,7 +39,8 @@ def bbox_view(batch: pa.Table, col: str = "bbox") -> np.ndarray:
 def encode_footprint(batch: pa.Table, *, s2_level: int = S2_LEVEL,
                      hex_res: int = HEX_RES,
                      hex_prefix_res: int = HEX_PREFIX_RES,
-                     with_wkt: bool = True) -> pa.Table:
+                     with_wkt: bool = True,
+                     native_precision: bool = False) -> pa.Table:
     bb = bbox_view(batch)
     w, s, e, n = bboxmod.split_bbox(bb)
     cx, cy = bboxmod.centroids(w, s, e, n)
@@ -54,6 +55,8 @@ def encode_footprint(batch: pa.Table, *, s2_level: int = S2_LEVEL,
     out = out.append_column("hex_cell", pa.array(hexc))
     out = out.append_column("hex_prefix", pa.array(hexp))
     if with_wkt:
+        make = (bboxmod.wkt_polygons_native if native_precision
+                else bboxmod.wkt_polygons)
         out = out.append_column(
-            "geometry_wkt", pa.array(bboxmod.wkt_polygons(w, s, e, n), pa.string()))
+            "geometry_wkt", pa.array(make(w, s, e, n), pa.string()))
     return out

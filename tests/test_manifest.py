@@ -70,3 +70,18 @@ def test_killed_run_resumes_byte_identical(ray_session, tmp_path):
     for pid in c1:
         assert c1[pid]["checksum"] == c2[pid]["checksum"]
         assert c1[pid]["rows"] == c2[pid]["rows"]
+
+
+def test_flagship_write_resume_byte_identical(ray_session, tmp_path):
+    """Kill the TILE write after 0 partitions, resume, compare to clean."""
+    from stac_to_geocore_ray.pipelines.flagship import run_flagship_to_parquet
+    from stac_to_geocore_ray.state.manifest import ManifestSink
+    sf = "/root/testdata/sf0.001"
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    run_flagship_to_parquet(sf, out1, fail_after=0)
+    r1 = run_flagship_to_parquet(sf, out1)
+    r2 = run_flagship_to_parquet(sf, out2)
+    assert r1["rows"] == r2["rows"] > 0
+    c1, c2 = ManifestSink(out1).completed(), ManifestSink(out2).completed()
+    assert {p: m["checksum"] for p, m in c1.items()} == \
+        {p: m["checksum"] for p, m in c2.items()}

@@ -120,3 +120,30 @@ class TestDeterminism:
         b = metadata_pipeline("/root/testdata/sf0.001").to_pandas() \
             .sort_values("image_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestSkewSalting:
+    def test_dominant_prefix_splits_across_salts(self):
+        """Images sharing one dense cell spread across the 8 salts, and
+        the per-image salt is stable (deterministic unsalting)."""
+        import pandas as pd
+        import numpy as np
+        ids = np.array([f"img-{i:09d}" for i in range(200)], dtype=object)
+        salts = pd.util.hash_array(ids) % 8
+        assert len(np.unique(salts)) == 8      # dense cell -> all reducers
+        again = pd.util.hash_array(ids) % 8
+        assert (salts == again).all()          # stable across runs
+
+    def test_rollup_salting_preserves_totals(self, ray_session, sf_small):
+        from ray.data.aggregate import Count
+        from stac_to_geocore_ray.pipelines import flagship
+        tiles = flagship.tile_pipeline("/root/testdata/sf0.001",
+                                       with_phash=False, concurrency=2)
+        direct = tiles.groupby("hex_prefix").aggregate(
+            Count(alias_name="n_tiles")).to_pandas() \
+            .sort_values("hex_prefix").reset_index(drop=True)
+        salted = flagship.tile_rollup(
+            flagship.tile_pipeline("/root/testdata/sf0.001", with_phash=False,
+                                   concurrency=2)).to_pandas() \
+            .sort_values("hex_prefix").reset_index(drop=True)
+        assert direct.n_tiles.tolist() == salted.n_tiles.tolist()
