@@ -929,15 +929,20 @@ def phash_near_dedup(sf_dir: str):
     pairs = bands.groupby("bucket").map_groups(bucket_pairs,
                                                batch_format="pandas")
 
-    # a pair sharing multiple bands appears once per shared band: fold
-    # duplicates with a tiny aggregate instead of per-pair map_groups
-    from ray.data.aggregate import Min
-    agg = pairs.groupby(["a", "b"]).aggregate(Min("dist", alias_name="dist"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({"a": batch["a"], "b": batch["b"],
-                         "dist": pc.cast(batch["dist"], pa.int64())})
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # a pair sharing multiple bands appears once per shared band.  The
+    # pair set is OUTPUT-sized (bounded by the near-dup rate, not the
+    # corpus), so fold duplicates driver-side like a top-k merge; a
+    # distributed groupby((a,b)) fold is the swap-in for outputs too
+    # big to collect (string-pair aggregates cost ~20s fixed here).
+    import pandas as pd
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.int64())})
+    df = df.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
+    df["dist"] = df["dist"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
 def _phash_near_dedup_sql() -> str:
