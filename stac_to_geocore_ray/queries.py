@@ -1251,6 +1251,31 @@ def geo_s2_covering(sf_dir: str):
     return ds.map_batches(cover, batch_format="pyarrow")
 
 
+
+def video_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing over deterministic GVID containers
+    built from consecutive fixture images (rows-only; media decode in
+    this container is the GIMG/GVID stand-in — see stages/multimodal)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import glob as _glob
+    from .codecs import fakeimg as fi
+    from .stages.multimodal import FrameSampler, encode_video
+    p = _fx(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    imgs = pq.read_table(shard0, columns=["bytes"]).column("bytes").to_pylist()
+    vids = []
+    for v in range(16):
+        frames = [fi.decode(imgs[v * 4 + k]) for k in range(4)]
+        vids.append({"video_id": f"vid-{v:04d}",
+                     "bytes": encode_video(frames)})
+    ds = rd.from_items(vids)
+    out = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                         concurrency=(1, 2))
+    return out.select_columns(["video_id", "frame_index", "w", "h",
+                               "frame_phash"])
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1286,6 +1311,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "geo_s2_covering": geo_s2_covering,
+    "video_frame_sample": video_frame_sample,
 }
 
 
