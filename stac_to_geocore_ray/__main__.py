@@ -1,0 +1,86 @@
+"""CLI entry points — the ``ray job submit`` surface (SURVEY.md §7.2 #10).
+
+    python -m stac_to_geocore_ray harvest  --sf-dir D --out O [--no-resume]
+    python -m stac_to_geocore_ray flagship --sf-dir D --out O [--fail-after K]
+    python -m stac_to_geocore_ray export-geocore --sf-dir D --out O [--limit N]
+    python -m stac_to_geocore_ray export-csv --src TABLE.parquet --out O
+
+On a real cluster each of these is the entrypoint of
+``ray job submit -- python -m stac_to_geocore_ray ...`` — the script
+owns the Ray session (guarded init), the pipelines never do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="stac_to_geocore_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("harvest", help="STAC->GeoCore harvest with manifest sink")
+    h.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    h.add_argument("--out", required=True)
+    h.add_argument("--no-resume", action="store_true")
+    h.add_argument("--fail-after", type=int, default=None)
+
+    f = sub.add_parser("flagship", help="resumable tile run (co-read -> tile -> write)")
+    f.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    f.add_argument("--out", required=True)
+    f.add_argument("--no-resume", action="store_true")
+    f.add_argument("--fail-after", type=int, default=None)
+    f.add_argument("--phash", action="store_true")
+
+    g = sub.add_parser("export-geocore", help="translated items -> GeoCore JSON files")
+    g.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    g.add_argument("--out", required=True)
+    g.add_argument("--limit", type=int, default=None)
+
+    c = sub.add_parser("export-csv", help="parquet -> CSV directory")
+    c.add_argument("--src", required=True)
+    c.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    ray = _session()
+    try:
+        if args.cmd == "harvest":
+            from .pipelines.geocore_harvest import run_harvest
+            res = run_harvest(args.sf_dir, args.out, resume=not args.no_resume,
+                              fail_after=args.fail_after)
+        elif args.cmd == "flagship":
+            from .pipelines.flagship import run_flagship_to_parquet
+            res = run_flagship_to_parquet(args.sf_dir, args.out,
+                                          resume=not args.no_resume,
+                                          fail_after=args.fail_after,
+                                          with_phash=args.phash)
+        elif args.cmd == "export-geocore":
+            from .pipelines.geocore_harvest import items_dataset
+            from .sources.exporters import write_geocore_json
+            ds = items_dataset(args.sf_dir)
+            if args.limit:
+                ds = ds.limit(args.limit)
+            res = {"out": write_geocore_json(ds, args.out)}
+        else:
+            from .sources.exporters import parquet_to_csv
+            res = {"out": parquet_to_csv(args.src, args.out)}
+        print(json.dumps(res))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
