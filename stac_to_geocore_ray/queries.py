@@ -1134,48 +1134,60 @@ def harvest_manifests(sf_dir: str):
 def ann_ivf(sf_dir: str):
     """IVF-bucketed ANN: coarse-quantizer assignment + probed search.
 
-    Centroids fit once on a driver-side sample (k-means-lite,
-    deterministic seed); per-batch assignment is the groupby key; the
-    search probes the query's nearest ``n_probe`` buckets only.
-    Rows-only: approximate by construction — recall vs the exact
-    brute-force path is what the query reports per query vector.
+    Fully streaming: centroids fit once on a driver-side sample
+    (k-means-lite, deterministic seed); each batch assigns vectors to
+    centroids, FILTERS to the probed buckets of the broadcast queries,
+    and emits per-batch top-k candidates — the driver merges only
+    candidate rows (never the full assignment).  Rows-only:
+    approximate by construction; the query reports recall@10 vs the
+    exact brute-force scan.
     """
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
-    from .stages.ann import IVFIndex, _normalize
+    from .stages.ann import BruteForceTopK, IVFIndex, _normalize, merge_topk
 
     emb = pq.read_table(_t(sf_dir, "embeddings"))
     ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
     sample = mat[:: max(1, len(mat) // 2000)]
     cents = IVFIndex.fit_centroids(sample, n_centroids=16)
+
+    n_probe = 4
+    qidx = [int(np.flatnonzero(ids == q)[0]) for q in _ANN_QUERY_IDS]
+    qmat = mat[qidx]
+    probe_buckets = set()
+    for qv in qmat:
+        probe_buckets.update(np.argsort(-(cents @ qv))[:n_probe].tolist())
     cents_ref = ray.put(cents)
+    probe_ref = ray.put(sorted(probe_buckets))
+    q_ref = ray.put((list(_ANN_QUERY_IDS), qmat))
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     assigned = ds.map_batches(IVFIndex, fn_constructor_args=(cents_ref,),
                               batch_format="pyarrow", concurrency=(1, 2))
-    adf = assigned.to_pandas()               # small at test scale; at 1e9
-                                             # rows the probe filter pushes
-                                             # into the read instead
-    nmat = _normalize(mat)
-    qidx = [int(np.flatnonzero(ids == q)[0]) for q in _ANN_QUERY_IDS]
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["ivf_bucket"],
+                        value_set=pa.array(ray.get(probe_ref), pa.int32()))
+        return batch.filter(keep)
+
+    probed = assigned.map_batches(probe_filter, batch_format="pyarrow")
+    cand = probed.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
+                              batch_format="pyarrow", concurrency=(1, 2))
+    cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+    approx = merge_topk(cand_tbl).to_pandas()
+
+    # exact baseline for recall (small here; at scale this is the
+    # separate ann_topk brute-force path)
     rows = []
-    n_probe = 4
     for qi, q in zip(qidx, _ANN_QUERY_IDS):
-        qv = nmat[qi]
-        probe_buckets = np.argsort(-(cents @ qv))[:n_probe]
-        cand_mask = adf.ivf_bucket.isin(probe_buckets).to_numpy()
-        cand_ids = adf.vec_id.to_numpy()[cand_mask]
-        lookup = {v: i for i, v in enumerate(ids)}
-        cand_rows = np.asarray([lookup[v] for v in cand_ids])
-        sims = nmat[cand_rows] @ qv
-        top = np.argsort(-sims)[:10]
-        approx = set(cand_ids[top].tolist())
-        exact = set(ids[np.argsort(-(nmat @ qv))[:10]].tolist())
+        qv = mat[qi]
+        exact = set(ids[np.argsort(-(mat @ qv))[:10]].tolist())
+        got = set(approx[approx.query_id == q].vec_id.head(10).tolist())
         rows.append({"query_id": int(q),
-                     "n_candidates": int(cand_mask.sum()),
-                     "recall_at_10": round(len(approx & exact) / 10.0, 2)})
+                     "n_candidates": int((approx.query_id == q).sum()),
+                     "recall_at_10": round(len(got & exact) / 10.0, 2)})
     return pa.Table.from_pylist(rows)
 
 
@@ -1276,6 +1288,37 @@ def video_frame_sample(sf_dir: str):
                                "frame_phash"])
 
 
+
+def events_sliding_1h(sf_dir: str):
+    """Per-event sliding-1-hour count within its event_type — a
+    range-window op: sort within the type partition, two-pointer count
+    via searchsorted (vectorized), the hash shuffle provides the
+    partition-completeness the window needs."""
+    import ray.data as rd
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "ts"])
+
+    def windowed(g):
+        import pandas as pd
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g.ts.to_numpy("datetime64[us]").astype("int64")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        g["n_prev_hour"] = (hi - lo).astype("int64")
+        return g[["event_id", "n_prev_hour"]]
+
+    return ds.groupby("event_type").map_groups(windowed, batch_format="pandas")
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS n_prev_hour
+FROM events
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1312,6 +1355,7 @@ QUERIES = {
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "geo_s2_covering": geo_s2_covering,
     "video_frame_sample": video_frame_sample,
+    "events_sliding_1h": events_sliding_1h,
 }
 
 
@@ -1324,6 +1368,7 @@ def oracle() -> dict[str, str]:
         "q5_nation_revenue": Q5_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_sliding_1h": EVENTS_SLIDING_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,

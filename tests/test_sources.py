@@ -96,3 +96,18 @@ class TestCsvExport:
         assert files
         text = open(os.path.join(out, files[0])).read()
         assert "n_nationkey" in text.splitlines()[0]
+
+
+class TestAlignedDatasource:
+    def test_read_datasource_matches_coread(self, ray_session, sf_small):
+        import ray.data as rd
+        from stac_to_geocore_ray.sources.images_datasource import \
+            AlignedImagesDatasource
+        from stac_to_geocore_ray.sources import fixtures
+        p = fixtures.paths("/root/testdata/sf0.001")
+        src = AlignedImagesDatasource(p["images"], p["stac_items"])
+        ds = rd.read_datasource(src)
+        assert ds.count() == 1000
+        assert {"image_id", "bytes", "bw", "bs", "be", "bn"} <= \
+            set(ds.schema().names)
+        assert src.estimate_inmemory_data_size() > 0
