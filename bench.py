@@ -33,6 +33,8 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from stac_to_geocore_ray.tuning import configure_for_images
+    configure_for_images(max_payload_mb=0.1)
 
     from stac_to_geocore_ray.sources import fixtures
     from stac_to_geocore_ray.pipelines import flagship
