@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from ..sources import fixtures
 from ..stages.footprint import encode_footprint
-from ..stages.util import autoscale_pool, default_pool_size
+from ..stages.util import autoscale_pool
 from ..stages.knn import HexKNN
 from ..stages.pip_join import PIPJoiner, catalog_polygons
 from ..stages.tiler import Tiler
@@ -193,7 +193,7 @@ def tile_rollup(tiles_ds, salt_factor: int = 8):
     reducers; phase 2 is a tiny unsalting groupby on the partials.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     def add_salt(batch: pa.Table) -> pa.Table:
         # cheap deterministic salt: low bits of a string hash

@@ -28,7 +28,7 @@ from ..config import DEFAULT_CONFIG, TranslateConfig
 from ..sources import fixtures
 from ..stages.geocore import (ItemTranslator, collection_lookup,
                               translate_collections, translate_root)
-from ..stages.util import autoscale_pool, default_pool_size
+from ..stages.util import autoscale_pool
 from ..state.manifest import ManifestSink, partition_id
 
 
