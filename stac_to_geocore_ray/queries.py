@@ -1319,6 +1319,44 @@ FROM events
 """
 
 
+
+def events_props_json(sf_dir: str):
+    """JSON-parsing operator (the reference's json.loads path, M-class):
+    parse the ``props`` JSON column, extract k, aggregate per event_type.
+    Vectorized via pandas str json parsing per batch; DuckDB's JSON
+    functions are the oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import json as _json
+        import pandas as pd
+        df = batch.to_pandas()
+        df["k"] = df.props.map(lambda s: _json.loads(s).get("k", 0)).astype("int64")
+        g = df.groupby("event_type", sort=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(parse, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("sum_k", alias_name="sum_k"),
+                                         Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "sum_k": pc.cast(batch["sum_k"], pa.int64()),
+                         "n": pc.cast(batch["n"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1356,6 +1394,7 @@ QUERIES = {
     "geo_s2_covering": geo_s2_covering,
     "video_frame_sample": video_frame_sample,
     "events_sliding_1h": events_sliding_1h,
+    "events_props_json": events_props_json,
 }
 
 
@@ -1369,6 +1408,7 @@ def oracle() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_sliding_1h": EVENTS_SLIDING_SQL,
+        "events_props_json": EVENTS_PROPS_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,
