@@ -14,8 +14,6 @@ only ``n_probe`` nearest centroid buckets.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 
@@ -126,23 +124,3 @@ class IVFIndex:
         mat = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
         assign = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(assign))
-
-
-def topk_heap_merge(iter_tables, k: int = 10):
-    """Streaming merge for very large candidate streams (heap per query)."""
-    heaps: dict = {}
-    for tbl in iter_tables:
-        for qid, vid, cos in zip(tbl["query_id"].to_pylist(),
-                                 tbl["vec_id"].to_pylist(),
-                                 tbl["cos"].to_pylist()):
-            h = heaps.setdefault(qid, [])
-            item = (cos, -vid if isinstance(vid, int) else vid, vid)
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    rows = []
-    for qid, h in heaps.items():
-        for rank, (cos, _, vid) in enumerate(sorted(h, reverse=True), 1):
-            rows.append({"query_id": qid, "vec_id": vid, "cos": cos, "rank": rank})
-    return pa.Table.from_pylist(rows)
