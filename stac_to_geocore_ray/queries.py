@@ -1357,6 +1357,53 @@ FROM events GROUP BY event_type
 """
 
 
+
+def geo_pip_multi(sf_dir: str):
+    """Multi-match PIP join (inner): EVERY catalog polygon containing
+    each centroid — the one-to-many variant of geo_pip_join (which is
+    first-match left-outer)."""
+    import ray
+    import ray.data as rd
+    from .pipelines.flagship import _load_catalog
+    from .stages.footprint import encode_footprint
+    from .stages.pip_join import PIPJoiner
+    p = _fx(sf_dir)
+    _, cat, _ = _load_catalog(p["collections"])
+    cat_ref = ray.put(cat)
+
+    class MultiPIP(PIPJoiner):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = batch[self.x_col].to_numpy()
+            py = batch[self.y_col].to_numpy()
+            pts, polys = self.tree.query_all(px, py)
+            ids = batch["image_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table({
+                "image_id": ids.take(pa.array(pts)),
+                "pip_collection": self.ids.take(pa.array(polys)),
+            })
+
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    return ds.map_batches(MultiPIP, fn_constructor_args=(cat_ref,),
+                          batch_format="pyarrow", concurrency=(1, 2))
+
+
+def _geo_pip_multi_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}'))
+SELECT p.image_id, c.collection_id AS pip_collection
+FROM pts p JOIN read_parquet('{_fx_glob("collections")}') c
+  ON p.cx >= c.bbox[1] AND p.cx <= c.bbox[3]
+ AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1395,6 +1442,7 @@ QUERIES = {
     "video_frame_sample": video_frame_sample,
     "events_sliding_1h": events_sliding_1h,
     "events_props_json": events_props_json,
+    "geo_pip_multi": geo_pip_multi,
 }
 
 
@@ -1415,6 +1463,7 @@ def oracle() -> dict[str, str]:
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "geo_footprint_wkt": _geo_footprint_wkt_sql(),
         "geo_pip_join": _geo_pip_join_sql(),
+        "geo_pip_multi": _geo_pip_multi_sql(),
         "geo_knn": _geo_knn_sql(),
         "geocore_items": _geocore_items_sql(),
         "geocore_collections": _geocore_collections_sql(),
