@@ -10,7 +10,8 @@ Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
 --scaling: run the same job in two fresh processes at N and 4N CPUs
-(default pair from GRAFT_SCALE_PAIR, "2,8") and report throughput at
+(default pair from GRAFT_SCALE_PAIR, "4,16"; below 4 CPUs the DAG
+thrashes) and report throughput at
 both plus efficiency — the sandbox stand-in for the north rule's
 two-cluster-size criterion (no real multi-node cluster here).
 """
@@ -93,7 +94,7 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    pair = os.environ.get("GRAFT_SCALE_PAIR", "2,8")
+    pair = os.environ.get("GRAFT_SCALE_PAIR", "4,16")
     lo, hi = (int(x) for x in pair.split(","))
 
     def one(ncpu: int) -> dict:
