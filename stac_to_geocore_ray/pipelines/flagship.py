@@ -186,38 +186,48 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
 
 
 def tile_rollup(tiles_ds, salt_factor: int = 8):
-    """groupby(hex_prefix) tile counts with two-phase salted aggregation.
+    """groupby(hex_prefix) tile stats with salted two-phase aggregation.
 
-    Phase 1 groups on (hex_prefix, salt) — salt derived from a stable
-    hash of image_id so dense cells split across ``salt_factor``
-    reducers; phase 2 is a tiny unsalting groupby on the partials.
+    Phase 0 (in map_batches, NO shuffle): each batch pre-aggregates its
+    tile rows to one (hex_prefix, salt) partial — the combine step that
+    keeps the all-to-all proportional to #cells x salt, not #tiles
+    (at 1e12 tiles the raw-row shuffle would be the pipeline).  Salt
+    derives from a stable hash of image_id so one dense urban cell
+    spreads over ``salt_factor`` reducers; phase 2 unsalts with a tiny
+    second groupby.
     """
+    import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    def add_salt(batch: pa.Table) -> pa.Table:
-        # cheap deterministic salt: low bits of a string hash
-        ids = batch["image_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        import pandas as pd
-        salts = (pd.util.hash_array(np.asarray(ids.to_pylist(), dtype=object))
-                 % salt_factor).astype(np.int32)
-        return batch.append_column("salt", pa.array(salts))
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["image_id", "hex_prefix", "mean_intensity"]).to_pandas()
+        df["salt"] = (pd.util.hash_array(df.image_id.to_numpy(dtype=object))
+                      % salt_factor).astype(np.int32)
+        g = df.groupby(["hex_prefix", "salt"], sort=False).agg(
+            n_tiles=("mean_intensity", "size"),
+            sum_intensity=("mean_intensity", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    salted = tiles_ds.map_batches(add_salt, batch_format="pyarrow")
-    partial = salted.groupby(["hex_prefix", "salt"]).aggregate(
-        Count(alias_name="n_tiles"),
-        Sum("mean_intensity", alias_name="sum_intensity"))
-    final = partial.groupby("hex_prefix").aggregate(
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    # phase 1: salted fold — a hot prefix's partial rows (one per input
+    # batch) split across salt_factor reducers instead of one
+    salted = partials.groupby(["hex_prefix", "salt"]).aggregate(
+        Sum("n_tiles", alias_name="n_tiles"),
+        Sum("sum_intensity", alias_name="sum_intensity"))
+    # phase 2: unsalt — at most salt_factor rows per prefix remain
+    final = salted.groupby("hex_prefix").aggregate(
         Sum("n_tiles", alias_name="n_tiles"),
         Sum("sum_intensity", alias_name="sum_intensity"))
 
     def finish(batch: pa.Table) -> pa.Table:
         mean = pc.divide(batch["sum_intensity"],
                          pc.cast(batch["n_tiles"], pa.float64()))
-        return batch.append_column("avg_intensity", mean) \
-                    .drop_columns(["sum_intensity"])
+        out = pa.table({
+            "hex_prefix": batch["hex_prefix"],
+            "n_tiles": pc.cast(batch["n_tiles"], pa.int64()),
+            "avg_intensity": mean})
+        return out
     return final.map_batches(finish, batch_format="pyarrow")
 
 
