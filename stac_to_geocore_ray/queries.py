@@ -578,11 +578,27 @@ SELECT image_id, collection_id AS knn_id FROM ranked WHERE rn = 1
 
 
 def geo_cell_rollup(sf_dir: str):
-    """items per hex prefix cell (no SQL equivalent: rows-only check)."""
-    from ray.data.aggregate import Count
+    """items per hex prefix cell (no SQL equivalent: rows-only check).
+
+    Per-batch partial counts before the shuffle: the all-to-all moves
+    one row per (batch, cell), not per item."""
+    from ray.data.aggregate import Sum
     from .pipelines.flagship import metadata_pipeline
     ds = metadata_pipeline(sf_dir, concurrency=(1, 2))
-    return ds.groupby("hex_prefix").aggregate(Count(alias_name="n_items"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = batch.select(["hex_prefix"]).to_pandas() \
+            .groupby("hex_prefix", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hex_prefix").aggregate(Sum("n", alias_name="n_items"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"hex_prefix": batch["hex_prefix"],
+                         "n_items": pc.cast(batch["n_items"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def geo_cells(sf_dir: str):
@@ -836,11 +852,19 @@ FROM allopt GROUP BY item_id
 def tiles_by_collection(sf_dir: str):
     """Tile counts per collection from the REAL decode+tile path; the
     oracle recomputes ceil(w/T)*ceil(h/T) arithmetically."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
     from .pipelines.flagship import tile_pipeline
     tiles = tile_pipeline(sf_dir, with_phash=False,
                           passthrough=("collection_id",), concurrency=(1, 2))
-    agg = tiles.groupby("collection_id").aggregate(Count(alias_name="n_tiles"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = batch.select(["collection_id"]).to_pandas() \
+            .groupby("collection_id", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = tiles.map_batches(partial, batch_format="pyarrow") \
+        .groupby("collection_id").aggregate(Sum("n", alias_name="n_tiles"))
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"collection_id": batch["collection_id"],
@@ -1034,17 +1058,19 @@ def simhash_docs(sf_dir: str):
 def langid_accuracy(sf_dir: str):
     """Heuristic language-ID vs the table's lang label (rows-only)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     from .stages.text import LangId
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
 
     def flags(df):
         df["hit"] = (df.lang_pred == df.lang).astype("int64")
-        return df[["lang", "hit"]]
+        g = df.groupby("lang", sort=False).agg(
+            n=("hit", "size"), n_correct=("hit", "sum")).reset_index()
+        return g
     f = pred.map_batches(flags, batch_format="pandas")
-    return f.groupby("lang").aggregate(Count(alias_name="n"),
-                                       Sum("hit", alias_name="n_correct"))
+    return f.groupby("lang").aggregate(Sum("n", alias_name="n"),
+                                       Sum("n_correct", alias_name="n_correct"))
 
 
 def doc_quality(sf_dir: str):
