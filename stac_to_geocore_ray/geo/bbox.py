@@ -88,3 +88,25 @@ def wkt_polygons_native(w, s, e, n) -> list[str]:
         f"POLYGON(({wi} {si}, {ei} {si}, {ei} {ni}, {wi} {ni}, {wi} {si}))"
         for wi, si, ei, ni in zip(w.tolist(), s.tolist(), e.tolist(), n.tolist())
     ]
+
+
+def split_antimeridian(w, s, e, n):
+    """Engine-defined behavior for antimeridian-crossing bboxes (w > e).
+
+    The reference assumes w < e and silently emits an inverted ring
+    (SURVEY.md §7.4).  Here a crossing bbox splits into its two
+    hemisphere parts: [w, 180] and [-180, e].  Returns a list of
+    (w, s, e, n) tuples per input row — 1 tuple for normal boxes,
+    2 for crossing ones.
+    """
+    w = np.atleast_1d(np.asarray(w, dtype=np.float64))
+    s = np.atleast_1d(np.asarray(s, dtype=np.float64))
+    e = np.atleast_1d(np.asarray(e, dtype=np.float64))
+    n = np.atleast_1d(np.asarray(n, dtype=np.float64))
+    out = []
+    for wi, si, ei, ni in zip(w, s, e, n):
+        if wi > ei:                          # crosses the antimeridian
+            out.append([(wi, si, 180.0, ni), (-180.0, si, ei, ni)])
+        else:
+            out.append([(wi, si, ei, ni)])
+    return out

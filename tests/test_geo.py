@@ -133,3 +133,17 @@ class TestBbox:
                                np.array([1.0]), np.array([3.0]))[0]
         assert not bbox.degenerate(np.array([1.0]), np.array([2.0]),
                                    np.array([1.5]), np.array([3.0]))[0]
+
+
+class TestAntimeridian:
+    def test_normal_box_unsplit(self):
+        [parts] = bbox.split_antimeridian(-75.0, 45.0, -74.0, 46.0)
+        assert parts == [(-75.0, 45.0, -74.0, 46.0)]
+
+    def test_crossing_box_splits(self):
+        [parts] = bbox.split_antimeridian(179.5, 10.0, -179.5, 11.0)
+        assert parts == [(179.5, 10.0, 180.0, 11.0),
+                         (-180.0, 10.0, -179.5, 11.0)]
+        # both parts are well-formed (w <= e) and cover the same lat band
+        for w, s, e, n in parts:
+            assert w <= e and (s, n) == (10.0, 11.0)

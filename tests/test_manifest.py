@@ -85,3 +85,18 @@ def test_flagship_write_resume_byte_identical(ray_session, tmp_path):
     c1, c2 = ManifestSink(out1).completed(), ManifestSink(out2).completed()
     assert {p: m["checksum"] for p, m in c1.items()} == \
         {p: m["checksum"] for p, m in c2.items()}
+
+
+def test_flagship_output_readback(ray_session, tmp_path):
+    """Written partitions read back to exactly the pipeline's tiles."""
+    import glob
+    import pyarrow.parquet as pq
+    from stac_to_geocore_ray.pipelines.flagship import (run_flagship_to_parquet,
+                                                        tile_pipeline)
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "rb")
+    res = run_flagship_to_parquet(sf, out)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    live = tile_pipeline(sf, with_phash=False, concurrency=2).count()
+    assert total == res["rows"] == live
