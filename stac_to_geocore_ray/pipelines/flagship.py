@@ -276,8 +276,9 @@ def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
         tiles = tiler(merged)
         return ManifestSink(out_dir).write_partition(pid, tiles, inputs=[frag])
 
+    from ..stages.util import windowed_get
     idx_of = {f: i for i, f in enumerate(frags)}
-    results = ray.get([do_shard.remote(f, pid, idx_of[f]) for f, pid in todo])
+    results = windowed_get(do_shard, [(f, pid, idx_of[f]) for f, pid in todo])
     done = sink.completed()
     return {"partitions_written": len(results),
             "partitions_total": len(frags),

@@ -86,7 +86,8 @@ def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG
 
     if fail_after is not None:
         todo = todo[:fail_after]
-    results = ray.get([do_partition.remote(f, pid) for f, pid in todo])
+    from ..stages.util import windowed_get
+    results = windowed_get(do_partition, list(todo))
 
     # small sides (root + collections) land in their own partition
     root_rec, coll_recs = harvest_small_sides(sf_dir, cfg)

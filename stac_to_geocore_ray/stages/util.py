@@ -33,3 +33,35 @@ def autoscale_pool(requested: int | None = None,
     if isinstance(requested, tuple):         # caller passed explicit bounds
         return requested
     return (1, requested if requested else default_pool_size(fraction))
+
+
+def windowed_get(task_fn, args_list, window: int | None = None) -> list:
+    """Submit Ray tasks in bounded windows (backpressure-polite fan-out).
+
+    ``ray.get([...1e6 refs...])`` floods the driver with futures; this
+    keeps at most ``window`` (default 4 x CPUs) in flight — the
+    idiomatic ray.wait loop for very wide per-partition task fans.
+    """
+    import ray
+    if window is None:
+        window = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    results = []
+    in_flight = {}
+    it = iter(args_list)
+    exhausted = False
+    while in_flight or not exhausted:
+        while not exhausted and len(in_flight) < window:
+            try:
+                args = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            ref = task_fn.remote(*args)
+            in_flight[ref] = True
+        if not in_flight:
+            break
+        done, _ = ray.wait(list(in_flight), num_returns=1)
+        for ref in done:
+            results.append(ray.get(ref))
+            del in_flight[ref]
+    return results
