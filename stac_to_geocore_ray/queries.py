@@ -1430,6 +1430,45 @@ FROM pts p JOIN read_parquet('{_fx_glob("collections")}') c
 """
 
 
+
+def phash_dedup_clusters(sf_dir: str):
+    """Connected components over the pHash near-dup graph: every image
+    touching a pair gets a cluster id = min image_id of its component
+    (driver union-find — the pair set is output-sized; dedup.
+    label_propagation_components is the distributed swap-in)."""
+    from .stages.dedup import union_find_components
+    pairs = phash_near_dedup(sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        import pandas as pd
+        df = pairs.to_pandas() if not isinstance(pairs, pa.Table) \
+            else pairs.to_pandas()
+    comp = union_find_components(df.a.tolist(), df.b.tolist())
+    items = sorted(comp.items())
+    return pa.table({"image_id": pa.array([k for k, _ in items], pa.string()),
+                     "cluster": pa.array([v for _, v in items], pa.string())})
+
+
+def _phash_dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT i1.image_id AS a, i2.image_id AS b
+  FROM read_parquet('{_fx_glob("images")}') i1
+  JOIN read_parquet('{_fx_glob("images")}') i2 ON i1.image_id < i2.image_id
+  WHERE bit_count(xor(i1.phash, i2.phash)) <= 2),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+mins AS (
+  SELECT src AS image_id, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT image_id,
+       CASE WHEN min_reach < image_id THEN min_reach ELSE image_id END
+           AS cluster
+FROM mins
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1469,6 +1508,7 @@ QUERIES = {
     "events_sliding_1h": events_sliding_1h,
     "events_props_json": events_props_json,
     "geo_pip_multi": geo_pip_multi,
+    "phash_dedup_clusters": phash_dedup_clusters,
 }
 
 
@@ -1497,4 +1537,5 @@ def oracle() -> dict[str, str]:
         "tiles_by_collection": _tiles_by_collection_sql(),
         "phash_exact_dedup": _phash_exact_dedup_sql(),
         "phash_near_dedup": _phash_near_dedup_sql(),
+        "phash_dedup_clusters": _phash_dedup_clusters_sql(),
     }

@@ -253,3 +253,81 @@ def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
     keep = sim[ia, ib] >= threshold
     return pd.DataFrame({"a": ids[ia[keep]], "b": ids[ib[keep]],
                          "cos": sim[ia, ib][keep]})
+
+
+# ------------------------------------------------- connected components
+
+def union_find_components(pairs_a, pairs_b) -> dict:
+    """Driver-side union-find: node -> min-node-of-component.
+
+    For OUTPUT-sized pair sets (bounded by the near-dup rate) this is
+    the right tool; switch to ``label_propagation_components`` when the
+    pair set itself is too big to collect.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:         # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_a, pairs_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent} | \
+        {a: find(a) for a in pairs_a} | {b: find(b) for b in pairs_b}
+
+
+def label_propagation_components(edges_ds, max_rounds: int = 20):
+    """Distributed min-label propagation over an edge Dataset (a, b).
+
+    Each round: explode edges both directions, groupby node to take the
+    min neighbour label, join back — converges in O(component diameter)
+    rounds.  All-to-alls touch (node, label) rows only.  Returns a
+    Dataset of (node, cluster).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def seed(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray)
+            else batch["a"],
+            batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray)
+            else batch["b"]])
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = edges_ds.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+
+    for _ in range(max_rounds):
+        # smallest label seen at either endpoint of each edge propagates
+        ldf = labels.to_pandas()             # (node,label): component-count
+        lmap = dict(zip(ldf.node, ldf.label))
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            la = [lmap[x] for x in a]
+            lb = [lmap[x] for x in b]
+            lo = [min(x, y) for x, y in zip(la, lb)]
+            return pa.table({"node": pa.array(a + b),
+                             "label": pa.array(lo + lo)})
+
+        new_labels = edges_ds.map_batches(relabel, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        ndf = new_labels.to_pandas()
+        merged = ldf.merge(ndf, on="node", how="left", suffixes=("", "_new"))
+        changed = (merged.label_new < merged.label).sum()
+        labels = rd.from_pandas(
+            merged.assign(label=merged[["label", "label_new"]].min(axis=1))
+            [["node", "label"]])
+        if changed == 0:
+            break
+    return labels

@@ -84,3 +84,22 @@ def test_cosine_pairs_in_group():
                                     np.random.RandomState(2).normal(size=8).tolist()]})
     pairs = dedup.cosine_pairs_in_group(g, threshold=0.99)
     assert set(zip(pairs.a, pairs.b)) == {(1, 2)}
+
+
+def test_union_find_components():
+    comp = dedup.union_find_components([2, 3, 9], [1, 2, 8])
+    assert comp[3] == comp[2] == comp[1] == 1
+    assert comp[9] == comp[8] == 8
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    import ray.data as rd
+    edges = [{"a": f"n{i+1}", "b": f"n{i}"} for i in range(6)]   # a chain
+    edges.append({"a": "z2", "b": "z1"})
+    ds = rd.from_items(edges)
+    labels = dedup.label_propagation_components(ds).to_pandas()
+    got = dict(zip(labels.node, labels.label))
+    uf = dedup.union_find_components([e["a"] for e in edges],
+                                     [e["b"] for e in edges])
+    assert got == uf
+    assert got["n5"] == "n0" and got["z2"] == "z1"
