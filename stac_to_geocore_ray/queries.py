@@ -1469,6 +1469,40 @@ FROM mins
 """
 
 
+
+def docs_en_pruned_read(sf_dir: str):
+    """Predicate + projection pushdown at the source: only the ``en``
+    rows and two columns leave the parquet reader (row-group pruning
+    via an Arrow dataset expression), then a partial-agg rollup."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"],
+                         filter=(pc.field("lang") == "en"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(batch["n_chars"]).as_py() or 0], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(None).aggregate(Sum("n_docs", alias_name="n_docs"),
+                                 Sum("total_chars", alias_name="total_chars"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                         "total_chars": pc.cast(batch["total_chars"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOCS_EN_PRUNED_SQL = """
+SELECT count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1509,6 +1543,7 @@ QUERIES = {
     "events_props_json": events_props_json,
     "geo_pip_multi": geo_pip_multi,
     "phash_dedup_clusters": phash_dedup_clusters,
+    "docs_en_pruned_read": docs_en_pruned_read,
 }
 
 
@@ -1524,6 +1559,7 @@ def oracle() -> dict[str, str]:
         "events_sliding_1h": EVENTS_SLIDING_SQL,
         "events_props_json": EVENTS_PROPS_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
+        "docs_en_pruned_read": DOCS_EN_PRUNED_SQL,
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
