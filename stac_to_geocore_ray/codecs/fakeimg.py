@@ -132,6 +132,54 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
+def _block_mean_32_batch(tiles: np.ndarray) -> np.ndarray:
+    """Block-mean downsample of an (N, H, W) float stack to (N, 32, 32).
+
+    Same integral-image arithmetic as `_block_mean_32` (cumsum along
+    rows then cols, 4-corner differences), batched over the leading
+    axis so the per-tile results are bit-identical to the scalar path.
+    """
+    n, h, w = tiles.shape
+    csum = np.zeros((n, h + 1, w + 1), dtype=np.float64)
+    csum[:, 1:, 1:] = tiles.cumsum(axis=1).cumsum(axis=2)
+    if h % 32 == 0 and w % 32 == 0:
+        # uniform blocks: strided views instead of fancy-index gather
+        # (same corner elements, bit-identical result, ~3x faster)
+        sh, sw = h // 32, w // 32
+        s = (csum[:, sh::sh, sw::sw] - csum[:, :h:sh, sw::sw]
+             - csum[:, sh::sh, :w:sw] + csum[:, :h:sh, :w:sw])
+        return s / float(sh * sw)
+    ri = (np.arange(33) * h) // 32
+    ci = (np.arange(33) * w) // 32
+    s = (csum[:, ri[1:, None], ci[None, 1:]]
+         - csum[:, ri[:-1, None], ci[None, 1:]]
+         - csum[:, ri[1:, None], ci[None, :-1]]
+         + csum[:, ri[:-1, None], ci[None, :-1]])
+    area = (ri[1:, None] - ri[:-1, None]) * (ci[None, 1:] - ci[None, :-1])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return s / area                       # <32px tiles: 0-area blocks -> NaN
+                                              # (deterministic, matches scalar path)
+
+
+def phash_batch(tiles: np.ndarray) -> np.ndarray:
+    """(N, H, W) grayscale stack -> (N,) int64 pHashes.
+
+    The batched form of `phash` for equal-shape tiles: one batched
+    32x32 DCT matmul chain instead of N scalar calls.  Callers pass
+    grayscale (channel-mean) tiles; `phash` computes the same mean
+    internally for (H, W, C) input.
+    """
+    tiles = np.asarray(tiles, dtype=np.float64)
+    small = _block_mean_32_batch(tiles)
+    d = _dct_matrix()
+    coeffs = np.matmul(np.matmul(d, small), d.T)
+    block = coeffs[:, :8, :8].reshape(len(small), 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)            # (N, 8) big-endian bytes
+    return packed.view(">u8").ravel().astype(np.uint64).view(np.int64)
+
+
 def phash(arr: np.ndarray) -> int:
     """64-bit pHash of a uint8 (H, W[, C]) image, as signed int64."""
     a = np.asarray(arr, dtype=np.float64)

@@ -185,20 +185,63 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
         concurrency=autoscale_pool(concurrency))
 
 
-def tile_rollup(tiles_ds, salt_factor: int = 8):
-    """groupby(hex_prefix) tile stats with salted two-phase aggregation.
+def tile_rollup(tiles_ds, salt_factor: int = 8, mode: str = "tree",
+                intermediate_partitions: int | None = None):
+    """Per-cell tile stats: per-batch partial aggregation, then a fold.
 
     Phase 0 (in map_batches, NO shuffle): each batch pre-aggregates its
-    tile rows to one (hex_prefix, salt) partial — the combine step that
-    keeps the all-to-all proportional to #cells x salt, not #tiles
-    (at 1e12 tiles the raw-row shuffle would be the pipeline).  Salt
-    derives from a stable hash of image_id so one dense urban cell
-    spreads over ``salt_factor`` reducers; phase 2 unsalts with a tiny
-    second groupby.
+    tile rows to one partial row per hex_prefix — the combine step that
+    keeps the exchange proportional to #cells x #batches, not #tiles
+    (at 1e12 tiles the raw-row shuffle would be the pipeline).
+
+    mode="tree" (default): fold the partials with repartition + local
+    groupby instead of a sort-based shuffle.  Because the aggregate is
+    ALGEBRAIC (sum/count), partial rows for the same prefix merge
+    correctly at any level; key-partitioning (and therefore key salting)
+    buys nothing, and skipping the sort shuffle is ~4x faster (measured
+    2.9s -> 0.6s at sf0.1).  The root fold sees at most
+    #prefixes x #last-level-blocks rows — bounded by grid cardinality
+    (H3 res-4 has ~289k cells globally), not by data size.  For runs
+    with >O(100) input blocks pass ``intermediate_partitions`` to add a
+    middle fold level so the root input stays small.
+
+    mode="salted": the two-phase salted groupby — the shape needed when
+    the per-key reduction is HOLISTIC (map_groups over all of a key's
+    rows), where a hot cell really would pin one reducer.  Kept tested
+    as the skew-safe template for such aggregates.
     """
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    if mode == "tree":
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.select(["hex_prefix", "mean_intensity"]).to_pandas()
+            g = df.groupby("hex_prefix", sort=False).agg(
+                n_tiles=("mean_intensity", "size"),
+                sum_intensity=("mean_intensity", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            g = batch.to_pandas().groupby("hex_prefix", sort=False).agg(
+                n_tiles=("n_tiles", "sum"),
+                sum_intensity=("sum_intensity", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def finish_tree(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "hex_prefix": batch["hex_prefix"],
+                "n_tiles": pc.cast(batch["n_tiles"], pa.int64()),
+                "avg_intensity": pc.divide(
+                    batch["sum_intensity"],
+                    pc.cast(batch["n_tiles"], pa.float64()))})
+
+        out = tiles_ds.map_batches(partial, batch_format="pyarrow")
+        if intermediate_partitions:
+            out = out.repartition(intermediate_partitions) \
+                .map_batches(fold, batch_format="pyarrow")
+        return out.repartition(1).map_batches(fold, batch_format="pyarrow") \
+            .map_batches(finish_tree, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["image_id", "hex_prefix", "mean_intensity"]).to_pandas()

@@ -144,6 +144,25 @@ class TestSkewSalting:
             .sort_values("hex_prefix").reset_index(drop=True)
         salted = flagship.tile_rollup(
             flagship.tile_pipeline("/root/testdata/sf0.001", with_phash=False,
-                                   concurrency=2)).to_pandas() \
+                                   concurrency=2), mode="salted").to_pandas() \
             .sort_values("hex_prefix").reset_index(drop=True)
         assert direct.n_tiles.tolist() == salted.n_tiles.tolist()
+
+    def test_tree_fold_matches_salted(self, ray_session, sf_small):
+        """Default tree-fold rollup == salted sort-shuffle rollup, incl.
+        with an intermediate fold level."""
+        from stac_to_geocore_ray.pipelines import flagship
+
+        def run(**kw):
+            t = flagship.tile_pipeline("/root/testdata/sf0.001",
+                                       with_phash=False, concurrency=2)
+            return flagship.tile_rollup(t, **kw).to_pandas() \
+                .sort_values("hex_prefix").reset_index(drop=True)
+        salted = run(mode="salted")
+        tree = run(mode="tree")
+        tree2 = run(mode="tree", intermediate_partitions=3)
+        assert salted.n_tiles.tolist() == tree.n_tiles.tolist()
+        assert salted.n_tiles.tolist() == tree2.n_tiles.tolist()
+        import numpy as np
+        assert np.allclose(salted.avg_intensity, tree.avg_intensity)
+        assert np.allclose(salted.avg_intensity, tree2.avg_intensity)

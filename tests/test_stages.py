@@ -95,6 +95,50 @@ class TestTiler:
         out = t(batch)
         assert out["image_id"].to_pylist() == ["img1"] * 6
 
+    def test_matches_straightline_reference(self):
+        """Vectorized tiler == per-tile loop oracle, incl. edge tiles
+        and batched pHash, across mixed image sizes in one batch."""
+        sizes = [(64, 64), (130, 70), (96, 96), (33, 190), (256, 192),
+                 (64, 33), (70, 70)]
+        rows = {"image_id": [], "bytes": [], "bbox": [], "tag": []}
+        for k, (w, h) in enumerate(sizes):
+            rows["image_id"].append(f"im{k}")
+            rows["bytes"].append(fi.encode(fi.synth_pixels(k * 7 + 1, w, h),
+                                           "png" if k % 2 else "jpeg"))
+            rows["bbox"].append([-75.5 + k, 45.0, -75.0 + k, 45.5])
+            rows["tag"].append(k * 10)
+        batch = pa.table({
+            "image_id": rows["image_id"],
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "bbox": pa.array(rows["bbox"], pa.list_(pa.float64(), 4)),
+            "tag": rows["tag"]})
+        out = Tiler(tile=64, with_phash=True, passthrough=("tag",),
+                    phash_chunk=8)(batch).to_pandas()
+
+        # straight-line oracle (the round-1 per-tile loop semantics)
+        exp = []
+        t = 64
+        for rid, buf, bb, tag in zip(rows["image_id"], rows["bytes"],
+                                     rows["bbox"], rows["tag"]):
+            arr = fi.decode(buf)
+            h, w = arr.shape[0], arr.shape[1]
+            for ty in range((h + t - 1) // t):
+                for tx in range((w + t - 1) // t):
+                    tile = arr[ty * t:ty * t + t, tx * t:tx * t + t]
+                    lon = bb[0] + ((tx * t + tile.shape[1] / 2) / w) * (bb[2] - bb[0])
+                    lat = bb[3] - ((ty * t + tile.shape[0] / 2) / h) * (bb[3] - bb[1])
+                    exp.append((rid, tx, ty, tile.shape[1], tile.shape[0],
+                                lon, lat, float(tile.mean()),
+                                fi.phash(tile), tag))
+        assert len(out) == len(exp)
+        for i, (rid, tx, ty, tw, th, lon, lat, mean, ph, tag) in enumerate(exp):
+            r = out.iloc[i]
+            assert (r.image_id, r.tile_x, r.tile_y, r.tile_w, r.tile_h,
+                    r.tag) == (rid, tx, ty, tw, th, tag)
+            assert r.lon == pytest.approx(lon) and r.lat == pytest.approx(lat)
+            assert r.mean_intensity == pytest.approx(mean, rel=1e-12)
+            assert r.tile_phash == ph
+
     def test_decode_verifier(self):
         arr = fi.synth_pixels(7, 96, 64)
         enc = fi.encode(arr, "jpeg")
