@@ -151,10 +151,27 @@ class STRtree:
                 pts_out.append(sel)
                 polys_out.append(np.full(len(sel), poly_idx, dtype=np.int64))
         else:
-            first = self.query_points(px, py)  # fallback: first-match only
-            sel = np.flatnonzero(first >= 0)
-            pts_out.append(sel)
-            polys_out.append(first[sel])
+            # tree path: per-leaf bbox prune, emit EVERY hit.  Leaves
+            # partition the polygon set, so no pair is emitted twice.
+            for leaf_i, items in enumerate(self.leaf_items):
+                lb = self.leaf_bounds[leaf_i]
+                m = (px >= lb[0]) & (px <= lb[2]) & (py >= lb[1]) & (py <= lb[3])
+                if not m.any():
+                    continue
+                pts0 = np.flatnonzero(m)
+                for poly_idx in items:
+                    b = self.bounds[poly_idx]
+                    mm = pts0[(px[pts0] >= b[0]) & (px[pts0] <= b[2]) &
+                              (py[pts0] >= b[1]) & (py[pts0] <= b[3])]
+                    if len(mm) == 0:
+                        continue
+                    xs, ys = self.polygons[poly_idx]
+                    hit = point_in_polygon(px[mm], py[mm], xs, ys)
+                    sel = mm[hit]
+                    if len(sel):
+                        pts_out.append(sel)
+                        polys_out.append(
+                            np.full(len(sel), poly_idx, dtype=np.int64))
         if not pts_out:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         return np.concatenate(pts_out), np.concatenate(polys_out)

@@ -126,32 +126,38 @@ def q3_top_orders(sf_dir: str):
 
     orders = orders.map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
                                 batch_format="pyarrow", concurrency=(1, 2))
-    okeys = set(orders.to_pandas()["o_orderkey"])   # small survivor set
-    okeys_ref = ray.put(okeys)
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    class RevPartial:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-            df = batch.to_pandas()
-            df = df[df.l_orderkey.isin(self.keys)]
-            df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
-            g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-    rev = li.map_batches(RevPartial, fn_constructor_args=(okeys_ref,),
-                         batch_format="pyarrow", concurrency=(1, 2))
+    # per-batch revenue partials + one groupby, then the surviving
+    # orders apply as a DISTRIBUTED hash join — the round-1 version
+    # collected the ~|orders|/5 survivor key set onto the driver
+    rev = li.map_batches(rev_partial, batch_format="pyarrow")
     agg = rev.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
-    df = agg.to_pandas()
-    df["revenue"] = df["rev"].round(0).astype("int64")
-    df = df.drop(columns=["rev"]).sort_values(
-        ["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    joined = agg.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["rev"].round(0).astype("int64")
+        df = df.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df[["l_orderkey", "revenue"]],
+                                    preserve_index=False)
+
+    # per-partition top-10 partials; the driver merges <=10 x #blocks rows
+    parts = joined.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    final = parts.sort_values(["revenue", "l_orderkey"],
+                              ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(final.reset_index(drop=True),
+                                preserve_index=False)
 
 
 Q3_SQL = """
@@ -380,12 +386,14 @@ def ann_topk(sf_dir: str):
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
-    from .stages.ann import BruteForceTopK, merge_topk
-    emb = pq.read_table(_t(sf_dir, "embeddings"))
-    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QUERY_IDS))
-    qtbl = emb.filter(qmask)
+    from .stages.ann import BruteForceTopK, merge_topk, _as_matrix
+    # filtered 2-column read: only the 3 query rows reach the driver
+    # (round 1 read the whole embeddings table here)
+    qtbl = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(_ANN_QUERY_IDS))])
     qids = qtbl["vec_id"].to_pylist()
-    qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    qmat = _as_matrix(qtbl["embedding"]).astype(np.float64)
     qref = ray.put((qids, qmat))
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
@@ -942,31 +950,25 @@ def phash_near_dedup(sf_dir: str):
 
     def bucket_pairs(g):
         import pandas as pd
-        outs = [hamming_pairs_in_group(sub, max_dist=2)
-                for _, sub in g.groupby(["band_id", "band_val"], sort=False)
+        # dedup_band drops any pair that also shares a lower band, so
+        # the union over groups is globally duplicate-free — no second
+        # shuffle, no driver-side fold (round-2 fix of the round-1
+        # driver `to_pandas` fold)
+        outs = [hamming_pairs_in_group(sub, max_dist=2,
+                                       dedup_band=int(bid))
+                for (bid, _), sub in g.groupby(["band_id", "band_val"],
+                                               sort=False)
                 if len(sub) > 1]
+        outs = [o for o in outs if len(o)]
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "dist": []})
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "dist": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(bucket_pairs,
-                                               batch_format="pandas")
-
-    # a pair sharing multiple bands appears once per shared band.  The
-    # pair set is OUTPUT-sized (bounded by the near-dup rate, not the
-    # corpus), so fold duplicates driver-side like a top-k merge; a
-    # distributed groupby((a,b)) fold is the swap-in for outputs too
-    # big to collect (string-pair aggregates cost ~20s fixed here).
-    import pandas as pd
-    df = pairs.to_pandas()
-    if len(df) == 0:
-        return pa.table({"a": pa.array([], pa.string()),
-                         "b": pa.array([], pa.string()),
-                         "dist": pa.array([], pa.int64())})
-    df = df.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
-    df["dist"] = df["dist"].astype("int64")
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return bands.groupby("bucket").map_groups(bucket_pairs,
+                                              batch_format="pandas")
 
 
 def _phash_near_dedup_sql() -> str:
@@ -1005,6 +1007,73 @@ def decode_stats(sf_dir: str):
 
 # --------------------------------------------------- sketch/rows-only ops
 
+def _shingle_hashes_for_verify(text: str):
+    from .stages.dedup import _shingle_hashes
+    return _shingle_hashes(text or "", 5)
+
+
+def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
+                          threshold: float = 0.5,
+                          empty_empty: str = "one",
+                          elem_type=None):
+    """Exact-Jaccard verification of candidate pairs, corpus streamed.
+
+    The candidate-id set (OUTPUT-sized) is broadcast via ``ray.put``;
+    each corpus batch extracts ``set_fn(text)`` for its own candidate
+    rows only, so what comes back to the driver is candidate-sized, not
+    corpus-sized.  The verify itself runs in ``map_batches`` over the
+    candidate Dataset with the broadcast feature table.
+
+    ``empty_empty``: Jaccard of two empty sets — "one" (identical) or
+    "skip" (drop the pair), matching the caller's round-1 semantics.
+    """
+    import ray
+
+    need = set()
+    for b in cand_ds.iter_batches(batch_format="pyarrow"):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+    need_ref = ray.put(need)
+    feat_type = pa.list_(elem_type or pa.int64())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        oid, osets = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if i in nd:
+                oid.append(i)
+                osets.append(sorted(set_fn(t)))
+        return pa.table({"doc_id": pa.array(oid, id_type),
+                         "feat": pa.array(osets, feat_type)})
+
+    feats = {}
+    for b in docs_ds.map_batches(extract, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):   # candidate-sized
+        for i, s in zip(b["doc_id"].to_pylist(), b["feat"].to_pylist()):
+            feats[i] = set(s)
+    feats_ref = ray.put(feats)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lut = ray.get(feats_ref)
+        oa, ob, oj = [], [], []
+        for a, b2 in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            s1, s2 = lut.get(a, set()), lut.get(b2, set())
+            if not s1 and not s2:
+                if empty_empty == "skip":
+                    continue
+                j = 1.0
+            else:
+                j = len(s1 & s2) / max(1, len(s1 | s2))
+            if j >= threshold:
+                oa.append(a); ob.append(b2); oj.append(round(j, 4))
+        return pa.table({"a": pa.array(oa, id_type),
+                         "b": pa.array(ob, id_type),
+                         "jaccard": pa.array(oj, pa.float64())})
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_neardup(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.5."""
     import ray
@@ -1024,26 +1093,23 @@ def minhash_neardup(sf_dir: str):
         pairs, batch_format="pandas")
     from ray.data.aggregate import Count
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
-    cand_df = cand.to_pandas()
-    if len(cand_df) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    # verify candidates against true shingle Jaccard (small candidate set)
-    import pyarrow.parquet as pq
-    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    mh = MinHasher()
-    rows = []
-    for a, b in zip(cand_df.a, cand_df.b):
-        j = mh.jaccard(text_of[int(a)] or "", text_of[int(b)] or "")
-        if j >= 0.5:
-            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 4)})
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.Table.from_pylist(rows)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    # verify candidates against true shingle Jaccard.  The CORPUS is
+    # only ever streamed: the candidate-id set (output-sized) rides
+    # down via ray.put, each batch extracts shingle sets for its own
+    # candidate rows, and the verify runs in map_batches over the
+    # candidate Dataset with the (candidate-sized) shingle table
+    # broadcast — no whole-corpus driver dict (round-1 weak spot).
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return empty
+    return _jaccard_verify_pairs(
+        cand, ds,
+        lambda text: set(_shingle_hashes_for_verify(text)
+                         .astype(np.int64).tolist()),
+        id_type=pa.int64())
 
 
 def simhash_docs(sf_dir: str):
@@ -1171,25 +1237,43 @@ def ann_ivf(sf_dir: str):
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
-    from .stages.ann import BruteForceTopK, IVFIndex, _normalize, merge_topk
+    from .stages.ann import (BruteForceTopK, IVFIndex, _as_matrix,
+                             _normalize, merge_topk)
 
-    emb = pq.read_table(_t(sf_dir, "embeddings"))
-    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
-    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
-    sample = mat[:: max(1, len(mat) // 2000)]
+    # query vectors: filtered 2-column read (3 rows reach the driver)
+    qtbl = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(_ANN_QUERY_IDS))])
+    order = {v: i for i, v in enumerate(qtbl["vec_id"].to_pylist())}
+    qmat_raw = _as_matrix(qtbl["embedding"]).astype(np.float64)
+    qmat_raw = qmat_raw[[order[q] for q in _ANN_QUERY_IDS]]
+    qn = _normalize(qmat_raw.copy())
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    # centroid fit on a STREAMED strided sample (per-batch stride; the
+    # corpus never materializes on the driver — round 1 read the whole
+    # table here)
+    n_total = ds.count()
+    step = max(1, n_total // 2000)
+
+    def strided(batch: pa.Table) -> pa.Table:
+        return batch.take(np.arange(0, len(batch), step))
+
+    sample_tbl = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    sample = _normalize(_as_matrix(sample_tbl["embedding"]).astype(np.float64))
     cents = IVFIndex.fit_centroids(sample, n_centroids=16)
 
     n_probe = 4
-    qidx = [int(np.flatnonzero(ids == q)[0]) for q in _ANN_QUERY_IDS]
-    qmat = mat[qidx]
     probe_buckets = set()
-    for qv in qmat:
+    for qv in qn:
         probe_buckets.update(np.argsort(-(cents @ qv))[:n_probe].tolist())
     cents_ref = ray.put(cents)
     probe_ref = ray.put(sorted(probe_buckets))
-    q_ref = ray.put((list(_ANN_QUERY_IDS), qmat))
+    q_ref = ray.put((list(_ANN_QUERY_IDS), qmat_raw))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     assigned = ds.map_batches(IVFIndex, fn_constructor_args=(cents_ref,),
                               batch_format="pyarrow", concurrency=(1, 2))
 
@@ -1204,12 +1288,17 @@ def ann_ivf(sf_dir: str):
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     approx = merge_topk(cand_tbl).to_pandas()
 
-    # exact baseline for recall (small here; at scale this is the
-    # separate ann_topk brute-force path)
+    # exact baseline for recall: the same distributed brute-force
+    # partial-top-k scan as ann_topk (per-batch candidates only; the
+    # full similarity matrix never exists anywhere)
+    exact_cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
+                                batch_format="pyarrow", concurrency=(1, 2))
+    exact_df = merge_topk(pa.concat_tables(
+        exact_cand.iter_batches(batch_format="pyarrow"))).to_pandas()
+
     rows = []
-    for qi, q in zip(qidx, _ANN_QUERY_IDS):
-        qv = mat[qi]
-        exact = set(ids[np.argsort(-(mat @ qv))[:10]].tolist())
+    for q in _ANN_QUERY_IDS:
+        exact = set(exact_df[exact_df.query_id == q].vec_id.head(10).tolist())
         got = set(approx[approx.query_id == q].vec_id.head(10).tolist())
         rows.append({"query_id": int(q),
                      "n_candidates": int((approx.query_id == q).sum()),
@@ -1243,24 +1332,18 @@ def ngram_jaccard_dedup(sf_dir: str):
         pairs, batch_format="pandas")
     from ray.data.aggregate import Count as _Count
     cand = cand.groupby(["a", "b"]).aggregate(_Count(alias_name="n_bands"))
-    cand_df = cand.to_pandas()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if len(cand_df) == 0:
+    # corpus streamed, candidate ids broadcast, verify in map_batches
+    # (see _jaccard_verify_pairs) — no whole-corpus driver dict
+    cand = cand.materialize()
+    if cand.count() == 0:
         return empty
-    import pyarrow.parquet as pq
-    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    rows = []
-    for a, b in zip(cand_df.a, cand_df.b):
-        s1, s2 = word_ngrams(text_of[int(a)]), word_ngrams(text_of[int(b)])
-        if not s1 and not s2:
-            continue
-        j = len(s1 & s2) / max(1, len(s1 | s2))
-        if j >= 0.5:
-            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 4)})
-    return pa.Table.from_pylist(rows) if rows else empty
+    return _jaccard_verify_pairs(cand, ds, word_ngrams,
+                                 id_type=pa.int64(),
+                                 empty_empty="skip",
+                                 elem_type=pa.string())
 
 
 
@@ -1392,28 +1475,14 @@ def geo_pip_multi(sf_dir: str):
     import ray.data as rd
     from .pipelines.flagship import _load_catalog
     from .stages.footprint import encode_footprint
-    from .stages.pip_join import PIPJoiner
+    from .stages.pip_join import MultiPIPJoiner
     p = _fx(sf_dir)
     _, cat, _ = _load_catalog(p["collections"])
     cat_ref = ray.put(cat)
-
-    class MultiPIP(PIPJoiner):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            px = batch[self.x_col].to_numpy()
-            py = batch[self.y_col].to_numpy()
-            pts, polys = self.tree.query_all(px, py)
-            ids = batch["image_id"]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return pa.table({
-                "image_id": ids.take(pa.array(pts)),
-                "pip_collection": self.ids.take(pa.array(polys)),
-            })
-
     ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
-    return ds.map_batches(MultiPIP, fn_constructor_args=(cat_ref,),
+    return ds.map_batches(MultiPIPJoiner, fn_constructor_args=(cat_ref,),
                           batch_format="pyarrow", concurrency=(1, 2))
 
 
@@ -1431,6 +1500,55 @@ FROM pts p JOIN read_parquet('{_fx_glob("collections")}') c
 
 
 
+def geo_pip_multi_tree(sf_dir: str):
+    """Multi-match PIP through the STRtree TREE path: the broadcast
+    catalog is the even-numbered items' own non-degenerate bboxes
+    (~N/2 polygons >> dense_limit 4096), so the per-leaf multi-match
+    scan (geo/strtree.py query_all tree path) is the code under SQL
+    check — round 1's silent first-match fallback would fail this row.
+    Catalog build is a pruned 2-column read of the broadcast side only.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from .stages.footprint import encode_footprint
+    from .stages.pip_join import MultiPIPJoiner
+    p = _fx(sf_dir)
+    cat_tbl = pq.read_table(p["stac_items"], columns=["image_id", "bbox"])
+    ids = np.asarray(cat_tbl["image_id"].to_pylist())
+    bbs = np.asarray(cat_tbl["bbox"].to_pylist(), dtype=np.float64)
+    num = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+    keep = (num % 2 == 0) & (bbs[:, 0] < bbs[:, 2]) & (bbs[:, 1] < bbs[:, 3])
+    ids, bbs = ids[keep], bbs[keep]
+    polys = [(np.array([w, e, e, w]), np.array([s, s, n, n]))
+             for w, s, e, n in bbs]
+    cat_ref = ray.put((ids.tolist(), polys))
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    return ds.map_batches(MultiPIPJoiner, fn_constructor_args=(cat_ref,),
+                          fn_constructor_kwargs={"out_col": "cat_id"},
+                          batch_format="pyarrow", concurrency=(1, 2))
+
+
+def _geo_pip_multi_tree_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+cat AS (
+  SELECT image_id AS cat_id, bbox
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE CAST(substr(image_id, 5) AS BIGINT) % 2 = 0
+    AND bbox[1] < bbox[3] AND bbox[2] < bbox[4])
+SELECT p.image_id, c.cat_id
+FROM pts p JOIN cat c
+  ON p.cx >= c.bbox[1] AND p.cx <= c.bbox[3]
+ AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
+"""
+
+
 def phash_dedup_clusters(sf_dir: str):
     """Connected components over the pHash near-dup graph: every image
     touching a pair gets a cluster id = min image_id of its component
@@ -1438,10 +1556,16 @@ def phash_dedup_clusters(sf_dir: str):
     label_propagation_components is the distributed swap-in)."""
     from .stages.dedup import union_find_components
     pairs = phash_near_dedup(sf_dir)
-    if hasattr(pairs, "to_pandas"):
-        import pandas as pd
-        df = pairs.to_pandas() if not isinstance(pairs, pa.Table) \
-            else pairs.to_pandas()
+    n_pairs = pairs.count()
+    if n_pairs > 500_000:
+        # pair set too big to collect: distributed min-label propagation
+        # with pointer jumping (stages/dedup.py), labels stay a Dataset
+        from .stages.dedup import label_propagation_components
+        labels = label_propagation_components(pairs.select_columns(["a", "b"]))
+        return labels.map_batches(
+            lambda b: pa.table({"image_id": b["node"], "cluster": b["label"]}),
+            batch_format="pyarrow")
+    df = pairs.to_pandas()
     comp = union_find_components(df.a.tolist(), df.b.tolist())
     items = sorted(comp.items())
     return pa.table({"image_id": pa.array([k for k, _ in items], pa.string()),
@@ -1542,6 +1666,7 @@ QUERIES = {
     "events_sliding_1h": events_sliding_1h,
     "events_props_json": events_props_json,
     "geo_pip_multi": geo_pip_multi,
+    "geo_pip_multi_tree": geo_pip_multi_tree,
     "phash_dedup_clusters": phash_dedup_clusters,
     "docs_en_pruned_read": docs_en_pruned_read,
 }
@@ -1566,6 +1691,7 @@ def oracle() -> dict[str, str]:
         "geo_footprint_wkt": _geo_footprint_wkt_sql(),
         "geo_pip_join": _geo_pip_join_sql(),
         "geo_pip_multi": _geo_pip_multi_sql(),
+        "geo_pip_multi_tree": _geo_pip_multi_tree_sql(),
         "geo_knn": _geo_knn_sql(),
         "geocore_items": _geocore_items_sql(),
         "geocore_collections": _geocore_collections_sql(),

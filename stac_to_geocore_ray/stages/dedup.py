@@ -75,8 +75,18 @@ def phash_band_rows(batch: pa.Table, id_col: str = "image_id",
 
 def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
                            hash_col: str = "phash",
-                           max_dist: int = 2) -> pd.DataFrame:
-    """Candidate bucket -> confirmed near-dup pairs (a < b, dist <= d)."""
+                           max_dist: int = 2,
+                           dedup_band: int | None = None,
+                           n_bands: int = 4) -> pd.DataFrame:
+    """Candidate bucket -> confirmed near-dup pairs (a < b, dist <= d).
+
+    ``dedup_band``: this group's band index.  When set, a pair that
+    ALSO shares a lower-numbered band is dropped — it will be emitted
+    (exactly once) by that band's group instead.  This makes the union
+    of all groups' outputs globally duplicate-free with NO extra
+    shuffle or driver-side fold (the round-1 version emitted a pair
+    once per shared band and folded on the driver).
+    """
     if len(g) < 2:
         return pd.DataFrame({"a": [], "b": [], "dist": []})
     g = g.sort_values(id_col)
@@ -85,8 +95,18 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
     ia, ib = np.triu_indices(len(g), k=1)
     d = hamming64(hs[ia], hs[ib])
     keep = d <= max_dist
-    return pd.DataFrame({"a": ids[ia[keep]], "b": ids[ib[keep]],
-                         "dist": d[keep].astype(np.int64)})
+    ia, ib, d = ia[keep], ib[keep], d[keep]
+    if dedup_band:                            # bands < dedup_band exist
+        u = hs.view(np.uint64)
+        width = 64 // n_bands
+        mask = np.uint64((1 << width) - 1)
+        lower = np.zeros(len(ia), dtype=bool)
+        for k in range(dedup_band):
+            sh = np.uint64(k * width)
+            lower |= ((u[ia] >> sh) & mask) == ((u[ib] >> sh) & mask)
+        ia, ib, d = ia[~lower], ib[~lower], d[~lower]
+    return pd.DataFrame({"a": ids[ia], "b": ids[ib],
+                         "dist": d.astype(np.int64)})
 
 
 # --------------------------------------------------------------- minhash
@@ -219,10 +239,8 @@ class EmbeddingLSH:
         return bucket.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.vec_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = np.asarray(col.to_pylist(), dtype=np.float32)
+        from .ann import _as_matrix
+        mat = _as_matrix(batch[self.vec_col]).astype(np.float32, copy=False)
         if self.n_tables == 1:
             return batch.append_column(
                 "lsh_bucket", pa.array(self._buckets(mat, self.planes[0])))
@@ -283,51 +301,126 @@ def union_find_components(pairs_a, pairs_b) -> dict:
         {a: find(a) for a in pairs_a} | {b: find(b) for b in pairs_b}
 
 
-def label_propagation_components(edges_ds, max_rounds: int = 20):
+def label_propagation_components(edges_ds, max_rounds: int = 50,
+                                 num_partitions: int = 8,
+                                 on_nonconverged: str = "raise"):
     """Distributed min-label propagation over an edge Dataset (a, b).
 
-    Each round: explode edges both directions, groupby node to take the
-    min neighbour label, join back — converges in O(component diameter)
-    rounds.  All-to-alls touch (node, label) rows only.  Returns a
-    Dataset of (node, cluster).
+    Fully distributed — labels stay a Dataset end to end.  Each round:
+
+    1. two hash joins attach the endpoints' current labels to each edge
+       (``edges join labels`` on a, then on b);
+    2. every edge emits min(label_a, label_b) to BOTH endpoints;
+    3. ``groupby(node).min(label)`` folds the messages (labels only
+       ever decrease, and every node is an edge endpoint, so the
+       message min IS the new label);
+    4. convergence is a JOIN-FREE symmetric-difference check:
+       concat(old, new).groupby(node, label).count() — a changed node
+       contributes two count-1 rows; one scalar sum reaches the driver.
+
+    Join keys are node ids / edge endpoints (high cardinality at any
+    scale).  A pointer-jumping accelerant was considered and rejected:
+    its join key is the LABEL, whose distinct count collapses to the
+    component count near convergence — both a reducer-skew hazard and
+    (in Ray's hash-shuffle join) a schema-loss hazard on key-empty
+    partitions.  Near-dup components are clique-like with small
+    diameters, so O(diameter) rounds is the right trade; ``max_rounds``
+    guards pathological chains and raising (default) beats silently
+    returning unconverged labels.
+
+    Per-round label tables are materialized (object store, not driver)
+    so lineage does not re-execute across rounds.  Returns a Dataset
+    of (node, label).
     """
-    import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Min
+    import warnings
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def _arr(batch, col):
+        c = batch[col]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    edges = edges_ds.materialize()
+    try:
+        node_t = edges.schema().base_schema.field("a").type
+    except Exception:
+        node_t = pa.string()
+
+    def _empty(*cols):
+        return pa.table({c: pa.array([], node_t) for c in cols})
+
+    def _norm_labels(batch: pa.Table) -> pa.Table:
+        # hash shuffles can emit schema-less empty blocks on sparse
+        # partitions; give every block the (node, label) schema so the
+        # next join's key resolution cannot fail
+        if not {"node", "label"} <= set(batch.column_names):
+            return _empty("node", "label")
+        return batch.select(["node", "label"])
 
     def seed(batch: pa.Table) -> pa.Table:
-        nodes = pa.concat_arrays([
-            batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray)
-            else batch["a"],
-            batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray)
-            else batch["b"]])
+        if not {"a", "b"} <= set(batch.column_names):
+            return _empty("node", "label")
+        nodes = pa.concat_arrays([_arr(batch, "a"), _arr(batch, "b")])
         return pa.table({"node": nodes, "label": nodes})
 
-    labels = edges_ds.map_batches(seed, batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("label", alias_name="label"))
+    labels = edges.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")) \
+        .map_batches(_norm_labels, batch_format="pyarrow") \
+        .materialize()
+    n_nodes = labels.count()
+    if n_nodes == 0:
+        return labels
+    # keep every join partition key-populated with high probability at
+    # small scale; at real scale this resolves to num_partitions
+    p = max(1, min(num_partitions, n_nodes // 16))
 
     for _ in range(max_rounds):
-        # smallest label seen at either endpoint of each edge propagates
-        ldf = labels.to_pandas()             # (node,label): component-count
-        lmap = dict(zip(ldf.node, ldf.label))
+        with_a = edges.join(labels, join_type="inner",
+                            num_partitions=p,
+                            on=("a",), right_on=("node",),
+                            right_suffix="_a")
+        with_ab = with_a.join(labels, join_type="inner",
+                              num_partitions=p,
+                              on=("b",), right_on=("node",),
+                              left_suffix="_l", right_suffix="_b")
 
-        def relabel(batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            la = [lmap[x] for x in a]
-            lb = [lmap[x] for x in b]
-            lo = [min(x, y) for x, y in zip(la, lb)]
-            return pa.table({"node": pa.array(a + b),
-                             "label": pa.array(lo + lo)})
+        def messages(batch: pa.Table) -> pa.Table:
+            cols = set(batch.column_names)
+            if not ({"a", "b", "label_b"} <= cols
+                    and ("label_l" in cols or "label" in cols)):
+                return _empty("node", "label")
+            la = batch["label_l" if "label_l" in cols else "label"]
+            lb = batch["label_b"]
+            lo = pc.min_element_wise(la, lb)
+            lo = lo.combine_chunks() if isinstance(lo, pa.ChunkedArray) else lo
+            return pa.table({
+                "node": pa.concat_arrays([_arr(batch, "a"), _arr(batch, "b")]),
+                "label": pa.concat_arrays([lo, lo])})
 
-        new_labels = edges_ds.map_batches(relabel, batch_format="pyarrow") \
-            .groupby("node").aggregate(Min("label", alias_name="label"))
-        ndf = new_labels.to_pandas()
-        merged = ldf.merge(ndf, on="node", how="left", suffixes=("", "_new"))
-        changed = (merged.label_new < merged.label).sum()
-        labels = rd.from_pandas(
-            merged.assign(label=merged[["label", "label_new"]].min(axis=1))
-            [["node", "label"]])
-        if changed == 0:
-            break
-    return labels
+        new_labels = with_ab.map_batches(messages, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .map_batches(_norm_labels, batch_format="pyarrow") \
+            .materialize()
+
+        # join-free convergence: a changed node appears as two distinct
+        # (node, label) rows, each with count 1
+        sym = labels.union(new_labels) \
+            .groupby(["node", "label"]).aggregate(Count(alias_name="n"))
+
+        def singles(batch: pa.Table) -> pa.Table:
+            if "n" not in batch.column_names:
+                return pa.table({"changed": pa.array([0], pa.int64())})
+            n = pc.sum(pc.cast(pc.equal(batch["n"], 1), pa.int64())).as_py() or 0
+            return pa.table({"changed": pa.array([n], pa.int64())})
+
+        changed = sym.map_batches(singles, batch_format="pyarrow") \
+            .sum("changed")
+        labels = new_labels
+        if not changed:
+            return labels
+    msg = f"label propagation did not converge in {max_rounds} rounds"
+    if on_nonconverged == "warn":
+        warnings.warn(msg)
+        return labels
+    raise RuntimeError(msg)

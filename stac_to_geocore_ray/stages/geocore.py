@@ -297,6 +297,9 @@ class ItemTranslator:
         default_fr = pc.binary_join_element_wise(year, t_fr, sep)
         month_tok = pc.struct_field(
             pc.extract_regex(item_id, r"-(?P<tok>[^-]*)$"), "tok")
+        # reference is item_id.split('-')[-1]: a dashless id yields the
+        # WHOLE id, not null (stac_to_geocore.py:607)
+        month_tok = pc.if_else(pc.is_valid(month_tok), month_tok, item_id)
         month_en = pc.binary_join_element_wise(month_tok, t_en, sep)
         month_fr = pc.binary_join_element_wise(month_tok, t_fr, sep)
         yid_en = pc.binary_join_element_wise(

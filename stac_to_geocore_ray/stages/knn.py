@@ -130,6 +130,11 @@ class HexKNN:
             cand = self._candidates(int(cell))
             if len(cand) == 0:
                 continue
+            # sort so exact-distance ties break to the LOWEST catalog
+            # index, matching the dense path and the SQL oracle's
+            # ORDER BY coll_index ASC (bucket insertion order is not
+            # index order)
+            cand = np.sort(cand)
             dx = self.xs[cand][None, :] - px[mask][:, None]
             dy = self.ys[cand][None, :] - py[mask][:, None]
             d2 = dx * dx + dy * dy

@@ -68,3 +68,26 @@ class PIPJoiner:
         out = batch.append_column(
             "pip_index", pa.array(np.where(idx >= 0, idx, -1).astype(np.int32)))
         return out.append_column("pip_collection", coll)
+
+
+class MultiPIPJoiner(PIPJoiner):
+    """Inner one-to-many PIP join: emits (id, catalog id) for EVERY
+    containing polygon via ``STRtree.query_all`` — the multi-match
+    variant of the left-outer first-match ``PIPJoiner``."""
+
+    def __init__(self, catalog, x_col: str = "cx", y_col: str = "cy",
+                 id_col: str = "image_id", out_col: str = "pip_collection"):
+        super().__init__(catalog, x_col, y_col)
+        self.id_col, self.out_col = id_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        pts, polys = self.tree.query_all(px, py)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(pts)),
+            self.out_col: self.ids.take(pa.array(polys)),
+        })

@@ -103,3 +103,54 @@ def test_label_propagation_matches_union_find(ray_session):
                                      [e["b"] for e in edges])
     assert got == uf
     assert got["n5"] == "n0" and got["z2"] == "z1"
+
+
+def test_label_propagation_multiblock_no_driver_collect(ray_session):
+    """Multi-block edge set through the fully-distributed path (joins +
+    pointer jumping); labels match union-find and the convergence
+    guard does not fire."""
+    import ray.data as rd
+    edges = [("c%02d" % i, "c%02d" % (i + 1)) for i in range(12)]   # chain
+    edges += [("p%02d" % i, "q%02d" % i) for i in range(5)]         # pairs
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges],
+                       override_num_blocks=5)
+    labels = dedup.label_propagation_components(ds, num_partitions=3) \
+        .to_pandas()
+    got = dict(zip(labels.node, labels.label))
+    uf = dedup.union_find_components([a for a, _ in edges],
+                                     [b for _, b in edges])
+    assert got == uf
+    assert got["c12"] == "c00"
+
+
+def test_hamming_pairs_lowest_band_dedup():
+    """With real band grouping, dedup_band makes the union over all
+    (band, value) groups exactly the distinct near-dup pair set: no
+    duplicates, nothing missed vs the O(n^2) brute force."""
+    rng = np.random.RandomState(11)
+    base = rng.randint(-2**62, 2**62, size=30).astype(np.int64)
+    hashes = list(base)
+    for i in range(0, 30, 5):                # plant near-dups (d<=2)
+        hashes.append(np.int64(base[i] ^ (1 << (i % 60))))
+    ids = [f"im{k:03d}" for k in range(len(hashes))]
+    df = pd.DataFrame({"image_id": ids, "phash": np.array(hashes)})
+
+    tbl = pa.table({"image_id": ids, "phash": np.array(hashes)})
+    bands = dedup.phash_band_rows(tbl).to_pandas()
+    emitted = []
+    for (bid, _), sub in bands.groupby(["band_id", "band_val"], sort=False):
+        out = dedup.hamming_pairs_in_group(sub, max_dist=2,
+                                           dedup_band=int(bid))
+        emitted.extend(zip(out.a, out.b))
+    # brute force ground truth
+    hs = df.phash.to_numpy()
+    want = set()
+    from stac_to_geocore_ray.codecs.fakeimg import hamming64
+    for i in range(len(df)):
+        d = hamming64(np.repeat(hs[i], len(df)), hs)
+        for j in np.flatnonzero(d <= 2):
+            if j > i:
+                lo, hi = sorted((ids[i], ids[j]))
+                want.add((lo, hi))
+    assert len(emitted) == len(set(emitted)), "duplicate pair emitted"
+    assert set(emitted) == want

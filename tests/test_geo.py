@@ -113,6 +113,29 @@ class TestSTRtree:
         tree = strtree.STRtree(polys, dense_limit=10)
         assert (dense.query_points(px, py) == tree.query_points(px, py)).all()
 
+    def test_query_all_tree_path_matches_dense(self):
+        """query_all tree path must emit EVERY containment, not fall
+        back to first-match (round-1 latent wrong-answer)."""
+        rng = np.random.RandomState(7)
+        polys = []
+        for i in range(500):                 # overlapping boxes -> multi-hits
+            x0, y0 = rng.uniform(0, 50, 2)
+            w, h = rng.uniform(2, 10, 2)
+            polys.append((np.array([x0, x0 + w, x0 + w, x0]),
+                          np.array([y0, y0, y0 + h, y0 + h])))
+        px, py = rng.uniform(0, 50, (2, 3000))
+        dense = strtree.STRtree(polys, dense_limit=4096)
+        tree = strtree.STRtree(polys, dense_limit=10)
+        dp, dq = dense.query_all(px, py)
+        tp, tq = tree.query_all(px, py)
+        assert len(dp) > 3000                # genuinely multi-match input
+        d = sorted(zip(dp.tolist(), dq.tolist()))
+        t = sorted(zip(tp.tolist(), tq.tolist()))
+        assert d == t
+        # and each point's match count beats first-match-only
+        first = tree.query_points(px, py)
+        assert len(tp) > (first >= 0).sum()
+
 
 class TestBbox:
     def test_round2_before_ring(self):
