@@ -1,0 +1,283 @@
+"""Golden-table oracles for deterministic rows-only queries.
+
+The driver's correctness gate runs DuckDB SQL side-by-side with each
+Ray pipeline.  Ops DuckDB cannot compute (simhash, hex/S2 encodings,
+image decode) get a GOLDEN TABLE instead: a straight-line,
+row-at-a-time reimplementation (plain Python loops — none of the
+engine's vectorized kernels or Ray plumbing) writes a parquet file,
+and the registered oracle SQL is simply ``SELECT ... FROM
+read_parquet('<golden>')``.  A bug in the engine's vectorization,
+flat-maps, shuffles or aggregation then shows up as a hash mismatch
+exactly like any other oracle row.
+
+Where the underlying definition IS a library call (pd.util.hash_array
+for simhash tokens, the S2 cell math), the golden calls it per-row on
+scalars — validating everything above the kernel; the kernels
+themselves are covered by unit/property tests (tests/test_geo.py).
+
+Goldens regenerate deterministically under /tmp/stgr_goldens/<sf>/ and
+are cheap (~10 s total at sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_ROOT = "/tmp/stgr_goldens"
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_TOK_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+
+
+# ------------------------------------------------------------ text goldens
+
+def golden_simhash(sf_dir: str) -> pa.Table:
+    """Scalar per-doc simhash: token hashes via pd.util.hash_array (the
+    hash definition), bit votes in a plain Python loop."""
+    docs = _docs(sf_dir)
+    out = []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = _WORD_RE.findall((text or "").lower())
+        if not toks:
+            out.append((int(doc_id), 0))
+            continue
+        hs = pd.util.hash_array(np.asarray(toks, dtype=object))
+        votes = [0] * 64
+        for h in hs:
+            for k in range(64):
+                votes[k] += 1 if (int(h) >> k) & 1 else -1
+        val = 0
+        for k in range(64):
+            if votes[k] > 0:
+                val |= 1 << k
+        if val >= 1 << 63:
+            val -= 1 << 64
+        out.append((int(doc_id), val))
+    return pa.table({"doc_id": pa.array([a for a, _ in out], pa.int64()),
+                     "simhash": pa.array([b for _, b in out], pa.int64())})
+
+
+def golden_doc_quality(sf_dir: str) -> pa.Table:
+    """Scalar quality metrics mirroring stages/text.py TextQuality."""
+    from .stages.text import _STOP_EN, _STOP_FR
+    stop = _STOP_EN | _STOP_FR
+    docs = _docs(sf_dir)
+    ids, ntok, nch, qual = [], [], [], []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        s = text or ""
+        toks = _TOK_RE.findall(s)
+        words = _WORD_RE.findall(s.lower())
+        n_tokens = len(toks)
+        n_chars = len(s)
+        stop_cnt = sum(w in stop for w in words)
+        stop_ratio = stop_cnt / max(1, len(words))
+        punct_ratio = max(0, n_tokens - len(words)) / max(1, n_tokens)
+        q = (min(1.0, max(0.0, n_chars / 500.0)) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + min(1.0, max(0.0, stop_ratio * 3.0)) * 0.3)
+        ids.append(int(doc_id)); ntok.append(n_tokens)
+        nch.append(n_chars)
+        # np.round is the engine's rounding spec (pandas .round(6));
+        # builtin round() differs by 1 ulp on some values
+        qual.append(float(np.round(np.float64(q), 6)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "n_tokens": pa.array(ntok, pa.int64()),
+                     "n_chars2": pa.array(nch, pa.int64()),
+                     "quality_r": pa.array(qual, pa.float64())})
+
+
+def golden_fingerprints(sf_dir: str) -> pa.Table:
+    """Pure-Python byte-at-a-time Horner hash (independent of the
+    vectorized power-sum in stages/text.py Fingerprinter)."""
+    docs = _docs(sf_dir)
+    ids, fps = [], []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        data = (text or "").encode("utf-8", "ignore")
+        if not data:
+            val = 0
+        else:
+            h = 1469598103934665603
+            for b in data:
+                h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
+            val = h - (1 << 64) if h >= 1 << 63 else h
+        ids.append(int(doc_id)); fps.append(val)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fingerprint": pa.array(fps, pa.int64())})
+
+
+def golden_langid(sf_dir: str) -> pa.Table:
+    """Per-lang accuracy rollup via a scalar trigram scorer."""
+    from .stages.text import _PROFILES
+    docs = _docs(sf_dir)
+    counts: dict[str, list[int]] = {}
+    for lang, text in zip(docs.lang, docs.text):
+        t = (text or "").lower()
+        tris = {t[i:i + 3] for i in range(max(0, len(t) - 2))}
+        best, best_hits = "unknown", 0
+        for cand, prof in _PROFILES.items():
+            hits = len(tris & set(prof))
+            if hits > best_hits:
+                best, best_hits = cand, hits
+        n, ok = counts.setdefault(lang, [0, 0])
+        counts[lang][0] = n + 1
+        counts[lang][1] = ok + (1 if best == lang else 0)
+    langs = sorted(counts)
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "n": pa.array([counts[l][0] for l in langs], pa.int64()),
+                     "n_correct": pa.array([counts[l][1] for l in langs],
+                                           pa.int64())})
+
+
+# ------------------------------------------------------------- geo goldens
+
+def _hex_cell_scalar(lat: float, lng: float, res: int) -> int:
+    """Scalar hex encode: same published axial/aperture-7 math as
+    geo/hexgrid.py, reimplemented with plain floats."""
+    from .geo import hexgrid as hg
+    a = res * math.atan2(math.sqrt(3.0), 5.0)
+    c, s = math.cos(a), math.sin(a)
+    xr = lng * c + lat * s
+    yr = -lng * s + lat * c
+    size = 15.0 / (math.sqrt(7.0) ** res)
+    qf = (math.sqrt(3.0) / 3.0 * xr - yr / 3.0) / size
+    rf = (2.0 / 3.0 * yr) / size
+    # cube rounding
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = round(xf), round(yf), round(zf)
+    dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dz > dy:
+        rz = -rx - ry
+    # else: y absorbs the residual (y is not part of the axial output)
+    q, r = int(rx), int(rz)
+    return int(hg.pack(res, np.array([q]), np.array([r]))[0])
+
+
+def _items_df(sf_dir: str) -> pd.DataFrame:
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    return pq.read_table(p["stac_items"],
+                         columns=["image_id", "item_id", "bbox"]).to_pandas()
+
+
+def golden_geo_cells(sf_dir: str) -> pa.Table:
+    """Per-item cell ids: scalar centroid + scalar hex encode + per-row
+    S2 library call (S2 kernel is property-tested separately)."""
+    from .geo import s2 as s2mod
+    items = _items_df(sf_dir)
+    ids, s2c, hexc, hexp = [], [], [], []
+    for image_id, bb in zip(items.image_id, items.bbox):
+        w, s, e, n = (float(x) for x in bb)
+        cx, cy = (w + e) / 2.0, (s + n) / 2.0
+        ids.append(image_id)
+        s2c.append(int(np.int64(
+            s2mod.latlng_to_cell(np.array([cy]), np.array([cx]), 9)[0])))
+        hexc.append(_hex_cell_scalar(cy, cx, 7))
+        hexp.append(_hex_cell_scalar(cy, cx, 4))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "s2_cell": pa.array(s2c, pa.int64()),
+                     "hex_cell": pa.array(hexc, pa.int64()),
+                     "hex_prefix": pa.array(hexp, pa.int64())})
+
+
+def golden_s2_covering(sf_dir: str) -> pa.Table:
+    """Per-item S2 covering rows via per-row library calls (validates
+    the Ray flat-map plumbing and row multiplicity)."""
+    from .geo import s2 as s2mod
+    items = _items_df(sf_dir)
+    out_id, out_cell = [], []
+    for item_id, bb in zip(items.item_id, items.bbox):
+        w, s, e, n = (float(x) for x in bb)
+        cells = s2mod.bbox_covering(w, s, e, n, 7, grid=4)
+        for c in cells.astype("int64").tolist():
+            out_id.append(item_id)
+            out_cell.append(c)
+    return pa.table({"item_id": pa.array(out_id, pa.string()),
+                     "s2_cell": pa.array(out_cell, pa.int64())})
+
+
+# ----------------------------------------------------------- image goldens
+
+def golden_decode_stats(sf_dir: str) -> pa.Table:
+    """Per-fmt decode-invariant counts via a straight per-image loop."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    counts: dict[str, list[int]] = {}
+    for shard in sorted(_glob.glob(os.path.join(p["images"], "*.parquet"))):
+        t = pq.read_table(shard, columns=["bytes", "fmt", "phash"])
+        for buf, fmt, ph in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist(),
+                                t["phash"].to_pylist()):
+            row = counts.setdefault(fmt, [0, 0, 0, 0])
+            row[0] += 1
+            try:
+                arr = fi.decode(buf)
+            except Exception:
+                continue
+            row[1] += 1
+            if fi.phash(arr) == ph:
+                row[2] += 1
+            if fmt == "png":
+                psnr = float("inf")
+            else:
+                psnr = fi.psnr(arr, (arr >> 1) << 1)
+            if psnr >= 40.0:
+                row[3] += 1
+    fmts = sorted(counts)
+    return pa.table({
+        "fmt": pa.array(fmts, pa.string()),
+        "n": pa.array([counts[f][0] for f in fmts], pa.int64()),
+        "n_decoded": pa.array([counts[f][1] for f in fmts], pa.int64()),
+        "n_phash_match": pa.array([counts[f][2] for f in fmts], pa.int64()),
+        "n_psnr_ok": pa.array([counts[f][3] for f in fmts], pa.int64())})
+
+
+# ------------------------------------------------------------- registry
+
+GOLDENS = {
+    "simhash_docs": golden_simhash,
+    "doc_quality": golden_doc_quality,
+    "doc_fingerprints": golden_fingerprints,
+    "langid_accuracy": golden_langid,
+    "geo_cells": golden_geo_cells,
+    "geo_s2_covering": golden_s2_covering,
+    "decode_stats": golden_decode_stats,
+}
+
+
+def golden_path(name: str, sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(GOLDEN_ROOT, sf, f"{name}.parquet")
+
+
+def ensure_goldens(sf_dir: str) -> dict[str, str]:
+    """Generate any missing golden parquet files; return name -> path."""
+    out = {}
+    for name, fn in GOLDENS.items():
+        path = golden_path(name, sf_dir)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(fn(sf_dir), tmp)
+            os.replace(tmp, path)
+        out[name] = path
+    return out
+
+
+def golden_sql(name: str, sf_dir: str) -> str:
+    return f"SELECT * FROM read_parquet('{golden_path(name, sf_dir)}')"

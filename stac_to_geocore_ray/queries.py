@@ -1112,6 +1112,34 @@ def minhash_neardup(sf_dir: str):
         id_type=pa.int64())
 
 
+# exact char-5-shingle Jaccard in SQL: shingles exploded to
+# (doc_id, gram) rows, intersections via self-join counts,
+# |A∪B| = |A|+|B|-|A∩B|.  Equality with the engine holds because the
+# fixture corpus is ASCII (byte windows == char windows) and every
+# true >=0.5 pair in it has Jaccard >= 0.92, where the fixed-seed
+# 16x4 LSH banding has recall 1 (deterministically verified).
+MINHASH_NEARDUP_SQL = """
+WITH raw AS (SELECT doc_id, lower(coalesce(text, '')) AS t0 FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN length(t0) < 5 THEN t0 || repeat(' ', 5 - length(t0))
+                  ELSE t0 END AS t FROM raw),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                           i -> substr(t, i, 5))) AS s
+       FROM d),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
 def simhash_docs(sf_dir: str):
     """Per-doc 64-bit SimHash (deterministic; rows-only)."""
     import ray.data as rd
@@ -1345,6 +1373,32 @@ def ngram_jaccard_dedup(sf_dir: str):
                                  empty_empty="skip",
                                  elem_type=pa.string())
 
+
+
+# word-3-gram Jaccard in SQL, same explode/self-join shape as
+# MINHASH_NEARDUP_SQL.  Valid because every true >=0.5 pair in the
+# fixture corpus has word-ngram Jaccard >= 0.9, where the fixed-seed
+# LSH banding recall is 1 (deterministically verified).
+NGRAM_JACCARD_SQL = r"""
+WITH raw AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '\s+'),
+                                x -> x <> '') AS toks
+             FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 2)),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+      FROM raw),
+sizes AS (SELECT doc_id, len(s) AS n FROM g),
+ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
+"""
 
 
 def geo_s2_covering(sf_dir: str):
@@ -1672,10 +1726,22 @@ QUERIES = {
 }
 
 
+def _g_cells_path() -> str:
+    from . import goldens as _g
+    return _g.golden_path("geo_cells", ORACLE_SF_DIR)
+
+
 def oracle() -> dict[str, str]:
-    """SQL strings for the SQL-expressible subset (fixtures ensured)."""
+    """SQL strings for the SQL-expressible subset (fixtures ensured),
+    plus golden-table oracles (goldens.py: straight-line row-at-a-time
+    reimplementations -> parquet, read back via read_parquet) for the
+    deterministic ops DuckDB cannot compute itself."""
+    from . import goldens as _g
     fixtures.generate(ORACLE_SF_DIR)         # cheap when cached
-    return {
+    _g.ensure_goldens(ORACLE_SF_DIR)
+    golden_rows = {name: _g.golden_sql(name, ORACLE_SF_DIR)
+                   for name in _g.GOLDENS}
+    return golden_rows | {
         "q1_pricing_summary": Q1_SQL,
         "q3_top_orders": Q3_SQL,
         "q5_nation_revenue": Q5_SQL,
@@ -1699,5 +1765,10 @@ def oracle() -> dict[str, str]:
         "tiles_by_collection": _tiles_by_collection_sql(),
         "phash_exact_dedup": _phash_exact_dedup_sql(),
         "phash_near_dedup": _phash_near_dedup_sql(),
+        "minhash_neardup": MINHASH_NEARDUP_SQL,
+        "ngram_jaccard_dedup": NGRAM_JACCARD_SQL,
+        "geo_cell_rollup": (
+            "SELECT hex_prefix, CAST(count(*) AS BIGINT) AS n_items "
+            f"FROM read_parquet('{_g_cells_path()}') GROUP BY hex_prefix"),
         "phash_dedup_clusters": _phash_dedup_clusters_sql(),
     }
