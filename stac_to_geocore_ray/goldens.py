@@ -261,8 +261,10 @@ GOLDENS = {
 
 
 def golden_path(name: str, sf_dir: str) -> str:
+    from .sources.fixtures import FIXTURE_VERSION
     sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(GOLDEN_ROOT, sf, f"{name}.parquet")
+    return os.path.join(GOLDEN_ROOT, f"{sf}-v{FIXTURE_VERSION}",
+                        f"{name}.parquet")
 
 
 def ensure_goldens(sf_dir: str) -> dict[str, str]:

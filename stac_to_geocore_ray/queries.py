@@ -266,22 +266,72 @@ GROUP BY 1, 2
 def events_sessionize(sf_dir: str):
     """Per-user sessionization (30-min gap) — the stream-shaped op.
 
-    groupby(user).map_groups over ts-sorted groups; the ordering
-    assumption (complete per-user history in one group) is what the
-    hash shuffle provides.
+    Sort-based, fully vectorized (round-2 rewrite of the round-1
+    per-user ``map_groups``, which made one Python call per user):
+
+    1. distributed sort on (user_id, ts);
+    2. one ``map_batches`` per BLOCK computes per-user-segment partials
+       with numpy diff/segment ops — (user, first_ts, last_ts,
+       n_sessions, n_events), at most one partial per user per block;
+    3. the partial fold is the SAME vectorized segment kernel over the
+       (block x user)-sized partial table, merging adjacent partials
+       whose boundary gap is <= 30 min.  At larger scale the fold
+       nests hierarchically (partials are re-foldable by construction).
     """
     import ray.data as rd
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def sess(g):
-        import pandas as pd
-        g = g.sort_values("ts")
-        gaps = g.ts.diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [g.user_id.iloc[0]],
-                             "n_sessions": [int(gaps.sum()) + 1],
-                             "n_events": [len(g)]})
+    GAP_US = 30 * 60 * 1_000_000
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def block_partials(g):
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
+                                 "first_ts": pd.Series([], dtype="int64"),
+                                 "last_ts": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        uid = g.user_id.to_numpy()
+        ts = g.ts.to_numpy("datetime64[us]").astype("int64")
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new_user) - 1                  # user-segment index
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = ((ts[1:] - ts[:-1] > GAP_US) & ~new_user[1:]).astype(np.int64)
+        starts = np.flatnonzero(new_user)
+        ends = np.append(starts[1:], len(g)) - 1
+        sess_per_seg = np.add.reduceat(gap, starts) + 1
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "first_ts": ts[starts],
+            "last_ts": ts[ends],
+            "n_sessions": sess_per_seg.astype("int64"),
+            "n_events": (ends - starts + 1).astype("int64")})
+
+    def fold(g):
+        import pandas as pd
+        g = g.sort_values(["user_id", "first_ts"]).reset_index(drop=True)
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
+                                 "n_sessions": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        uid = g.user_id.to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        # adjacent partials of one user merge a session when the
+        # boundary gap is <= 30 min
+        merged = same & (g.first_ts.to_numpy()
+                         - np.roll(g.last_ts.to_numpy(), 1) <= GAP_US)
+        out = g.assign(n_sessions=g.n_sessions - merged.astype("int64")) \
+            .groupby("user_id", sort=False) \
+            .agg(n_sessions=("n_sessions", "sum"),
+                 n_events=("n_events", "sum")).reset_index()
+        return out
+
+    partials = ds.sort(["user_id", "ts"]) \
+        .map_batches(block_partials, batch_format="pandas")
+    return partials.repartition(1).map_batches(fold, batch_format="pandas")
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -618,6 +668,48 @@ def geo_cells(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     return ds.select_columns(["image_id", "s2_cell", "hex_cell", "hex_prefix"])
+
+
+def geo_footprint_split(sf_dir: str):
+    """Antimeridian-splitting footprint encode (engine-defined behavior
+    for w > e boxes, SURVEY.md §7.4): crossing footprints explode into
+    their two hemisphere parts.  Exercises the planted crossing rows
+    (fixtures i % 911 == 907) end-to-end; the SQL oracle reproduces the
+    split with a UNION ALL."""
+    import ray.data as rd
+    from .stages.footprint import encode_footprint
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(
+        lambda b: encode_footprint(b, with_wkt=False, antimeridian="split"),
+        batch_format="pyarrow")
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": batch["image_id"],
+            "am_part": pc.cast(batch["am_part"], pa.int64()),
+            "pw": batch["pw"], "ps": batch["ps"],
+            "pe": batch["pe"], "pn": batch["pn"],
+            "cx": batch["cx"], "cy": batch["cy"]})
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _geo_footprint_split_sql() -> str:
+    return f"""
+WITH i AS (SELECT image_id, bbox[1] AS w, bbox[2] AS s,
+                  bbox[3] AS e, bbox[4] AS n
+           FROM read_parquet('{_fx_glob("stac_items")}'))
+SELECT image_id, CAST(0 AS BIGINT) AS am_part,
+       w AS pw, s AS ps,
+       CASE WHEN w > e THEN 180.0 ELSE e END AS pe, n AS pn,
+       (w + CASE WHEN w > e THEN 180.0 ELSE e END) / 2 AS cx,
+       (s + n) / 2 AS cy
+FROM i
+UNION ALL
+SELECT image_id, CAST(1 AS BIGINT), -180.0, s, e, n,
+       (-180.0 + e) / 2, (s + n) / 2
+FROM i WHERE w > e
+"""
 
 
 def geocore_items(sf_dir: str):
@@ -1454,23 +1546,51 @@ def video_frame_sample(sf_dir: str):
 
 def events_sliding_1h(sf_dir: str):
     """Per-event sliding-1-hour count within its event_type — a
-    range-window op: sort within the type partition, two-pointer count
-    via searchsorted (vectorized), the hash shuffle provides the
-    partition-completeness the window needs."""
+    range-window op.
+
+    Scale shape (round-2 rewrite): the round-1 version grouped on
+    event_type alone, pulling a type's ENTIRE history into one group —
+    a giant-group/skew hazard.  Now events group on (event_type, DAY),
+    with each day's last hour duplicated into the next day's group as
+    HALO rows, so every group is bounded by one day of one type yet
+    sees the full look-back window; the searchsorted count stays
+    vectorized per group and only non-halo rows are emitted.
+    """
     import ray.data as rd
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "event_type", "ts"])
 
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+
+    def add_groups(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        ts = df.ts.to_numpy("datetime64[us]").astype("int64")
+        df["ts_us"] = ts
+        df["grp_day"] = ts // DAY_US
+        cur = df.assign(halo=0)
+        next_start = (ts // DAY_US + 1) * DAY_US
+        is_halo = ts >= next_start - HOUR_US
+        halo = df[is_halo].assign(grp_day=df.grp_day[is_halo] + 1, halo=1)
+        return pa.Table.from_pandas(pd.concat([cur, halo], ignore_index=True)
+                                    [["event_id", "event_type", "ts_us",
+                                      "grp_day", "halo"]],
+                                    preserve_index=False)
+
     def windowed(g):
         import pandas as pd
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g.ts.to_numpy("datetime64[us]").astype("int64")
-        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        g = g.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        ts = g.ts_us.to_numpy()
+        lo = np.searchsorted(ts, ts - HOUR_US, side="left")
         hi = np.searchsorted(ts, ts, side="right")
         g["n_prev_hour"] = (hi - lo).astype("int64")
+        g = g[g.halo == 0]
         return g[["event_id", "n_prev_hour"]]
 
-    return ds.groupby("event_type").map_groups(windowed, batch_format="pandas")
+    grouped = ds.map_batches(add_groups, batch_format="pyarrow")
+    return grouped.groupby(["event_type", "grp_day"]) \
+        .map_groups(windowed, batch_format="pandas")
 
 
 EVENTS_SLIDING_SQL = """
@@ -1721,6 +1841,7 @@ QUERIES = {
     "events_props_json": events_props_json,
     "geo_pip_multi": geo_pip_multi,
     "geo_pip_multi_tree": geo_pip_multi_tree,
+    "geo_footprint_split": geo_footprint_split,
     "phash_dedup_clusters": phash_dedup_clusters,
     "docs_en_pruned_read": docs_en_pruned_read,
 }
@@ -1758,6 +1879,7 @@ def oracle() -> dict[str, str]:
         "geo_pip_join": _geo_pip_join_sql(),
         "geo_pip_multi": _geo_pip_multi_sql(),
         "geo_pip_multi_tree": _geo_pip_multi_tree_sql(),
+        "geo_footprint_split": _geo_footprint_split_sql(),
         "geo_knn": _geo_knn_sql(),
         "geocore_items": _geocore_items_sql(),
         "geocore_collections": _geocore_collections_sql(),

@@ -74,8 +74,14 @@ def n_images_for(sf_dir: str) -> int:
     return max(64, round(1_000_000 * sf))
 
 
+# bump to invalidate cached fixture dirs when generation rules change
+# (v2: planted antimeridian-CROSSING bboxes at i % 911 == 907)
+FIXTURE_VERSION = 2
+
+
 def fixture_dir(sf_dir: str) -> str:
-    return os.path.join(FIXTURE_ROOT, pathlib.Path(sf_dir).name)
+    return os.path.join(FIXTURE_ROOT,
+                        f"{pathlib.Path(sf_dir).name}-v{FIXTURE_VERSION}")
 
 
 IMAGES_SCHEMA = pa.schema([
@@ -124,6 +130,8 @@ def _row_geo(i: int, h: int):
         e = w
     if i % 911 == 905:                      # near-antimeridian, outside catalog
         w, e = 179.80 + fx * 0.15, 179.80 + fx * 0.15 + 0.04
+    if i % 911 == 907:                      # CROSSING the antimeridian (w > e)
+        w, e = 179.90 + fx * 0.05, -179.98 + fy * 0.05
     return ci, (w, s, e, n)
 
 

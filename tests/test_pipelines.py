@@ -16,10 +16,11 @@ class TestMetadataPipeline:
         assert meta_df.image_id.is_unique
 
     def test_pip_left_outer(self, meta_df):
-        # antimeridian rows (i % 911 == 905) sit outside the catalog
+        # antimeridian rows sit outside the catalog: i % 911 == 905
+        # (near-line) and 907 (crossing; its unsplit centroid is
+        # mid-pacific — fixtures v2)
         misses = meta_df[meta_df.pip_collection.isna()]
-        assert len(misses) == 1
-        assert misses.image_id.iloc[0] == "img-000000905"
+        assert sorted(misses.image_id) == ["img-000000905", "img-000000907"]
 
     def test_pip_respects_priority_overlap(self, meta_df):
         # 'cdem' region spans everything, but earlier catalog entries win:

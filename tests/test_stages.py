@@ -37,6 +37,33 @@ class TestFootprint:
         assert out["hex_cell"].to_pylist()[0] == hexc[0]
 
 
+class TestAntimeridianSplit:
+    def test_crossing_bbox_splits_into_hemisphere_parts(self):
+        batch = pa.table({
+            "image_id": ["x", "a"],
+            "bbox": pa.array([[179.9, 10.0, -179.95, 10.2],   # crossing
+                              [-75.5, 45.2, -75.1, 45.6]],    # normal
+                             pa.list_(pa.float64(), 4)),
+        })
+        out = encode_footprint(batch, antimeridian="split").to_pandas()
+        assert len(out) == 3
+        x = out[out.image_id == "x"].sort_values("am_part")
+        assert x.am_part.tolist() == [0, 1]
+        assert x.iloc[0].pw == 179.9 and x.iloc[0].pe == 180.0
+        assert x.iloc[1].pw == -180.0 and x.iloc[1].pe == -179.95
+        # parts land in hex/s2 cells on OPPOSITE sides of the line
+        assert x.iloc[0].cx > 179.9 and x.iloc[1].cx < -179.9
+        assert x.iloc[0].hex_cell != x.iloc[1].hex_cell
+        # normal row unchanged, single part
+        a = out[out.image_id == "a"]
+        assert len(a) == 1 and a.iloc[0].am_part == 0
+        ref = encode_footprint(batch).to_pandas()
+        assert a.iloc[0].hex_cell == ref[ref.image_id == "a"].hex_cell.iloc[0]
+        # WKT of each part is a valid non-inverted ring (pw < pe)
+        wkt = encode_footprint(batch, antimeridian="split").to_pandas()
+        assert (wkt.pw < wkt.pe).all()
+
+
 class TestPIPJoiner:
     def test_left_outer_and_priority(self):
         cat = (["first", "second"],
