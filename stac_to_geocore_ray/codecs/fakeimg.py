@@ -61,15 +61,36 @@ def decode(buf: bytes) -> np.ndarray:
     return arr
 
 
-def decode_real_jpeg_png(buf: bytes) -> np.ndarray:
-    """Stub for a real decoder (PIL / libjpeg-turbo), absent in this env.
+try:                                         # import probe: real decoder
+    from PIL import Image as _PIL_Image
+    HAVE_PIL = True
+except ImportError:                          # this container ships no PIL
+    _PIL_Image = None
+    HAVE_PIL = False
 
-    On a production cluster this is where ``PIL.Image.open`` /
-    ``simplejpeg.decode_jpeg`` would decode the binary column inside
-    the decoder actor pool; everything downstream (tiling, pHash,
-    dedup) is format-agnostic over the returned uint8 array.
+
+def decode_real_jpeg_png(buf: bytes) -> np.ndarray:
+    """Real PNG/JPEG decode via PIL when importable (selected by import
+    probe); raises NotImplementedError otherwise.
+
+    On a production cluster PIL/simplejpeg decode the binary column
+    inside the decoder actor pool; everything downstream (tiling,
+    pHash, dedup) is format-agnostic over the returned uint8 array.
     """
-    raise NotImplementedError("PIL/cv2 are not available in this container")
+    if _PIL_Image is None:
+        raise NotImplementedError("PIL/cv2 are not available in this container")
+    import io
+    return np.asarray(_PIL_Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
+def decode_any(buf: bytes) -> np.ndarray:
+    """Format dispatch: GIMG magic -> stand-in codec; anything else ->
+    the real decoder path (PIL when present).  The Tiler/DecodeVerifier
+    call this, so pointing the pipeline at a real JPEG/PNG table needs
+    no code change beyond having PIL installed."""
+    if buf[:4] == _MAGIC:
+        return decode(buf)
+    return decode_real_jpeg_png(buf)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -171,15 +171,61 @@ def cell_to_latlng(cell: np.ndarray):
     return lat, lng
 
 
-def bbox_covering(w, s, e, n, lvl: int, grid: int = 8) -> np.ndarray:
-    """Approximate covering of a lon/lat bbox by level-``lvl`` cells.
+def bbox_covering(w, s, e, n, lvl: int, grid: int | None = None,
+                  edge_samples: int = 64) -> np.ndarray:
+    """Interval-based covering of a lon/lat bbox by level-``lvl`` cells.
 
-    Samples a (grid+1)^2 lattice over the bbox and returns the sorted
-    unique ancestors — an over/under-approximation suitable for
-    cell-prefix partitioning, not an exact S2RegionCoverer.
+    Round-2 replacement of the sampled-lattice approximation: per cube
+    face, the bbox's (u, v) extrema are located on its BOUNDARY (the
+    face projection is a diffeomorphism on its domain), so densely
+    evaluating the four edges bounds the face's uv region; the bound
+    is padded by one cell to absorb edge-sampling error, converted to
+    an ij rectangle at cell granularity, and every cell in the
+    rectangle is enumerated.  The union over faces is a guaranteed
+    SUPERSET of the bbox (property-tested: every random interior
+    point's cell is in the covering) and is near-minimal for small
+    boxes.  Assumes bbox extent < 90 degrees (true for footprint
+    boxes); ``grid`` is accepted for back-compat and ignored.
     """
-    lons = np.linspace(w, e, grid + 1)
-    lats = np.linspace(s, n, grid + 1)
-    lon_g, lat_g = np.meshgrid(lons, lats)
-    cells = latlng_to_cell(lat_g.ravel(), lon_g.ravel(), lvl)
-    return np.unique(cells)
+    if np.ndim(w) == 0 and w > e:             # antimeridian-crossing box:
+        return np.unique(np.concatenate([     # union of the two parts
+            bbox_covering(w, s, 180.0, n, lvl, edge_samples=edge_samples),
+            bbox_covering(-180.0, s, e, n, lvl, edge_samples=edge_samples)]))
+    step_ij = 1 << (MAX_LEVEL - lvl)          # leaf-ij per level-lvl cell
+
+    # boundary sampling (4 edges)
+    t = np.linspace(0.0, 1.0, edge_samples)
+    lons = np.concatenate([w + (e - w) * t, np.full_like(t, e),
+                           w + (e - w) * t, np.full_like(t, w)])
+    lats = np.concatenate([np.full_like(t, s), s + (n - s) * t,
+                           np.full_like(t, n), s + (n - s) * t])
+    x, y, z = latlng_to_xyz(lats, lons)
+    face, u, v = xyz_to_face_uv(x, y, z)
+
+    # edge-sampling error bound: between samples the uv extremum can
+    # exceed the sampled max by |d(st)/d(deg)| * half-spacing; with
+    # |du/ddeg| <= 2*pi/180 and |dst/du| <= 0.5 that is
+    # ~1.8e-2 * spacing_deg in st, mapped to leaf-ij units (+16 slack)
+    extent = float(max(np.max(e - w), np.max(n - s), 1e-9))
+    pad_ij = int(1.8e-2 * (extent / max(1, edge_samples - 1))
+                 * (1 << MAX_LEVEL)) + 16
+
+    out = []
+    for f in np.unique(face):
+        m = face == f
+        si = _uv_to_st(u[m])
+        ti = _uv_to_st(v[m])
+        i_lo = (int(_st_to_ij(si.min())) - pad_ij) // step_ij
+        i_hi = (int(_st_to_ij(si.max())) + pad_ij) // step_ij
+        j_lo = (int(_st_to_ij(ti.min())) - pad_ij) // step_ij
+        j_hi = (int(_st_to_ij(ti.max())) + pad_ij) // step_ij
+        n_cells = 1 << lvl                     # cells per axis at lvl
+        i_lo, i_hi = max(0, i_lo), min(n_cells - 1, i_hi)
+        j_lo, j_hi = max(0, j_lo), min(n_cells - 1, j_hi)
+        ii, jj = np.meshgrid(np.arange(i_lo, i_hi + 1),
+                             np.arange(j_lo, j_hi + 1))
+        ic = ii.ravel() * step_ij + step_ij // 2   # cell-center leaf ij
+        jc = jj.ravel() * step_ij + step_ij // 2
+        ff = np.full(ic.shape, int(f), dtype=np.int64)
+        out.append(parent(from_face_ij(ff, ic, jc), lvl))
+    return np.unique(np.concatenate(out))

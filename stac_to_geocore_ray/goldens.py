@@ -31,6 +31,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GOLDEN_ROOT = "/tmp/stgr_goldens"
+# bump when a golden-relevant kernel definition changes
+# (v2: interval-based bbox_covering replaced the sampled lattice)
+GOLDEN_VERSION = 2
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _TOK_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
@@ -263,7 +266,8 @@ GOLDENS = {
 def golden_path(name: str, sf_dir: str) -> str:
     from .sources.fixtures import FIXTURE_VERSION
     sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(GOLDEN_ROOT, f"{sf}-v{FIXTURE_VERSION}",
+    return os.path.join(GOLDEN_ROOT,
+                        f"{sf}-v{FIXTURE_VERSION}.{GOLDEN_VERSION}",
                         f"{name}.parquet")
 
 

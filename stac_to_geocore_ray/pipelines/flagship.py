@@ -100,14 +100,16 @@ class AlignedCoRead:
 
     def __call__(self, batch) -> pa.Table:
         import os
-        import pyarrow.parquet as pqt
+
+        from ..sources import lance_io
         out = []
         for shard in batch["shard"]:
-            name = f"part-{int(shard):05d}.parquet"
-            img = pqt.read_table(os.path.join(self.images_dir, name),
-                                 columns=["image_id", "bytes"])
-            items = pqt.read_table(os.path.join(self.items_dir, name),
-                                   columns=["image_id", "bbox", *self.item_cols])
+            name = f"part-{int(shard):05d}{lance_io.shard_ext()}"
+            img = lance_io.read_shard(os.path.join(self.images_dir, name),
+                                      columns=["image_id", "bytes"])
+            items = lance_io.read_shard(
+                os.path.join(self.items_dir, name),
+                columns=["image_id", "bbox", *self.item_cols])
             assert img["image_id"].to_pylist() == items["image_id"].to_pylist(), \
                 "shards not co-partitioned; use join='shuffle'"
             merged = img
@@ -130,11 +132,12 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
     join="aligned" (default): fragment-aligned co-read, zero shuffle.
     join="shuffle": general hash-partitioned Dataset.join on image_id.
     """
-    import glob as _glob
     import ray.data as rd
+
+    from ..sources import lance_io
     p = fixtures.paths(sf_dir)
     if join == "aligned":
-        shards = sorted(_glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+        shards = lance_io.shard_names(p["stac_items"])
         # one block per shard so the co-read fans out to one task each
         ds = rd.from_items([{"shard": i} for i in range(len(shards))],
                            override_num_blocks=len(shards))

@@ -635,6 +635,57 @@ SELECT image_id, collection_id AS knn_id FROM ranked WHERE rn = 1
 """
 
 
+def geo_knn_haversine(sf_dir: str):
+    """Geodesic kNN (VERDICT #9): nearest catalog centroid by
+    great-circle distance, with the distance emitted in km."""
+    import ray
+    import ray.data as rd
+    from .pipelines.flagship import _load_catalog
+    from .stages.footprint import encode_footprint
+    from .stages.knn import HexKNN
+    p = _fx(sf_dir)
+    _, _, knn_cat = _load_catalog(p["collections"])
+    knn_ref = ray.put(knn_cat)
+    ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
+                        fn_constructor_kwargs={"metric": "haversine"},
+                        batch_format="pyarrow", concurrency=(1, 2))
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": batch["image_id"],
+            "knn_id": batch["knn_id"],
+            "knn_km_r": pc.round(batch["knn_dist"], 4)})
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _geo_knn_haversine_sql() -> str:
+    hav = ("2 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(c.ky) - radians(p.cy)) / 2), 2)"
+           " + cos(radians(p.cy)) * cos(radians(c.ky))"
+           " * pow(sin((radians(c.kx) - radians(p.cx)) / 2), 2)))")
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+cat AS (
+  SELECT collection_id, coll_index,
+         (bbox[1] + bbox[3]) / 2 AS kx, (bbox[2] + bbox[4]) / 2 AS ky
+  FROM read_parquet('{_fx_glob("collections")}')),
+ranked AS (
+  SELECT p.image_id, c.collection_id, {hav} AS km,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY {hav} ASC, c.coll_index ASC) AS rn
+  FROM pts p CROSS JOIN cat c)
+SELECT image_id, collection_id AS knn_id, round(km, 4) AS knn_km_r
+FROM ranked WHERE rn = 1
+"""
+
+
 def geo_cell_rollup(sf_dir: str):
     """items per hex prefix cell (no SQL equivalent: rows-only check).
 
@@ -1816,6 +1867,7 @@ QUERIES = {
     "geo_footprint_wkt": geo_footprint_wkt,
     "geo_pip_join": geo_pip_join,
     "geo_knn": geo_knn,
+    "geo_knn_haversine": geo_knn_haversine,
     "geo_cell_rollup": geo_cell_rollup,
     "geo_cells": geo_cells,
     "geocore_items": geocore_items,
@@ -1881,6 +1933,7 @@ def oracle() -> dict[str, str]:
         "geo_pip_multi_tree": _geo_pip_multi_tree_sql(),
         "geo_footprint_split": _geo_footprint_split_sql(),
         "geo_knn": _geo_knn_sql(),
+        "geo_knn_haversine": _geo_knn_haversine_sql(),
         "geocore_items": _geocore_items_sql(),
         "geocore_collections": _geocore_collections_sql(),
         "geocore_options_count": _geocore_options_count_sql(),

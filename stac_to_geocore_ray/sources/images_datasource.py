@@ -26,12 +26,11 @@ class AlignedImagesDatasource(Datasource):
 
     def __init__(self, images_dir: str, items_dir: str,
                  item_cols: tuple[str, ...] = ()):
+        from . import lance_io
         self.images_dir = images_dir
         self.items_dir = items_dir
         self.item_cols = tuple(item_cols)
-        self._shards = sorted(
-            os.path.basename(p) for p in glob.glob(os.path.join(items_dir,
-                                                                "*.parquet")))
+        self._shards = lance_io.shard_names(items_dir)
 
     def estimate_inmemory_data_size(self) -> int | None:
         return sum(os.path.getsize(os.path.join(self.images_dir, s))
@@ -49,10 +48,12 @@ class AlignedImagesDatasource(Datasource):
             def make_read(img_path=img_path, items_path=items_path):
                 def _read():
                     import pyarrow as pa
-                    import pyarrow.parquet as pq
-                    img = pq.read_table(img_path, columns=["image_id", "bytes"])
-                    items = pq.read_table(items_path,
-                                          columns=["image_id", "bbox", *item_cols])
+
+                    from . import lance_io
+                    img = lance_io.read_shard(img_path,
+                                              columns=["image_id", "bytes"])
+                    items = lance_io.read_shard(
+                        items_path, columns=["image_id", "bbox", *item_cols])
                     assert (img["image_id"].to_pylist()
                             == items["image_id"].to_pylist()), \
                         "shards not co-partitioned"

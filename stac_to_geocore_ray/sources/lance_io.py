@@ -1,0 +1,71 @@
+"""Storage-format dispatch: Lance when importable, parquet otherwise.
+
+BASELINE.json's input is "a Lance table of image + caption pairs"; this
+container ships no ``lance`` wheel, so parquet shard directories stand
+in (sources/fixtures.py).  This module is the single switch point: an
+import probe selects the real Lance path when the library exists, and
+every reader in the engine goes through these helpers, so running on a
+real Lance deployment needs no code change.
+
+Shard model: a table is a directory of aligned shards — ``*.parquet``
+files here, ``*.lance`` datasets (one fragment group each) under
+Lance.  ``read_shard``/``shard_names`` abstract over both.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:                                          # import probe
+    import lance                              # type: ignore
+    HAVE_LANCE = True
+except ImportError:                           # stand-in env: parquet shards
+    lance = None
+    HAVE_LANCE = False
+
+
+def shard_ext() -> str:
+    return ".lance" if HAVE_LANCE else ".parquet"
+
+
+def shard_names(table_dir: str) -> list[str]:
+    """Sorted shard basenames of a table directory (either format)."""
+    names = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(table_dir, "*.parquet")))
+    if HAVE_LANCE:
+        names += sorted(os.path.basename(p) for p in
+                        glob.glob(os.path.join(table_dir, "*.lance")))
+    return names
+
+
+def read_shard(path: str, columns: list[str] | None = None) -> pa.Table:
+    """One shard -> Arrow table with column projection pushed down."""
+    if path.endswith(".lance"):
+        if not HAVE_LANCE:
+            raise NotImplementedError(
+                "lance is not importable in this environment")
+        return lance.dataset(path).to_table(columns=columns)
+    return pq.read_table(path, columns=columns)
+
+
+def write_shard(tbl: pa.Table, path: str, **parquet_kwargs) -> None:
+    if path.endswith(".lance"):
+        if not HAVE_LANCE:
+            raise NotImplementedError(
+                "lance is not importable in this environment")
+        lance.write_dataset(tbl, path, mode="overwrite")
+        return
+    pq.write_table(tbl, path, **parquet_kwargs)
+
+
+def read_ray_dataset(table_path: str, *, columns=None, **kwargs):
+    """Streaming Ray Dataset over a table path (file, shard dir, or
+    Lance dataset), format-dispatched."""
+    import ray.data as rd
+    if HAVE_LANCE and table_path.endswith(".lance"):
+        return rd.read_lance(table_path, columns=columns, **kwargs)
+    return rd.read_parquet(table_path, columns=columns, **kwargs)

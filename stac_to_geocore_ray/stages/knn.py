@@ -30,6 +30,20 @@ import pyarrow as pa
 
 from ..geo import hexgrid
 
+_R_EARTH_KM = 6371.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in km (broadcasting, float64)."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dphi = p2 - p1
+    dlmb = np.radians(np.asarray(lon2, dtype=np.float64)) \
+        - np.radians(np.asarray(lon1, dtype=np.float64))
+    a = np.sin(dphi / 2.0) ** 2 \
+        + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * _R_EARTH_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
 
 class HexKNN:
     """``map_batches`` callable: appends knn_id + knn_dist columns.
@@ -39,7 +53,13 @@ class HexKNN:
     """
 
     def __init__(self, catalog, res: int = 3, slack: int = 2,
-                 x_col: str = "cx", y_col: str = "cy"):
+                 x_col: str = "cx", y_col: str = "cy",
+                 metric: str = "euclid"):
+        """``metric``: "euclid" (planar degrees, hex-ring pruned — the
+        SQL-reproducible default) or "haversine" (great-circle km —
+        the geodesic option; the dense path computes the exact full
+        distance matrix, the big-catalog bucket path widens the ring
+        bound by sec(lat) to cover longitude-degree compression)."""
         try:
             import ray
             if isinstance(catalog, ray.ObjectRef):
@@ -53,6 +73,9 @@ class HexKNN:
         self.res = res
         self.slack = slack
         self.x_col, self.y_col = x_col, y_col
+        if metric not in ("euclid", "haversine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
         cells = hexgrid.latlng_to_cell(self.ys, self.xs, res)
         members: dict[int, list[int]] = {}
         for i, c in enumerate(cells.tolist()):
@@ -61,7 +84,7 @@ class HexKNN:
         self.bucket_members = [np.asarray(v, dtype=np.int64)
                                for v in members.values()]
 
-    def _candidates(self, home: int) -> np.ndarray:
+    def _candidates(self, home: int, widen: float = 1.0) -> np.ndarray:
         """Catalog indices within (k0 + slack) rings of ``home``."""
         if len(self.bucket_cells) == 0:
             return np.empty(0, dtype=np.int64)
@@ -72,8 +95,9 @@ class HexKNN:
         # hex distance is anisotropic: center separation at grid distance
         # k ranges [1.5kR, sqrt(3)kR], plus +-R point-in-cell wobble -> a
         # euclid-nearer candidate can sit up to ~1.1547*k0 + O(1) rings
-        # out.  Bound accordingly (slack covers the O(1) term).
-        k_lim = int(np.ceil(k0 * (2.0 / np.sqrt(3.0)))) + 1 + self.slack
+        # out.  Bound accordingly (slack covers the O(1) term);
+        # ``widen`` scales the bound for non-planar metrics.
+        k_lim = int(np.ceil(k0 * widen * (2.0 / np.sqrt(3.0)))) + 1 + self.slack
         sel = np.flatnonzero(d <= k_lim)
         return np.concatenate([self.bucket_members[i] for i in sel])
 
@@ -101,6 +125,14 @@ class HexKNN:
         if len(self.bucket_cells) == 0:
             return (np.full(len(px), -1, dtype=np.int64),
                     np.full(len(px), np.inf))
+        if self.metric == "haversine":
+            # small catalog: exact full great-circle matrix (ring
+            # pruning is planar and could drop the geodesic nearest)
+            d = haversine_km(py[:, None], px[:, None],
+                             self.ys[None, :], self.xs[None, :])
+            best = np.argmin(d, axis=1)
+            bd = d[np.arange(len(px)), best]
+            return best.astype(np.int64), bd
         _, qc, rc = hexgrid.unpack(cell_of)
         _, qb, rb = hexgrid.unpack(self.bucket_cells)
         dq = qc[:, None] - qb[None, :]
@@ -127,7 +159,13 @@ class HexKNN:
         out_d = np.full(n, np.inf)
         for cell in np.unique(cell_of):
             mask = cell_of == cell
-            cand = self._candidates(int(cell))
+            widen = 1.0
+            if self.metric == "haversine":
+                # longitude degrees compress by cos(lat): widen the
+                # planar ring bound so the geodesic nearest survives
+                lat = float(np.abs(py[mask]).max())
+                widen = 1.0 / max(np.cos(np.radians(min(lat, 85.0))), 0.05)
+            cand = self._candidates(int(cell), widen=widen)
             if len(cand) == 0:
                 continue
             # sort so exact-distance ties break to the LOWEST catalog
@@ -135,6 +173,13 @@ class HexKNN:
             # ORDER BY coll_index ASC (bucket insertion order is not
             # index order)
             cand = np.sort(cand)
+            if self.metric == "haversine":
+                d = haversine_km(py[mask][:, None], px[mask][:, None],
+                                 self.ys[cand][None, :], self.xs[cand][None, :])
+                best = np.argmin(d, axis=1)
+                out_idx[mask] = cand[best]
+                out_d[mask] = d[np.arange(int(mask.sum())), best]
+                continue
             dx = self.xs[cand][None, :] - px[mask][:, None]
             dy = self.ys[cand][None, :] - py[mask][:, None]
             d2 = dx * dx + dy * dy

@@ -119,7 +119,7 @@ class Tiler:
         acc = _PhashAccum(self.phash_chunk) if self.with_phash else None
         total = 0
         for i, buf in enumerate(bufs):
-            arr = fi.decode(buf)
+            arr = fi.decode_any(buf)
             h, w = arr.shape[0], arr.shape[1]
             ntx = (w + t - 1) // t
             nty = (h + t - 1) // t
@@ -234,7 +234,7 @@ class DecodeVerifier:
         ok, psnrs, match, means = [], [], [], []
         for buf, ph, fmt in zip(bufs, phashes, fmts):
             try:
-                arr = fi.decode(buf)
+                arr = fi.decode_any(buf)
             except Exception:
                 ok.append(False); psnrs.append(0.0); match.append(False)
                 means.append(0.0)

@@ -137,6 +137,32 @@ class TestSTRtree:
         assert len(tp) > (first >= 0).sum()
 
 
+class TestS2Covering:
+    def test_union_contains_bbox_points(self):
+        """Covering exactness property (VERDICT #9): the cell union is a
+        superset of the bbox, incl. antimeridian-adjacent and face-edge
+        boxes."""
+        rng = np.random.RandomState(17)
+        boxes = [(-75.3, 45.2, -75.1, 45.4), (179.8, 10.0, 179.99, 10.2),
+                 (-0.1, -0.1, 0.1, 0.1),      # face corner
+                 (44.9, -45.1, 45.1, -44.9)]  # face edge
+        for _ in range(40):
+            w = rng.uniform(-179.9, 178.0); s_ = rng.uniform(-84, 79)
+            boxes.append((w, s_, w + rng.uniform(0.01, 2.0),
+                          s_ + rng.uniform(0.01, 2.0)))
+        for w, s_, e, n in boxes:
+            for lvl in (5, 9, 12):
+                cov = set(s2.bbox_covering(w, s_, e, n, lvl).tolist())
+                px = rng.uniform(w, e, 60)
+                py = rng.uniform(s_, n, 60)
+                assert set(s2.latlng_to_cell(py, px, lvl).tolist()) <= cov
+
+    def test_covering_is_tight_for_small_boxes(self):
+        # a 0.2-degree box at level 7 (~0.6-degree cells) should not
+        # blow past a couple of cells per axis
+        assert len(s2.bbox_covering(-75.3, 45.2, -75.1, 45.4, 7)) <= 6
+
+
 class TestBbox:
     def test_round2_before_ring(self):
         r = bbox.rings(np.array([-75.126]), np.array([45.674]),

@@ -92,6 +92,50 @@ class TestHexKNNStage:
         assert out["knn_id"].to_pylist() == ["p", "q", "r"]
 
 
+class TestHexKNNHaversine:
+    def test_dense_matches_brute_force_geodesic(self):
+        from stac_to_geocore_ray.stages.knn import HexKNN, haversine_km
+        rng = np.random.RandomState(5)
+        ids = [f"c{i}" for i in range(40)]
+        xs = rng.uniform(-179, 179, 40)
+        ys = rng.uniform(-80, 80, 40)
+        k = HexKNN((ids, xs, ys), metric="haversine")
+        batch = pa.table({
+            "image_id": [f"p{i}" for i in range(60)],
+            "bbox": pa.array([[x, y, x, y] for x, y in
+                              zip(rng.uniform(-179, 179, 60),
+                                  rng.uniform(-80, 80, 60))],
+                             pa.list_(pa.float64(), 4))})
+        out = k(encode_footprint(batch, with_wkt=False)).to_pandas()
+        for _, row in out.iterrows():
+            d = haversine_km(row.cy, row.cx, ys, xs)
+            assert row.knn_id == ids[int(np.argmin(d))]
+            assert row.knn_dist == pytest.approx(d.min())
+
+    def test_per_cell_haversine_matches_dense_at_high_lat(self):
+        """Big-catalog bucket path with the sec(lat) widening finds the
+        geodesic nearest where planar-lon would pick wrong."""
+        from stac_to_geocore_ray.stages.knn import HexKNN
+        rng = np.random.RandomState(9)
+        n_cat = 300
+        ids = [f"c{i:04d}" for i in range(n_cat)]
+        xs = rng.uniform(-179, 179, n_cat)
+        ys = rng.uniform(55, 84, n_cat)        # high latitudes
+        probes = pa.table({
+            "image_id": [f"p{i}" for i in range(80)],
+            "bbox": pa.array([[x, y, x, y] for x, y in
+                              zip(rng.uniform(-179, 179, 80),
+                                  rng.uniform(60, 83, 80))],
+                             pa.list_(pa.float64(), 4))})
+        enc = encode_footprint(probes, with_wkt=False)
+        dense = HexKNN((ids, xs, ys), metric="haversine")
+        bucketed = HexKNN((ids, xs, ys), metric="haversine")
+        bucketed._DENSE_LIMIT = 0              # force the per-cell path
+        a = dense(enc).to_pandas()
+        b = bucketed(enc).to_pandas()
+        assert a.knn_id.tolist() == b.knn_id.tolist()
+
+
 class TestTiler:
     def _images_batch(self):
         arr = fi.synth_pixels(99, 130, 70)   # 130x70 -> 3x2 tiles of 64
