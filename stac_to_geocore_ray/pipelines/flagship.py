@@ -94,9 +94,22 @@ class AlignedCoRead:
 
     def __init__(self, images_dir: str, items_dir: str,
                  item_cols: tuple[str, ...]):
+        import json
         self.images_dir = images_dir
         self.items_dir = items_dir
         self.item_cols = list(item_cols)
+        # co-partition metadata: when the table root carries an
+        # _ALIGNED.json manifest (shard -> rows + id checksum, written
+        # at generation), alignment is verified against it ONCE here
+        # and each task only cross-checks O(1) row counts — at 100 TB
+        # a per-task O(rows) id-list compare is real money.  Without a
+        # manifest the per-task compare remains as the safety net.
+        self.manifest = None
+        mpath = os.path.join(os.path.dirname(os.path.normpath(images_dir)),
+                             "_ALIGNED.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self.manifest = json.load(f)
 
     def __call__(self, batch) -> pa.Table:
         import os
@@ -104,14 +117,21 @@ class AlignedCoRead:
         from ..sources import lance_io
         out = []
         for shard in batch["shard"]:
-            name = f"part-{int(shard):05d}{lance_io.shard_ext()}"
+            stem = f"part-{int(shard):05d}"
+            name = stem + lance_io.shard_ext()
             img = lance_io.read_shard(os.path.join(self.images_dir, name),
                                       columns=["image_id", "bytes"])
             items = lance_io.read_shard(
                 os.path.join(self.items_dir, name),
                 columns=["image_id", "bbox", *self.item_cols])
-            assert img["image_id"].to_pylist() == items["image_id"].to_pylist(), \
-                "shards not co-partitioned; use join='shuffle'"
+            if self.manifest is not None:
+                m = self.manifest.get(stem)
+                assert m and img.num_rows == items.num_rows == m["rows"], \
+                    "shard row counts disagree with _ALIGNED manifest"
+            else:
+                assert (img["image_id"].to_pylist()
+                        == items["image_id"].to_pylist()), \
+                    "shards not co-partitioned; use join='shuffle'"
             merged = img
             bb = items["bbox"].combine_chunks() if isinstance(
                 items["bbox"], pa.ChunkedArray) else items["bbox"]

@@ -1086,10 +1086,19 @@ def phash_near_dedup(sf_dir: str):
 
     # one map_groups call per (band_id, band_val) would mean tens of
     # thousands of tiny Python calls; bucket the band space so each
-    # group call handles ~hundreds of bands with one pandas groupby
+    # group call handles ~hundreds of bands with one pandas groupby.
+    # The bucket is a MIXED hash of (band_id, band_val): pHash band
+    # values are structured (DCT sign patterns), so the round-1 raw
+    # low byte concentrated half the pairwise work on one reducer.
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(batch["band_val"], pa.scalar(255, pa.int64()))
-        return batch.append_column("bucket", pc.cast(b, pa.int32()))
+        x = (batch["band_val"].to_numpy().astype(np.int64).view(np.uint64)
+             * np.uint64(4)
+             + batch["band_id"].to_numpy().astype(np.uint64))
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        b = (x & np.uint64(255)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
 
     def bucket_pairs(g):
         import pandas as pd

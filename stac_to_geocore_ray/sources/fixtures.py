@@ -75,8 +75,9 @@ def n_images_for(sf_dir: str) -> int:
 
 
 # bump to invalidate cached fixture dirs when generation rules change
-# (v2: planted antimeridian-CROSSING bboxes at i % 911 == 907)
-FIXTURE_VERSION = 2
+# (v2: planted antimeridian-CROSSING bboxes at i % 911 == 907;
+#  v3: _ALIGNED.json co-partition manifest)
+FIXTURE_VERSION = 3
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -232,12 +233,16 @@ def gen_chunk(lo: int, hi: int) -> tuple[pa.Table, pa.Table]:
 _CHUNK = 1024
 
 
-def _write_chunk(out: str, lo: int, hi: int, shard: int) -> None:
+def _write_chunk(out: str, lo: int, hi: int, shard: int) -> dict:
+    import zlib
     img, items = gen_chunk(lo, hi)
     # image bytes are already zlib-compressed: recompressing wastes time
     pq.write_table(img, os.path.join(out, "images", f"part-{shard:05d}.parquet"),
                    compression="none", use_dictionary=False)
     pq.write_table(items, os.path.join(out, "stac_items", f"part-{shard:05d}.parquet"))
+    ids = "\0".join(img.column("image_id").to_pylist()).encode()
+    return {"shard": f"part-{shard:05d}", "rows": img.num_rows,
+            "ids_crc": zlib.crc32(ids)}
 
 
 def generate(sf_dir: str, force: bool = False) -> str:
@@ -266,10 +271,18 @@ def generate(sf_dir: str, force: bool = False) -> str:
     if use_ray:
         import ray
         task = ray.remote(num_cpus=1)(_write_chunk)
-        ray.get([task.remote(out, lo, hi, s) for lo, hi, s in ranges])
+        metas = ray.get([task.remote(out, lo, hi, s) for lo, hi, s in ranges])
     else:
-        for lo, hi, s in ranges:
-            _write_chunk(out, lo, hi, s)
+        metas = [_write_chunk(out, lo, hi, s) for lo, hi, s in ranges]
+
+    # co-partition manifest: per-shard row count + image_id checksum,
+    # written from the single source of truth (both tables share the
+    # generated id sequence).  AlignedCoRead verifies alignment against
+    # THIS instead of an O(rows) per-task id-list compare.
+    import json
+    with open(os.path.join(out, "_ALIGNED.json"), "w") as f:
+        json.dump({m["shard"]: {"rows": m["rows"], "ids_crc": m["ids_crc"]}
+                   for m in metas}, f)
 
     _write_collections(out)
     _write_root(out)

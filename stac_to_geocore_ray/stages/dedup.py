@@ -77,7 +77,8 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
                            hash_col: str = "phash",
                            max_dist: int = 2,
                            dedup_band: int | None = None,
-                           n_bands: int = 4) -> pd.DataFrame:
+                           n_bands: int = 4,
+                           large_group_threshold: int = 512) -> pd.DataFrame:
     """Candidate bucket -> confirmed near-dup pairs (a < b, dist <= d).
 
     ``dedup_band``: this group's band index.  When set, a pair that
@@ -92,10 +93,14 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
     g = g.sort_values(id_col)
     ids = g[id_col].to_numpy()
     hs = g[hash_col].to_numpy().astype(np.int64)
-    ia, ib = np.triu_indices(len(g), k=1)
-    d = hamming64(hs[ia], hs[ib])
-    keep = d <= max_dist
-    ia, ib, d = ia[keep], ib[keep], d[keep]
+    if dedup_band is not None and len(g) > large_group_threshold \
+            and max_dist < n_bands - 1:
+        ia, ib, d = _banded_pairs_in_group(hs, max_dist, dedup_band, n_bands)
+    else:
+        ia, ib = np.triu_indices(len(g), k=1)
+        d = hamming64(hs[ia], hs[ib])
+        keep = d <= max_dist
+        ia, ib, d = ia[keep], ib[keep], d[keep]
     if dedup_band:                            # bands < dedup_band exist
         u = hs.view(np.uint64)
         width = 64 // n_bands
@@ -107,6 +112,58 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
         ia, ib, d = ia[~lower], ib[~lower], d[~lower]
     return pd.DataFrame({"a": ids[ia], "b": ids[ib],
                          "dist": d.astype(np.int64)})
+
+
+def _banded_pairs_in_group(hs: np.ndarray, max_dist: int, group_band: int,
+                           n_bands: int):
+    """Sub-band refinement for LARGE candidate groups.
+
+    All group members already share band ``group_band``; a pair within
+    Hamming ``max_dist`` (< n_bands - 1) can break at most that many of
+    the OTHER bands, so it matches exactly on at least one of them
+    (pigeonhole again, one level down).  Sorting by each other-band
+    value and taking pairs inside equal-value runs is near-linear in
+    the group size, vs the O(m^2) dense sweep that made one structured
+    3.7k-member group cost 35 s at sf0.01.  Each candidate is emitted
+    from its FIRST matching other-band only, then Hamming-verified.
+    Returns (ia, ib, dist) index arrays (ia < ib).
+    """
+    u = hs.view(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    other = [k for k in range(n_bands) if k != group_band]
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+    for j_idx, j in enumerate(other):
+        vals = (u >> np.uint64(j * width)) & mask
+        order = np.argsort(vals, kind="stable")
+        sv = vals[order]
+        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        ends = np.r_[starts[1:], len(sv)]
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            if en - st < 2:
+                continue
+            members = order[st:en]
+            ra, rb = np.triu_indices(en - st, k=1)
+            pa_ = np.minimum(members[ra], members[rb])
+            pb_ = np.maximum(members[ra], members[rb])
+            if j_idx:                          # emitted by an earlier band?
+                seen = np.zeros(len(pa_), dtype=bool)
+                for jj in other[:j_idx]:
+                    sh = np.uint64(jj * width)
+                    seen |= ((u[pa_] >> sh) & mask) == ((u[pb_] >> sh) & mask)
+                pa_, pb_ = pa_[~seen], pb_[~seen]
+            if len(pa_):
+                cand_a.append(pa_)
+                cand_b.append(pb_)
+    if not cand_a:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    ia = np.concatenate(cand_a)
+    ib = np.concatenate(cand_b)
+    d = hamming64(hs[ia], hs[ib])
+    keep = d <= max_dist
+    return ia[keep], ib[keep], d[keep]
 
 
 # --------------------------------------------------------------- minhash

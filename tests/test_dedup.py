@@ -154,3 +154,27 @@ def test_hamming_pairs_lowest_band_dedup():
                 want.add((lo, hi))
     assert len(emitted) == len(set(emitted)), "duplicate pair emitted"
     assert set(emitted) == want
+
+
+def test_large_group_banded_path_matches_dense():
+    """The sub-band refinement for >threshold groups emits exactly the
+    dense sweep's pair set."""
+    rng = np.random.RandomState(23)
+    width = 16
+    shared_band3 = np.uint64(0xABCD) << np.uint64(48)
+    low = rng.randint(0, 2**48, size=400).astype(np.uint64)
+    hs = (shared_band3 | low).view(np.int64)
+    hs = list(hs)
+    for i in range(0, 60, 3):                # planted near-dups
+        hs.append(np.int64(np.uint64(hs[i]).view(np.int64) ^ (1 << (i % 40))))
+    ids = [f"x{k:04d}" for k in range(len(hs))]
+    g = pd.DataFrame({"image_id": ids, "phash": np.array(hs, dtype=np.int64)})
+    for band in range(4):
+        dense = dedup.hamming_pairs_in_group(
+            g, max_dist=2, dedup_band=band, large_group_threshold=10**9)
+        banded = dedup.hamming_pairs_in_group(
+            g, max_dist=2, dedup_band=band, large_group_threshold=10)
+        ds_ = set(zip(dense.a, dense.b, dense.dist))
+        bs_ = set(zip(banded.a, banded.b, banded.dist))
+        assert ds_ == bs_, band
+        assert len(banded) == len(bs_)
