@@ -41,11 +41,14 @@ def run_bench() -> dict:
     from stac_to_geocore_ray.pipelines import flagship
     from stac_to_geocore_ray import queries as q
 
-    # fixture generation is one-time (cached); warm the page cache with
-    # an untimed metadata read so timings measure compute + shuffle
+    # fixture generation is one-time (cached); warm pass (untimed)
+    # covers BOTH headline phases so timings measure steady-state
+    # compute + shuffle, not first-touch page cache and worker spawn
     fixtures.generate(sf_dir)
     n_images = fixtures.n_images_for(sf_dir)
     flagship.metadata_pipeline(sf_dir).count()   # untimed warm pass
+    flagship.tile_rollup(
+        flagship.tile_pipeline(sf_dir, with_phash=False)).count()
 
     timings: dict[str, float] = {}
 

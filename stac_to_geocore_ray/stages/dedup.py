@@ -213,21 +213,32 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for rid, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = int(pd.util.hash_array(chunk.astype(np.int64)).sum()) \
-                    & 0x7FFFFFFFFFFFFFFF
-                out_id.append(rid)
-                out_band.append(band)
-                out_hash.append(bh)
-        return pa.table({self.id_col: pa.array(out_id),
-                         "band_id": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash, pa.int64())})
+        if len(texts) == 0:
+            return pa.table({self.id_col: ids,
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        # signatures: one vectorized pass per doc (variable shingle
+        # counts); band hashing is then ONE elementwise hash + reshaped
+        # sum over the whole (docs x perms) matrix — pd.util.hash_array
+        # is elementwise on int64, so this equals the per-band form
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        flat = pd.util.hash_array(sigs.astype(np.int64).ravel())
+        bh = flat.reshape(len(texts), self.n_bands, self.rows_per_band) \
+            .sum(axis=2, dtype=np.uint64)
+        bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64),
+                                 self.n_bands))
+        import pyarrow.compute as _pc
+        return pa.table({
+            self.id_col: _pc.take(ids, rep),
+            "band_id": pa.array(np.tile(np.arange(self.n_bands,
+                                                  dtype=np.int32),
+                                        len(texts))),
+            "band_hash": pa.array(bh.ravel())})
 
     def jaccard(self, t1: str, t2: str) -> float:
         s1 = set(_shingle_hashes(t1, self.shingle_k).tolist())
@@ -255,10 +266,10 @@ class SimHasher:
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for k in np.flatnonzero(v > 0):
-            out |= np.uint64(1) << np.uint64(int(k))
-        return int(out.astype(np.int64))
+        packed = int((((v > 0).astype(np.uint64)
+                       << np.arange(64, dtype=np.uint64))
+                      .sum(dtype=np.uint64)))
+        return packed - (1 << 64) if packed >= 1 << 63 else packed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
