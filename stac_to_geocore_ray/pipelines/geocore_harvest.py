@@ -45,14 +45,27 @@ def harvest_small_sides(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG):
 
 
 def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
-                  concurrency: int | None = None):
-    """The streaming per-item translate Dataset (phase 3)."""
+                  concurrency: int | None = None,
+                  actor_threshold: int = 10_000):
+    """The streaming per-item translate Dataset (phase 3).
+
+    Same stage-placement heuristic as flagship.metadata_pipeline: with
+    a small broadcast lookup (< ``actor_threshold`` collections) the
+    per-task state build costs microseconds, so the translate runs as
+    elastic TASKS — no actor-pool ramp-up, scales to every free CPU
+    immediately.  A big lookup flips to the actor-pool form where the
+    state builds once per actor (ST5)."""
     import ray
     import ray.data as rd
     p = fixtures.paths(sf_dir)
     coll = pq.read_table(p["collections"])
-    lookup_ref = ray.put(collection_lookup(coll))
+    lookup = collection_lookup(coll)
+    lookup_ref = ray.put(lookup)
     ds = rd.read_parquet(p["stac_items"])
+    if len(lookup) < actor_threshold:
+        def translate_task(batch):
+            return ItemTranslator(lookup_ref, cfg)(batch)
+        return ds.map_batches(translate_task, batch_format="pyarrow")
     return ds.map_batches(ItemTranslator, fn_constructor_args=(lookup_ref, cfg),
                           batch_format="pyarrow",
                           concurrency=autoscale_pool(concurrency))

@@ -27,6 +27,17 @@ from .sources import fixtures
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def _auto():
+    """(1, k) autoscaling actor-pool bounds: grows only while spare
+    CPUs exist, so the same query runs unchanged on a 4-CPU
+    correctness session and a 32-CPU bench session (round 1 hardcoded
+    (1, 2), which throttled actor stages to 2 workers at bench scale —
+    geocore_translate alone was ~10 core-seconds through 2 actors)."""
+    from .stages.util import autoscale_pool
+    return autoscale_pool(None)
+
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -125,7 +136,7 @@ def q3_top_orders(sf_dir: str):
                                          value_set=self.value_set))
 
     orders = orders.map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
-                                batch_format="pyarrow", concurrency=(1, 2))
+                                batch_format="pyarrow", concurrency=_auto())
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -204,7 +215,7 @@ def q5_nation_revenue(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     rev = li.map_batches(NatRev, fn_constructor_args=(ref,),
-                         batch_format="pyarrow", concurrency=(1, 2))
+                         batch_format="pyarrow", concurrency=_auto())
     agg = rev.groupby("nation").aggregate(Sum("revenue", alias_name="rev"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -447,7 +458,7 @@ def ann_topk(sf_dir: str):
     qref = ray.put((qids, qmat))
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
-                          batch_format="pyarrow", concurrency=(1, 2))
+                          batch_format="pyarrow", concurrency=_auto())
     # candidates are tiny (<= k per query per batch): safe to collect
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     out = merge_topk(cand_tbl).to_pandas()
@@ -514,7 +525,7 @@ def embedding_neardup_exact(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(PairFinder, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=(1, 2))
+                          batch_format="pyarrow", concurrency=_auto())
 
 
 EMB_NEARDUP_SQL = """
@@ -575,7 +586,7 @@ def geo_pip_join(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(PIPJoiner, fn_constructor_args=(cat_ref,),
-                        batch_format="pyarrow", concurrency=(1, 2))
+                        batch_format="pyarrow", concurrency=_auto())
     return ds.select_columns(["image_id", "pip_collection"])
 
 
@@ -609,7 +620,7 @@ def geo_knn(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
-                        batch_format="pyarrow", concurrency=(1, 2))
+                        batch_format="pyarrow", concurrency=_auto())
     return ds.select_columns(["image_id", "knn_id"])
 
 
@@ -651,7 +662,7 @@ def geo_knn_haversine(sf_dir: str):
                         batch_format="pyarrow")
     ds = ds.map_batches(HexKNN, fn_constructor_args=(knn_ref,),
                         fn_constructor_kwargs={"metric": "haversine"},
-                        batch_format="pyarrow", concurrency=(1, 2))
+                        batch_format="pyarrow", concurrency=_auto())
 
     def flat(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -693,7 +704,7 @@ def geo_cell_rollup(sf_dir: str):
     one row per (batch, cell), not per item."""
     from ray.data.aggregate import Sum
     from .pipelines.flagship import metadata_pipeline
-    ds = metadata_pipeline(sf_dir, concurrency=(1, 2))
+    ds = metadata_pipeline(sf_dir, concurrency=_auto())
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -766,7 +777,7 @@ FROM i WHERE w > e
 def geocore_items(sf_dir: str):
     """Flat GeoCore item records (the reference's M7 path, columnar)."""
     from .pipelines.geocore_harvest import items_dataset
-    ds = items_dataset(sf_dir, concurrency=(1, 2))
+    ds = items_dataset(sf_dir, concurrency=_auto())
     return ds.select_columns([
         "item_id", "id", "parent_identifier", "title_en", "title_fr",
         "temporal_begin", "temporal_end", "keywords_en", "keywords_fr",
@@ -939,7 +950,7 @@ FROM fields f JOIN counts ct USING (collection_id)
 def geocore_options_count(sf_dir: str):
     """Per-item option count after keep-last dedup (F3+F4+A1 parity)."""
     from .pipelines.geocore_harvest import items_dataset
-    ds = items_dataset(sf_dir, concurrency=(1, 2))
+    ds = items_dataset(sf_dir, concurrency=_auto())
     return ds.select_columns(["item_id", "n_options"])
 
 
@@ -1006,7 +1017,7 @@ def tiles_by_collection(sf_dir: str):
     from ray.data.aggregate import Sum
     from .pipelines.flagship import tile_pipeline
     tiles = tile_pipeline(sf_dir, with_phash=False,
-                          passthrough=("collection_id",), concurrency=(1, 2))
+                          passthrough=("collection_id",), concurrency=_auto())
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1141,7 +1152,7 @@ def decode_stats(sf_dir: str):
     p = _fx(sf_dir)
     ds = rd.read_parquet(p["images"], columns=["image_id", "bytes", "fmt", "phash"])
     ver = ds.map_batches(DecodeVerifier, batch_format="pyarrow",
-                         concurrency=(1, 2))
+                         concurrency=_auto())
 
     def to_flags(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1232,7 +1243,7 @@ def minhash_neardup(sf_dir: str):
     import ray.data as rd
     from .stages.dedup import MinHasher
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
     def pairs(g):
         import pandas as pd
@@ -1297,7 +1308,7 @@ def simhash_docs(sf_dir: str):
     import ray.data as rd
     from .stages.dedup import SimHasher
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_auto())
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -1307,7 +1318,7 @@ def langid_accuracy(sf_dir: str):
     from ray.data.aggregate import Sum
     from .stages.text import LangId
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=_auto())
 
     def flags(df):
         df["hit"] = (df.lang_pred == df.lang).astype("int64")
@@ -1324,7 +1335,7 @@ def doc_quality(sf_dir: str):
     import ray.data as rd
     from .stages.text import TextQuality
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=(1, 2))
+    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=_auto())
 
     def final(df):
         df["quality_r"] = df.quality_score.round(6)
@@ -1337,7 +1348,7 @@ def doc_fingerprints(sf_dir: str):
     import ray.data as rd
     from .stages.text import Fingerprinter
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 2))
+    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=_auto())
     return out.map_batches(lambda df: df[["doc_id", "fingerprint"]],
                            batch_format="pandas")
 
@@ -1354,7 +1365,7 @@ def embedding_neardup_lsh(sf_dir: str):
     bucketed = ds.map_batches(
         EmbeddingLSH, fn_constructor_args=(dim,),
         fn_constructor_kwargs={"n_planes": 4, "n_tables": 8},
-        batch_format="pyarrow", concurrency=(1, 2))
+        batch_format="pyarrow", concurrency=_auto())
     pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
         lambda g: cosine_pairs_in_group(g, threshold=0.40),
         batch_format="pandas")
@@ -1374,7 +1385,7 @@ def geocore_assemble(sf_dir: str):
     from .stages.assemble import RecordAssembler
     ds = items_dataset(sf_dir, concurrency=2)
     out = ds.map_batches(RecordAssembler, batch_format="pyarrow",
-                         concurrency=(1, 2))
+                         concurrency=_auto())
 
     def measure(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1455,7 +1466,7 @@ def ann_ivf(sf_dir: str):
     q_ref = ray.put((list(_ANN_QUERY_IDS), qmat_raw))
 
     assigned = ds.map_batches(IVFIndex, fn_constructor_args=(cents_ref,),
-                              batch_format="pyarrow", concurrency=(1, 2))
+                              batch_format="pyarrow", concurrency=_auto())
 
     def probe_filter(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["ivf_bucket"],
@@ -1464,7 +1475,7 @@ def ann_ivf(sf_dir: str):
 
     probed = assigned.map_batches(probe_filter, batch_format="pyarrow")
     cand = probed.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
-                              batch_format="pyarrow", concurrency=(1, 2))
+                              batch_format="pyarrow", concurrency=_auto())
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     approx = merge_topk(cand_tbl).to_pandas()
 
@@ -1472,7 +1483,7 @@ def ann_ivf(sf_dir: str):
     # partial-top-k scan as ann_topk (per-batch candidates only; the
     # full similarity matrix never exists anywhere)
     exact_cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
-                                batch_format="pyarrow", concurrency=(1, 2))
+                                batch_format="pyarrow", concurrency=_auto())
     exact_df = merge_topk(pa.concat_tables(
         exact_cand.iter_batches(batch_format="pyarrow"))).to_pandas()
 
@@ -1499,7 +1510,7 @@ def ngram_jaccard_dedup(sf_dir: str):
         return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
     def pairs(g):
         import pandas as pd
@@ -1598,7 +1609,7 @@ def video_frame_sample(sf_dir: str):
                      "bytes": encode_video(frames)})
     ds = rd.from_items(vids)
     out = ds.map_batches(FrameSampler, batch_format="pyarrow",
-                         concurrency=(1, 2))
+                         concurrency=_auto())
     return out.select_columns(["video_id", "frame_index", "w", "h",
                                "frame_phash"])
 
@@ -1717,7 +1728,7 @@ def geo_pip_multi(sf_dir: str):
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")
     return ds.map_batches(MultiPIPJoiner, fn_constructor_args=(cat_ref,),
-                          batch_format="pyarrow", concurrency=(1, 2))
+                          batch_format="pyarrow", concurrency=_auto())
 
 
 def _geo_pip_multi_sql() -> str:
@@ -1762,7 +1773,7 @@ def geo_pip_multi_tree(sf_dir: str):
                         batch_format="pyarrow")
     return ds.map_batches(MultiPIPJoiner, fn_constructor_args=(cat_ref,),
                           fn_constructor_kwargs={"out_col": "cat_id"},
-                          batch_format="pyarrow", concurrency=(1, 2))
+                          batch_format="pyarrow", concurrency=_auto())
 
 
 def _geo_pip_multi_tree_sql() -> str:
