@@ -27,6 +27,29 @@ from .sources import fixtures
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def _meta_read(path: str, columns: list[str]):
+    """Pruned metadata-column read with a CPU-matched block count.
+
+    Ray's default read planner targets ~200 output blocks regardless
+    of data volume; every downstream shuffle then pays ~200 map-task
+    fixed costs.  For small pruned column reads the right shape is one
+    block per core, grown only if that would push a block past ~64 MB
+    (measured: phash_exact_dedup aggregate 7.7 s -> 1.7 s at
+    sf0.1/32cpu just from not fragmenting the read into 294 blocks).
+    """
+    import glob as _g
+
+    import ray
+    import ray.data as rd
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    paths = _g.glob(os.path.join(path, "*.parquet")) \
+        if os.path.isdir(path) else [path]
+    total = sum(os.path.getsize(f) for f in paths)
+    nblocks = max(ncpu, min(4 * ncpu, total // (64 << 20) + 1))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=int(nblocks))
+
+
 def _auto():
     """(1, k) autoscaling actor-pool bounds: grows only while spare
     CPUs exist, so the same query runs unchanged on a 4-CPU
@@ -61,7 +84,7 @@ def q1_pricing_summary(sf_dir: str):
     """
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _meta_read(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount"])
 
@@ -138,7 +161,7 @@ def q3_top_orders(sf_dir: str):
     orders = orders.map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
                                 batch_format="pyarrow", concurrency=_auto())
 
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = _meta_read(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev_partial(batch: pa.Table) -> pa.Table:
@@ -199,7 +222,7 @@ def q5_nation_revenue(sf_dir: str):
     s_nat = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist()))
     ref = ray.put((n_name, s_nat))
 
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = _meta_read(_t(sf_dir, "lineitem"),
                          columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     class NatRev:
@@ -240,7 +263,7 @@ def events_hourly(sf_dir: str):
     """Tumbling 1-hour windows per event_type: count + integer-cent sum."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _meta_read(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
 
     def win(batch: pa.Table) -> pa.Table:
@@ -290,7 +313,7 @@ def events_sessionize(sf_dir: str):
        nests hierarchically (partials are re-foldable by construction).
     """
     import ray.data as rd
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _meta_read(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     GAP_US = 30 * 60 * 1_000_000
 
@@ -409,7 +432,7 @@ def doc_exact_dedup(sf_dir: str):
     """
     import ray.data as rd
     from .stages.dedup import add_text_hash
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     hashed = ds.map_batches(add_text_hash, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -456,7 +479,7 @@ def ann_topk(sf_dir: str):
     qids = qtbl["vec_id"].to_pylist()
     qmat = _as_matrix(qtbl["embedding"]).astype(np.float64)
     qref = ray.put((qids, qmat))
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
                           batch_format="pyarrow", concurrency=_auto())
     # candidates are tiny (<= k per query per batch): safe to collect
@@ -523,7 +546,7 @@ def embedding_neardup_exact(sf_dir: str):
                              "b": pa.array(out_b, pa.int64()),
                              "cos_r": pa.array(out_cos, pa.float64())})
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(PairFinder, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=_auto())
 
@@ -1054,7 +1077,7 @@ def phash_exact_dedup(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
     p = _fx(sf_dir)
-    ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
+    ds = _meta_read(p["images"], columns=["image_id", "phash"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1092,7 +1115,7 @@ def phash_near_dedup(sf_dir: str):
     import ray.data as rd
     from .stages.dedup import hamming_pairs_in_group, phash_band_rows
     p = _fx(sf_dir)
-    ds = rd.read_parquet(p["images"], columns=["image_id", "phash"])
+    ds = _meta_read(p["images"], columns=["image_id", "phash"])
     bands = ds.map_batches(phash_band_rows, batch_format="pyarrow")
 
     # one map_groups call per (band_id, band_val) would mean tens of
@@ -1242,7 +1265,7 @@ def minhash_neardup(sf_dir: str):
     import ray
     import ray.data as rd
     from .stages.dedup import MinHasher
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
     def pairs(g):
@@ -1307,7 +1330,7 @@ def simhash_docs(sf_dir: str):
     """Per-doc 64-bit SimHash (deterministic; rows-only)."""
     import ray.data as rd
     from .stages.dedup import SimHasher
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_auto())
     return out.select_columns(["doc_id", "simhash"])
 
@@ -1334,7 +1357,7 @@ def doc_quality(sf_dir: str):
     """Quality metrics per doc (BPE-ish tokens, ratios; rows-only)."""
     import ray.data as rd
     from .stages.text import TextQuality
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=_auto())
 
     def final(df):
@@ -1347,7 +1370,7 @@ def doc_fingerprints(sf_dir: str):
     """Rolling-hash fingerprints per doc (rows-only)."""
     import ray.data as rd
     from .stages.text import Fingerprinter
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=_auto())
     return out.map_batches(lambda df: df[["doc_id", "fingerprint"]],
                            batch_format="pandas")
@@ -1361,7 +1384,7 @@ def embedding_neardup_lsh(sf_dir: str):
     from .stages.dedup import EmbeddingLSH, cosine_pairs_in_group
     dim = len(pq.read_table(_t(sf_dir, "embeddings"),
                             columns=["embedding"]).column(0)[0])
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(
         EmbeddingLSH, fn_constructor_args=(dim,),
         fn_constructor_kwargs={"n_planes": 4, "n_tables": 8},
@@ -1440,7 +1463,7 @@ def ann_ivf(sf_dir: str):
     qmat_raw = qmat_raw[[order[q] for q in _ANN_QUERY_IDS]]
     qn = _normalize(qmat_raw.copy())
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     # centroid fit on a STREAMED strided sample (per-batch stride; the
     # corpus never materializes on the driver — round 1 read the whole
@@ -1509,7 +1532,7 @@ def ngram_jaccard_dedup(sf_dir: str):
         toks = (text or "").lower().split()
         return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
     def pairs(g):
@@ -1628,7 +1651,7 @@ def events_sliding_1h(sf_dir: str):
     vectorized per group and only non-halo rows are emitted.
     """
     import ray.data as rd
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _meta_read(_t(sf_dir, "events"),
                          columns=["event_id", "event_type", "ts"])
 
     DAY_US = 86_400_000_000
@@ -1681,7 +1704,7 @@ def events_props_json(sf_dir: str):
     functions are the oracle."""
     import ray.data as rd
     from ray.data.aggregate import Sum
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def parse(batch: pa.Table) -> pa.Table:
         import json as _json
