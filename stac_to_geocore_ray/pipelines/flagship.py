@@ -259,7 +259,15 @@ def tile_rollup(tiles_ds, salt_factor: int = 8, mode: str = "tree",
                     batch["sum_intensity"],
                     pc.cast(batch["n_tiles"], pa.float64()))})
 
-        out = tiles_ds.map_batches(partial, batch_format="pyarrow")
+        # materialize the (tiny) partials BEFORE the fold exchange: an
+        # AllToAll operator launched concurrently with the map phase
+        # pins shuffle-aggregator actors on CPUs and starves the
+        # decode/tile tasks — at 4 CPUs the map ran near-serially
+        # (72 s vs 19 s with the barrier; at 32 CPUs the effect is a
+        # few percent).  The barrier holds only per-batch partial rows
+        # in the object store, never tiles or pixels.
+        out = tiles_ds.map_batches(partial, batch_format="pyarrow") \
+            .materialize()
         if intermediate_partitions:
             out = out.repartition(intermediate_partitions) \
                 .map_batches(fold, batch_format="pyarrow")
