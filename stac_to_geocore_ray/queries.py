@@ -297,6 +297,35 @@ GROUP BY 1, 2
 """
 
 
+def events_stream_tumbling(sf_dir: str):
+    """Hourly EVENT-TIME tumbling windows computed by the streaming
+    bucket-actor stage (stages/streaming.py): out-of-order arrival,
+    per-bucket watermarks, windows emitted as they finalize.  With
+    ``allowed_lateness`` covering the stream's full disorder nothing
+    drops, so the result equals the batch GROUP BY — which is exactly
+    what the SQL oracle asserts; the tight-lateness drop policy is
+    unit-tested with a controlled ordered feed (tests/test_streaming)."""
+    from .stages.streaming import stream_tumbling_windows
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+    tbl, late = stream_tumbling_windows(
+        ds, key_col="event_type", ts_col="ts", value_col="value",
+        window_us=3_600_000_000, lateness_us=1 << 60, n_buckets=4)
+    assert late == 0                          # lateness covers disorder
+    return tbl.rename_columns(["event_type", "window_start", "n", "sum_cents"])
+
+
+EVENTS_STREAM_TUMBLING_SQL = """
+SELECT event_type,
+       CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+           AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Per-user sessionization (30-min gap) — the stream-shaped op.
 
@@ -1903,6 +1932,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_stream_tumbling": events_stream_tumbling,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,
     "ann_topk": ann_topk,
@@ -1963,6 +1993,7 @@ def oracle() -> dict[str, str]:
         "q5_nation_revenue": Q5_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_stream_tumbling": EVENTS_STREAM_TUMBLING_SQL,
         "events_sliding_1h": EVENTS_SLIDING_SQL,
         "events_props_json": EVENTS_PROPS_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -92,3 +92,40 @@ def file_fetcher(directory: str) -> Callable[[str], dict]:
         with open(f"{directory}/{name}.json") as f:
             return json.load(f)
     return fetch
+
+
+def http_fetcher(timeout: float = 30.0, retries: int = 3,
+                 backoff: float = 1.5, session=None) -> Callable[[str], dict]:
+    """HTTP transport (the reference's requests.get path, app.py:54,80,
+    143) behind an import probe — ``requests`` is absent in this
+    sandbox (no network), so construction raises NotImplementedError
+    here, while a real deployment gets retrying GETs with backoff.
+
+    ``session``: optional pre-built requests.Session (or stub exposing
+    ``.get``), injected by tests to exercise the retry logic without a
+    network.
+    """
+    if session is None:
+        try:
+            import requests
+        except ImportError as exc:
+            raise NotImplementedError(
+                "requests is not importable in this environment; pass a "
+                "session or use file_fetcher") from exc
+        session = requests.Session()
+
+    def fetch(url: str) -> dict:
+        import time as _time
+        last: Exception | None = None
+        for attempt in range(retries):
+            try:
+                resp = session.get(url, timeout=timeout)
+                if getattr(resp, "status_code", 200) >= 500:
+                    raise RuntimeError(f"server error {resp.status_code}")
+                return resp.json()
+            except Exception as exc:          # retry transient failures
+                last = exc
+                if attempt + 1 < retries:
+                    _time.sleep(backoff ** attempt * 0.1)
+        raise RuntimeError(f"GET {url} failed after {retries} tries") from last
+    return fetch

@@ -168,3 +168,71 @@ class TestFormatDispatch:
         assert not fi.HAVE_PIL                  # this container: no PIL
         with pytest.raises(NotImplementedError):
             fi.decode_any(b"\x89PNG\r\n\x1a\nnotreal")
+
+
+class TestHttpFetcher:
+    """http_fetcher: requests-path plumbing exercised via an injected
+    stub session (no network in this sandbox)."""
+
+    def test_constructs_with_requests_present(self):
+        # the requests wheel IS in this image (the sandbox just has no
+        # network); construction must pick it up via the import probe
+        from stac_to_geocore_ray.sources.paged_api import http_fetcher
+        fetch = http_fetcher()
+        assert callable(fetch)
+
+    def test_retries_then_succeeds(self):
+        from stac_to_geocore_ray.sources.paged_api import http_fetcher
+        calls = []
+
+        class Resp:
+            def __init__(self, code, payload):
+                self.status_code = code
+                self._p = payload
+
+            def json(self):
+                return self._p
+
+        class Session:
+            def get(self, url, timeout):
+                calls.append(url)
+                if len(calls) < 3:
+                    return Resp(503, None)
+                return Resp(200, {"links": [], "context": {"returned": 0}})
+
+        fetch = http_fetcher(session=Session(), retries=3, backoff=1.0)
+        out = fetch("https://api.example/search")
+        assert out["context"]["returned"] == 0
+        assert len(calls) == 3
+
+    def test_exhausted_retries_raise(self):
+        import pytest
+        from stac_to_geocore_ray.sources.paged_api import http_fetcher
+
+        class Session:
+            def get(self, url, timeout):
+                raise ConnectionError("boom")
+
+        fetch = http_fetcher(session=Session(), retries=2, backoff=1.0)
+        with pytest.raises(RuntimeError, match="failed after 2"):
+            fetch("https://api.example/search")
+
+    def test_walk_pages_over_stub_http(self):
+        from stac_to_geocore_ray.sources.paged_api import (http_fetcher,
+                                                           walk_pages)
+        pages = {
+            "p1": {"context": {"returned": 2, "matched": 3},
+                   "links": [{"rel": "next", "href": "p2"}]},
+            "p2": {"context": {"returned": 1, "matched": 3}, "links": []},
+        }
+
+        class Resp:
+            def __init__(self, p): self._p = p
+            status_code = 200
+            def json(self): return self._p
+
+        class Session:
+            def get(self, url, timeout): return Resp(pages[url])
+
+        urls = walk_pages("p1", http_fetcher(session=Session()))
+        assert urls == ["p1", "p2"]
