@@ -83,6 +83,59 @@ class STRtree:
         self.leaf_bounds = np.array([
             [self.bounds[l, 0].min(), self.bounds[l, 1].min(),
              self.bounds[l, 2].max(), self.bounds[l, 3].max()] for l in leaves])
+        # packed upper levels: STR ordering is spatial, so grouping
+        # consecutive runs of `cap` nodes yields tight parents; the
+        # batched query walks top-down with shrinking point subsets
+        # instead of testing every leaf against every probe
+        # (O(top_nodes x probes) instead of O(leaves x probes))
+        self.levels = [self.leaf_bounds]
+        while len(self.levels[-1]) > self.cap:
+            child = self.levels[-1]
+            n_par = (len(child) + self.cap - 1) // self.cap
+            par = np.empty((n_par, 4), dtype=np.float64)
+            for p in range(n_par):
+                blk = child[p * self.cap:(p + 1) * self.cap]
+                par[p] = (blk[:, 0].min(), blk[:, 1].min(),
+                          blk[:, 2].max(), blk[:, 3].max())
+            self.levels.append(par)
+
+    def _leaf_candidates(self, px: np.ndarray, py: np.ndarray):
+        """(leaf_index, probe-point indices) pairs whose bboxes intersect.
+
+        Two strategies: a FLAT vectorized scan (every leaf bbox tested
+        against the whole probe array — O(leaves x probes) of SIMD bool
+        ops, no per-node Python overhead) and a top-down hierarchical
+        walk (prunes whole subtrees, pays Python/fancy-index cost per
+        visited node).  Scattered probes touch every leaf, making the
+        walk pure overhead; clustered probes prune hard.  Pick by
+        estimated flat cost."""
+        if len(px) * len(self.leaf_items) < 20_000_000:
+            lb = self.leaf_bounds
+            m = ((px[None, :] >= lb[:, 0:1]) & (px[None, :] <= lb[:, 2:3])
+                 & (py[None, :] >= lb[:, 1:2]) & (py[None, :] <= lb[:, 3:4]))
+            return [(int(i), np.flatnonzero(m[i]))
+                    for i in np.flatnonzero(m.any(axis=1))]
+        top = len(self.levels) - 1
+        stack = [(top, node, None) for node in range(len(self.levels[top]))]
+        all_pts = np.arange(len(px))
+        out = []
+        while stack:
+            level, node, pts = stack.pop()
+            pts = all_pts if pts is None else pts
+            b = self.levels[level][node]
+            m = (px[pts] >= b[0]) & (px[pts] <= b[2]) & \
+                (py[pts] >= b[1]) & (py[pts] <= b[3])
+            sub = pts[m]
+            if len(sub) == 0:
+                continue
+            if level == 0:
+                out.append((node, sub))
+                continue
+            lo = node * self.cap
+            hi = min(lo + self.cap, len(self.levels[level - 1]))
+            for child in range(lo, hi):
+                stack.append((level - 1, child, sub))
+        return out
 
     def _candidates_dense(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         b = self.bounds
@@ -113,26 +166,40 @@ class STRtree:
                 sel = np.flatnonzero(mask)[hit]
                 out[sel] = poly_idx
             return out
-        # tree path: per-leaf bbox prune, then same priority scan
-        for leaf_i, items in enumerate(self.leaf_items):
-            lb = self.leaf_bounds[leaf_i]
-            m = (px >= lb[0]) & (px <= lb[2]) & (py >= lb[1]) & (py <= lb[3])
-            if not m.any():
-                continue
-            pts = np.flatnonzero(m)
-            for poly_idx in sorted(items):
-                b = self.bounds[poly_idx]
-                mm = pts[(px[pts] >= b[0]) & (px[pts] <= b[2]) &
-                         (py[pts] >= b[1]) & (py[pts] <= b[3])]
-                mm = mm[(out[mm] == -1) | (out[mm] > poly_idx)]
-                if len(mm) == 0:
-                    continue
-                xs, ys = self.polygons[poly_idx]
-                hit = point_in_polygon(px[mm], py[mm], xs, ys)
-                sel = mm[hit]
-                prev = out[sel]
-                out[sel] = np.where((prev == -1) | (prev > poly_idx), poly_idx, prev)
-        return out
+        # tree path: leaf candidates -> flat (poly, point) pair arrays
+        # -> one vectorized bbox gather -> ray-cast grouped by the few
+        # surviving polygons -> groupby-min for lowest-index priority.
+        # (The round-1 per-leaf/per-poly Python loops cost ~33us per
+        # near-empty numpy call x 100k polygons.)
+        P, Q = self._bbox_pairs(px, py)
+        if len(P) == 0:
+            return out
+        big = np.int64(1 << 62)
+        res = np.full(px.shape, big, dtype=np.int64)
+        for poly_idx in np.unique(P):
+            sel = Q[P == poly_idx]
+            xs, ys = self.polygons[poly_idx]
+            hit = point_in_polygon(px[sel], py[sel], xs, ys)
+            np.minimum.at(res, sel[hit], np.int64(poly_idx))
+        return np.where(res == big, np.int64(-1), res)
+
+    def _bbox_pairs(self, px: np.ndarray, py: np.ndarray):
+        """Tree path helper: bbox-confirmed (polygon_idx, point_idx)
+        candidate pair arrays, fully vectorized after the leaf prune."""
+        polys, pts = [], []
+        for leaf_i, sub in self._leaf_candidates(px, py):
+            items = self.leaf_items[leaf_i]
+            polys.append(np.repeat(items, len(sub)))
+            pts.append(np.tile(sub, len(items)))
+        if not polys:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        P = np.concatenate(polys)
+        Q = np.concatenate(pts)
+        b = self.bounds[P]
+        m = ((px[Q] >= b[:, 0]) & (px[Q] <= b[:, 2]) &
+             (py[Q] >= b[:, 1]) & (py[Q] <= b[:, 3]))
+        return P[m], Q[m]
 
     def query_all(self, px: np.ndarray, py: np.ndarray):
         """(point_idx, polygon_idx) pairs for EVERY containment (inner join)."""
@@ -151,27 +218,18 @@ class STRtree:
                 pts_out.append(sel)
                 polys_out.append(np.full(len(sel), poly_idx, dtype=np.int64))
         else:
-            # tree path: per-leaf bbox prune, emit EVERY hit.  Leaves
-            # partition the polygon set, so no pair is emitted twice.
-            for leaf_i, items in enumerate(self.leaf_items):
-                lb = self.leaf_bounds[leaf_i]
-                m = (px >= lb[0]) & (px <= lb[2]) & (py >= lb[1]) & (py <= lb[3])
-                if not m.any():
-                    continue
-                pts0 = np.flatnonzero(m)
-                for poly_idx in items:
-                    b = self.bounds[poly_idx]
-                    mm = pts0[(px[pts0] >= b[0]) & (px[pts0] <= b[2]) &
-                              (py[pts0] >= b[1]) & (py[pts0] <= b[3])]
-                    if len(mm) == 0:
-                        continue
-                    xs, ys = self.polygons[poly_idx]
-                    hit = point_in_polygon(px[mm], py[mm], xs, ys)
-                    sel = mm[hit]
-                    if len(sel):
-                        pts_out.append(sel)
-                        polys_out.append(
-                            np.full(len(sel), poly_idx, dtype=np.int64))
+            # tree path: same vectorized pair expansion as query_points;
+            # leaves partition the polygon set, so no pair repeats
+            P, Q = self._bbox_pairs(px, py)
+            for poly_idx in np.unique(P):
+                sel = Q[P == poly_idx]
+                xs, ys = self.polygons[poly_idx]
+                hit = point_in_polygon(px[sel], py[sel], xs, ys)
+                kept = sel[hit]
+                if len(kept):
+                    pts_out.append(kept)
+                    polys_out.append(
+                        np.full(len(kept), poly_idx, dtype=np.int64))
         if not pts_out:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         return np.concatenate(pts_out), np.concatenate(polys_out)
