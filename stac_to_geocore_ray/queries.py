@@ -1667,6 +1667,28 @@ def video_frame_sample(sf_dir: str):
 
 
 
+def audio_features(sf_dir: str):
+    """Audio feature extraction over deterministic GAUD clips (rows-only;
+    media decode in this container is the GAUD stand-in — real DSP over
+    the PCM, real Ray plumbing; see stages/multimodal.AudioFeatures)."""
+    import ray.data as rd
+    from .stages.multimodal import AudioFeatures, encode_audio, synth_clip
+    rows = [{"clip_id": f"clip-{k:04d}",
+             "bytes": encode_audio(synth_clip(k, 16_000, 0.5), 16_000)}
+            for k in range(32)]
+    ds = rd.from_items(rows)
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=_auto())
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_id": batch["clip_id"],
+            "duration_sec": batch["duration_sec"],
+            "rms_r": pc.round(batch["rms"], 6),
+            "zcr_r": pc.round(batch["zero_cross_rate"], 6)})
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def events_sliding_1h(sf_dir: str):
     """Per-event sliding-1-hour count within its event_type — a
     range-window op.
@@ -1962,6 +1984,7 @@ QUERIES = {
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "geo_s2_covering": geo_s2_covering,
     "video_frame_sample": video_frame_sample,
+    "audio_features": audio_features,
     "events_sliding_1h": events_sliding_1h,
     "events_props_json": events_props_json,
     "geo_pip_multi": geo_pip_multi,

@@ -94,32 +94,127 @@ class FrameSampler:
         return pa.table(tbl)
 
 
-class AudioFeatureStub:
-    """Actor-pool stage signature for audio feature extraction.
+# GAUD container (deterministic stand-in for an audio clip, the audio
+# analogue of GIMG): magic + sample rate + n samples + zlib'd int16 PCM.
+_AMAGIC = b"GAUD"
 
-    A real deployment loads the decoder/model in ``__init__``
-    (librosa / torchaudio / an ONNX embedding model) and emits one
-    feature row per clip in ``__call__``.  This container has no audio
-    libs, so the decode call raises NotImplementedError — the schema
-    contract and batch plumbing are still exercised by tests.
+
+def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 PCM -> GAUD bytes."""
+    import zlib
+    pcm = np.ascontiguousarray(samples, dtype=np.int16)
+    head = _AMAGIC + rate.to_bytes(4, "little") + len(pcm).to_bytes(4, "little")
+    return head + zlib.compress(pcm.tobytes(), 1)
+
+
+def decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
+    """GAUD bytes -> (sample_rate, int16 PCM array)."""
+    import zlib
+    if buf[:4] != _AMAGIC:
+        raise ValueError("not a GAUD buffer")
+    rate = int.from_bytes(buf[4:8], "little")
+    n = int.from_bytes(buf[8:12], "little")
+    pcm = np.frombuffer(zlib.decompress(buf[12:]), dtype=np.int16)[:n]
+    return rate, pcm
+
+
+def decode_audio_real(buf: bytes) -> tuple[int, np.ndarray]:
+    """Real-container decode behind an import probe (soundfile /
+    librosa are absent in this env); the feature stage is
+    format-agnostic over the returned PCM."""
+    try:
+        import soundfile  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "soundfile/librosa are not available in this container") from exc
+    import io
+    data, rate = soundfile.read(io.BytesIO(buf), dtype="int16")
+    return int(rate), np.asarray(data, dtype=np.int16)
+
+
+def decode_audio_any(buf: bytes) -> tuple[int, np.ndarray]:
+    if buf[:4] == _AMAGIC:
+        return decode_audio(buf)
+    return decode_audio_real(buf)
+
+
+class AudioFeatures:
+    """Actor-pool stage: (clip_id, bytes) rows -> one feature row per clip.
+
+    Real DSP over the decoded PCM (all numpy): duration, RMS,
+    zero-crossing rate, and an 8-band log-spectral embedding (frame
+    the signal into ``frame`` -sample windows, rFFT magnitudes averaged
+    into 8 octave-ish bands, log1p) — the deterministic stand-in for a
+    learned audio embedding, with the same schema/batch contract a
+    librosa/torchaudio/ONNX stage would have (swap the decode via
+    ``decode_audio_any``'s import probe).
     """
 
     OUTPUT_SCHEMA = pa.schema([
         ("clip_id", pa.string()),
         ("duration_sec", pa.float64()),
         ("rms", pa.float64()),
-        ("embedding", pa.list_(pa.float32())),
+        ("zero_cross_rate", pa.float64()),
+        ("embedding", pa.list_(pa.float32(), 8)),
     ])
 
-    def __init__(self):
-        self.decoder = None                  # e.g. librosa loaded here
+    def __init__(self, frame: int = 256, n_bands: int = 8):
+        self.frame = frame
+        self.n_bands = n_bands
+        # band edges over rFFT bins (DC bin excluded), geometric-ish
+        # spacing made strictly increasing, built once per actor
+        nb = frame // 2 + 1
+        if nb <= n_bands + 1:
+            raise ValueError("frame too small for n_bands")
+        edges = np.round(np.geomspace(1, nb, n_bands + 1)).astype(int)
+        edges[0], edges[-1] = 1, nb
+        for i in range(1, len(edges)):
+            edges[i] = max(edges[i], edges[i - 1] + 1)
+        self.edges = edges
 
-    def decode(self, buf: bytes) -> np.ndarray:
-        raise NotImplementedError(
-            "audio decode requires librosa/torchaudio, absent in this env; "
-            "plug a real decoder here — downstream plumbing is format-agnostic")
+    def _features(self, pcm: np.ndarray, rate: int):
+        x = pcm.astype(np.float64) / 32768.0
+        dur = len(x) / rate
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+            if len(x) > 1 else 0.0
+        n_frames = len(x) // self.frame
+        if n_frames == 0:
+            emb = np.zeros(self.n_bands, dtype=np.float32)
+        else:
+            frames = x[:n_frames * self.frame].reshape(n_frames, self.frame)
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            bands = np.add.reduceat(mag, self.edges[:-1], axis=1) \
+                / np.diff(self.edges)[None, :]
+            emb = np.log1p(bands.mean(axis=0)).astype(np.float32)
+        return dur, rms, zc, emb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # real implementation: decode each clip, compute features
-        self.decode(b"")
-        raise AssertionError("unreachable")
+        ids = batch["clip_id"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        durs, rmss, zcs, embs = [], [], [], []
+        for buf in bufs:
+            rate, pcm = decode_audio_any(buf)
+            d, r, z, e = self._features(pcm, rate)
+            durs.append(d); rmss.append(r); zcs.append(z); embs.append(e)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "duration_sec": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+            "zero_cross_rate": pa.array(zcs, pa.float64()),
+            "embedding": pa.array([e.tolist() for e in embs],
+                                  pa.list_(pa.float32(), 8))})
+
+
+def synth_clip(seed: int, rate: int = 16_000, seconds: float = 1.0) -> np.ndarray:
+    """Deterministic int16 clip: seeded mixture of two sine tones plus
+    seeded uniform noise (no wall clock, no global RNG)."""
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64) / rate
+    f1 = 110.0 * (1 + (seed % 13))
+    f2 = 173.0 * (1 + ((seed >> 4) % 11))
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    x = (0.5 * np.sin(2 * np.pi * f1 * t)
+         + 0.3 * np.sin(2 * np.pi * f2 * t)
+         + 0.05 * rng.uniform(-1, 1, n))
+    return np.clip(x * 32767 * 0.6, -32768, 32767).astype(np.int16)

@@ -1,4 +1,4 @@
-"""Video frame-sampling + audio stub plumbing tests."""
+"""Video frame-sampling + audio feature stage tests."""
 
 import numpy as np
 import pyarrow as pa
@@ -43,8 +43,47 @@ def test_frame_sampler_ray(ray_session):
     assert out.video_id.nunique() == 4
 
 
-def test_audio_stub_contract():
-    stub = mm.AudioFeatureStub()
-    assert "embedding" in stub.OUTPUT_SCHEMA.names
+def test_audio_roundtrip_and_features():
+    pcm = mm.synth_clip(7, rate=8000, seconds=0.5)
+    buf = mm.encode_audio(pcm, rate=8000)
+    rate, back = mm.decode_audio(buf)
+    assert rate == 8000 and np.array_equal(back, pcm)
+    stage = mm.AudioFeatures()
+    out = stage(pa.table({"clip_id": ["c0"],
+                          "bytes": pa.array([buf], pa.binary())})).to_pylist()[0]
+    assert out["duration_sec"] == pytest.approx(0.5)
+    assert 0.1 < out["rms"] < 0.7              # sine mixture, bounded energy
+    assert 0.0 < out["zero_cross_rate"] < 0.5
+    assert len(out["embedding"]) == 8
+    # tonal clips concentrate energy in low bands
+    emb = np.array(out["embedding"])
+    assert emb[:4].sum() > emb[4:].sum()
+
+
+def test_audio_features_distinct_and_deterministic():
+    clips = {f"c{k}": mm.encode_audio(mm.synth_clip(k), 16_000)
+             for k in (1, 2)}
+    t = pa.table({"clip_id": list(clips), "bytes": pa.array(
+        list(clips.values()), pa.binary())})
+    a = mm.AudioFeatures()(t).to_pandas()
+    b = mm.AudioFeatures()(t).to_pandas()
+    assert a.equals(b)                         # deterministic
+    e1, e2 = (np.array(x) for x in a.embedding)
+    assert not np.allclose(e1, e2)             # different tones differ
+
+
+def test_audio_real_decoder_probe():
     with pytest.raises(NotImplementedError):
-        stub(pa.table({"clip_id": ["c"], "bytes": pa.array([b""], pa.binary())}))
+        mm.decode_audio_any(b"RIFFnotreally")
+
+
+def test_audio_stage_in_ray_pipeline(ray_session):
+    import ray.data as rd
+    rows = [{"clip_id": f"c{k}",
+             "bytes": mm.encode_audio(mm.synth_clip(k, 8000, 0.25), 8000)}
+            for k in range(6)]
+    ds = rd.from_items(rows)
+    out = ds.map_batches(mm.AudioFeatures, batch_format="pyarrow",
+                         concurrency=(1, 2)).to_pandas()
+    assert len(out) == 6
+    assert out.clip_id.nunique() == 6
