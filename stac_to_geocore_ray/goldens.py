@@ -250,6 +250,36 @@ def golden_decode_stats(sf_dir: str) -> pa.Table:
         "n_psnr_ok": pa.array([counts[f][3] for f in fmts], pa.int64())})
 
 
+# --------------------------------------------------------- geocore golden
+
+def golden_geocore_assemble(sf_dir: str) -> pa.Table:
+    """Serial replay of the full translate+assemble path: each fixture
+    shard runs through the (Ray-free) ItemTranslator callable and
+    per-row assemble_record, no Ray involved.  This pins the Ray wiring
+    (items_dataset read, actor stage, measurement map) — the assembly
+    MATH is the same code, but the flat fields feeding it are
+    independently SQL-checked via geocore_items."""
+    import glob
+    import json as _json
+
+    from .sources import fixtures
+    from .stages.assemble import assemble_record
+    from .stages.geocore import ItemTranslator, collection_lookup
+    p = fixtures.paths(sf_dir)
+    lut = collection_lookup(pq.read_table(p["collections"]))
+    tr = ItemTranslator(lut)
+    ids, lens = [], []
+    for shard in sorted(glob.glob(os.path.join(p["stac_items"],
+                                               "*.parquet"))):
+        flat = tr(pq.read_table(shard))
+        for row in flat.to_pylist():
+            rec = assemble_record(row)
+            ids.append(row["id"])
+            lens.append(len(_json.dumps(rec, ensure_ascii=False)))
+    return pa.table({"id": pa.array(ids, pa.string()),
+                     "json_len": pa.array(lens, pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 GOLDENS = {
@@ -260,6 +290,7 @@ GOLDENS = {
     "geo_cells": golden_geo_cells,
     "geo_s2_covering": golden_s2_covering,
     "decode_stats": golden_decode_stats,
+    "geocore_assemble": golden_geocore_assemble,
 }
 
 

@@ -53,7 +53,9 @@ def read_shard(path: str, columns: list[str] | None = None) -> pa.Table:
 
 
 def write_shard(tbl: pa.Table, path: str, **parquet_kwargs) -> None:
-    if path.endswith(".lance"):
+    # atomic-rename writers pass "<final>.tmp"; dispatch on the final name
+    fmt_key = path[:-4] if path.endswith(".tmp") else path
+    if fmt_key.endswith(".lance"):
         if not HAVE_LANCE:
             raise NotImplementedError(
                 "lance is not importable in this environment")

@@ -85,9 +85,10 @@ class ManifestSink:
             with open(self.manifest_path(pid)) as f:
                 return json.load(f)
         t0 = time.time()
-        final = os.path.join(self.out_dir, f"part-{pid}.parquet")
+        from ..sources import lance_io
+        final = os.path.join(self.out_dir, f"part-{pid}{lance_io.shard_ext()}")
         tmp = final + ".tmp"
-        pq.write_table(tbl, tmp)
+        lance_io.write_shard(tbl, tmp)       # parquet here; Lance when importable
         os.replace(tmp, final)               # atomic on one filesystem
         manifest = {
             "partition_id": pid,
@@ -105,10 +106,12 @@ class ManifestSink:
 
     def orphans(self) -> list[str]:
         """Output files with no manifest (crashed partial writes)."""
-        done = {f"part-{pid}.parquet" for pid in self.completed()}
+        from ..sources import lance_io
+        ext = lance_io.shard_ext()
+        done = {f"part-{pid}{ext}" for pid in self.completed()}
         out = []
         for name in os.listdir(self.out_dir):
-            if name.endswith(".parquet") and name not in done:
+            if name.endswith(ext) and name not in done:
                 out.append(os.path.join(self.out_dir, name))
         return out
 
