@@ -32,14 +32,37 @@ def shard_ext() -> str:
     return ".lance" if HAVE_LANCE else ".parquet"
 
 
+def resolve_fs(path: str):
+    """URI or plain path -> (pyarrow.fs.FileSystem, fs-local path).
+
+    ``s3://bucket/key`` resolves to S3FileSystem, ``file:///...`` to
+    local, a plain path to the local filesystem unchanged — the S5/S6
+    object-store plumbing; the sandbox exercises it through local and
+    ``file://`` URIs (no S3 endpoint here, same API).
+    """
+    from pyarrow import fs as pafs
+    if path.startswith("s3://"):
+        # construct directly: FileSystem.from_uri does a network
+        # HeadBucket to resolve the region, which offline environments
+        # (and region-pinned deployments) don't want
+        region = os.environ.get("AWS_REGION") \
+            or os.environ.get("AWS_DEFAULT_REGION")
+        kwargs = {"region": region} if region else {}
+        return pafs.S3FileSystem(**kwargs), path[len("s3://"):]
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def shard_names(table_dir: str) -> list[str]:
-    """Sorted shard basenames of a table directory (either format)."""
-    names = sorted(os.path.basename(p) for p in
-                   glob.glob(os.path.join(table_dir, "*.parquet")))
-    if HAVE_LANCE:
-        names += sorted(os.path.basename(p) for p in
-                        glob.glob(os.path.join(table_dir, "*.lance")))
-    return names
+    """Sorted shard basenames of a table directory (either format),
+    enumerated through pyarrow.fs (works for s3:// the same way)."""
+    from pyarrow import fs as pafs
+    f, local = resolve_fs(table_dir)
+    infos = f.get_file_info(pafs.FileSelector(local, recursive=False))
+    exts = (".parquet", ".lance") if HAVE_LANCE else (".parquet",)
+    return sorted(os.path.basename(i.path) for i in infos
+                  if i.path.endswith(exts))
 
 
 def read_shard(path: str, columns: list[str] | None = None) -> pa.Table:
@@ -49,7 +72,8 @@ def read_shard(path: str, columns: list[str] | None = None) -> pa.Table:
             raise NotImplementedError(
                 "lance is not importable in this environment")
         return lance.dataset(path).to_table(columns=columns)
-    return pq.read_table(path, columns=columns)
+    f, local = resolve_fs(path)
+    return pq.read_table(local, columns=columns, filesystem=f)
 
 
 def write_shard(tbl: pa.Table, path: str, **parquet_kwargs) -> None:

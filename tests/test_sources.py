@@ -236,3 +236,32 @@ class TestHttpFetcher:
 
         urls = walk_pages("p1", http_fetcher(session=Session()))
         assert urls == ["p1", "p2"]
+
+
+class TestFsResolution:
+    """pyarrow.fs plumbing (S5/S6): URIs and plain paths resolve to the
+    right filesystem; reads work through file:// the same as s3://."""
+
+    def test_plain_path_is_local(self):
+        from pyarrow import fs as pafs
+        from stac_to_geocore_ray.sources.lance_io import resolve_fs
+        f, p = resolve_fs("/tmp/x")
+        assert isinstance(f, pafs.LocalFileSystem) and p == "/tmp/x"
+
+    def test_file_uri_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        from stac_to_geocore_ray.sources import lance_io
+        t = pa.table({"a": [1, 2]})
+        p = tmp_path / "part-00000.parquet"
+        lance_io.write_shard(t, str(p))
+        back = lance_io.read_shard(f"file://{p}", columns=["a"])
+        assert back["a"].to_pylist() == [1, 2]
+        names = lance_io.shard_names(f"file://{tmp_path}")
+        assert names == ["part-00000.parquet"]
+
+    def test_s3_uri_resolves_to_s3fs(self):
+        from pyarrow import fs as pafs
+        from stac_to_geocore_ray.sources.lance_io import resolve_fs
+        f, p = resolve_fs("s3://bucket/prefix/table")
+        assert isinstance(f, pafs.S3FileSystem)
+        assert p == "bucket/prefix/table"
