@@ -509,8 +509,10 @@ def ann_topk(sf_dir: str):
     qmat = _as_matrix(qtbl["embedding"]).astype(np.float64)
     qref = ray.put((qids, qmat))
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
-                          batch_format="pyarrow", concurrency=_auto())
+    # task mode: the broadcast query matrix resolves in microseconds
+    # per task, so elastic tasks beat actor-pool ramp-up
+    cand = ds.map_batches(lambda b: BruteForceTopK(qref)(b),
+                          batch_format="pyarrow")
     # candidates are tiny (<= k per query per batch): safe to collect
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     out = merge_topk(cand_tbl).to_pandas()
@@ -1517,8 +1519,8 @@ def ann_ivf(sf_dir: str):
     probe_ref = ray.put(sorted(probe_buckets))
     q_ref = ray.put((list(_ANN_QUERY_IDS), qmat_raw))
 
-    assigned = ds.map_batches(IVFIndex, fn_constructor_args=(cents_ref,),
-                              batch_format="pyarrow", concurrency=_auto())
+    assigned = ds.map_batches(lambda b: IVFIndex(cents_ref)(b),
+                              batch_format="pyarrow")
 
     def probe_filter(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["ivf_bucket"],
@@ -1526,16 +1528,16 @@ def ann_ivf(sf_dir: str):
         return batch.filter(keep)
 
     probed = assigned.map_batches(probe_filter, batch_format="pyarrow")
-    cand = probed.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
-                              batch_format="pyarrow", concurrency=_auto())
+    cand = probed.map_batches(lambda b: BruteForceTopK(q_ref)(b),
+                              batch_format="pyarrow")
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     approx = merge_topk(cand_tbl).to_pandas()
 
     # exact baseline for recall: the same distributed brute-force
     # partial-top-k scan as ann_topk (per-batch candidates only; the
     # full similarity matrix never exists anywhere)
-    exact_cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(q_ref,),
-                                batch_format="pyarrow", concurrency=_auto())
+    exact_cand = ds.map_batches(lambda b: BruteForceTopK(q_ref)(b),
+                                batch_format="pyarrow")
     exact_df = merge_topk(pa.concat_tables(
         exact_cand.iter_batches(batch_format="pyarrow"))).to_pandas()
 
