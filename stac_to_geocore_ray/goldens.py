@@ -250,6 +250,47 @@ def golden_decode_stats(sf_dir: str) -> pa.Table:
         "n_psnr_ok": pa.array([counts[f][3] for f in fmts], pa.int64())})
 
 
+def golden_tile_phash_stats(sf_dir: str) -> pa.Table:
+    """SCALAR per-tile replay of decode+tile+pHash: plain loops over
+    every image's tile grid calling the scalar fi.phash — the
+    independent check of the Tiler's batched per-shape DCT path.
+    Emits per-collection tile counts + sum of (phash mod 2147483647)
+    (order-independent checksum)."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    t = 64
+    counts: dict[str, list[int]] = {}
+    img_shards = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))
+    item_shards = sorted(_glob.glob(os.path.join(p["stac_items"],
+                                                 "*.parquet")))
+    for ishard, sshard in zip(img_shards, item_shards):
+        imgs = pq.read_table(ishard, columns=["image_id", "bytes"])
+        items = pq.read_table(sshard, columns=["image_id", "collection_id"])
+        coll_of = dict(zip(items["image_id"].to_pylist(),
+                           items["collection_id"].to_pylist()))
+        for image_id, buf in zip(imgs["image_id"].to_pylist(),
+                                 imgs["bytes"].to_pylist()):
+            coll = coll_of[image_id]
+            row = counts.setdefault(coll, [0, 0])
+            arr = fi.decode(buf)
+            h, w = arr.shape[0], arr.shape[1]
+            for ty in range((h + t - 1) // t):
+                for tx in range((w + t - 1) // t):
+                    tile = arr[ty * t:ty * t + t, tx * t:tx * t + t]
+                    ph = np.uint64(np.int64(fi.phash(tile)))
+                    row[0] += 1
+                    row[1] += int(ph % np.uint64(2147483647))
+    colls = sorted(counts)
+    return pa.table({
+        "collection_id": pa.array(colls, pa.string()),
+        "n_tiles": pa.array([counts[c][0] for c in colls], pa.int64()),
+        "phash_residue_sum": pa.array([counts[c][1] for c in colls],
+                                      pa.int64())})
+
+
 # --------------------------------------------------------- geocore golden
 
 def golden_geocore_assemble(sf_dir: str) -> pa.Table:
@@ -291,6 +332,7 @@ GOLDENS = {
     "geo_s2_covering": golden_s2_covering,
     "decode_stats": golden_decode_stats,
     "geocore_assemble": golden_geocore_assemble,
+    "tile_phash_stats": golden_tile_phash_stats,
 }
 
 

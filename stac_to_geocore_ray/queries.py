@@ -1098,6 +1098,42 @@ GROUP BY s.collection_id
 """
 
 
+def tile_phash_stats(sf_dir: str):
+    """Per-collection tile counts + tile-pHash residue sums from the
+    REAL decode+tile+pHash path (with_phash=True — the batched
+    per-shape DCT pipeline).  The golden oracle recomputes with the
+    SCALAR per-tile loop (goldens.golden_tile_phash_stats), so this row
+    pins the Tiler's vectorized pHash end to end through Ray.  The
+    order-independent checksum is sum of (phash mod 2147483647)."""
+    from ray.data.aggregate import Sum
+    from .pipelines.flagship import tile_pipeline
+    tiles = tile_pipeline(sf_dir, with_phash=True,
+                          passthrough=("collection_id",),
+                          concurrency=_auto())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.select(["collection_id", "tile_phash"]).to_pandas()
+        df["res"] = (df.tile_phash.to_numpy().astype(np.int64)
+                     .view(np.uint64) % np.uint64(2147483647)).astype("int64")
+        g = df.groupby("collection_id", sort=False).agg(
+            n=("res", "size"), res_sum=("res", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = tiles.map_batches(partial, batch_format="pyarrow") \
+        .groupby("collection_id").aggregate(
+            Sum("n", alias_name="n_tiles"),
+            Sum("res_sum", alias_name="phash_residue_sum"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "collection_id": batch["collection_id"],
+            "n_tiles": pc.cast(batch["n_tiles"], pa.int64()),
+            "phash_residue_sum": pc.cast(batch["phash_residue_sum"],
+                                         pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def phash_exact_dedup(sf_dir: str):
     """Exact pHash dedup: survivor (min image_id) + copies per hash.
 
@@ -1476,8 +1512,10 @@ def embedding_neardup_lsh(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
     from .stages.dedup import EmbeddingLSH, cosine_pairs_in_group
-    dim = len(pq.read_table(_t(sf_dir, "embeddings"),
-                            columns=["embedding"]).column(0)[0])
+    # vector dim from ONE row (round 1 read the whole embedding column)
+    dim = len(next(pq.ParquetFile(_t(sf_dir, "embeddings"))
+                   .iter_batches(batch_size=1, columns=["embedding"]))
+              .column(0)[0])
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(
         EmbeddingLSH, fn_constructor_args=(dim,),
@@ -2034,6 +2072,7 @@ QUERIES = {
     "geocore_collections": geocore_collections,
     "geocore_options_count": geocore_options_count,
     "tiles_by_collection": tiles_by_collection,
+    "tile_phash_stats": tile_phash_stats,
     "phash_exact_dedup": phash_exact_dedup,
     "phash_near_dedup": phash_near_dedup,
     "decode_stats": decode_stats,
