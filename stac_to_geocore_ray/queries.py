@@ -146,7 +146,7 @@ def q3_top_orders(sf_dir: str):
                          pc.equal(cust["c_mktsegment"], "BUILDING")).to_pylist())
     keys_ref = ray.put(keys)
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = _meta_read(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
 
     class SemiFilter:
@@ -416,7 +416,7 @@ def doc_token_stats(sf_dir: str):
     """Whitespace-token and char counts per language (quality stage)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["lang", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1470,7 +1470,7 @@ def langid_accuracy(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
     from .stages.text import LangId
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(LangId, batch_format="pandas", concurrency=_auto())
 
     def flags(df):

@@ -22,6 +22,43 @@ The knobs and their reasoning:
 from __future__ import annotations
 
 
+def key_skew_report(ds, key: str, top: int = 5,
+                    salt_share_threshold: float = 0.2) -> dict:
+    """Measure groupby-key skew before committing to a shuffle.
+
+    Per-batch partial counts (the corpus never collects), one small
+    aggregate, then the driver reads only the per-key count table.
+    Returns {n_keys, n_rows, top: [(key, share)], recommended_salt}:
+    a key above ``salt_share_threshold`` of all rows would pin its
+    reducer, and the recommended salt factor spreads the hottest key
+    to roughly the threshold share.  This is the measurement step the
+    salted tile rollup assumes (SURVEY.md §4.2 'salt factor chosen
+    when the groupby count histogram exceeds threshold').
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table):
+        import pandas as pd
+        df = batch.select([key]).to_pandas()
+        g = df.groupby(key, sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas()
+    total = int(counts.n.sum())
+    counts = counts.sort_values("n", ascending=False)
+    head = counts.head(top)
+    top_rows = list(zip(head[key].tolist(),
+                        (head["n"] / total).astype(float).tolist()))
+    hot = top_rows[0][1] if top_rows else 0.0
+    salt = 1
+    if hot > salt_share_threshold:
+        salt = int(-(-hot // salt_share_threshold))   # ceil
+    return {"n_keys": len(counts), "n_rows": total,
+            "top": top_rows, "recommended_salt": salt}
+
+
 def configure_for_images(max_payload_mb: float = 0.1) -> None:
     """Tune the current DataContext for binary-image pipelines.
 

@@ -167,3 +167,23 @@ class TestSkewSalting:
         import numpy as np
         assert np.allclose(salted.avg_intensity, tree.avg_intensity)
         assert np.allclose(salted.avg_intensity, tree2.avg_intensity)
+
+
+class TestSkewReport:
+    def test_detects_planted_hot_key(self, ray_session):
+        import ray.data as rd
+        from stac_to_geocore_ray.tuning import key_skew_report
+        rows = [{"k": "hot"} for _ in range(600)] + \
+               [{"k": f"c{i}"} for i in range(400)]
+        rep = key_skew_report(rd.from_items(rows, override_num_blocks=4), "k")
+        assert rep["n_rows"] == 1000 and rep["n_keys"] == 401
+        assert rep["top"][0][0] == "hot"
+        assert abs(rep["top"][0][1] - 0.6) < 1e-9
+        assert rep["recommended_salt"] == 3     # ceil(0.6 / 0.2)
+
+    def test_uniform_keys_need_no_salt(self, ray_session):
+        import ray.data as rd
+        from stac_to_geocore_ray.tuning import key_skew_report
+        rows = [{"k": f"c{i % 50}"} for i in range(1000)]
+        rep = key_skew_report(rd.from_items(rows, override_num_blocks=4), "k")
+        assert rep["recommended_salt"] == 1
