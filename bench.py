@@ -88,6 +88,9 @@ def run_bench() -> dict:
               if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else 0)
         timed("ann_topk", lambda: len(q.ann_topk(sf_dir))
               if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")) else 0)
+        # multi-match PIP against a ~n/2-item-derived polygon catalog:
+        # the STRtree TREE path at catalog scale (50k polygons at sf0.1)
+        timed("pip_multi_tree", lambda: q.geo_pip_multi_tree(sf_dir).count())
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

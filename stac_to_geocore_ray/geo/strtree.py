@@ -51,20 +51,37 @@ class STRtree:
     node_capacity : fan-out of the packed tree.
     """
 
-    def __init__(self, polygons, node_capacity: int = 16, dense_limit: int = 4096):
-        self.polygons = [(np.asarray(xs, dtype=np.float64),
-                          np.asarray(ys, dtype=np.float64)) for xs, ys in polygons]
-        n = len(self.polygons)
-        self.bounds = np.empty((n, 4), dtype=np.float64)   # w, s, e, n
-        for i, (xs, ys) in enumerate(self.polygons):
-            self.bounds[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+    def __init__(self, polygons=None, node_capacity: int = 16,
+                 dense_limit: int = 4096, bboxes=None):
+        """``polygons``: list of (xs, ys) rings — general catalogs.
+
+        ``bboxes``: an (N, 4) [w, s, e, n] array instead — RECT mode:
+        for axis-aligned rectangle catalogs (bbox footprints — the
+        dominant real case) containment IS the bbox test, so the
+        ray-cast confirmation is skipped entirely and the broadcast
+        payload is one packed array instead of 2N small ones
+        (per-1024-probe batch vs a 50k-rect catalog: 177 ms -> see
+        BENCH notes)."""
+        if bboxes is not None:
+            self.polygons = None              # rect mode
+            self.bounds = np.ascontiguousarray(bboxes, dtype=np.float64)
+            n = len(self.bounds)
+        else:
+            self.polygons = [(np.asarray(xs, dtype=np.float64),
+                              np.asarray(ys, dtype=np.float64))
+                             for xs, ys in polygons]
+            n = len(self.polygons)
+            self.bounds = np.empty((n, 4), dtype=np.float64)   # w, s, e, n
+            for i, (xs, ys) in enumerate(self.polygons):
+                self.bounds[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+        self.n = n
         self.dense = n <= dense_limit
         self.cap = node_capacity
         if not self.dense:
             self._build()
 
     def _build(self) -> None:
-        idx = np.arange(len(self.polygons))
+        idx = np.arange(self.n)
         cx = (self.bounds[:, 0] + self.bounds[:, 2]) / 2
         cy = (self.bounds[:, 1] + self.bounds[:, 3]) / 2
         # STR: slice by x, pack by y within slices
@@ -152,12 +169,15 @@ class STRtree:
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         out = np.full(px.shape, -1, dtype=np.int64)
-        if len(self.polygons) == 0:
+        if self.n == 0:
             return out
         if self.dense:
             cand = self._candidates_dense(px, py)
+            if self.polygons is None:         # rect mode: bbox test IS hit
+                any_ = cand.any(axis=1)
+                return np.where(any_, cand.argmax(axis=1), -1).astype(np.int64)
             # iterate polygons in priority order; test only still-unmatched pts
-            for poly_idx in range(len(self.polygons)):
+            for poly_idx in range(self.n):
                 mask = cand[:, poly_idx] & (out == -1)
                 if not mask.any():
                     continue
@@ -176,6 +196,9 @@ class STRtree:
             return out
         big = np.int64(1 << 62)
         res = np.full(px.shape, big, dtype=np.int64)
+        if self.polygons is None:             # rect mode: pairs are hits
+            np.minimum.at(res, Q, P)
+            return np.where(res == big, np.int64(-1), res)
         for poly_idx in np.unique(P):
             sel = Q[P == poly_idx]
             xs, ys = self.polygons[poly_idx]
@@ -208,7 +231,10 @@ class STRtree:
         pts_out, polys_out = [], []
         if self.dense:
             cand = self._candidates_dense(px, py)
-            for poly_idx in range(len(self.polygons)):
+            if self.polygons is None:         # rect mode
+                qq, pp = np.nonzero(cand)
+                return qq.astype(np.int64), pp.astype(np.int64)
+            for poly_idx in range(self.n):
                 pts = np.flatnonzero(cand[:, poly_idx])
                 if len(pts) == 0:
                     continue
@@ -221,6 +247,8 @@ class STRtree:
             # tree path: same vectorized pair expansion as query_points;
             # leaves partition the polygon set, so no pair repeats
             P, Q = self._bbox_pairs(px, py)
+            if self.polygons is None:         # rect mode: pairs are hits
+                return Q.astype(np.int64), P.astype(np.int64)
             for poly_idx in np.unique(P):
                 sel = Q[P == poly_idx]
                 xs, ys = self.polygons[poly_idx]

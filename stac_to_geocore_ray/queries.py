@@ -1942,9 +1942,9 @@ def geo_pip_multi_tree(sf_dir: str):
     num = np.array([int(s[4:]) for s in ids], dtype=np.int64)
     keep = (num % 2 == 0) & (bbs[:, 0] < bbs[:, 2]) & (bbs[:, 1] < bbs[:, 3])
     ids, bbs = ids[keep], bbs[keep]
-    polys = [(np.array([w, e, e, w]), np.array([s, s, n, n]))
-             for w, s, e, n in bbs]
-    cat_ref = ray.put((ids.tolist(), polys))
+    # rect catalog: broadcast the packed (N, 4) bbox array; the joiner
+    # builds the STRtree in rect mode (containment == bbox test)
+    cat_ref = ray.put((ids.tolist(), bbs))
     ds = rd.read_parquet(p["stac_items"], columns=["image_id", "bbox"])
     ds = ds.map_batches(lambda b: encode_footprint(b, with_wkt=False),
                         batch_format="pyarrow")

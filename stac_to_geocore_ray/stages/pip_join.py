@@ -54,7 +54,12 @@ class PIPJoiner:
             pass
         ids, polys = catalog
         self.ids = pa.array(ids, pa.string())
-        self.tree = STRtree(polys)           # built once per actor
+        # (N, 4) bbox array -> STRtree rect mode (no ray-cast, packed
+        # broadcast); list of rings -> general polygon mode
+        if isinstance(polys, np.ndarray) and polys.ndim == 2:
+            self.tree = STRtree(bboxes=polys)   # built once per actor
+        else:
+            self.tree = STRtree(polys)
         self.x_col, self.y_col = x_col, y_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
