@@ -1538,7 +1538,7 @@ def geocore_assemble(sf_dir: str):
     import pyarrow.compute as _pc
     from .pipelines.geocore_harvest import items_dataset
     from .stages.assemble import RecordAssembler
-    ds = items_dataset(sf_dir, concurrency=2)
+    ds = items_dataset(sf_dir)
     out = ds.map_batches(RecordAssembler, batch_format="pyarrow",
                          concurrency=_auto())
 

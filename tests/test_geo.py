@@ -137,6 +137,29 @@ class TestSTRtree:
         assert len(tp) > (first >= 0).sum()
 
 
+class TestSTRtreeRectMode:
+    def test_rect_mode_matches_polygon_mode(self):
+        """STRtree(bboxes=...) == STRtree(ring polygons) for rectangle
+        catalogs on every query path (dense + tree, first + multi)."""
+        rng = np.random.RandomState(13)
+        n = 400
+        x0 = rng.uniform(0, 80, n); y0 = rng.uniform(0, 80, n)
+        w = rng.uniform(1, 8, n); h = rng.uniform(1, 8, n)
+        bbs = np.column_stack([x0, y0, x0 + w, y0 + h])
+        polys = [(np.array([a, a + c, a + c, a]),
+                  np.array([b, b, b + d, b + d]))
+                 for a, b, c, d in zip(x0, y0, w, h)]
+        px, py = rng.uniform(0, 88, (2, 2000))
+        for dl in (4096, 10):                 # dense and tree paths
+            tp = strtree.STRtree(polys, dense_limit=dl)
+            tr = strtree.STRtree(bboxes=bbs, dense_limit=dl)
+            assert (tp.query_points(px, py) == tr.query_points(px, py)).all()
+            ap, aq = tp.query_all(px, py)
+            bp, bq = tr.query_all(px, py)
+            assert sorted(zip(ap.tolist(), aq.tolist())) == \
+                sorted(zip(bp.tolist(), bq.tolist()))
+
+
 class TestS2Covering:
     def test_union_contains_bbox_points(self):
         """Covering exactness property (VERDICT #9): the cell union is a
