@@ -592,6 +592,46 @@ WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
 """
 
 
+def embedding_dedup_clusters(sf_dir: str):
+    """Connected components over the embedding near-dup graph (cosine
+    >= 0.40): every vector touching a pair gets cluster = min vec_id of
+    its component — the embedding flavor of phash_dedup_clusters, with
+    the same output-sized union-find / distributed label-propagation
+    size switch."""
+    from .stages.dedup import union_find_components
+    pairs = embedding_neardup_exact(sf_dir).select_columns(["a", "b"])
+    if pairs.count() > 500_000:
+        from .stages.dedup import label_propagation_components
+        labels = label_propagation_components(pairs)
+        return labels.map_batches(
+            lambda b: pa.table({"vec_id": b["node"], "cluster": b["label"]}),
+            batch_format="pyarrow")
+    df = pairs.to_pandas()
+    comp = union_find_components(df.a.tolist(), df.b.tolist())
+    items = sorted(comp.items())
+    return pa.table({"vec_id": pa.array([k for k, _ in items], pa.int64()),
+                     "cluster": pa.array([v for _, v in items], pa.int64())})
+
+
+EMB_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT e1.vec_id AS a, e2.vec_id AS b
+  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+  WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                               CAST(e2.embedding AS DOUBLE[])) >= 0.40),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+mins AS (
+  SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT vec_id,
+       CASE WHEN min_reach < vec_id THEN min_reach ELSE vec_id END AS cluster
+FROM mins
+"""
+
+
 # ------------------------------------------------------------ geospatial
 #
 # Fixture tables (deterministic per sf; sources/fixtures.py) are
@@ -2062,6 +2102,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "ann_topk": ann_topk,
     "embedding_neardup_exact": embedding_neardup_exact,
+    "embedding_dedup_clusters": embedding_dedup_clusters,
     "geo_footprint_wkt": geo_footprint_wkt,
     "geo_pip_join": geo_pip_join,
     "geo_knn": geo_knn,
@@ -2129,6 +2170,7 @@ def oracle() -> dict[str, str]:
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
+        "embedding_dedup_clusters": EMB_CLUSTERS_SQL,
         "geo_footprint_wkt": _geo_footprint_wkt_sql(),
         "geo_pip_join": _geo_pip_join_sql(),
         "geo_pip_multi": _geo_pip_multi_sql(),
