@@ -127,17 +127,24 @@ class Tiler:
             counts[i] = n
             off = total
             total += n
+            # channel-sum plane: slice-add integer sum (SIMD-friendly;
+            # ~9x faster than an axis reduce).  The float gray plane is
+            # only materialized when pHash needs it — the stats-only
+            # path keeps tile sums EXACT in integers (sum <= 765*4096
+            # per tile) and divides once per tile, not per pixel.
             if arr.ndim == 3 and arr.shape[2] == 3:
-                # slice-add integer channel-sum (SIMD-friendly; ~9x
-                # faster than an axis reduce) then one divide:
-                # bit-identical to arr.mean(axis=2) because uint8 sums
-                # are exact in both uint16 and float64
-                gray = (arr[:, :, 0].astype(np.uint16) + arr[:, :, 1]
-                        + arr[:, :, 2]) / np.float64(3.0)
+                chansum = (arr[:, :, 0].astype(np.uint16) + arr[:, :, 1]
+                           + arr[:, :, 2])
+                n_chan = 3
             elif arr.ndim == 3:
-                gray = arr.sum(axis=2, dtype=np.uint32) / np.float64(arr.shape[2])
+                chansum = arr.sum(axis=2, dtype=np.uint32)
+                n_chan = arr.shape[2]
             else:
-                gray = arr.astype(np.float64)
+                chansum = arr.astype(np.uint16)
+                n_chan = 1
+            # bit-identical to mean(axis=2): uint8 sums are exact in
+            # both the integer plane and float64
+            gray = chansum / np.float64(n_chan) if acc is not None else None
 
             tx = np.tile(np.arange(ntx, dtype=np.int32), nty)
             ty = np.repeat(np.arange(nty, dtype=np.int32), ntx)
@@ -153,11 +160,12 @@ class Tiler:
             cols["lon"].append(bw + cx * (be - bw))
             cols["lat"].append(bn - cy * (bn - bs))
 
-            # per-tile means: zero-pad to the grid, one reshape-sum
-            G = np.zeros((nty * t, ntx * t), dtype=np.float64)
-            G[:h, :w] = gray
-            sums = G.reshape(nty, t, ntx, t).sum(axis=(1, 3))
-            area = th1[:, None].astype(np.float64) * tw1[None, :]
+            # per-tile means: zero-pad the INTEGER plane to the grid,
+            # one exact reshape-sum, one divide per tile
+            G = np.zeros((nty * t, ntx * t), dtype=chansum.dtype)
+            G[:h, :w] = chansum
+            sums = G.reshape(nty, t, ntx, t).sum(axis=(1, 3), dtype=np.int64)
+            area = th1[:, None].astype(np.float64) * tw1[None, :] * n_chan
             cols["mean"].append((sums / area).ravel())
 
             if acc is not None:               # shape-grouped pHash stacks
