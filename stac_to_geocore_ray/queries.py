@@ -1977,11 +1977,15 @@ def geo_pip_multi_tree(sf_dir: str):
     from .stages.pip_join import MultiPIPJoiner
     p = _fx(sf_dir)
     cat_tbl = pq.read_table(p["stac_items"], columns=["image_id", "bbox"])
-    ids = np.asarray(cat_tbl["image_id"].to_pylist())
-    bbs = np.asarray(cat_tbl["bbox"].to_pylist(), dtype=np.float64)
-    num = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+    id_col = cat_tbl["image_id"].combine_chunks()
+    bb_col = cat_tbl["bbox"].combine_chunks()
+    # zero-copy flatten + Arrow string kernels (no Python per-row parse)
+    bbs = bb_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+    num = pc.cast(pc.utf8_slice_codeunits(id_col, 4, 13),
+                  pa.int64()).to_numpy()
     keep = (num % 2 == 0) & (bbs[:, 0] < bbs[:, 2]) & (bbs[:, 1] < bbs[:, 3])
-    ids, bbs = ids[keep], bbs[keep]
+    ids = np.asarray(id_col.to_numpy(zero_copy_only=False))[keep]
+    bbs = bbs[keep]
     # rect catalog: broadcast the packed (N, 4) bbox array; the joiner
     # builds the STRtree in rect mode (containment == bbox test)
     cat_ref = ray.put((ids.tolist(), bbs))
