@@ -599,7 +599,8 @@ def embedding_dedup_clusters(sf_dir: str):
     the same output-sized union-find / distributed label-propagation
     size switch."""
     from .stages.dedup import union_find_components
-    pairs = embedding_neardup_exact(sf_dir).select_columns(["a", "b"])
+    pairs = embedding_neardup_exact(sf_dir).select_columns(["a", "b"]) \
+        .materialize()                               # count + collect: one run
     if pairs.count() > 500_000:
         from .stages.dedup import label_propagation_components
         labels = label_propagation_components(pairs)
@@ -2021,7 +2022,7 @@ def phash_dedup_clusters(sf_dir: str):
     (driver union-find — the pair set is output-sized; dedup.
     label_propagation_components is the distributed swap-in)."""
     from .stages.dedup import union_find_components
-    pairs = phash_near_dedup(sf_dir)
+    pairs = phash_near_dedup(sf_dir).materialize()   # count + collect: one run
     n_pairs = pairs.count()
     if n_pairs > 500_000:
         # pair set too big to collect: distributed min-label propagation
