@@ -178,3 +178,36 @@ def test_large_group_banded_path_matches_dense():
         bs_ = set(zip(banded.a, banded.b, banded.dist))
         assert ds_ == bs_, band
         assert len(banded) == len(bs_)
+
+
+def test_label_propagation_random_graphs_match_union_find(ray_session):
+    """Randomized graphs (mixed component shapes, multi-block edge
+    sets) through the distributed path equal driver union-find."""
+    import ray.data as rd
+    rng = np.random.RandomState(31)
+    for trial in range(3):
+        edges = []
+        # random components: stars, chains, triangles, singleton pairs
+        base = 0
+        for c in range(rng.randint(3, 7)):
+            size = rng.randint(2, 8)
+            nodes = [f"t{trial}n{base + i:03d}" for i in range(size)]
+            base += size
+            shape = rng.randint(3)
+            if shape == 0:                    # chain
+                edges += list(zip(nodes[:-1], nodes[1:]))
+            elif shape == 1:                  # star
+                edges += [(nodes[0], x) for x in nodes[1:]]
+            else:                             # random tree + extra edge
+                for i in range(1, size):
+                    edges.append((nodes[rng.randint(i)], nodes[i]))
+                if size > 2:
+                    edges.append((nodes[0], nodes[-1]))
+        rng.shuffle(edges)
+        ds = rd.from_items([{"a": a, "b": b} for a, b in edges],
+                           override_num_blocks=rng.randint(2, 6))
+        got = dedup.label_propagation_components(ds, num_partitions=3) \
+            .to_pandas()
+        uf = dedup.union_find_components([a for a, _ in edges],
+                                         [b for _, b in edges])
+        assert dict(zip(got.node, got.label)) == uf, trial
