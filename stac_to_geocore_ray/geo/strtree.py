@@ -97,6 +97,10 @@ class STRtree:
             for t in range(0, len(sl), self.cap):
                 leaves.append(sl[t:t + self.cap])
         self.leaf_items = leaves
+        self.items_flat = np.concatenate(leaves) if leaves else \
+            np.empty(0, dtype=np.int64)
+        self.leaf_sizes = np.array([len(l) for l in leaves], dtype=np.int64)
+        self.leaf_offsets = np.cumsum(self.leaf_sizes) - self.leaf_sizes
         self.leaf_bounds = np.array([
             [self.bounds[l, 0].min(), self.bounds[l, 1].min(),
              self.bounds[l, 2].max(), self.bounds[l, 3].max()] for l in leaves])
@@ -116,43 +120,47 @@ class STRtree:
                           blk[:, 2].max(), blk[:, 3].max())
             self.levels.append(par)
 
-    def _leaf_candidates(self, px: np.ndarray, py: np.ndarray):
-        """(leaf_index, probe-point indices) pairs whose bboxes intersect.
+    def _leaf_pairs(self, px: np.ndarray, py: np.ndarray):
+        """(leaf_index, point_index) candidate pair arrays whose bboxes
+        intersect.
 
-        Two strategies: a FLAT vectorized scan (every leaf bbox tested
-        against the whole probe array — O(leaves x probes) of SIMD bool
-        ops, no per-node Python overhead) and a top-down hierarchical
-        walk (prunes whole subtrees, pays Python/fancy-index cost per
-        visited node).  Scattered probes touch every leaf, making the
-        walk pure overhead; clustered probes prune hard.  Pick by
-        estimated flat cost."""
+        Two strategies, both fully vectorized: a FLAT broadcast matrix
+        (every leaf bbox against every probe — right when leaves x
+        probes is small) and a LEVEL SWEEP down the packed hierarchy —
+        active (node, point) pair arrays expand to children with
+        repeat/cumsum index math and filter by containment at each
+        level, so pruning costs vector ops proportional to the live
+        candidate set, never per-node Python."""
         if len(px) * len(self.leaf_items) < 20_000_000:
             lb = self.leaf_bounds
             m = ((px[None, :] >= lb[:, 0:1]) & (px[None, :] <= lb[:, 2:3])
                  & (py[None, :] >= lb[:, 1:2]) & (py[None, :] <= lb[:, 3:4]))
-            return [(int(i), np.flatnonzero(m[i]))
-                    for i in np.flatnonzero(m.any(axis=1))]
+            return np.nonzero(m)
         top = len(self.levels) - 1
-        stack = [(top, node, None) for node in range(len(self.levels[top]))]
-        all_pts = np.arange(len(px))
-        out = []
-        while stack:
-            level, node, pts = stack.pop()
-            pts = all_pts if pts is None else pts
-            b = self.levels[level][node]
-            m = (px[pts] >= b[0]) & (px[pts] <= b[2]) & \
-                (py[pts] >= b[1]) & (py[pts] <= b[3])
-            sub = pts[m]
-            if len(sub) == 0:
-                continue
-            if level == 0:
-                out.append((node, sub))
-                continue
-            lo = node * self.cap
-            hi = min(lo + self.cap, len(self.levels[level - 1]))
-            for child in range(lo, hi):
-                stack.append((level - 1, child, sub))
-        return out
+        n_top = len(self.levels[top])
+        N = np.repeat(np.arange(n_top, dtype=np.int64), len(px))
+        P = np.tile(np.arange(len(px), dtype=np.int64), n_top)
+        b = self.levels[top][N]
+        keep = ((px[P] >= b[:, 0]) & (px[P] <= b[:, 2])
+                & (py[P] >= b[:, 1]) & (py[P] <= b[:, 3]))
+        N, P = N[keep], P[keep]
+        for level in range(top - 1, -1, -1):
+            if len(N) == 0:
+                break
+            n_lv = len(self.levels[level])
+            child0 = N * self.cap
+            ccount = np.minimum(self.cap, n_lv - child0)
+            tot = int(ccount.sum())
+            Pc = np.repeat(P, ccount)
+            starts = np.repeat(child0, ccount)
+            base = np.cumsum(ccount) - ccount
+            intra = np.arange(tot, dtype=np.int64) - np.repeat(base, ccount)
+            C = starts + intra
+            b = self.levels[level][C]
+            keep = ((px[Pc] >= b[:, 0]) & (px[Pc] <= b[:, 2])
+                    & (py[Pc] >= b[:, 1]) & (py[Pc] <= b[:, 3]))
+            N, P = C[keep], Pc[keep]
+        return N, P
 
     def _candidates_dense(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         b = self.bounds
@@ -208,17 +216,19 @@ class STRtree:
 
     def _bbox_pairs(self, px: np.ndarray, py: np.ndarray):
         """Tree path helper: bbox-confirmed (polygon_idx, point_idx)
-        candidate pair arrays, fully vectorized after the leaf prune."""
-        polys, pts = [], []
-        for leaf_i, sub in self._leaf_candidates(px, py):
-            items = self.leaf_items[leaf_i]
-            polys.append(np.repeat(items, len(sub)))
-            pts.append(np.tile(sub, len(items)))
-        if not polys:
+        candidate pair arrays, fully vectorized — leaf pairs expand to
+        member polygons with the same repeat/cumsum index math."""
+        L, Q0 = self._leaf_pairs(px, py)
+        if len(L) == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e
-        P = np.concatenate(polys)
-        Q = np.concatenate(pts)
+        reps = self.leaf_sizes[L]
+        tot = int(reps.sum())
+        Q = np.repeat(Q0, reps)
+        starts = np.repeat(self.leaf_offsets[L], reps)
+        base = np.cumsum(reps) - reps
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(base, reps)
+        P = self.items_flat[starts + intra]
         b = self.bounds[P]
         m = ((px[Q] >= b[:, 0]) & (px[Q] <= b[:, 2]) &
              (py[Q] >= b[:, 1]) & (py[Q] <= b[:, 3]))
