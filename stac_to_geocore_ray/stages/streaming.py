@@ -137,5 +137,7 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
         or [_windows_table([])])
     tails = ray.get([b.flush.remote() for b in buckets])
     late = sum(ray.get([b.late_count.remote() for b in buckets]))
+    for b in buckets:                         # release the CPU reservations
+        ray.kill(b)
     full = pa.concat_tables([emitted_tbl, *tails])
     return full, late
