@@ -1537,6 +1537,52 @@ def doc_quality(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+def doc_topk_by_lang(sf_dir: str):
+    """Top-3 documents per language by quality score — the per-group
+    top-k curation op.  Scale shape: each batch emits its own top-3 per
+    lang (vectorized pandas sort+head partial), then one tiny groupby
+    fold keeps the global top-3 — the shuffle moves at most
+    3 x #langs x #batches rows, never the corpus.  Ordering key is
+    (quality_r desc, doc_id asc) on the ROUNDED score so the SQL oracle
+    (window function over the doc_quality golden joined to documents
+    for lang) ranks identically."""
+    from .stages.text import TextQuality
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(TextQuality, batch_format="pandas",
+                            concurrency=_auto())
+
+    def partial(df):
+        df = df.assign(quality_r=df.quality_score.round(6))
+        df = df.sort_values(["lang", "quality_r", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("lang", sort=False).head(3)[
+            ["doc_id", "lang", "quality_r"]]
+
+    def fold(g):
+        g = g.sort_values(["quality_r", "doc_id"], ascending=[False, True]) \
+            .head(3).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "doc_id", "quality_r"]]
+
+    return scored.map_batches(partial, batch_format="pandas") \
+        .groupby("lang").map_groups(fold, batch_format="pandas")
+
+
+def _doc_topk_by_lang_sql() -> str:
+    from . import goldens as _g
+    path = _g.golden_path("doc_quality", ORACLE_SF_DIR)
+    return f"""
+WITH q AS (
+  SELECT g.doc_id, d.lang, g.quality_r,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY g.quality_r DESC, g.doc_id ASC) AS rank
+  FROM read_parquet('{path}') g
+  JOIN documents d ON d.doc_id = g.doc_id)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, quality_r
+FROM q WHERE rank <= 3
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash fingerprints per doc (rows-only)."""
     import ray.data as rd
@@ -2127,6 +2173,7 @@ QUERIES = {
     "simhash_neardup": simhash_neardup,
     "langid_accuracy": langid_accuracy,
     "doc_quality": doc_quality,
+    "doc_topk_by_lang": doc_topk_by_lang,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "geocore_assemble": geocore_assemble,
@@ -2192,6 +2239,7 @@ def oracle() -> dict[str, str]:
         "minhash_neardup": MINHASH_NEARDUP_SQL,
         "simhash_neardup": _simhash_neardup_sql(),
         "ngram_jaccard_dedup": NGRAM_JACCARD_SQL,
+        "doc_topk_by_lang": _doc_topk_by_lang_sql(),
         "geo_cell_rollup": (
             "SELECT hex_prefix, CAST(count(*) AS BIGINT) AS n_items "
             f"FROM read_parquet('{_g_cells_path()}') GROUP BY hex_prefix"),
