@@ -266,6 +266,11 @@ def golden_tile_phash_stats(sf_dir: str) -> pa.Table:
     img_shards = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))
     item_shards = sorted(_glob.glob(os.path.join(p["stac_items"],
                                                  "*.parquet")))
+    if [os.path.basename(a) for a in img_shards] != \
+            [os.path.basename(b) for b in item_shards]:
+        raise RuntimeError(
+            "images/ and stac_items/ shard sets differ — fixture dir is "
+            "misaligned (stale or partially regenerated); re-generate it")
     for ishard, sshard in zip(img_shards, item_shards):
         imgs = pq.read_table(ishard, columns=["image_id", "bytes"])
         items = pq.read_table(sshard, columns=["image_id", "collection_id"])

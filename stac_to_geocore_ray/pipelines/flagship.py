@@ -99,11 +99,13 @@ class AlignedCoRead:
         self.items_dir = items_dir
         self.item_cols = list(item_cols)
         # co-partition metadata: when the table root carries an
-        # _ALIGNED.json manifest (shard -> rows + id checksum, written
-        # at generation), alignment is verified against it ONCE here
-        # and each task only cross-checks O(1) row counts — at 100 TB
-        # a per-task O(rows) id-list compare is real money.  Without a
-        # manifest the per-task compare remains as the safety net.
+        # _ALIGNED.json manifest (shard -> rows + image_id crc32, written
+        # at generation), each task checks its OWN shards' id-column
+        # crc32 against the manifest entry — O(ids) not O(bytes), and it
+        # catches equal-count-but-reordered shards (e.g. a stale items
+        # dir zipped against regenerated images), which a row-count
+        # check alone would let silently mis-splice.  Without a manifest
+        # the per-task full id-list compare remains as the safety net.
         self.manifest = None
         mpath = os.path.join(os.path.dirname(os.path.normpath(images_dir)),
                              "_ALIGNED.json")
@@ -125,9 +127,20 @@ class AlignedCoRead:
                 os.path.join(self.items_dir, name),
                 columns=["image_id", "bbox", *self.item_cols])
             if self.manifest is not None:
+                import zlib
                 m = self.manifest.get(stem)
-                assert m and img.num_rows == items.num_rows == m["rows"], \
-                    "shard row counts disagree with _ALIGNED manifest"
+                if not (m and img.num_rows == items.num_rows == m["rows"]):
+                    raise RuntimeError(
+                        f"{stem}: shard row counts disagree with _ALIGNED "
+                        "manifest")
+                for side, tbl in (("images", img), ("stac_items", items)):
+                    crc = zlib.crc32("\0".join(
+                        tbl["image_id"].to_pylist()).encode())
+                    if crc != m["ids_crc"]:
+                        raise RuntimeError(
+                            f"{stem}: {side} image_id crc {crc} != manifest "
+                            f"{m['ids_crc']} — shards not co-partitioned "
+                            "(stale/regenerated dir?); use join='shuffle'")
             else:
                 assert (img["image_id"].to_pylist()
                         == items["image_id"].to_pylist()), \

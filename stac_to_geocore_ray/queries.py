@@ -311,7 +311,9 @@ def events_stream_tumbling(sf_dir: str):
     tbl, late = stream_tumbling_windows(
         ds, key_col="event_type", ts_col="ts", value_col="value",
         window_us=3_600_000_000, lateness_us=1 << 60, n_buckets=4)
-    assert late == 0                          # lateness covers disorder
+    if late:    # lateness covers disorder; assert would vanish under -O
+        raise RuntimeError(f"{late} late rows dropped — the batch GROUP BY "
+                           "oracle is only valid under no-drop lateness")
     return tbl.rename_columns(["event_type", "window_start", "n", "sum_cents"])
 
 
@@ -559,23 +561,21 @@ def embedding_neardup_exact(sf_dir: str):
     class PairFinder:
         def __init__(self, r):
             self.ids, self.mat = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            self.lookup = {v: i for i, v in enumerate(self.ids)}
+            self.order = np.argsort(self.ids)        # id -> row, vectorized
+            self.sorted_ids = self.ids[self.order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = batch["vec_id"].to_numpy()
-            rows = np.asarray([self.lookup[v] for v in bids])
+            rows = self.order[np.searchsorted(self.sorted_ids, bids)]
             sims = self.mat[rows] @ self.mat.T
-            out_a, out_b, out_cos = [], [], []
-            for r, a in enumerate(bids):
-                hits = np.flatnonzero(sims[r] >= 0.40)
-                for h in hits:
-                    b = self.ids[h]
-                    if a < b:
-                        out_a.append(int(a)); out_b.append(int(b))
-                        out_cos.append(round(float(sims[r, h]), 4))
-            return pa.table({"a": pa.array(out_a, pa.int64()),
-                             "b": pa.array(out_b, pa.int64()),
-                             "cos_r": pa.array(out_cos, pa.float64())})
+            # whole-batch hit emission (no per-row Python loop)
+            r, h = np.nonzero(sims >= 0.40)
+            a, b = bids[r], self.ids[h]
+            keep = a < b
+            return pa.table({"a": pa.array(a[keep], pa.int64()),
+                             "b": pa.array(b[keep], pa.int64()),
+                             "cos_r": pa.array(np.round(sims[r, h][keep], 4),
+                                               pa.float64())})
 
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(PairFinder, fn_constructor_args=(ref,),

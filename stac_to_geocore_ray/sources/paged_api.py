@@ -114,15 +114,26 @@ def http_fetcher(timeout: float = 30.0, retries: int = 3,
                 "session or use file_fetcher") from exc
         session = requests.Session()
 
+    class _ClientError(RuntimeError):
+        """Non-retryable HTTP error (4xx other than 429)."""
+
     def fetch(url: str) -> dict:
         import time as _time
         last: Exception | None = None
         for attempt in range(retries):
             try:
                 resp = session.get(url, timeout=timeout)
-                if getattr(resp, "status_code", 200) >= 500:
-                    raise RuntimeError(f"server error {resp.status_code}")
+                code = getattr(resp, "status_code", 200)
+                # retry only transient statuses; a 404/403 error body must
+                # NOT be returned as a normal page (a paged harvest against
+                # a bad URL would terminate quietly with garbage data)
+                if code >= 500 or code == 429:
+                    raise RuntimeError(f"server error {code}")
+                if code >= 400:
+                    raise _ClientError(f"GET {url} -> HTTP {code}")
                 return resp.json()
+            except _ClientError:
+                raise
             except Exception as exc:          # retry transient failures
                 last = exc
                 if attempt + 1 < retries:

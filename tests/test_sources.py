@@ -217,6 +217,47 @@ class TestHttpFetcher:
         with pytest.raises(RuntimeError, match="failed after 2"):
             fetch("https://api.example/search")
 
+    def test_4xx_raises_without_retry(self):
+        # a 404/403 error body must NOT come back as a normal page dict
+        import pytest
+        from stac_to_geocore_ray.sources.paged_api import http_fetcher
+        calls = []
+
+        class Resp:
+            status_code = 404
+            def json(self): return {"error": "not found"}
+
+        class Session:
+            def get(self, url, timeout):
+                calls.append(url)
+                return Resp()
+
+        fetch = http_fetcher(session=Session(), retries=3, backoff=1.0)
+        with pytest.raises(RuntimeError, match="HTTP 404"):
+            fetch("https://api.example/search")
+        assert len(calls) == 1                  # no retry on client errors
+
+    def test_429_is_retried(self):
+        from stac_to_geocore_ray.sources.paged_api import http_fetcher
+        calls = []
+
+        class Resp:
+            def __init__(self, code, payload):
+                self.status_code = code
+                self._p = payload
+            def json(self): return self._p
+
+        class Session:
+            def get(self, url, timeout):
+                calls.append(url)
+                if len(calls) < 2:
+                    return Resp(429, None)
+                return Resp(200, {"links": []})
+
+        fetch = http_fetcher(session=Session(), retries=3, backoff=1.0)
+        assert fetch("u")["links"] == []
+        assert len(calls) == 2
+
     def test_walk_pages_over_stub_http(self):
         from stac_to_geocore_ray.sources.paged_api import (http_fetcher,
                                                            walk_pages)
