@@ -3,22 +3,32 @@
 Ray Data has no event-time windows or watermarks; this stage supplies
 the streaming-shaped semantics with the guide's bucket-actor recipe:
 the key space hashes onto N ``WindowBucket`` actors, feeder tasks
-route each batch's rows to their buckets, and every bucket maintains
-open tumbling-window partials, advancing a per-bucket WATERMARK
-(max event time seen - allowed lateness).  A window finalizes — and is
-EMITTED as ordinary Dataset rows from the feeder — once the watermark
+route each batch to its buckets, and every bucket maintains open
+tumbling-window partials, advancing a per-bucket WATERMARK (max event
+time seen - allowed lateness).  A window finalizes once the watermark
 passes its end; events arriving after their window finalized are
 counted and dropped (the late-data policy).
 
-Scale shape: feeders are a plain ``map_batches`` fan-out (arrival
-order = block arrival, the simulated log); state lives only in the N
-bucket actors and is bounded by (open windows x keys-per-bucket), not
-by stream length; emitted windows flow through the normal streaming
-executor.  With ``allowed_lateness`` large enough to cover the
-stream's disorder, the result equals the batch GROUP BY — which is
-what the SQL oracle checks; with tight lateness the drop policy is
-arrival-order-dependent (documented, unit-tested with a controlled
-ordered feed).
+Scale shape (round-3 rewrite):
+
+- **Feeder-side pre-aggregation**: each feeder batch collapses to one
+  (key, window) -> (n, sum_cents) partial row via a single pandas
+  groupby BEFORE anything is shipped — the actor sees orders of
+  magnitude fewer rows than events, and per-event Python never runs
+  anywhere.  Actor-RPC volume per batch is #buckets tiny tables.
+- **Idempotent ingest (exactly-once under task retry)**: every ingest
+  carries a deterministic id (Ray task id + per-task call sequence).
+  A retried feeder task (worker crash) replays the same ids and the
+  bucket skips them, so counts never double.  This only holds because
+  finalized windows are RETAINED in the bucket until the final drain —
+  the round-2 design returned ripe windows to the feeder, whose output
+  block could be lost with the worker, losing the windows with it.
+  A bucket-actor death still loses that bucket's state and fails the
+  job loudly (max_restarts=0) — re-run; state is bounded and cheap.
+- **State bound**: (open windows x keys) + finalized rows per bucket —
+  aggregates, never events.  In a true endless deployment the driver
+  would drain ripe windows periodically; here the stream has an end
+  and one final drain returns everything.
 
 Aggregates are (count, integer-cents sum) so finalized values are
 exact under any arrival order.
@@ -35,43 +45,55 @@ import ray
 
 @ray.remote(num_cpus=0.25)
 class WindowBucket:
-    """One key-hash bucket: open-window partials + watermark + late count."""
+    """One key-hash bucket: open-window partials + watermark + late count.
+
+    ``ingest`` takes PARTIAL rows (unique (key, window) pairs with
+    pre-summed counts/cents), is idempotent on ``ingest_id``, and
+    returns only an ack; ripe windows accumulate internally until
+    ``ripe_windows()`` / ``flush()``.
+    """
 
     def __init__(self, window_us: int, lateness_us: int):
         self.window_us = window_us
         self.lateness_us = lateness_us
         self.open: dict[tuple, list] = {}     # (key, wstart) -> [n, cents]
         self.finalized: set[tuple] = set()
+        self.ripe: list[tuple] = []           # finalized (k, w, n, cents)
         self.watermark = -(1 << 62)
         self.late = 0
+        self.seen: set[tuple] = set()         # replayed-ingest guard
 
-    def ingest(self, keys: list, ts_us: np.ndarray,
-               cents: np.ndarray) -> pa.Table:
-        wstart = (ts_us // self.window_us) * self.window_us
-        for k, w, t, c in zip(keys, wstart.tolist(), ts_us.tolist(),
+    def ingest(self, ingest_id: tuple, keys: list, wstarts: np.ndarray,
+               ns: np.ndarray, cents: np.ndarray, max_ts: int) -> int:
+        if ingest_id in self.seen:            # retried feeder task: skip
+            return 0
+        self.seen.add(ingest_id)
+        # merge loop runs over PARTIALS (unique key-window pairs of one
+        # feeder batch), not events — bounded by keys x open windows
+        for k, w, n, c in zip(keys, wstarts.tolist(), ns.tolist(),
                               cents.tolist()):
             kk = (k, w)
             if kk in self.finalized:
-                self.late += 1               # beyond lateness: drop + count
+                self.late += n               # beyond lateness: drop + count
                 continue
             row = self.open.setdefault(kk, [0, 0])
-            row[0] += 1
+            row[0] += n
             row[1] += c
-        new_max = int(ts_us.max()) if len(ts_us) else self.watermark
-        self.watermark = max(self.watermark, new_max - self.lateness_us)
-        return self._emit_ripe()
-
-    def _emit_ripe(self) -> pa.Table:
-        ripe = [kk for kk in self.open
-                if kk[1] + self.window_us <= self.watermark]
-        rows = []
-        for kk in ripe:
-            n, cents = self.open.pop(kk)
+        self.watermark = max(self.watermark, int(max_ts) - self.lateness_us)
+        for kk in [kk for kk in self.open
+                   if kk[1] + self.window_us <= self.watermark]:
+            n, c = self.open.pop(kk)
             self.finalized.add(kk)
-            rows.append((kk[0], kk[1], n, cents))
-        return _windows_table(rows)
+            self.ripe.append((kk[0], kk[1], n, c))
+        return len(self.ripe)
+
+    def ripe_windows(self) -> pa.Table:
+        """Finalized windows accumulated so far (retained, not cleared —
+        the drain is idempotent too)."""
+        return _windows_table(self.ripe)
 
     def flush(self) -> pa.Table:
+        """Windows still open at end-of-stream (watermark never passed)."""
         rows = [(k, w, n, c) for (k, w), (n, c) in self.open.items()]
         self.open.clear()
         return _windows_table(rows)
@@ -89,55 +111,91 @@ def _windows_table(rows) -> pa.Table:
 
 
 class WindowFeeder:
-    """map_batches callable: routes rows to bucket actors, emits the
-    windows those ingests finalized."""
+    """map_batches callable: pre-aggregates each batch to (key, window)
+    partials and routes them to the bucket actors.
+
+    Returns a 1-row stats table (rows routed) — window rows leave the
+    buckets only at the final drain, never through feeder output blocks
+    (see module docstring: retry safety)."""
 
     def __init__(self, buckets: list, key_col: str, ts_col: str,
-                 value_col: str):
+                 value_col: str, window_us: int):
         self.buckets = buckets
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.window_us = window_us
+        self._seq: dict = {}                  # task id -> next call seq
+
+    def _ingest_id(self) -> tuple:
+        """(task id, call-seq) — identical on a retried task (fresh
+        instance after worker death restarts the seq at 0), unique
+        across distinct tasks."""
+        try:
+            tid = ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        if tid is None:                        # driver-side call (tests)
+            tid = f"driver-{id(self)}"
+        seq = self._seq.get(tid, 0)
+        self._seq[tid] = seq + 1
+        return (tid, seq)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
+            return pa.table({"n_routed": pa.array([0], pa.int64())})
         df = batch.to_pandas()
-        if len(df) == 0:
-            return _windows_table([])
         ts_us = df[self.ts_col].to_numpy("datetime64[us]").astype("int64")
-        cents = np.round(df[self.value_col].to_numpy() * 100).astype("int64")
-        keys = df[self.key_col].astype(str)
-        bucket_of = (pd.util.hash_array(keys.to_numpy(dtype=object))
+        part = pd.DataFrame({
+            "key": df[self.key_col].astype(str),
+            "wstart": (ts_us // self.window_us) * self.window_us,
+            "cents": np.round(df[self.value_col].to_numpy() * 100)
+            .astype("int64")})
+        # THE reduction: events -> (key, window) partials, one groupby
+        g = part.groupby(["key", "wstart"], sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")).reset_index()
+        keys = g.key.to_numpy(dtype=object)
+        bucket_of = (pd.util.hash_array(keys)
                      % len(self.buckets)).astype(np.int64)
+        max_ts = int(ts_us.max())
+        iid = self._ingest_id()
         futs = []
         for b in np.unique(bucket_of):
             m = bucket_of == b
             futs.append(self.buckets[int(b)].ingest.remote(
-                keys[m].tolist(), ts_us[m], cents[m]))
-        outs = [t for t in ray.get(futs) if t.num_rows]
-        return pa.concat_tables(outs) if outs else _windows_table([])
+                (*iid, int(b)), keys[m].tolist(),
+                g.wstart.to_numpy()[m], g.n.to_numpy()[m],
+                g.cents.to_numpy()[m], max_ts))
+        # ack barrier: tiny ints; guarantees all ingests of this batch
+        # are applied before the stage can be considered complete, so
+        # the driver's drain never races a queued ingest
+        ray.get(futs)
+        return pa.table({"n_routed": pa.array([nrows], pa.int64())})
 
 
 def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
                             value_col: str, window_us: int,
                             lateness_us: int, n_buckets: int = 4):
-    """Run the stream through bucket actors; returns (windows Dataset
-    builder result as a pyarrow Table, late_count).
+    """Run the stream through bucket actors; returns (windows pyarrow
+    Table, late_count).
 
-    The emitted-on-the-fly windows stream out of the feeder stage; the
-    final ``flush`` drains windows still open at end-of-stream (their
-    watermark never passed — at a real deployment the stream has no
-    end and these stay open)."""
-    import ray.data as rd
-
+    The returned table is ripe (finalized) windows plus the
+    end-of-stream flush of still-open windows — at a real deployment
+    the stream has no end and the open set stays in the buckets."""
     buckets = [WindowBucket.remote(window_us, lateness_us)
                for _ in range(n_buckets)]
-    emitted = events_ds.map_batches(
-        WindowFeeder(buckets, key_col, ts_col, value_col).__call__,
-        batch_format="pyarrow")
-    emitted_tbl = pa.concat_tables(
-        list(emitted.iter_batches(batch_format="pyarrow"))
-        or [_windows_table([])])
+    feeder = WindowFeeder(buckets, key_col, ts_col, value_col, window_us)
+    stats = events_ds.map_batches(feeder, batch_format="pyarrow")
+    n_routed = sum(int(pa.compute.sum(t["n_routed"]).as_py() or 0)
+                   for t in stats.iter_batches(batch_format="pyarrow"))
+    ripe = ray.get([b.ripe_windows.remote() for b in buckets])
     tails = ray.get([b.flush.remote() for b in buckets])
     late = sum(ray.get([b.late_count.remote() for b in buckets]))
     for b in buckets:                         # release the CPU reservations
         ray.kill(b)
-    full = pa.concat_tables([emitted_tbl, *tails])
+    full = pa.concat_tables([*ripe, *tails])
+    emitted = int(pa.compute.sum(full["n"]).as_py() or 0)
+    if emitted + late != n_routed:
+        raise RuntimeError(
+            f"window accounting mismatch: routed {n_routed} events but "
+            f"emitted {emitted} + late {late}")
     return full, late

@@ -1,17 +1,40 @@
 """Bucket-actor event-time windows: watermark finalization + late-data
-policy under a controlled ORDERED feed (stages/streaming.py)."""
+policy under a controlled ORDERED feed (stages/streaming.py).
+
+Round-3 API: ``ingest`` takes pre-aggregated (key, window) PARTIALS
+plus a deterministic ingest id, returns only an ack; ripe windows are
+retained inside the bucket until drained (retry safety)."""
 
 import numpy as np
 import pyarrow as pa
 import ray
 
 
-def _ingest(bucket, rows):
-    """rows: list of (key, ts_us, cents)."""
-    keys = [r[0] for r in rows]
-    ts = np.array([r[1] for r in rows], dtype=np.int64)
-    cents = np.array([r[2] for r in rows], dtype=np.int64)
-    return ray.get(bucket.ingest.remote(keys, ts, cents))
+_SEQ = [0]
+
+
+def _ingest(bucket, rows, *, iid=None):
+    """rows: list of (key, ts_us, cents) EVENTS — collapsed here to the
+    (key, wstart)->(n, cents) partials the feeder would ship."""
+    W = 100
+    agg: dict = {}
+    max_ts = max(r[1] for r in rows)
+    for k, t, c in rows:
+        w = (t // W) * W
+        n, s = agg.get((k, w), (0, 0))
+        agg[(k, w)] = (n + 1, s + c)
+    keys = [k for k, _ in agg]
+    ws = np.array([w for _, w in agg], dtype=np.int64)
+    ns = np.array([v[0] for v in agg.values()], dtype=np.int64)
+    cents = np.array([v[1] for v in agg.values()], dtype=np.int64)
+    if iid is None:
+        _SEQ[0] += 1
+        iid = ("test", _SEQ[0], 0)
+    return ray.get(bucket.ingest.remote(iid, keys, ws, ns, cents, max_ts))
+
+
+def _ripe(bucket):
+    return ray.get(bucket.ripe_windows.remote()).to_pylist()
 
 
 class TestWindowBucket:
@@ -21,28 +44,40 @@ class TestWindowBucket:
         b = WindowBucket.remote(W, 50)
 
         # window [0,100): two events
-        out = _ingest(b, [("a", 10, 1), ("a", 90, 2)])
-        assert out.num_rows == 0                   # watermark 90-50=40 < 100
+        _ingest(b, [("a", 10, 1), ("a", 90, 2)])
+        assert _ripe(b) == []                      # watermark 90-50=40 < 100
         # event at 250 -> watermark 200: window 0 finalizes
-        out = _ingest(b, [("a", 250, 5)])
-        got = out.to_pylist()
-        assert got == [{"key": "a", "window_start": 0, "n": 2, "sum_cents": 3}]
+        _ingest(b, [("a", 250, 5)])
+        assert _ripe(b) == [{"key": "a", "window_start": 0,
+                             "n": 2, "sum_cents": 3}]
         # late event for the finalized window 0 -> dropped + counted
-        out = _ingest(b, [("a", 20, 99)])
-        assert out.num_rows == 0
+        _ingest(b, [("a", 20, 99)])
         assert ray.get(b.late_count.remote()) == 1
         # an out-of-order event whose window was NEVER OPENED before the
         # watermark passed is still accepted (only finalized windows
-        # refuse rows); its window is immediately ripe and emits in the
-        # same ingest
-        out = _ingest(b, [("a", 150, 7)])
-        assert out.to_pylist() == [{"key": "a", "window_start": 100,
-                                    "n": 1, "sum_cents": 7}]
+        # refuse rows); its window ripens in the same ingest and is
+        # RETAINED (drain is idempotent)
+        _ingest(b, [("a", 150, 7)])
+        got = {(r["key"], r["window_start"]): (r["n"], r["sum_cents"])
+               for r in _ripe(b)}
+        assert got == {("a", 0): (2, 3), ("a", 100): (1, 7)}
         # the 250 event's window [200,300) is still open at flush
         tail = ray.get(b.flush.remote()).to_pylist()
         all_rows = {(r["key"], r["window_start"]): (r["n"], r["sum_cents"])
                     for r in tail}
         assert all_rows == {("a", 200): (1, 5)}
+
+    def test_retried_ingest_is_idempotent(self, ray_session):
+        """A replayed feeder task (same ingest id) must not double
+        counts — the at-least-once hazard from ADVICE round 2."""
+        from stac_to_geocore_ray.stages.streaming import WindowBucket
+        b = WindowBucket.remote(100, 0)
+        iid = ("taskX", 0, 0)
+        _ingest(b, [("a", 10, 1), ("a", 20, 2)], iid=iid)
+        _ingest(b, [("a", 10, 1), ("a", 20, 2)], iid=iid)   # retry replay
+        tail = ray.get(b.flush.remote()).to_pylist()
+        assert tail == [{"key": "a", "window_start": 0,
+                         "n": 2, "sum_cents": 3}]
 
     def test_stream_equals_batch_groupby_when_lateness_covers(self, ray_session):
         import pandas as pd
