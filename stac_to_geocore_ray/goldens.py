@@ -296,6 +296,66 @@ def golden_tile_phash_stats(sf_dir: str) -> pa.Table:
                                       pa.int64())})
 
 
+def golden_video_frames(sf_dir: str) -> pa.Table:
+    """Scalar replay of video_frame_sample: rebuild the same 16 GVID
+    containers from shard0 images (the query's construction), decode
+    every sampled frame scalar, call the SCALAR ``fi.phash`` per frame
+    — the independent pin of FrameSampler's batched `_PhashAccum` /
+    `phash_batch` path."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    imgs = pq.read_table(shard0, columns=["bytes"]).column("bytes").to_pylist()
+    stride = 2
+    vids, fidx, ws, hs, phs = [], [], [], [], []
+    for v in range(16):
+        for k in range(4):
+            if k % stride:
+                continue
+            arr = fi.decode(imgs[v * 4 + k])
+            vids.append(f"vid-{v:04d}")
+            fidx.append(k)
+            ws.append(arr.shape[1])
+            hs.append(arr.shape[0])
+            phs.append(fi.phash(arr))
+    return pa.table({
+        "video_id": pa.array(vids, pa.string()),
+        "frame_index": pa.array(fidx, pa.int32()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "frame_phash": pa.array(phs, pa.int64())})
+
+
+def golden_audio_features(sf_dir: str) -> pa.Table:
+    """Pure-scalar replay of audio_features' checked columns: per-clip
+    duration / RMS / zero-cross rate from the synthesized GAUD PCM via
+    plain Python loops (math.fsum accumulation) — independent of the
+    numpy DSP in stages/multimodal.AudioFeatures."""
+    from .stages.multimodal import decode_audio, encode_audio, synth_clip
+    ids, durs, rmss, zcrs = [], [], [], []
+    for k in range(32):
+        rate, pcm = decode_audio(encode_audio(synth_clip(k, 16_000, 0.5),
+                                              16_000))
+        x = [s / 32768.0 for s in pcm.tolist()]
+        n = len(x)
+        dur = n / rate
+        rms = math.sqrt(math.fsum(v * v for v in x) / n) if n else 0.0
+        zc = (sum((x[i] < 0) != (x[i + 1] < 0) for i in range(n - 1))
+              / (n - 1)) if n > 1 else 0.0
+        ids.append(f"clip-{k:04d}")
+        durs.append(dur)
+        rmss.append(float(np.round(np.float64(rms), 6)))
+        zcrs.append(float(np.round(np.float64(zc), 6)))
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "duration_sec": pa.array(durs, pa.float64()),
+        "rms_r": pa.array(rmss, pa.float64()),
+        "zcr_r": pa.array(zcrs, pa.float64())})
+
+
 # --------------------------------------------------------- geocore golden
 
 def golden_geocore_assemble(sf_dir: str) -> pa.Table:
@@ -338,6 +398,8 @@ GOLDENS = {
     "decode_stats": golden_decode_stats,
     "geocore_assemble": golden_geocore_assemble,
     "tile_phash_stats": golden_tile_phash_stats,
+    "video_frame_sample": golden_video_frames,
+    "audio_features": golden_audio_features,
 }
 
 

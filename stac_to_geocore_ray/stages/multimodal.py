@@ -37,8 +37,12 @@ def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
     return b"".join(parts)
 
 
-def decode_video(buf: bytes):
-    """GVID bytes -> iterator of (frame_index, uint8 array)."""
+def decode_video(buf: bytes, stride: int = 1):
+    """GVID bytes -> iterator of (frame_index, uint8 array).
+
+    ``stride`` skips frames WITHOUT decompressing them (length-prefix
+    seek only) — sampling every k-th frame of a video costs 1/k of the
+    decode work, the point of frame sampling at scale."""
     if buf[:4] != _VMAGIC:
         raise ValueError("not a GVID buffer")
     n = int.from_bytes(buf[4:8], "little")
@@ -46,7 +50,8 @@ def decode_video(buf: bytes):
     for i in range(n):
         ln = int.from_bytes(buf[off:off + 4], "little")
         off += 4
-        yield i, fi.decode(buf[off:off + ln])
+        if i % stride == 0:
+            yield i, fi.decode(buf[off:off + ln])
         off += ln
 
 
@@ -57,31 +62,45 @@ class FrameSampler:
     for every ``stride``-th frame.  Actor-pool stage: the pHash DCT
     table builds once per actor.  batch sizing rule: decoded frames
     are transient per row; only per-frame stats leave the stage.
+
+    pHash is BATCHED (round-3): sampled frames stack by shape across
+    the whole batch and run through the tiler's ``_PhashAccum`` /
+    ``fakeimg.phash_batch`` chain — one DCT matmul per shape instead of
+    a scalar call per frame (bit-identical; pinned by the
+    video_frame_sample golden's scalar replay).  Strided-out frames
+    are never decompressed (``decode_video(stride=...)``).
     """
 
-    def __init__(self, stride: int = 2, with_phash: bool = True):
+    def __init__(self, stride: int = 2, with_phash: bool = True,
+                 phash_chunk: int = 1024):
         self.stride = stride
         self.with_phash = with_phash
+        self.phash_chunk = phash_chunk
         fi._dct_matrix()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tiler import _PhashAccum
         ids = batch["video_id"].to_pylist()
         bufs = batch["bytes"].to_pylist()
         out = {"video_id": [], "frame_index": [], "w": [], "h": [],
                "mean_intensity": []}
-        if self.with_phash:
-            out["frame_phash"] = []
+        acc = _PhashAccum(self.phash_chunk) if self.with_phash else None
+        total = 0
         for vid, buf in zip(ids, bufs):
-            for idx, arr in decode_video(buf):
-                if idx % self.stride:
-                    continue
+            for idx, arr in decode_video(buf, self.stride):
                 out["video_id"].append(vid)
                 out["frame_index"].append(idx)
                 out["w"].append(arr.shape[1])
                 out["h"].append(arr.shape[0])
-                out["mean_intensity"].append(float(arr.mean()))
-                if self.with_phash:
-                    out["frame_phash"].append(fi.phash(arr))
+                # gray = channel mean, exactly phash's internal plane;
+                # its mean equals arr.mean() in float64
+                gray = (arr.mean(axis=2) if arr.ndim == 3
+                        else arr.astype(np.float64))
+                out["mean_intensity"].append(float(gray.mean()))
+                if acc is not None:
+                    acc.add(gray.shape, gray[None, :, :],
+                            np.array([total], dtype=np.int64))
+                total += 1
         tbl = {
             "video_id": pa.array(out["video_id"], pa.string()),
             "frame_index": pa.array(out["frame_index"], pa.int32()),
@@ -89,8 +108,8 @@ class FrameSampler:
             "h": pa.array(out["h"], pa.int32()),
             "mean_intensity": pa.array(out["mean_intensity"], pa.float64()),
         }
-        if self.with_phash:
-            tbl["frame_phash"] = pa.array(out["frame_phash"], pa.int64())
+        if acc is not None:
+            tbl["frame_phash"] = pa.array(acc.finish(total), pa.int64())
         return pa.table(tbl)
 
 
