@@ -356,6 +356,67 @@ def golden_audio_features(sf_dir: str) -> pa.Table:
         "zcr_r": pa.array(zcrs, pa.float64())})
 
 
+def golden_embedding_neardup(sf_dir: str) -> pa.Table:
+    """Exact O(n^2) per-pair cosine scan (scalar np.dot per pair) over
+    the augmented corpus (embeddings + planted near-dups), threshold
+    0.90 — independent of the engine's LSH bucketing / groupby /
+    in-bucket matmul path.  The planted-dup construction is the shared
+    spec (stages/dedup.planted_near_dups)."""
+    from .stages.dedup import planted_near_dups
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    dup_ids, dup_mat = planted_near_dups(ids, mat)
+    all_ids = np.concatenate([ids, dup_ids])
+    all_mat = np.concatenate([mat, dup_mat])
+    order = np.argsort(all_ids)
+    all_ids, all_mat = all_ids[order], all_mat[order]
+    unit = []
+    for v in all_mat:
+        nv = math.sqrt(float(np.dot(v, v)))
+        unit.append(v / nv if nv else v)
+    n = len(all_ids)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = float(np.dot(unit[i], unit[j]))
+            if c >= 0.90:
+                rows.append((int(all_ids[i]), int(all_ids[j]),
+                             float(np.round(np.float64(c), 4))))
+    rows.sort()
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "cos_r": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def golden_harvest_manifests(sf_dir: str) -> pa.Table:
+    """Expected harvest partition set, derived from INPUT fragments
+    only: one partition per stac_items shard carrying that shard's row
+    count (translate is 1:1 per item) plus the root+collections
+    small-sides partition — independent of the engine's translate /
+    sink / resume machinery.  ``partition_id`` is the shared pure id
+    definition (the pd.util.hash_array pattern: the helper IS the
+    spec)."""
+    import glob as _glob
+
+    from .sources import fixtures
+    from .state.manifest import partition_id
+    p = fixtures.paths(sf_dir)
+    rows = []
+    for frag in sorted(_glob.glob(os.path.join(p["stac_items"],
+                                               "*.parquet"))):
+        rows.append((partition_id(frag),
+                     pq.ParquetFile(frag).metadata.num_rows))
+    ncoll = pq.ParquetFile(p["collections"]).metadata.num_rows
+    rows.append(("smallsides-" + partition_id("root+collections"), ncoll))
+    rows.sort()
+    return pa.table({
+        "partition_id": pa.array([r[0] for r in rows], pa.string()),
+        "rows": pa.array([r[1] for r in rows], pa.int64())})
+
+
 # --------------------------------------------------------- geocore golden
 
 def golden_geocore_assemble(sf_dir: str) -> pa.Table:
@@ -400,6 +461,8 @@ GOLDENS = {
     "tile_phash_stats": golden_tile_phash_stats,
     "video_frame_sample": golden_video_frames,
     "audio_features": golden_audio_features,
+    "harvest_manifests": golden_harvest_manifests,
+    "embedding_neardup_lsh": golden_embedding_neardup,
 }
 
 

@@ -1594,28 +1594,66 @@ def doc_fingerprints(sf_dir: str):
 
 
 def embedding_neardup_lsh(sf_dir: str):
-    """LSH-bucketed embedding near-dup (the sub-quadratic scale path;
-    rows-only — may legitimately miss cross-bucket pairs)."""
-    import ray.data as rd
+    """Multi-table LSH embedding near-dup at the threshold LSH is built
+    for (cos >= 0.90) — the sub-quadratic scale path of the dedup
+    family.
+
+    The fixture embeddings have no high-cosine pairs (max background
+    cos ~0.51), so the corpus is AUGMENTED in-pipeline with
+    deterministically planted near-duplicates (every 5th vec_id,
+    seeded unit perturbation, cos >= 0.99 — stages/dedup.planted_near_dups,
+    the shared construction spec).  At theta ~= 0.05 rad each 8-plane
+    table collides a planted pair with p ~= 0.88, so 8 tables miss with
+    p ~= 5e-8 — recall is deterministically 1 on the fixed-seed fixture,
+    and the in-bucket exact-cosine confirmation (threshold 0.90) kills
+    every false positive.  Golden-checked against an independent
+    O(n^2) scalar pair scan over the same augmented corpus
+    (goldens.golden_embedding_neardup).
+
+    Scale shape: 8 tables x 256 buckets; vectors shuffle once on
+    (table_id, bucket); in-bucket work is |bucket|^2 with buckets
+    ~n/256 per table — never an all-pairs sweep.  (A cos-0.4 "weakly
+    similar" target is NOT LSH-recoverable sub-quadratically; that
+    regime is embedding_neardup_exact's block-matmul scan.)"""
     import pyarrow.parquet as pq
-    from .stages.dedup import EmbeddingLSH, cosine_pairs_in_group
+    from .stages.ann import _as_matrix
+    from .stages.dedup import (EmbeddingLSH, cosine_pairs_in_group,
+                               planted_near_dups)
     # vector dim from ONE row (round 1 read the whole embedding column)
     dim = len(next(pq.ParquetFile(_t(sf_dir, "embeddings"))
                    .iter_batches(batch_size=1, columns=["embedding"]))
               .column(0)[0])
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    bucketed = ds.map_batches(
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        dup_ids, dup_mat = planted_near_dups(ids, mat)
+        all_ids = np.concatenate([ids, dup_ids])
+        all_mat = np.concatenate([mat, dup_mat])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(all_mat.ravel(), pa.float64()), dim)
+        return pa.table({"vec_id": pa.array(all_ids, pa.int64()),
+                         "embedding": emb})
+
+    augmented = ds.map_batches(plant, batch_format="pyarrow")
+    bucketed = augmented.map_batches(
         EmbeddingLSH, fn_constructor_args=(dim,),
-        fn_constructor_kwargs={"n_planes": 4, "n_tables": 8},
+        fn_constructor_kwargs={"n_planes": 8, "n_tables": 8},
         batch_format="pyarrow", concurrency=_auto())
     pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
-        lambda g: cosine_pairs_in_group(g, threshold=0.40),
+        lambda g: cosine_pairs_in_group(g, threshold=0.90),
         batch_format="pandas")
 
     # pair may surface in many tables: fold duplicates via aggregate
     from ray.data.aggregate import Max
     agg = pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
-    return agg
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(batch["a"], pa.int64()),
+                         "b": pc.cast(batch["b"], pa.int64()),
+                         "cos_r": pc.round(batch["cos"], 4)})
+    return agg.map_batches(flat, batch_format="pyarrow")
 
 
 
@@ -1639,7 +1677,13 @@ def geocore_assemble(sf_dir: str):
 
 def harvest_manifests(sf_dir: str):
     """Resumable manifest-sinked harvest; returns per-partition lineage
-    rows (stable partition ids + checksums; rows-only)."""
+    rows (stable partition ids + row counts).
+
+    Golden-checked (goldens.golden_harvest_manifests derives the
+    expected partition set + counts straight from the input fragments);
+    checksum parity is covered by the byte-identical kill/resume tests
+    (tests/test_manifest.py), not this row — content hashes replayed
+    through a second harvest would only re-run the same code path."""
     import shutil
     import tempfile
     from .pipelines.geocore_harvest import run_harvest
@@ -1647,8 +1691,7 @@ def harvest_manifests(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="stgr_harvest_")
     try:
         run_harvest(sf_dir, out_dir)
-        rows = [{"partition_id": pid, "rows": m["rows"],
-                 "checksum": m["checksum"]}
+        rows = [{"partition_id": pid, "rows": m["rows"]}
                 for pid, m in sorted(ManifestSink(out_dir).completed().items())]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

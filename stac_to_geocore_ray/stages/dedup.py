@@ -322,6 +322,31 @@ class EmbeddingLSH:
         return pa.concat_tables(parts)
 
 
+def planted_near_dups(ids: np.ndarray, mat: np.ndarray, *, every: int = 5,
+                      eps: float = 0.05, id_offset: int = 1_000_000):
+    """Deterministic near-duplicate copies of every ``every``-th vector:
+    dup = v + eps*|v|*unit_noise, cos(v, dup) ~= 1/sqrt(1+eps^2) >= 0.99.
+
+    Noise is seeded PER vec_id (RandomState(vec_id)) so the construction
+    is order- and partitioning-independent — any batch slicing yields
+    identical dups.  This is the shared fixture-construction spec for
+    embedding_neardup_lsh and its golden (the partition_id pattern: the
+    helper IS the definition, the pair SCAN is what each side computes
+    independently).  The per-row RandomState loop is fixture code, not
+    an engine hot path."""
+    sel = ids % every == 0
+    sids = ids[sel]
+    m = mat[sel]
+    if len(sids) == 0:
+        return sids + id_offset, m
+    noise = np.stack([np.random.RandomState(int(i) & 0x7FFFFFFF)
+                      .normal(size=m.shape[1]) for i in sids])
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return sids + id_offset, m + eps * norm * noise
+
+
 def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95) -> pd.DataFrame:
