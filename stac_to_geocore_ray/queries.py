@@ -331,51 +331,60 @@ GROUP BY 1, 2
 def events_sessionize(sf_dir: str):
     """Per-user sessionization (30-min gap) — the stream-shaped op.
 
-    Sort-based, fully vectorized (round-2 rewrite of the round-1
-    per-user ``map_groups``, which made one Python call per user):
+    Sort-based, fully vectorized, with a BOUNDARY-ONLY fold (round-3
+    rewrite of the round-2 ``repartition(1)`` full fold, which put
+    every user's partial in one task):
 
     1. distributed sort on (user_id, ts);
-    2. one ``map_batches`` per BLOCK computes per-user-segment partials
-       with numpy diff/segment ops — (user, first_ts, last_ts,
-       n_sessions, n_events), at most one partial per user per block;
-    3. the partial fold is the SAME vectorized segment kernel over the
-       (block x user)-sized partial table, merging adjacent partials
-       whose boundary gap is <= 30 min.  At larger scale the fold
-       nests hierarchically (partials are re-foldable by construction).
+    2. one ``map_batches`` per BLOCK computes per-user partials with
+       numpy diff/segment ops.  Because the sort makes each user a
+       contiguous run, only a block's FIRST and LAST user can straddle
+       block boundaries — every interior user FINALIZES inside its
+       block (marked ``final``) and streams straight to the output;
+    3. only boundary partials (<= 2 per block, independent of #users)
+       reach the small single-task fold — the same vectorized
+       adjacent-merge kernel.  At 1e8 users the fold input is
+       2 x #blocks rows, not 1e8.
     """
+    import pandas as pd
+
     import ray.data as rd
     ds = _meta_read(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     GAP_US = 30 * 60 * 1_000_000
+    _EMPTY = {"user_id": pd.Series([], dtype=object),
+              "first_ts": pd.Series([], dtype="int64"),
+              "last_ts": pd.Series([], dtype="int64"),
+              "n_sessions": pd.Series([], dtype="int64"),
+              "n_events": pd.Series([], dtype="int64"),
+              "final": pd.Series([], dtype=bool)}
 
     def block_partials(g):
-        import pandas as pd
         if len(g) == 0:
-            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
-                                 "first_ts": pd.Series([], dtype="int64"),
-                                 "last_ts": pd.Series([], dtype="int64"),
-                                 "n_sessions": pd.Series([], dtype="int64"),
-                                 "n_events": pd.Series([], dtype="int64")})
+            return pd.DataFrame(_EMPTY)
         uid = g.user_id.to_numpy()
         ts = g.ts.to_numpy("datetime64[us]").astype("int64")
         new_user = np.empty(len(g), dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
-        seg = np.cumsum(new_user) - 1                  # user-segment index
         gap = np.zeros(len(g), dtype=np.int64)
         gap[1:] = ((ts[1:] - ts[:-1] > GAP_US) & ~new_user[1:]).astype(np.int64)
         starts = np.flatnonzero(new_user)
         ends = np.append(starts[1:], len(g)) - 1
         sess_per_seg = np.add.reduceat(gap, starts) + 1
+        users = uid[starts]
+        # sorted input: a user is contiguous, so only the block's first
+        # and last users can continue into neighbouring blocks
+        final = (users != users[0]) & (users != users[-1])
         return pd.DataFrame({
-            "user_id": uid[starts],
+            "user_id": users,
             "first_ts": ts[starts],
             "last_ts": ts[ends],
             "n_sessions": sess_per_seg.astype("int64"),
-            "n_events": (ends - starts + 1).astype("int64")})
+            "n_events": (ends - starts + 1).astype("int64"),
+            "final": final})
 
     def fold(g):
-        import pandas as pd
         g = g.sort_values(["user_id", "first_ts"]).reset_index(drop=True)
         if len(g) == 0:
             return pd.DataFrame({"user_id": pd.Series([], dtype=object),
@@ -394,9 +403,25 @@ def events_sessionize(sf_dir: str):
                  n_events=("n_events", "sum")).reset_index()
         return out
 
+    # materialize the partials once (aggregate-sized: ~1 row per
+    # (block, user-run) — orders of magnitude under the event count)
+    # so the two consumers below don't re-run the sort
     partials = ds.sort(["user_id", "ts"]) \
-        .map_batches(block_partials, batch_format="pandas")
-    return partials.repartition(1).map_batches(fold, batch_format="pandas")
+        .map_batches(block_partials, batch_format="pandas").materialize()
+
+    def take_final(g):
+        return g.loc[g["final"], ["user_id", "n_sessions", "n_events"]]
+
+    def take_boundary(g):
+        return g.loc[~g["final"],
+                     ["user_id", "first_ts", "last_ts",
+                      "n_sessions", "n_events"]]
+
+    finals = partials.map_batches(take_final, batch_format="pandas")
+    boundary_folded = partials \
+        .map_batches(take_boundary, batch_format="pandas") \
+        .repartition(1).map_batches(fold, batch_format="pandas")
+    return finals.union(boundary_folded)
 
 
 EVENTS_SESSIONIZE_SQL = """
