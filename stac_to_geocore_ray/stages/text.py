@@ -62,26 +62,36 @@ class TextQuality:
 
 
 class LangId:
-    """Trigram-profile language guess -> lang_pred + lang_conf columns."""
+    """Trigram-profile language guess -> lang_pred + lang_conf columns.
+
+    Vectorized (round 3): one ``str.contains(trigram)`` pass per
+    (lang, trigram) — 32 vectorized sweeps building an (n_docs x
+    n_langs) hit matrix, then an argmax with first-lang-wins ties
+    (identical to the round-2 per-doc set intersection, pinned by the
+    langid_accuracy golden).  The (lang, trigram) pair list builds once
+    per actor."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {lang: set(tris) for lang, tris in _PROFILES.items()}
-
-    def _score(self, text: str) -> tuple[str, float]:
-        t = (text or "").lower()
-        tris = {t[i:i + 3] for i in range(max(0, len(t) - 2))}
-        best, best_hits = "unknown", 0
-        for lang, prof in self.profiles.items():
-            hits = len(tris & prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best, best_hits / 8.0
+        self.langs = list(_PROFILES)
+        # only length-3 entries can ever sit in a 3-char window — the
+        # round-2 set intersection silently never matched the 4-char
+        # "ción" in the es profile, and the golden pins that quirk
+        self.pairs = [(li, tri) for li, lang in enumerate(self.langs)
+                      for tri in dict.fromkeys(_PROFILES[lang])
+                      if len(tri) == 3]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        res = batch[self.text_col].map(self._score)
-        batch["lang_pred"] = res.str[0]
-        batch["lang_conf"] = res.str[1]
+        t = batch[self.text_col].fillna("").str.lower()
+        hits = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for li, tri in self.pairs:
+            hits[:, li] += t.str.contains(tri, regex=False).to_numpy()
+        best = hits.argmax(axis=1)               # first max wins, like the
+        best_hits = hits[np.arange(len(batch)), best]   # dict-order loop
+        langs = np.asarray(self.langs, dtype=object)
+        pred = np.where(best_hits > 0, langs[best], "unknown")
+        batch["lang_pred"] = pred
+        batch["lang_conf"] = best_hits / 8.0
         return batch
 
 
@@ -92,6 +102,8 @@ class Fingerprinter:
         self.text_col = text_col
         self.base = np.uint64(base)
 
+    _OFF = np.uint64(1469598103934665603)
+
     def fingerprint(self, text: str) -> int:
         data = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
         n = len(data)
@@ -101,11 +113,43 @@ class Fingerprinter:
         # per-byte Horner loop, vectorized (uint64 wraparound is the mod)
         with np.errstate(over="ignore"):
             powers = np.power(self.base, np.arange(n, dtype=np.uint64)[::-1])
-            h = (np.uint64(1469598103934665603)
-                 * np.power(self.base, np.uint64(n))
+            h = (self._OFF * np.power(self.base, np.uint64(n))
                  + np.sum(data.astype(np.uint64) * powers, dtype=np.uint64))
         return int(h.astype(np.int64))
 
+    def _fingerprint_block(self, texts: list) -> np.ndarray:
+        """One padded-matrix Horner pass over a block of docs: bytes
+        LEFT-align to a shared power axis (column j carries
+        base^(max_len-1-j)), so each row's sum is its own polynomial;
+        the offset term adds via a base^len lookup.  uint64 wraparound
+        is the mod; per-doc work is one row assignment, not a per-byte
+        loop."""
+        bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        m = int(lens.max()) if len(lens) else 0
+        if m == 0:
+            return np.zeros(len(bufs), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            # pow_tab[k] = base^k (mod 2^64), k in [0, m]
+            pow_tab = np.ones(m + 1, dtype=np.uint64)
+            np.multiply.accumulate(np.full(m, self.base, dtype=np.uint64),
+                                   out=pow_tab[1:])
+            M = np.zeros((len(bufs), m), dtype=np.uint64)
+            for i, b in enumerate(bufs):            # one slice per doc
+                if b:
+                    M[i, m - len(b):] = np.frombuffer(b, dtype=np.uint8)
+            h = (M * pow_tab[:m][::-1]).sum(axis=1, dtype=np.uint64)
+            h += self._OFF * pow_tab[lens]
+        h[lens == 0] = 0
+        return h.view(np.int64)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = batch[self.text_col].map(self.fingerprint).astype("int64")
+        texts = batch[self.text_col].tolist()
+        # chunk so rows x max_len stays ~8M u64 cells (64 MB) even with
+        # one pathological long doc in the batch
+        out = np.empty(len(texts), dtype=np.int64)
+        step = 256
+        for s in range(0, len(texts), step):
+            out[s:s + step] = self._fingerprint_block(texts[s:s + step])
+        batch["fingerprint"] = out
         return batch
