@@ -76,7 +76,8 @@ def read_shard(path: str, columns: list[str] | None = None) -> pa.Table:
     return pq.read_table(local, columns=columns, filesystem=f)
 
 
-def write_shard(tbl: pa.Table, path: str, **parquet_kwargs) -> None:
+def write_shard(tbl: pa.Table, path: str, filesystem=None,
+                **parquet_kwargs) -> None:
     # atomic-rename writers pass "<final>.tmp"; dispatch on the final name
     fmt_key = path[:-4] if path.endswith(".tmp") else path
     if fmt_key.endswith(".lance"):
@@ -85,7 +86,7 @@ def write_shard(tbl: pa.Table, path: str, **parquet_kwargs) -> None:
                 "lance is not importable in this environment")
         lance.write_dataset(tbl, path, mode="overwrite")
         return
-    pq.write_table(tbl, path, **parquet_kwargs)
+    pq.write_table(tbl, path, filesystem=filesystem, **parquet_kwargs)
 
 
 def read_ray_dataset(table_path: str, *, columns=None, **kwargs):

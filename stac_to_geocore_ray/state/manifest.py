@@ -3,16 +3,33 @@
 The reference appends every output filename to a single lastRun.txt
 and deletes the whole previous harvest at the start of the next run
 (S8/S9/J2: app.py:69,164; s3_operations.py:31-43) — crash mid-run and
-everything re-runs.  Here each output partition is written atomically
-(temp file + rename) together with a JSON manifest row carrying its
-lineage: partition id, input fragment ids, row count, checksum, wall
-time.  Resume = anti-join of planned partitions against completed
-manifests (the J2 anti-lookup, inverted to *skip* finished work), so a
-killed run re-does only missing partitions and the final output is
-byte-identical (SURVEY.md §5.2 #5-#6).
+everything re-runs.  Here each output partition is written together
+with a JSON manifest row carrying its lineage: partition id, input
+fragment ids, row count, checksum, wall time.  Resume = anti-join of
+planned partitions against completed manifests (the J2 anti-lookup,
+inverted to *skip* finished work), so a killed run re-does only
+missing partitions and the final output is byte-identical
+(SURVEY.md §5.2 #5-#6).
 
 Partition ids derive from INPUT fragment paths, not task ids, so they
 are stable across cluster sizes and retries (SURVEY.md §7.4).
+
+Filesystem protocol (round 3): all I/O goes through ``pyarrow.fs`` so
+the sink runs unchanged against local disk or an object store.  Two
+commit protocols, selected by the filesystem's capabilities:
+
+- **Local disk**: temp file + ``os.replace`` rename — atomic on one
+  filesystem, guards against partial writes of both data and manifest.
+- **Object store (no atomic rename — S3 etc.)**: WRITE-THEN-MARKER.
+  The data object is PUT under its final name directly (object-store
+  PUTs are all-or-nothing: the object is either fully visible or
+  absent, there are no partial objects to guard against), and the
+  manifest marker is PUT last.  Completion is defined by manifest
+  presence — exactly the invariant the local protocol provides — so a
+  crash between the two leaves an orphan data object that
+  ``clean_orphans`` removes and resume re-does.  No rename is ever
+  issued on a non-local filesystem (tests/test_manifest.py asserts
+  ``os.replace`` is never touched on that path).
 """
 
 from __future__ import annotations
@@ -20,6 +37,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import posixpath
 import time
 
 import pyarrow as pa
@@ -44,33 +62,62 @@ def table_checksum(tbl: pa.Table) -> str:
     return h.hexdigest()[:16]
 
 
+def _is_local(fs) -> bool:
+    from pyarrow.fs import LocalFileSystem
+    return isinstance(fs, LocalFileSystem)
+
+
 class ManifestSink:
-    """Resumable partitioned parquet sink.
+    """Resumable partitioned parquet sink over any ``pyarrow.fs``.
 
     write_partition() is idempotent: a partition whose manifest exists
     is skipped (and its prior stats returned).  Files land as
-    ``part-<pid>.parquet`` via temp+rename; manifests as
-    ``_manifest/<pid>.json`` written last, so a crash between the two
-    re-does the partition (rename overwrite keeps output consistent).
+    ``part-<pid>.parquet``; manifests as ``_manifest/<pid>.json``
+    written LAST, so a crash between the two re-does the partition.
+    On local disk both writes are temp+rename; on object stores both
+    are direct single PUTs (see module docstring).
+
+    ``out_dir`` may be a plain path, a ``file://`` URI, or an
+    ``s3://bucket/prefix`` URI; alternatively pass an explicit
+    ``filesystem`` + fs-local path (how the tests exercise the
+    object-store protocol via a SubTreeFileSystem).
     """
 
-    def __init__(self, out_dir: str):
-        self.out_dir = out_dir
-        self.mdir = os.path.join(out_dir, "_manifest")
-        os.makedirs(self.mdir, exist_ok=True)
+    def __init__(self, out_dir: str, filesystem=None):
+        from ..sources.lance_io import resolve_fs
+        if filesystem is None:
+            self.fs, self.root = resolve_fs(out_dir)
+        else:
+            self.fs, self.root = filesystem, out_dir
+        self.local = _is_local(self.fs)
+        self.out_dir = out_dir                # original spelling, for repr
+        self.mdir = posixpath.join(self.root, "_manifest")
+        self.fs.create_dir(self.mdir, recursive=True)
 
     def manifest_path(self, pid: str) -> str:
-        return os.path.join(self.mdir, f"{pid}.json")
+        return posixpath.join(self.mdir, f"{pid}.json")
+
+    def _exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+        return self.fs.get_file_info(path).type != FileType.NotFound
+
+    def _read_json(self, path: str) -> dict:
+        with self.fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
 
     def is_done(self, pid: str) -> bool:
-        return os.path.exists(self.manifest_path(pid))
+        return self._exists(self.manifest_path(pid))
+
+    def _listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector
+        infos = self.fs.get_file_info(FileSelector(path, recursive=False))
+        return [i.path for i in infos]
 
     def completed(self) -> dict[str, dict]:
         out = {}
-        for name in os.listdir(self.mdir):
-            if name.endswith(".json"):
-                with open(os.path.join(self.mdir, name)) as f:
-                    m = json.load(f)
+        for path in self._listdir(self.mdir):
+            if path.endswith(".json"):
+                m = self._read_json(path)
                 out[m["partition_id"]] = m
         return out
 
@@ -82,14 +129,17 @@ class ManifestSink:
     def write_partition(self, pid: str, tbl: pa.Table,
                         inputs: list[str] | None = None) -> dict:
         if self.is_done(pid):
-            with open(self.manifest_path(pid)) as f:
-                return json.load(f)
+            return self._read_json(self.manifest_path(pid))
         t0 = time.time()
         from ..sources import lance_io
-        final = os.path.join(self.out_dir, f"part-{pid}{lance_io.shard_ext()}")
-        tmp = final + ".tmp"
-        lance_io.write_shard(tbl, tmp)       # parquet here; Lance when importable
-        os.replace(tmp, final)               # atomic on one filesystem
+        final = posixpath.join(self.root, f"part-{pid}{lance_io.shard_ext()}")
+        if self.local:
+            tmp = final + ".tmp"
+            lance_io.write_shard(tbl, tmp)   # parquet here; Lance when importable
+            os.replace(tmp, final)           # atomic on one filesystem
+        else:
+            # object store: single PUT, all-or-nothing by store contract
+            lance_io.write_shard(tbl, final, filesystem=self.fs)
         manifest = {
             "partition_id": pid,
             "path": final,
@@ -98,10 +148,16 @@ class ManifestSink:
             "checksum": table_checksum(tbl),
             "wall_sec": round(time.time() - t0, 4),
         }
-        mtmp = self.manifest_path(pid) + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, self.manifest_path(pid))
+        payload = json.dumps(manifest).encode()
+        mpath = self.manifest_path(pid)
+        if self.local:
+            mtmp = mpath + ".tmp"
+            with open(mtmp, "wb") as f:
+                f.write(payload)
+            os.replace(mtmp, mpath)
+        else:
+            with self.fs.open_output_stream(mpath) as f:   # marker PUT, last
+                f.write(payload)
         return manifest
 
     def orphans(self) -> list[str]:
@@ -110,13 +166,14 @@ class ManifestSink:
         ext = lance_io.shard_ext()
         done = {f"part-{pid}{ext}" for pid in self.completed()}
         out = []
-        for name in os.listdir(self.out_dir):
+        for path in self._listdir(self.root):
+            name = posixpath.basename(path)
             if name.endswith(ext) and name not in done:
-                out.append(os.path.join(self.out_dir, name))
+                out.append(path)
         return out
 
     def clean_orphans(self) -> int:
         orphans = self.orphans()
         for path in orphans:
-            os.remove(path)
+            self.fs.delete_file(path)
         return len(orphans)

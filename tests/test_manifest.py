@@ -100,3 +100,80 @@ def test_flagship_output_readback(ray_session, tmp_path):
     total = sum(pq.read_metadata(f).num_rows for f in files)
     live = tile_pipeline(sf, with_phash=False, concurrency=2).count()
     assert total == res["rows"] == live
+
+
+class TestObjectStoreProtocol:
+    """The sink on a NON-local pyarrow filesystem: write-then-marker,
+    no rename anywhere (S3 has none).  A SubTreeFileSystem stands in
+    for the object store — same pyarrow.fs API surface, and the test
+    poisons ``os.replace`` to prove the code path never needs it."""
+
+    @pytest.fixture
+    def ofs_sink(self, tmp_path, monkeypatch):
+        from pyarrow import fs as pafs
+        root = tmp_path / "bucket"
+        root.mkdir()
+        fs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+
+        def _no_rename(*a, **k):
+            raise AssertionError(
+                "os.replace called on the object-store sink path")
+        monkeypatch.setattr(os, "replace", _no_rename)
+        sink = ManifestSink("harvest/out", filesystem=fs)
+        assert not sink.local
+        return sink, root
+
+    def test_write_read_idempotent_no_rename(self, ofs_sink):
+        sink, root = ofs_sink
+        m1 = sink.write_partition("p1", _tbl(), inputs=["frag0"])
+        assert sink.is_done("p1")
+        m2 = sink.write_partition("p1", _tbl(99))   # skipped: manifest wins
+        assert m2["checksum"] == m1["checksum"] and m2["rows"] == 5
+        got = sink.completed()
+        assert set(got) == {"p1"} and got["p1"]["inputs"] == ["frag0"]
+        # the data object is a readable parquet under the final name
+        import pyarrow.parquet as pq
+        t = pq.read_table(root / "harvest" / "out" / "part-p1.parquet")
+        assert t.num_rows == 5
+
+    def test_plan_and_orphan_cleanup(self, ofs_sink):
+        sink, root = ofs_sink
+        frags = ["in/f0.parquet", "in/f1.parquet"]
+        todo = sink.plan(frags)
+        assert len(todo) == 2
+        sink.write_partition(todo[0][1], _tbl(), inputs=[todo[0][0]])
+        assert len(sink.plan(frags)) == 1
+        # crashed PUT: data object exists, marker absent -> orphan
+        (root / "harvest" / "out" / "part-crashed.parquet").write_bytes(b"xx")
+        assert sink.clean_orphans() == 1
+        assert sink.is_done(todo[0][1])
+
+    def test_resume_after_kill_matches_local(self, tmp_path, monkeypatch):
+        """Partial object-store run resumed -> same manifests as a
+        local-disk run of the same partitions."""
+        from pyarrow import fs as pafs
+        root = tmp_path / "bucket"
+        root.mkdir()
+        fs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+        parts = [(f"frag{i}", _tbl(i + 3)) for i in range(4)]
+
+        s1 = ManifestSink("out", filesystem=fs)
+        monkeypatch.setattr(os, "replace", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("rename on object store")))
+        for frag, t in parts[:2]:                       # "crash" after 2
+            s1.write_partition(partition_id(frag), t, inputs=[frag])
+        s2 = ManifestSink("out", filesystem=fs)         # resume
+        todo = s2.plan([f for f, _ in parts])
+        assert [f for f, _ in todo] == ["frag2", "frag3"]
+        for frag, t in parts[2:]:
+            s2.write_partition(partition_id(frag), t, inputs=[frag])
+        monkeypatch.undo()
+
+        local = ManifestSink(str(tmp_path / "local"))
+        for frag, t in parts:
+            local.write_partition(partition_id(frag), t, inputs=[frag])
+        a, b = s2.completed(), local.completed()
+        assert set(a) == set(b)
+        for pid in a:
+            assert a[pid]["checksum"] == b[pid]["checksum"]
+            assert a[pid]["rows"] == b[pid]["rows"]
