@@ -331,13 +331,19 @@ def flagship(sf_dir: str, *, concurrency: int | None = None,
 
 def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
                             fail_after: int | None = None,
-                            with_phash: bool = False) -> dict:
+                            with_phash: bool = False,
+                            on_error: str = "quarantine") -> dict:
     """Resumable flagship tile run: one output partition per input shard.
 
     The full write path of the north rule: partition ids derive from
     the input fragment index (stable across cluster sizes), each task
     co-reads its shard, decodes + tiles, and writes atomically via the
     manifest sink; ``resume`` skips completed partitions (anti-join).
+
+    ``on_error="quarantine"`` (default): an undecodable image does NOT
+    fail its partition — it lands in ``_quarantine/<pid>.parquet`` and
+    the manifest's ``quarantined`` count; ``"raise"`` restores the
+    all-or-nothing round-2 behavior.
     """
     import glob as _glob
 
@@ -358,10 +364,11 @@ def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
     @ray.remote(num_cpus=1)
     def do_shard(frag: str, pid: str, shard_idx: int) -> dict:
         coread = AlignedCoRead(images_dir, items_dir, ())
-        tiler = Tiler(with_phash=with_phash)
+        tiler = Tiler(with_phash=with_phash, on_error=on_error)
         merged = coread({"shard": [shard_idx]})
         tiles = tiler(merged)
-        return ManifestSink(out_dir).write_partition(pid, tiles, inputs=[frag])
+        return ManifestSink(out_dir).write_partition(
+            pid, tiles, inputs=[frag], quarantined=tiler.take_quarantine())
 
     from ..stages.util import windowed_get
     idx_of = {f: i for i, f in enumerate(frags)}
@@ -370,4 +377,6 @@ def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
     return {"partitions_written": len(results),
             "partitions_total": len(frags),
             "completed": len(done),
-            "rows": sum(m["rows"] for m in done.values())}
+            "rows": sum(m["rows"] for m in done.values()),
+            "quarantined": sum(m.get("quarantined", 0)
+                               for m in done.values())}

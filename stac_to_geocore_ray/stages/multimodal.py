@@ -72,10 +72,18 @@ class FrameSampler:
     """
 
     def __init__(self, stride: int = 2, with_phash: bool = True,
-                 phash_chunk: int = 1024):
+                 phash_chunk: int = 1024, on_error: str = "raise"):
+        """``on_error="dead-letter"``: an undecodable video emits ONE
+        row with null stats and a ``decode_error`` string instead of
+        failing the partition — the streaming dead-letter shape
+        (downstream ``filter(decode_error is null)`` splits clean rows
+        from the quarantine stream); good rows carry a null error.
+        Default "raise" keeps the strict schema without the column."""
+        assert on_error in ("raise", "dead-letter")
         self.stride = stride
         self.with_phash = with_phash
         self.phash_chunk = phash_chunk
+        self.on_error = on_error
         fi._dct_matrix()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -84,22 +92,37 @@ class FrameSampler:
         bufs = batch["bytes"].to_pylist()
         out = {"video_id": [], "frame_index": [], "w": [], "h": [],
                "mean_intensity": []}
+        errs: list = []
         acc = _PhashAccum(self.phash_chunk) if self.with_phash else None
+        phash_pos: list[int] = []             # output row of each good frame
         total = 0
         for vid, buf in zip(ids, bufs):
-            for idx, arr in decode_video(buf, self.stride):
+            try:
+                for idx, arr in decode_video(buf, self.stride):
+                    out["video_id"].append(vid)
+                    out["frame_index"].append(idx)
+                    out["w"].append(arr.shape[1])
+                    out["h"].append(arr.shape[0])
+                    # gray = channel mean, exactly phash's internal
+                    # plane; its mean equals arr.mean() in float64
+                    gray = (arr.mean(axis=2) if arr.ndim == 3
+                            else arr.astype(np.float64))
+                    out["mean_intensity"].append(float(gray.mean()))
+                    errs.append(None)
+                    if acc is not None:
+                        acc.add(gray.shape, gray[None, :, :],
+                                np.array([len(phash_pos)], dtype=np.int64))
+                        phash_pos.append(total)
+                    total += 1
+            except Exception as exc:
+                if self.on_error != "dead-letter":
+                    raise
                 out["video_id"].append(vid)
-                out["frame_index"].append(idx)
-                out["w"].append(arr.shape[1])
-                out["h"].append(arr.shape[0])
-                # gray = channel mean, exactly phash's internal plane;
-                # its mean equals arr.mean() in float64
-                gray = (arr.mean(axis=2) if arr.ndim == 3
-                        else arr.astype(np.float64))
-                out["mean_intensity"].append(float(gray.mean()))
-                if acc is not None:
-                    acc.add(gray.shape, gray[None, :, :],
-                            np.array([total], dtype=np.int64))
+                out["frame_index"].append(None)
+                out["w"].append(None)
+                out["h"].append(None)
+                out["mean_intensity"].append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
                 total += 1
         tbl = {
             "video_id": pa.array(out["video_id"], pa.string()),
@@ -109,7 +132,19 @@ class FrameSampler:
             "mean_intensity": pa.array(out["mean_intensity"], pa.float64()),
         }
         if acc is not None:
-            tbl["frame_phash"] = pa.array(acc.finish(total), pa.int64())
+            hashes = acc.finish(len(phash_pos))
+            if len(phash_pos) == total:       # no dead letters: dense
+                tbl["frame_phash"] = pa.array(hashes, pa.int64())
+            else:                             # scatter around null rows
+                vals = np.zeros(total, dtype=np.int64)
+                mask = np.zeros(total, dtype=bool)
+                pos = np.asarray(phash_pos, dtype=np.int64)
+                vals[pos] = hashes
+                mask[pos] = True
+                tbl["frame_phash"] = pa.array(vals, pa.int64(),
+                                              mask=~mask)
+        if self.on_error == "dead-letter":
+            tbl["decode_error"] = pa.array(errs, pa.string())
         return pa.table(tbl)
 
 
@@ -177,7 +212,10 @@ class AudioFeatures:
         ("embedding", pa.list_(pa.float32(), 8)),
     ])
 
-    def __init__(self, frame: int = 256, n_bands: int = 8):
+    def __init__(self, frame: int = 256, n_bands: int = 8,
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "dead-letter")
+        self.on_error = on_error              # "dead-letter": see FrameSampler
         self.frame = frame
         self.n_bands = n_bands
         # band edges over rFFT bins (DC bin excluded), geometric-ish
@@ -211,18 +249,30 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
         bufs = batch["bytes"].to_pylist()
-        durs, rmss, zcs, embs = [], [], [], []
+        durs, rmss, zcs, embs, errs = [], [], [], [], []
         for buf in bufs:
-            rate, pcm = decode_audio_any(buf)
-            d, r, z, e = self._features(pcm, rate)
-            durs.append(d); rmss.append(r); zcs.append(z); embs.append(e)
-        return pa.table({
+            try:
+                rate, pcm = decode_audio_any(buf)
+                d, r, z, e = self._features(pcm, rate)
+            except Exception as exc:
+                if self.on_error != "dead-letter":
+                    raise
+                durs.append(None); rmss.append(None); zcs.append(None)
+                embs.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+                continue
+            durs.append(d); rmss.append(r); zcs.append(z)
+            embs.append(e.tolist())
+            errs.append(None)
+        tbl = {
             "clip_id": pa.array(ids, pa.string()),
             "duration_sec": pa.array(durs, pa.float64()),
             "rms": pa.array(rmss, pa.float64()),
             "zero_cross_rate": pa.array(zcs, pa.float64()),
-            "embedding": pa.array([e.tolist() for e in embs],
-                                  pa.list_(pa.float32(), 8))})
+            "embedding": pa.array(embs, pa.list_(pa.float32(), 8))}
+        if self.on_error == "dead-letter":
+            tbl["decode_error"] = pa.array(errs, pa.string())
+        return pa.table(tbl)
 
 
 def synth_clip(seed: int, rate: int = 16_000, seconds: float = 1.0) -> np.ndarray:

@@ -85,14 +85,31 @@ class Tiler:
     def __init__(self, tile: int = TILE, hex_res: int = 9,
                  prefix_res: int = 4, with_phash: bool = True,
                  passthrough: tuple[str, ...] = (),
-                 phash_chunk: int = 1024):
+                 phash_chunk: int = 1024, on_error: str = "raise"):
+        """``on_error``: "raise" fails the partition on the first bad
+        record (round-2 behavior); "quarantine" skips undecodable
+        records, collecting (image_id, error) dead-letter rows
+        retrievable via ``take_quarantine()`` — at 1e12 rows poison
+        records are a certainty and "re-run the partition forever" is
+        not a policy (improves on the reference's SILENT skip at
+        s3_operations.py:110-112: every drop is counted + persisted)."""
+        assert on_error in ("raise", "quarantine")
         self.tile = tile
         self.hex_res = hex_res
         self.prefix_res = prefix_res
         self.with_phash = with_phash
         self.passthrough = passthrough       # input cols copied onto each tile row
         self.phash_chunk = phash_chunk
+        self.on_error = on_error
+        self._dead: list[tuple[str, str]] = []
         fi._dct_matrix()                     # warm the DCT table once per actor
+
+    def take_quarantine(self) -> pa.Table:
+        """Dead-letter rows accumulated since the last call (clears)."""
+        rows, self._dead = self._dead, []
+        return pa.table({
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "error": pa.array([r[1] for r in rows], pa.string())})
 
     def _grids(self, batch: pa.Table):
         """Decode headers only: per-image (w, h) -> tile-grid layout."""
@@ -119,7 +136,15 @@ class Tiler:
         acc = _PhashAccum(self.phash_chunk) if self.with_phash else None
         total = 0
         for i, buf in enumerate(bufs):
-            arr = fi.decode_any(buf)
+            try:
+                arr = fi.decode_any(buf)
+            except Exception as exc:
+                if self.on_error != "quarantine":
+                    raise
+                counts[i] = 0                 # poison record: no tiles
+                self._dead.append((str(batch["image_id"][i]),
+                                   f"{type(exc).__name__}: {exc}"))
+                continue
             h, w = arr.shape[0], arr.shape[1]
             ntx = (w + t - 1) // t
             nty = (h + t - 1) // t

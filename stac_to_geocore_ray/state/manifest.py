@@ -127,7 +127,13 @@ class ManifestSink:
                 for pid in [partition_id(frag)] if not self.is_done(pid)]
 
     def write_partition(self, pid: str, tbl: pa.Table,
-                        inputs: list[str] | None = None) -> dict:
+                        inputs: list[str] | None = None,
+                        quarantined: pa.Table | None = None) -> dict:
+        """``quarantined``: optional dead-letter table (poison records a
+        decode stage dropped); lands as ``_quarantine/<pid>.parquet``
+        BEFORE the manifest marker and its count rides in the manifest,
+        so no record ever disappears silently (the reference skips bad
+        uploads without a trace, s3_operations.py:110-112)."""
         if self.is_done(pid):
             return self._read_json(self.manifest_path(pid))
         t0 = time.time()
@@ -140,11 +146,23 @@ class ManifestSink:
         else:
             # object store: single PUT, all-or-nothing by store contract
             lance_io.write_shard(tbl, final, filesystem=self.fs)
+        n_quar = quarantined.num_rows if quarantined is not None else 0
+        if n_quar:
+            qdir = posixpath.join(self.root, "_quarantine")
+            self.fs.create_dir(qdir, recursive=True)
+            qpath = posixpath.join(qdir, f"{pid}.parquet")
+            if self.local:
+                qtmp = qpath + ".tmp"
+                lance_io.write_shard(quarantined, qtmp)
+                os.replace(qtmp, qpath)
+            else:
+                lance_io.write_shard(quarantined, qpath, filesystem=self.fs)
         manifest = {
             "partition_id": pid,
             "path": final,
             "inputs": inputs or [],
             "rows": tbl.num_rows,
+            "quarantined": n_quar,
             "checksum": table_checksum(tbl),
             "wall_sec": round(time.time() - t0, 4),
         }

@@ -177,3 +177,87 @@ class TestObjectStoreProtocol:
         for pid in a:
             assert a[pid]["checksum"] == b[pid]["checksum"]
             assert a[pid]["rows"] == b[pid]["rows"]
+
+
+class TestQuarantine:
+    """Poison-record policy: a corrupt binary row must not fail its
+    partition — it lands in _quarantine/<pid>.parquet + the manifest
+    count (the reference silently skips failed records,
+    s3_operations.py:110-112; here every drop is accounted)."""
+
+    def _image_batch(self, n=4, corrupt=2):
+        import numpy as np
+        from stac_to_geocore_ray.codecs import fakeimg as fi
+        rng = np.random.RandomState(7)
+        rows = {"image_id": [], "bytes": [], "bbox": []}
+        for i in range(n):
+            arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+            buf = fi.encode(arr, "png")
+            if i == corrupt:
+                buf = buf[:20] + b"\xff garbage \x00" + buf[28:]
+            rows["image_id"].append(f"img-{i:03d}")
+            rows["bytes"].append(buf)
+            rows["bbox"].append([-64.0 + i, 44.0, -63.0 + i, 45.0])
+        return pa.table(rows)
+
+    def test_tiler_quarantines_corrupt_row(self):
+        from stac_to_geocore_ray.stages.tiler import Tiler
+        batch = self._image_batch()
+        tiles = Tiler(with_phash=True, on_error="quarantine")(batch)
+        # raise-mode fails the whole partition on the same input
+        with pytest.raises(Exception):
+            Tiler(with_phash=False)(batch)
+        t = Tiler(with_phash=False, on_error="quarantine")
+        tiles = t(batch)
+        q = t.take_quarantine()
+        assert q.num_rows == 1
+        assert q["image_id"].to_pylist() == ["img-002"]
+        assert "img-002" not in set(tiles["image_id"].to_pylist())
+        assert len(set(tiles["image_id"].to_pylist())) == 3
+        assert t.take_quarantine().num_rows == 0        # cleared
+
+    def test_partition_completes_with_quarantine_manifest(self, tmp_path):
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.stages.tiler import Tiler
+        sink = ManifestSink(str(tmp_path / "out"))
+        t = Tiler(with_phash=False, on_error="quarantine")
+        tiles = t(self._image_batch())
+        m = sink.write_partition("shard0", tiles,
+                                 inputs=["frag0"],
+                                 quarantined=t.take_quarantine())
+        assert m["quarantined"] == 1 and m["rows"] == tiles.num_rows > 0
+        assert sink.is_done("shard0")
+        q = pq.read_table(str(tmp_path / "out" / "_quarantine" /
+                              "shard0.parquet"))
+        assert q["image_id"].to_pylist() == ["img-002"]
+        assert "ValueError" in q["error"].to_pylist()[0] or \
+            q["error"].to_pylist()[0]
+
+    def test_framesampler_dead_letter_row(self):
+        import numpy as np
+        from stac_to_geocore_ray.stages import multimodal as mm
+        frames = [np.full((32, 32, 3), 9, dtype=np.uint8)] * 4
+        good = mm.encode_video(frames)
+        batch = pa.table({"video_id": ["v0", "v1", "v2"],
+                          "bytes": [good, b"NOTAVIDEO", good]})
+        with pytest.raises(ValueError):
+            mm.FrameSampler(stride=2)(batch)
+        out = mm.FrameSampler(stride=2, on_error="dead-letter")(batch)
+        df = out.to_pandas()
+        bad = df[df.decode_error.notna()]
+        assert bad.video_id.tolist() == ["v1"]
+        assert bad.frame_index.isna().all()
+        ok = df[df.decode_error.isna()]
+        assert set(ok.video_id) == {"v0", "v2"} and len(ok) == 4
+        assert ok.frame_phash.notna().all()
+
+    def test_audiofeatures_dead_letter_row(self):
+        from stac_to_geocore_ray.stages import multimodal as mm
+        good = mm.encode_audio(mm.synth_clip(3, 16_000, 0.1))
+        batch = pa.table({"clip_id": ["a", "b"],
+                          "bytes": [good, b"\x00\x01bad"]})
+        with pytest.raises(Exception):
+            mm.AudioFeatures()(batch)
+        out = mm.AudioFeatures(on_error="dead-letter")(batch).to_pandas()
+        assert out[out.decode_error.notna()].clip_id.tolist() == ["b"]
+        assert out[out.decode_error.isna()].rms.notna().all()
