@@ -94,6 +94,33 @@ def file_fetcher(directory: str) -> Callable[[str], dict]:
     return fetch
 
 
+class _UrllibResponse:
+    def __init__(self, code: int, body: bytes):
+        self.status_code = code
+        self._body = body
+
+    def json(self) -> dict:
+        return json.loads(self._body.decode("utf-8"))
+
+
+class UrllibSession:
+    """Zero-dependency stdlib transport with the ``requests.Session``
+    surface ``http_fetcher`` needs (``.get(url, timeout)`` returning an
+    object with ``status_code`` / ``.json()``).  Picklable (stateless),
+    so ``read_pages`` can ship the fetcher to Ray tasks.  Used where
+    ``requests`` is absent; the live-HTTP integration test drives it
+    against a real local socket."""
+
+    def get(self, url: str, timeout: float = 30.0) -> _UrllibResponse:
+        import urllib.error
+        import urllib.request
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return _UrllibResponse(resp.status, resp.read())
+        except urllib.error.HTTPError as exc:      # 4xx/5xx carry a body
+            return _UrllibResponse(exc.code, exc.read())
+
+
 def http_fetcher(timeout: float = 30.0, retries: int = 3,
                  backoff: float = 1.5, session=None) -> Callable[[str], dict]:
     """HTTP transport (the reference's requests.get path, app.py:54,80,

@@ -306,3 +306,102 @@ class TestFsResolution:
         f, p = resolve_fs("s3://bucket/prefix/table")
         assert isinstance(f, pafs.S3FileSystem)
         assert p == "bucket/prefix/table"
+
+
+class TestLiveHttpHarvest:
+    """The full harvest transport over REAL sockets: a stdlib
+    http.server serves STAC pages; http_fetcher(UrllibSession) drives
+    walk_pages (next-link chain + returned-vs-matched validation) and
+    the parallel read_pages fan-out, including a flaky 500 endpoint
+    that must be retried and a 404 that must fail fast."""
+
+    @pytest.fixture
+    def server(self):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        hits: dict[str, int] = {}
+        n_pages, per_page = 4, 3
+
+        def page_body(p, matched=None, prefix="/search"):
+            matched = n_pages * per_page if matched is None else matched
+            return {
+                "context": {"returned": per_page, "matched": matched},
+                "features": [
+                    {"id": f"item-{p}-{i}", "collection": "c1",
+                     "bbox": [0, 0, 1, 1],
+                     "properties": {"datetime": "2021-01-01T00:00:00Z"}}
+                    for i in range(per_page)],
+                "links": ([{"rel": "next", "href": f"{prefix}/page-{p+1}"}]
+                          if p + 1 < n_pages else []),
+            }
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):       # quiet
+                pass
+
+            def do_GET(self):
+                hits[self.path] = hits.get(self.path, 0) + 1
+                if self.path.startswith("/search/page-"):
+                    p = int(self.path.rsplit("-", 1)[1])
+                    # page 1 is flaky: first hit 500, then healthy
+                    if p == 1 and hits[self.path] == 1:
+                        self.send_response(500)
+                        self.end_headers()
+                        self.wfile.write(b"transient")
+                        return
+                    body = json.dumps(page_body(p)).encode()
+                elif self.path.startswith("/badchain/page-"):
+                    p = int(self.path.rsplit("-", 1)[1])
+                    body = json.dumps(page_body(p, matched=999, prefix="/badchain")).encode()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    self.wfile.write(b'{"error": "no such collection"}')
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}", hits
+        srv.shutdown()
+
+    def _fetch(self):
+        return paged_api.http_fetcher(session=paged_api.UrllibSession(),
+                                      retries=3, backoff=1.0, timeout=5.0)
+
+    def test_walk_read_translate_over_sockets(self, ray_session, server):
+        base, hits = server
+        fetch = self._fetch()
+        urls = paged_api.walk_pages(f"{base}/search/page-0",
+                                    _abs_fetch(fetch, base))
+        assert len(urls) == 4
+        assert hits["/search/page-1"] == 2          # 500 then retried OK
+        ds = paged_api.read_pages(urls, _abs_fetch(fetch, base))
+        df = ds.to_pandas()
+        assert len(df) == 12 and df.item_id.is_unique
+        assert set(df.collection_id) == {"c1"}
+
+    def test_bad_url_fails_fast(self, server):
+        base, hits = server
+        with pytest.raises(RuntimeError, match="HTTP 404"):
+            self._fetch()(f"{base}/search-typo/page-0")
+        assert hits["/search-typo/page-0"] == 1     # no retry on 4xx
+
+    def test_validation_error_over_sockets(self, server):
+        base, _ = server
+        fetch = self._fetch()
+        with pytest.raises(paged_api.PageValidationError):
+            paged_api.walk_pages(f"{base}/badchain/page-0",
+                                 _abs_fetch(fetch, base))
+
+
+def _abs_fetch(fetch, base):
+    """next-links in pages are server-relative; absolutize them."""
+    def f(url):
+        return fetch(url if url.startswith("http") else base + url)
+    return f
