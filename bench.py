@@ -91,6 +91,10 @@ def run_bench() -> dict:
         # multi-match PIP against a ~n/2-item-derived polygon catalog:
         # the STRtree TREE path at catalog scale (50k polygons at sf0.1)
         timed("pip_multi_tree", lambda: q.geo_pip_multi_tree(sf_dir).count())
+        # streaming event-time windows (bucket actors + watermarks)
+        timed("events_stream",
+              lambda: q.events_stream_tumbling(sf_dir).num_rows
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
