@@ -479,6 +479,140 @@ FROM documents GROUP BY lang
 """
 
 
+def doc_chunk(sf_dir: str):
+    """Token-budget document chunking (64-token windows, 8-token
+    overlap, stride 56) — the context-length prep op of a training /
+    RAG pipeline: each doc flat-maps to its chunk rows with the chunk
+    text re-joined on single spaces.
+
+    Scale shape: pruned 2-column read; pure flat-map (no shuffle);
+    per-chunk work is the string assembly itself (cost linear in
+    EMITTED characters — there is no vectorization to be had in
+    concatenating distinct substrings).  Tokenization is the engine's
+    whitespace split, exactly DOC_TOKEN_STATS_SQL's definition, so the
+    oracle rebuilds identical chunks via regexp_split_to_array +
+    list slicing.
+    """
+    import ray.data as rd
+    C, S = 64, 56          # capacity, stride (overlap 8)
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        o_id, o_k, o_st, o_n, o_txt = [], [], [], [], []
+        for did, text in zip(ids, texts):
+            toks = (text or "").split()
+            n = len(toks)
+            nc = 0 if n == 0 else (1 if n <= C else -(-(n - C) // S) + 1)
+            for k in range(nc):
+                st = k * S
+                ln = min(C, n - st)
+                o_id.append(did); o_k.append(k)
+                o_st.append(st); o_n.append(ln)
+                o_txt.append(" ".join(toks[st:st + ln]))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_k, pa.int64()),
+            "start_tok": pa.array(o_st, pa.int64()),
+            "n_tok": pa.array(o_n, pa.int64()),
+            "chunk_text": pa.array(o_txt, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tok
+  FROM documents),
+sized AS (
+  SELECT doc_id, tok, len(tok) AS n,
+         CASE WHEN len(tok) = 0 THEN 0
+              WHEN len(tok) <= 64 THEN 1
+              ELSE CAST(ceil((len(tok) - 64) / 56.0) AS BIGINT) + 1 END AS nc
+  FROM toks),
+expanded AS (
+  SELECT doc_id, tok, n,
+         unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS k
+  FROM sized)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 56 AS BIGINT) AS start_tok,
+       CAST(least(64, n - k*56) AS BIGINT) AS n_tok,
+       array_to_string(tok[k*56 + 1 : k*56 + least(64, n - k*56)], ' ')
+           AS chunk_text
+FROM expanded
+"""
+
+
+def doc_pack(sf_dir: str):
+    """Greedy sequence packing: docs pack into <= 512-token bins within
+    doc_id-range partitions (part = doc_id // 100) — the
+    pack-to-context-length op of a training pipeline.
+
+    Scale shape: token counts compute vectorized in a flat map, so the
+    groupby shuffle moves THREE INTEGERS per doc, never text; the
+    greedy fold inside each group is the algorithm's irreducible
+    sequential core (packing order matters) but runs over one bounded
+    part (100 docs) — parts pack in parallel across the cluster.
+    Bin ids are part-local, so the layout is deterministic regardless
+    of part placement.  Oracle: recursive CTE replaying the same
+    greedy recurrence.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    CAP, PART = 512, 100
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sized(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = pd.Series(batch["text"].to_pylist()).fillna("") \
+            .str.split().str.len().fillna(0).astype("int64")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "part": pa.array(ids // PART, pa.int64()),
+                         "n_tok": pa.array(n.to_numpy(), pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        bins = np.empty(len(g), dtype=np.int64)
+        b, bt = 0, 0
+        for i, x in enumerate(g.n_tok.to_numpy()):
+            if bt > 0 and bt + x > CAP:
+                b, bt = b + 1, 0
+            bt += int(x)
+            bins[i] = b
+        return g.assign(bin_id=bins)
+
+    return ds.map_batches(sized, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pandas")
+
+
+DOC_PACK_SQL = r"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id // 100 AS part,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT doc_id, part, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_tok
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.part, s.n_tok, s.rn,
+         CASE WHEN p.bin_tok + s.n_tok > 512 THEN p.bin_id + 1
+              ELSE p.bin_id END,
+         CASE WHEN p.bin_tok + s.n_tok > 512 THEN s.n_tok
+              ELSE p.bin_tok + s.n_tok END
+  FROM sized s JOIN packed p ON s.part = p.part AND s.rn = p.rn + 1)
+SELECT doc_id, CAST(part AS BIGINT) AS part,
+       CAST(n_tok AS BIGINT) AS n_tok, bin_id
+FROM packed
+"""
+
+
 def doc_exact_dedup(sf_dir: str):
     """Exact text dedup: survivors (min doc_id) + group sizes.
 
@@ -2242,6 +2376,8 @@ QUERIES = {
     "langid_accuracy": langid_accuracy,
     "doc_quality": doc_quality,
     "doc_topk_by_lang": doc_topk_by_lang,
+    "doc_chunk": doc_chunk,
+    "doc_pack": doc_pack,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "geocore_assemble": geocore_assemble,
@@ -2288,6 +2424,8 @@ def oracle() -> dict[str, str]:
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "docs_en_pruned_read": DOCS_EN_PRUNED_SQL,
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+        "doc_chunk": DOC_CHUNK_SQL,
+        "doc_pack": DOC_PACK_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "embedding_dedup_clusters": EMB_CLUSTERS_SQL,

@@ -211,3 +211,44 @@ def test_label_propagation_random_graphs_match_union_find(ray_session):
         uf = dedup.union_find_components([a for a, _ in edges],
                                          [b for _, b in edges])
         assert dict(zip(got.node, got.label)) == uf, trial
+
+
+class TestChunkPack:
+    """doc_chunk / doc_pack edge semantics (oracle covers the fixture
+    path; these pin empty and oversized docs)."""
+
+    def test_chunk_edges(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        from stac_to_geocore_ray import queries as q
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["", "   ", "w " * 64, "w " * 65],
+            "lang": ["en"] * 4})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = q.doc_chunk(str(tmp_path)).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        # empty / whitespace-only docs emit NO chunks
+        assert set(df.doc_id) == {2, 3}
+        # exactly-64 tokens: one chunk
+        assert len(df[df.doc_id == 2]) == 1
+        # 65 tokens: two chunks, second starts at stride 56 with 9 toks
+        d3 = df[df.doc_id == 3]
+        assert d3.start_tok.tolist() == [0, 56]
+        assert d3.n_tok.tolist() == [64, 9]
+        assert d3.chunk_text.iloc[1] == " ".join(["w"] * 9)
+
+    def test_pack_oversized_doc_gets_own_bin(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        from stac_to_geocore_ray import queries as q
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["w " * 300, "w " * 600, "w " * 300, "w " * 200],
+            "lang": ["en"] * 4})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = q.doc_pack(str(tmp_path)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # 300 | 600 (oversized, alone) | 300+200
+        assert df.bin_id.tolist() == [0, 1, 2, 2]
+        assert df.n_tok.tolist() == [300, 600, 300, 200]
