@@ -1938,6 +1938,14 @@ def ann_ivf(sf_dir: str):
         rows.append({"query_id": int(q),
                      "n_candidates": int((approx.query_id == q).sum()),
                      "recall_at_10": round(len(got & exact) / 10.0, 2)})
+    # recall FLOOR gate (round 3): approximate by construction, but a
+    # probed-bucket search that misses most true neighbours is broken,
+    # not "approximate" — fail loudly instead of reporting garbage
+    mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
+    if mean_recall < 0.5:
+        raise RuntimeError(
+            f"IVF mean recall@10 {mean_recall:.2f} < 0.5 floor — "
+            "centroid fit or probe routing is broken")
     return pa.Table.from_pylist(rows)
 
 

@@ -405,3 +405,28 @@ def _abs_fetch(fetch, base):
     def f(url):
         return fetch(url if url.startswith("http") else base + url)
     return f
+
+
+class TestFileUriReadPath:
+    """S5/S6: the resolve_fs URI dispatch exercised through a real
+    file:// read + shard listing (same pyarrow.fs API as s3://)."""
+
+    def test_read_and_list_via_file_uri(self, tmp_path):
+        import pyarrow as pa
+        from stac_to_geocore_ray.sources import lance_io
+        t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+        lance_io.write_shard(t, str(tmp_path / "part-00000.parquet"))
+        lance_io.write_shard(t, str(tmp_path / "part-00001.parquet"))
+        uri = f"file://{tmp_path}"
+        assert lance_io.shard_names(uri) == ["part-00000.parquet",
+                                             "part-00001.parquet"]
+        back = lance_io.read_shard(f"{uri}/part-00001.parquet",
+                                   columns=["b"])
+        assert back["b"].to_pylist() == ["x", "y"]
+
+    def test_s3_scheme_resolves_to_s3fs(self):
+        from stac_to_geocore_ray.sources.lance_io import resolve_fs
+        from pyarrow import fs as pafs
+        f, local = resolve_fs("s3://bucket/prefix/table")
+        assert isinstance(f, pafs.S3FileSystem)
+        assert local == "bucket/prefix/table"
