@@ -72,12 +72,16 @@ def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
 
 
 def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
-                resume: bool = True, fail_after: int | None = None) -> dict:
+                resume: bool = True, fail_after: int | None = None,
+                on_error: str = "quarantine") -> dict:
     """Manifest-sinked harvest over the stac_items fragments.
 
     Per-fragment Ray tasks (fragment = partition: ids stable across
     cluster sizes) translate and write atomically; ``fail_after`` stops
-    after k partitions to exercise resume in tests.
+    after k partitions to exercise resume in tests.  A record whose
+    link/asset structs fail the flatten is quarantined (dead-letter
+    parquet + manifest count) instead of failing the partition
+    (``on_error="raise"`` restores all-or-nothing).
     """
     import ray
     p = fixtures.paths(sf_dir)
@@ -91,11 +95,13 @@ def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG
 
     @ray.remote(num_cpus=1)
     def do_partition(frag: str, pid: str) -> dict:
-        translator = ItemTranslator(lookup_ref, cfg)
+        translator = ItemTranslator(lookup_ref, cfg, on_error=on_error)
         tbl = pq.read_table(frag)
         out = translator(tbl)
         out = out.drop_columns(["options"])   # nested col: keep sink flat
-        return ManifestSink(out_dir).write_partition(pid, out, inputs=[frag])
+        return ManifestSink(out_dir).write_partition(
+            pid, out, inputs=[frag],
+            quarantined=translator.take_quarantine())
 
     if fail_after is not None:
         todo = todo[:fail_after]

@@ -252,7 +252,15 @@ class ItemTranslator:
     in ``__init__``, never per batch).
     """
 
-    def __init__(self, coll_lookup, cfg: TranslateConfig = DEFAULT_CONFIG):
+    def __init__(self, coll_lookup, cfg: TranslateConfig = DEFAULT_CONFIG,
+                 on_error: str = "raise"):
+        """``on_error="quarantine"``: a row whose link/asset structs
+        blow up the flatten is dropped from the output and recorded as
+        an (item_id, error) dead letter (``take_quarantine()``), the
+        same poison-record policy as Tiler — the columnar kernels
+        cannot fail per-row, the row-local flatten is the only
+        record-level failure surface."""
+        assert on_error in ("raise", "quarantine")
         try:
             import ray
             if isinstance(coll_lookup, ray.ObjectRef):
@@ -261,11 +269,19 @@ class ItemTranslator:
             pass
         self.coll = coll_lookup
         self.cfg = cfg
+        self.on_error = on_error
+        self._dead: list[tuple[str, str]] = []
         self.flat = OptionFlattener(cfg)
         self._coll_ids = pa.array(list(coll_lookup.keys()), pa.string())
         self._coll_cols = {
             k: pa.array([v[k] for v in coll_lookup.values()], pa.string())
             for k in ("title_en", "title_fr", "desc_en", "desc_fr", "kw_en", "kw_fr")}
+
+    def take_quarantine(self) -> pa.Table:
+        rows, self._dead = self._dead, []
+        return pa.table({
+            "item_id": pa.array([r[0] for r in rows], pa.string()),
+            "error": pa.array([r[1] for r in rows], pa.string())})
 
     def _probe(self, coll_col: pa.Array) -> dict[str, pa.Array]:
         """Vectorized broadcast-join probe: index_in + take (J1)."""
@@ -322,11 +338,21 @@ class ItemTranslator:
         ids_py = item_id.to_pylist()
         colls_py = coll.to_pylist()
         options = []
+        bad: list[int] = []
         for i in range(n):
-            opts = self.flat.links_to_options("item", links_py[i], ids_py[i],
-                                              coll_id=colls_py[i])
-            opts += self.flat.assets_to_options(assets_py[i])
-            options.append(_dedup_keep_last(opts))
+            try:
+                opts = self.flat.links_to_options("item", links_py[i],
+                                                  ids_py[i],
+                                                  coll_id=colls_py[i])
+                opts += self.flat.assets_to_options(assets_py[i])
+                options.append(_dedup_keep_last(opts))
+            except Exception as exc:
+                if self.on_error != "quarantine":
+                    raise
+                bad.append(i)
+                self._dead.append((ids_py[i],
+                                   f"{type(exc).__name__}: {exc}"))
+                options.append([])            # placeholder; row filtered below
         options_arr = pa.array(options, OPTION_T)
         n_options = pc.list_value_length(options_arr)
 
@@ -385,7 +411,12 @@ class ItemTranslator:
             "maintenance": pa.array([cfg.maintenance] * n),
             "source_system_name": pa.array([cfg.source_system_name] * n),
         }
-        return pa.table(cols)
+        out = pa.table(cols)
+        if bad:                               # drop quarantined rows
+            keep = np.ones(n, dtype=bool)
+            keep[bad] = False
+            out = out.filter(pa.array(keep))
+        return out
 
 
 def translate_collections(coll_table: pa.Table,

@@ -157,3 +157,45 @@ class TestRoot:
         assert rec["title_en"].startswith(" Root  - ")   # reference-exact spacing
         assert rec["temporal_begin"] == "0001-01-01"
         assert rec["description_en"].startswith("Desc.")
+
+
+class TestTranslatorQuarantine:
+    """ItemTranslator on_error="quarantine": a record whose link/asset
+    flatten raises is dropped + dead-lettered, not a partition
+    failure (the row-local flatten is the translator's only
+    record-level failure surface)."""
+
+    def test_poison_row_dropped_and_recorded(self, sf_small):
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.sources import fixtures
+        from stac_to_geocore_ray.stages.geocore import (ItemTranslator,
+                                                        collection_lookup)
+        p = fixtures.paths("/root/testdata/sf0.001")
+        import glob
+        shard = sorted(glob.glob(p["stac_items"] + "/*.parquet"))[0]
+        batch = pq.read_table(shard).slice(0, 8)
+        lookup = collection_lookup(pq.read_table(p["collections"]))
+        poison_id = batch["item_id"].to_pylist()[3]
+
+        t = ItemTranslator(lookup, on_error="quarantine")
+        orig = t.flat.links_to_options
+
+        def flaky(stac_type, links, rec_id, **kw):
+            if rec_id == poison_id:
+                raise TypeError("malformed link struct")
+            return orig(stac_type, links, rec_id, **kw)
+        t.flat.links_to_options = flaky
+
+        out = t(batch)
+        assert out.num_rows == 7
+        assert poison_id not in set(out["item_id"].to_pylist())
+        q = t.take_quarantine()
+        assert q["item_id"].to_pylist() == [poison_id]
+        assert "TypeError" in q["error"].to_pylist()[0]
+
+        # raise-mode: same poison fails the batch
+        t2 = ItemTranslator(lookup)
+        t2.flat.links_to_options = flaky
+        import pytest as _pytest
+        with _pytest.raises(TypeError):
+            t2(batch)
