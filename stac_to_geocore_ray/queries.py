@@ -15,6 +15,7 @@ check plus dedicated pytest coverage.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1524,7 +1525,12 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
             else:
                 j = len(s1 & s2) / max(1, len(s1 | s2))
             if j >= threshold:
-                oa.append(a); ob.append(b2); oj.append(round(j, 4))
+                # half-AWAY rounding to match DuckDB's round(): python
+                # round()/np.round are half-to-even, and exact-half
+                # jaccards DO occur (157/160 at sf0.1 scaled to exactly
+                # 9812.5) — one boundary pair flips the hash otherwise
+                oa.append(a); ob.append(b2)
+                oj.append(math.floor(j * 1e4 + 0.5) / 1e4)
         return pa.table({"a": pa.array(oa, id_type),
                          "b": pa.array(ob, id_type),
                          "jaccard": pa.array(oj, pa.float64())})
