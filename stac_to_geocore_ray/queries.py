@@ -579,8 +579,12 @@ def doc_pack(sf_dir: str):
         g = g.sort_values("doc_id").reset_index(drop=True)
         bins = np.empty(len(g), dtype=np.int64)
         b, bt = 0, 0
+        # recurrence identical to DOC_PACK_SQL: after the seed doc,
+        # split whenever bin_tok + n > CAP — even from an empty-feeling
+        # bin (a zero-token doc seeds bin_tok 0; the SQL splits there
+        # too, so the guard must NOT be `bt > 0`)
         for i, x in enumerate(g.n_tok.to_numpy()):
-            if bt > 0 and bt + x > CAP:
+            if i > 0 and bt + x > CAP:
                 b, bt = b + 1, 0
             bt += int(x)
             bins[i] = b

@@ -96,3 +96,57 @@ def test_phash_banding_pigeonhole(a, flips):
         if (a & mask) == (b & mask):
             shared += 1
     assert shared >= 4 - len(flips)
+
+
+def _chunk_ref(toks, C=64, S=56):
+    n = len(toks)
+    if n == 0:
+        return []
+    nc = 1 if n <= C else -(-(n - C) // S) + 1
+    return [(k * S, min(C, n - k * S)) for k in range(nc)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(min_value=0, max_value=400))
+def test_chunking_covers_every_token_with_overlap(n):
+    """doc_chunk layout invariants: chunks tile [0, n) with stride-56
+    starts, every chunk <= 64 tokens, consecutive chunks overlap by
+    exactly 8 (except a short last chunk), and every token index is
+    covered >= 1 time."""
+    spans = _chunk_ref(list(range(n)))
+    if n == 0:
+        assert spans == []
+        return
+    covered = set()
+    for st_, ln in spans:
+        assert 1 <= ln <= 64
+        covered.update(range(st_, st_ + ln))
+    assert covered == set(range(n))
+    for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+        assert s2 - s1 == 56                     # fixed stride
+        assert s1 + l1 - s2 in (8, l1 - 56)      # 8-token overlap (full chunks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(sizes=st.lists(st.integers(min_value=0, max_value=700),
+                      min_size=1, max_size=60))
+def test_greedy_pack_invariants(sizes):
+    """doc_pack recurrence: bins fill <= 512 tokens unless a single
+    oversized doc occupies the bin alone; bin ids are contiguous from
+    0; packing is order-deterministic."""
+    bins, b, bt = [], 0, 0
+    for i, x in enumerate(sizes):
+        if i > 0 and bt + x > 512:
+            b, bt = b + 1, 0
+        bt += x
+        bins.append(b)
+    assert bins[0] == 0
+    assert all(y - x in (0, 1) for x, y in zip(bins, bins[1:]))
+    from collections import defaultdict
+    tot = defaultdict(int)
+    cnt = defaultdict(int)
+    for x, bi in zip(sizes, bins):
+        tot[bi] += x
+        cnt[bi] += 1
+    for bi, t in tot.items():
+        assert t <= 512 or cnt[bi] == 1          # overflow only when alone
