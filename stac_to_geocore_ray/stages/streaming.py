@@ -87,10 +87,14 @@ class WindowBucket:
             self.ripe.append((kk[0], kk[1], n, c))
         return len(self.ripe)
 
-    def ripe_windows(self) -> pa.Table:
-        """Finalized windows accumulated so far (retained, not cleared —
-        the drain is idempotent too)."""
-        return _windows_table(self.ripe)
+    def ripe_windows(self, after: int = 0) -> tuple[pa.Table, int]:
+        """Finalized windows accumulated so far, with an incremental
+        cursor: returns (windows with seq >= ``after``, next cursor).
+        Windows are RETAINED, so any drain is replayable from any
+        cursor — a periodic driver drain that is lost in flight just
+        re-reads from its last durable cursor (the endless-stream
+        consumption pattern); ``after=0`` returns everything."""
+        return _windows_table(self.ripe[after:]), len(self.ripe)
 
     def flush(self) -> pa.Table:
         """Windows still open at end-of-stream (watermark never passed)."""
@@ -187,7 +191,8 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
     stats = events_ds.map_batches(feeder, batch_format="pyarrow")
     n_routed = sum(int(pa.compute.sum(t["n_routed"]).as_py() or 0)
                    for t in stats.iter_batches(batch_format="pyarrow"))
-    ripe = ray.get([b.ripe_windows.remote() for b in buckets])
+    ripe = [t for t, _ in ray.get([b.ripe_windows.remote()
+                                   for b in buckets])]
     tails = ray.get([b.flush.remote() for b in buckets])
     late = sum(ray.get([b.late_count.remote() for b in buckets]))
     for b in buckets:                         # release the CPU reservations

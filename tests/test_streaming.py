@@ -33,8 +33,9 @@ def _ingest(bucket, rows, *, iid=None):
     return ray.get(bucket.ingest.remote(iid, keys, ws, ns, cents, max_ts))
 
 
-def _ripe(bucket):
-    return ray.get(bucket.ripe_windows.remote()).to_pylist()
+def _ripe(bucket, after=0):
+    tbl, cur = ray.get(bucket.ripe_windows.remote(after))
+    return tbl.to_pylist()
 
 
 class TestWindowBucket:
@@ -78,6 +79,23 @@ class TestWindowBucket:
         tail = ray.get(b.flush.remote()).to_pylist()
         assert tail == [{"key": "a", "window_start": 0,
                          "n": 2, "sum_cents": 3}]
+
+    def test_incremental_drain_cursor(self, ray_session):
+        """Periodic mid-stream drains with a cursor: each drain reads
+        only new ripe windows; any cursor is replayable (a lost
+        in-flight drain re-reads losslessly)."""
+        from stac_to_geocore_ray.stages.streaming import WindowBucket
+        b = WindowBucket.remote(100, 0)
+        _ingest(b, [("a", 10, 1), ("a", 150, 2)])   # w0 ripens (wm=150)
+        t1, c1 = ray.get(b.ripe_windows.remote(0))
+        assert t1.num_rows == 1 and c1 == 1
+        _ingest(b, [("a", 290, 4)])                 # w100 ripens (wm=290)
+        t2, c2 = ray.get(b.ripe_windows.remote(c1))  # only the new one
+        assert t2.to_pylist() == [{"key": "a", "window_start": 100,
+                                   "n": 1, "sum_cents": 2}]
+        # replay from 0 returns both (retained; drain is lossless)
+        t_all, _ = ray.get(b.ripe_windows.remote(0))
+        assert t_all.num_rows == c2 == 2
 
     def test_stream_equals_batch_groupby_when_lateness_covers(self, ray_session):
         import pandas as pd
