@@ -425,6 +425,126 @@ def events_sessionize(sf_dir: str):
     return finals.union(boundary_folded)
 
 
+def events_asof_join(sf_dir: str):
+    """AS-OF join (last-observation-carried-forward): every 'click'
+    event gets the same user's most recent STRICTLY-PRIOR 'purchase'
+    (ts + integer cents), prior = earlier in (ts, event_id) order —
+    the temporal join Ray Data has no native operator for
+    (build-instruction custom-operator case (a): composition of sort +
+    map_batches + small fold).
+
+    Scale shape — same boundary-user decomposition as
+    events_sessionize: after the (user_id, ts, event_id) sort each
+    user is one contiguous run, so every interior user resolves fully
+    inside its block with one vectorized maximum.accumulate kernel;
+    only rows of each block's first/last users defer to the small
+    single-task fold (2 users x #blocks, independent of #users), which
+    runs the SAME kernel over the re-sorted remainder.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    LEFT, RIGHT = "click", "purchase"
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+
+    OUT_COLS = ["event_id", "user_id", "ts",
+                "prior_purchase_ts", "prior_purchase_cents"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized LOCF over a frame sorted by (user_id, ts,
+        event_id); returns resolved LEFT rows."""
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "prior_purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                "prior_purchase_cents": pd.Series([], dtype="float64")})
+        uid = df.user_id.to_numpy()
+        ts = df.ts.to_numpy("datetime64[us]")
+        etype = df.event_type.to_numpy()
+        cents = np.round(df.value.to_numpy() * 100).astype("int64")
+        idx = np.arange(n)
+        lr = np.where(etype == RIGHT, idx, -1)
+        np.maximum.accumulate(lr, out=lr)
+        prior = np.empty(n, dtype=np.int64)
+        prior[0] = -1
+        prior[1:] = lr[:-1]                   # strictly prior row's carry
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        valid = prior >= seg_start            # carry must not cross users
+        left = etype == LEFT
+        p = np.where(valid, prior, 0)
+        p_ts = np.where(valid, ts[p], np.datetime64("NaT"))
+        p_cents = np.where(valid, cents[p].astype("float64"), np.nan)
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy()[left],
+            "user_id": uid[left],
+            "ts": ts[left],
+            "prior_purchase_ts": p_ts[left],
+            "prior_purchase_cents": p_cents[left]})
+
+    def split_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Interior users -> resolved rows (deferred=False); first/last
+        users' RAW rows ride along (deferred=True) for the fold."""
+        if len(df) == 0:
+            return pd.DataFrame(columns=OUT_COLS + ["event_type",
+                                                    "value", "deferred"])
+        uid = df.user_id.to_numpy()
+        boundary = (uid == uid[0]) | (uid == uid[-1])
+        interior = kernel(df.loc[~boundary])
+        interior["event_type"] = ""
+        interior["value"] = 0.0
+        interior["deferred"] = False
+        raw = df.loc[boundary, ["event_id", "user_id", "ts",
+                                "event_type", "value"]].copy()
+        raw["prior_purchase_ts"] = pd.Series(
+            [pd.NaT] * len(raw), dtype="datetime64[us]", index=raw.index)
+        raw["prior_purchase_cents"] = np.nan
+        raw["deferred"] = True
+        return pd.concat([interior, raw[interior.columns]],
+                         ignore_index=True)
+
+    mixed = ds.sort(["user_id", "ts", "event_id"]) \
+        .map_batches(split_block, batch_format="pandas").materialize()
+
+    def take_done(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[~g["deferred"], OUT_COLS]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        return kernel(g)[OUT_COLS]
+
+    done = mixed.map_batches(take_done, batch_format="pandas")
+    deferred = mixed.map_batches(
+        lambda g: g.loc[g["deferred"],
+                        ["event_id", "user_id", "ts", "event_type", "value"]],
+        batch_format="pandas").repartition(1) \
+        .map_batches(fold, batch_format="pandas")
+    return done.union(deferred)
+
+
+EVENTS_ASOF_SQL = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS prior_purchase_ts,
+         last_value(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) END
+                    IGNORE NULLS) OVER w AS prior_purchase_cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts, prior_purchase_ts, prior_purchase_cents
+FROM ordered WHERE event_type = 'click'
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -615,6 +735,102 @@ packed AS (
 SELECT doc_id, CAST(part AS BIGINT) AS part,
        CAST(n_tok AS BIGINT) AS n_tok, bin_id
 FROM packed
+"""
+
+
+def doc_sample_hash(sf_dir: str):
+    """Deterministic 20% sample via multiplicative hashing
+    (Knuth 2654435761 mod 2^32) rolled up per language — the
+    reproducible-sampling op of a training pipeline: the sample is a
+    PURE FUNCTION of the id, so any stage, any rerun, any cluster size
+    draws the identical subset with no coordination, no RNG state, and
+    no shuffle (the filter runs inside the pruned read's map)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    THRESH = np.uint64(858993459)             # 0.2 * 2^32
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) < THRESH
+        df = pd.DataFrame({"lang": np.asarray(batch["lang"])[keep]})
+        g = df.groupby("lang", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_sampled": pc.cast(batch["n_sampled"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_SAMPLE_HASH_SQL = """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+GROUP BY lang
+"""
+
+
+def events_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of integer cents per
+    event_type) via the bounded-domain histogram: per-batch partial
+    (type, cents) counts -> one small groupby -> per-type quantile
+    read-off from the cumulative histogram.
+
+    Scale shape: the shuffle moves AT MOST |types| x |distinct cents|
+    count rows (bounded by the value domain, not the event count) —
+    the exact-quantile alternative to a t-digest sketch whenever the
+    domain is enumerable, with zero approximation to explain.
+    Quantile definition = DuckDB quantile_disc: 0-based index
+    ceil(q*n) - 1 of the sorted multiset.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.round(df.value.to_numpy() * 100).astype("int64")
+        g = df.groupby(["event_type", "cents"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+
+    QS = (0.5, 0.9, 0.99)
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        counts = g.n.to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        ranks = np.ceil(np.asarray(QS) * n).astype(np.int64) - 1
+        ranks = np.clip(ranks, 0, n - 1)
+        vals = g.cents.to_numpy()[np.searchsorted(cum, ranks, side="right")]
+        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
+                             "p50": [vals[0]], "p90": [vals[1]],
+                             "p99": [vals[2]]})
+
+    return hist.groupby("event_type").map_groups(quantiles,
+                                                 batch_format="pandas")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS BIGINT)
+           AS p50,
+       CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.9) AS BIGINT)
+           AS p90,
+       CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.99) AS BIGINT)
+           AS p99
+FROM events GROUP BY event_type
 """
 
 
@@ -2368,6 +2584,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
     "events_stream_tumbling": events_stream_tumbling,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,
@@ -2395,6 +2612,8 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_topk_by_lang": doc_topk_by_lang,
     "doc_chunk": doc_chunk,
+    "doc_sample_hash": doc_sample_hash,
+    "events_value_quantiles": events_value_quantiles,
     "doc_pack": doc_pack,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -2436,6 +2655,7 @@ def oracle() -> dict[str, str]:
         "q5_nation_revenue": Q5_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_asof_join": EVENTS_ASOF_SQL,
         "events_stream_tumbling": EVENTS_STREAM_TUMBLING_SQL,
         "events_sliding_1h": EVENTS_SLIDING_SQL,
         "events_props_json": EVENTS_PROPS_SQL,
@@ -2443,6 +2663,8 @@ def oracle() -> dict[str, str]:
         "docs_en_pruned_read": DOCS_EN_PRUNED_SQL,
         "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
         "doc_chunk": DOC_CHUNK_SQL,
+        "doc_sample_hash": DOC_SAMPLE_HASH_SQL,
+        "events_value_quantiles": EVENTS_QUANTILES_SQL,
         "doc_pack": DOC_PACK_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
