@@ -440,6 +440,12 @@ def events_asof_join(sf_dir: str):
     only rows of each block's first/last users defer to the small
     single-task fold (2 users x #blocks, independent of #users), which
     runs the SAME kernel over the re-sorted remainder.
+
+    The mixed table is materialized once for its two consumers
+    (resolved stream + deferred fold); it is output-sized (resolved
+    rows carry no event payload beyond the join columns), lives
+    distributed in the object store, and spills — the alternative is
+    re-running the sort per consumer.
     """
     import pandas as pd
 
