@@ -425,6 +425,41 @@ def events_sessionize(sf_dir: str):
     return finals.union(boundary_folded)
 
 
+def events_stream_sliding(sf_dir: str):
+    """Hourly SLIDING event-time windows (slide 30 min, so every event
+    counts in 2 windows) through the same streaming bucket-actor stage
+    as events_stream_tumbling — the feeder expands each event to its
+    covering windows vectorized; buckets are unchanged.  Lateness
+    covers the stream's disorder, so the result equals the batch
+    expanded GROUP BY the SQL oracle computes."""
+    from .stages.streaming import stream_tumbling_windows
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+    tbl, late = stream_tumbling_windows(
+        ds, key_col="event_type", ts_col="ts", value_col="value",
+        window_us=3_600_000_000, slide_us=1_800_000_000,
+        lateness_us=1 << 60, n_buckets=4)
+    if late:
+        raise RuntimeError(f"{late} late rows dropped — the batch GROUP BY "
+                           "oracle is only valid under no-drop lateness")
+    return tbl.rename_columns(["event_type", "window_start", "n", "sum_cents"])
+
+
+EVENTS_STREAM_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         unnest(generate_series(0, 1)) AS i
+  FROM events)
+SELECT event_type,
+       CAST((t // 1800000000) * 1800000000 - i * 1800000000 AS BIGINT)
+           AS window_start,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 1, 2
+"""
+
+
 def events_asof_join(sf_dir: str):
     """AS-OF join (last-observation-carried-forward): every 'click'
     event gets the same user's most recent STRICTLY-PRIOR 'purchase'
@@ -2591,6 +2626,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_stream_sliding": events_stream_sliding,
     "events_stream_tumbling": events_stream_tumbling,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,
@@ -2662,6 +2698,7 @@ def oracle() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
+        "events_stream_sliding": EVENTS_STREAM_SLIDING_SQL,
         "events_stream_tumbling": EVENTS_STREAM_TUMBLING_SQL,
         "events_sliding_1h": EVENTS_SLIDING_SQL,
         "events_props_json": EVENTS_PROPS_SQL,

@@ -123,10 +123,21 @@ class WindowFeeder:
     (see module docstring: retry safety)."""
 
     def __init__(self, buckets: list, key_col: str, ts_col: str,
-                 value_col: str, window_us: int):
+                 value_col: str, window_us: int, slide_us: int | None = None):
+        """``slide_us``: window hop for SLIDING windows (must divide
+        ``window_us``); default = window_us (tumbling).  An event
+        belongs to the k = window/slide windows covering it — the
+        feeder expands each event to its k (key, wstart) partials
+        VECTORIZED before the groupby, so buckets still only ever see
+        per-window aggregates and need no sliding-specific logic
+        (a window finalizes when the watermark passes wstart+window,
+        regardless of spacing)."""
         self.buckets = buckets
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
         self.window_us = window_us
+        self.slide_us = window_us if slide_us is None else slide_us
+        if self.window_us % self.slide_us:
+            raise ValueError("slide_us must divide window_us")
         self._seq: dict = {}                  # task id -> next call seq
 
     def _ingest_id(self) -> tuple:
@@ -149,11 +160,17 @@ class WindowFeeder:
             return pa.table({"n_routed": pa.array([0], pa.int64())})
         df = batch.to_pandas()
         ts_us = df[self.ts_col].to_numpy("datetime64[us]").astype("int64")
+        k = self.window_us // self.slide_us
+        base = (ts_us // self.slide_us) * self.slide_us
+        keys0 = df[self.key_col].astype(str).to_numpy(dtype=object)
+        cents0 = np.round(df[self.value_col].to_numpy() * 100).astype("int64")
+        # sliding expansion: event -> its k covering windows (k=1 for
+        # tumbling), all numpy tile/repeat — still no per-event Python
+        offs = (np.arange(k, dtype=np.int64) * self.slide_us)
         part = pd.DataFrame({
-            "key": df[self.key_col].astype(str),
-            "wstart": (ts_us // self.window_us) * self.window_us,
-            "cents": np.round(df[self.value_col].to_numpy() * 100)
-            .astype("int64")})
+            "key": np.tile(keys0, k),
+            "wstart": (base[None, :] - offs[:, None]).ravel(),
+            "cents": np.tile(cents0, k)})
         # THE reduction: events -> (key, window) partials, one groupby
         g = part.groupby(["key", "wstart"], sort=False).agg(
             n=("cents", "size"), cents=("cents", "sum")).reset_index()
@@ -173,21 +190,27 @@ class WindowFeeder:
         # are applied before the stage can be considered complete, so
         # the driver's drain never races a queued ingest
         ray.get(futs)
-        return pa.table({"n_routed": pa.array([nrows], pa.int64())})
+        # n_routed counts (event x window) memberships: nrows * k —
+        # keeps the drain-side accounting identity for sliding windows
+        return pa.table({"n_routed": pa.array([nrows * k], pa.int64())})
 
 
 def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
                             value_col: str, window_us: int,
-                            lateness_us: int, n_buckets: int = 4):
+                            lateness_us: int, n_buckets: int = 4,
+                            slide_us: int | None = None):
     """Run the stream through bucket actors; returns (windows pyarrow
-    Table, late_count).
+    Table, late_count).  ``slide_us`` < window_us turns the stage into
+    SLIDING windows (each event counted in window/slide windows; the
+    buckets are unchanged — see WindowFeeder).
 
     The returned table is ripe (finalized) windows plus the
     end-of-stream flush of still-open windows — at a real deployment
     the stream has no end and the open set stays in the buckets."""
     buckets = [WindowBucket.remote(window_us, lateness_us)
                for _ in range(n_buckets)]
-    feeder = WindowFeeder(buckets, key_col, ts_col, value_col, window_us)
+    feeder = WindowFeeder(buckets, key_col, ts_col, value_col, window_us,
+                          slide_us)
     stats = events_ds.map_batches(feeder, batch_format="pyarrow")
     n_routed = sum(int(pa.compute.sum(t["n_routed"]).as_py() or 0)
                    for t in stats.iter_batches(batch_format="pyarrow"))
