@@ -139,6 +139,34 @@ def _block_mean_32(gray: np.ndarray) -> np.ndarray:
     return s / area
 
 
+def resize_block_mean(arr: np.ndarray, t: int) -> np.ndarray:
+    """uint8 (H, W[, C]) -> (t, t[, C]) block-mean thumbnail.
+
+    The generalized form of `_block_mean_32` (integral image +
+    4-corner differences, per channel), with FLOOR quantization back
+    to uint8 — truncation, not round-half, so a scalar replay golden
+    needs no rounding-mode care.  Requires H >= t and W >= t."""
+    a = arr.astype(np.float64)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if h < t or w < t:
+        raise ValueError(f"image {h}x{w} smaller than thumbnail {t}")
+    ri = (np.arange(t + 1) * h) // t
+    ci = (np.arange(t + 1) * w) // t
+    csum = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    csum[1:, 1:] = a.cumsum(0).cumsum(1)
+    s = (csum[ri[1:, None], ci[None, 1:]]
+         - csum[ri[:-1, None], ci[None, 1:]]
+         - csum[ri[1:, None], ci[None, :-1]]
+         + csum[ri[:-1, None], ci[None, :-1]])
+    area = ((ri[1:, None] - ri[:-1, None])
+            * (ci[None, 1:] - ci[None, :-1]))[:, :, None]
+    out = np.floor(s / area).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 _DCT32 = None
 
 

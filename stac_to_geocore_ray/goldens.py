@@ -391,6 +391,45 @@ def golden_embedding_neardup(sf_dir: str) -> pa.Table:
         "cos_r": pa.array([r[2] for r in rows], pa.float64())})
 
 
+def golden_thumbnails(sf_dir: str) -> pa.Table:
+    """Per-PIXEL Python replay of the 32x32 block-mean thumbnail over
+    the same 64 shard-0 images image_thumbnails resizes: plain loops
+    over every output cell's pixel block, floor quantization —
+    independent of the engine's integral-image kernel."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    t = pq.read_table(shard0, columns=["image_id", "bytes"]).slice(0, 64)
+    ids, ws, hs, sums = [], [], [], []
+    T = 32
+    for iid, buf in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        arr = fi.decode(buf)
+        h, w, c = arr.shape
+        total = 0
+        for by in range(T):
+            r0, r1 = (by * h) // T, ((by + 1) * h) // T
+            for bx in range(T):
+                c0, c1 = (bx * w) // T, ((bx + 1) * w) // T
+                for ch in range(c):
+                    acc = 0
+                    for y in range(r0, r1):
+                        for x in range(c0, c1):
+                            acc += int(arr[y, x, ch])
+                    total += math.floor(acc / ((r1 - r0) * (c1 - c0)))
+        ids.append(iid)
+        ws.append(w)
+        hs.append(h)
+        sums.append(total % 2147483647)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "src_w": pa.array(ws, pa.int64()),
+        "src_h": pa.array(hs, pa.int64()),
+        "thumb_checksum": pa.array(sums, pa.int64())})
+
+
 def golden_harvest_manifests(sf_dir: str) -> pa.Table:
     """Expected harvest partition set, derived from INPUT fragments
     only: one partition per stac_items shard carrying that shard's row
@@ -463,6 +502,7 @@ GOLDENS = {
     "audio_features": golden_audio_features,
     "harvest_manifests": golden_harvest_manifests,
     "embedding_neardup_lsh": golden_embedding_neardup,
+    "image_thumbnails": golden_thumbnails,
 }
 
 

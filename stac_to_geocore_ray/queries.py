@@ -1073,6 +1073,47 @@ def geo_footprint_wkt(sf_dir: str):
     return ds.select_columns(["item_id", "geometry_wkt"])
 
 
+def geo_bbox_area(sf_dir: str):
+    """Spherical bbox area in km^2 per item (equal-area weighting — the
+    correction a naive deg^2 rollup gets wrong by 1/cos(lat) at high
+    latitudes, which matters when sampling polar-heavy catalogs).
+
+    area = R^2 * width_rad * (sin(n) - sin(s)); antimeridian-crossing
+    boxes (w > e) take the wrapped width.  Fully vectorized numpy in a
+    pruned 2-column read; SQL oracle computes the identical closed
+    form with DuckDB trig.
+    """
+    import ray.data as rd
+    p = _fx(sf_dir)
+    ds = rd.read_parquet(p["stac_items"], columns=["item_id", "bbox"])
+    R = 6371.0088
+
+    def area(batch: pa.Table) -> pa.Table:
+        bb = batch["bbox"]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        w, s, e, n = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
+        width = np.where(e >= w, e - w, 360.0 - (w - e))
+        a = (R * R * np.radians(width)
+             * (np.sin(np.radians(n)) - np.sin(np.radians(s))))
+        return pa.table({"item_id": batch["item_id"],
+                         "area_km2_r": pa.array(np.round(a, 3))})
+    return ds.map_batches(area, batch_format="pyarrow")
+
+
+def _geo_bbox_area_sql() -> str:
+    return f"""
+SELECT item_id,
+       round(6371.0088 * 6371.0088
+             * radians(CASE WHEN bbox[3] >= bbox[1] THEN bbox[3] - bbox[1]
+                            ELSE 360.0 - (bbox[1] - bbox[3]) END)
+             * (sin(radians(bbox[4])) - sin(radians(bbox[2]))), 3)
+           AS area_km2_r
+FROM read_parquet('{_fx_glob("stac_items")}')
+"""
+
+
 def _wkt_sql_expr(prefix: str = "") -> str:
     c = lambda i: (f"CAST(round(CAST({prefix}bbox[{i}] AS DOUBLE), 2) AS VARCHAR)")
     w, s, e, n = c(1), c(2), c(3), c(4)
@@ -2309,6 +2350,38 @@ def geo_s2_covering(sf_dir: str):
 
 
 
+def image_thumbnails(sf_dir: str):
+    """Image RESIZE stage (block-mean 32x32 thumbnail, re-encoded) over
+    the first 64 shard-0 images — the thumbnailing step of an image
+    training pipeline.  Golden-checked: the golden replays the block
+    means with per-pixel Python loops (goldens.golden_thumbnails), so
+    the integral-image kernel, the actor-stage plumbing, and the
+    encode round-trip are all pinned."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import glob as _glob
+    from .codecs import fakeimg as fi
+    from .stages.tiler import ImageResizer
+    p = _fx(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    t = pq.read_table(shard0, columns=["image_id", "bytes"]).slice(0, 64)
+    ds = rd.from_arrow(t)
+    thumbs = ds.map_batches(ImageResizer, fn_constructor_kwargs={"size": 32},
+                            batch_format="pyarrow", concurrency=_auto())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sums = []
+        for buf in batch["bytes"].to_pylist():
+            arr = fi.decode(buf)
+            sums.append(int(arr.sum(dtype=np.int64)) % 2147483647)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "src_w": pc.cast(batch["src_w"], pa.int64()),
+            "src_h": pc.cast(batch["src_h"], pa.int64()),
+            "thumb_checksum": pa.array(sums, pa.int64())})
+    return thumbs.map_batches(stats, batch_format="pyarrow")
+
+
 def video_frame_sample(sf_dir: str):
     """Video frame-sampling plumbing over deterministic GVID containers
     built from consecutive fixture images (rows-only; media decode in
@@ -2634,6 +2707,7 @@ QUERIES = {
     "embedding_neardup_exact": embedding_neardup_exact,
     "embedding_dedup_clusters": embedding_dedup_clusters,
     "geo_footprint_wkt": geo_footprint_wkt,
+    "geo_bbox_area": geo_bbox_area,
     "geo_pip_join": geo_pip_join,
     "geo_knn": geo_knn,
     "geo_knn_haversine": geo_knn_haversine,
@@ -2665,6 +2739,7 @@ QUERIES = {
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "geo_s2_covering": geo_s2_covering,
     "video_frame_sample": video_frame_sample,
+    "image_thumbnails": image_thumbnails,
     "audio_features": audio_features,
     "events_sliding_1h": events_sliding_1h,
     "events_props_json": events_props_json,
@@ -2713,6 +2788,7 @@ def oracle() -> dict[str, str]:
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "embedding_dedup_clusters": EMB_CLUSTERS_SQL,
         "geo_footprint_wkt": _geo_footprint_wkt_sql(),
+        "geo_bbox_area": _geo_bbox_area_sql(),
         "geo_pip_join": _geo_pip_join_sql(),
         "geo_pip_multi": _geo_pip_multi_sql(),
         "geo_pip_multi_tree": _geo_pip_multi_tree_sql(),

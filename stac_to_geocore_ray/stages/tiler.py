@@ -249,6 +249,55 @@ class Tiler:
         return pa.table(tbl)
 
 
+class ImageResizer:
+    """Actor-pool thumbnailing stage: (image_id, bytes) -> (image_id,
+    bytes[thumb], w, h) with the decoded image block-mean-resized to
+    ``size`` x ``size`` and re-encoded (fakeimg.resize_block_mean;
+    a real deployment swaps codec + interpolation behind decode_any).
+
+    Decoded pixels stay inside the stage (only the small re-encoded
+    thumbnail crosses the boundary — the wide-binary-rows rule), and
+    ``on_error="quarantine"`` applies the standard poison-record
+    policy."""
+
+    def __init__(self, size: int = 32, fmt: str = "png",
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "quarantine")
+        self.size = size
+        self.fmt = fmt
+        self.on_error = on_error
+        self._dead: list[tuple[str, str]] = []
+
+    def take_quarantine(self) -> pa.Table:
+        rows, self._dead = self._dead, []
+        return pa.table({
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "error": pa.array([r[1] for r in rows], pa.string())})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        o_id, o_buf, o_w, o_h = [], [], [], []
+        for iid, buf in zip(ids, bufs):
+            try:
+                arr = fi.decode_any(buf)
+                thumb = fi.resize_block_mean(arr, self.size)
+            except Exception as exc:
+                if self.on_error != "quarantine":
+                    raise
+                self._dead.append((iid, f"{type(exc).__name__}: {exc}"))
+                continue
+            o_id.append(iid)
+            o_buf.append(fi.encode(thumb, self.fmt))
+            o_w.append(arr.shape[1])
+            o_h.append(arr.shape[0])
+        return pa.table({
+            "image_id": pa.array(o_id, pa.string()),
+            "bytes": pa.array(o_buf, pa.binary()),
+            "src_w": pa.array(o_w, pa.int32()),
+            "src_h": pa.array(o_h, pa.int32())})
+
+
 class DecodeVerifier:
     """Decode invariants stage (BASELINE.json input_hint checks).
 
