@@ -24,8 +24,11 @@ import pyarrow.compute as pc
 
 from .sources import fixtures
 
-# the driver's oracle runs at this scale; fixture paths in SQL are fixed
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# the driver's oracle runs at this scale; fixture paths in SQL are fixed.
+# GRAFT_ORACLE_SF (read at import) retargets the fixture/golden oracles
+# for out-of-band robustness sweeps at other scales (goldens with
+# scalar image replays are impractical past sf0.01 — pick queries).
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _meta_read(path: str, columns: list[str]):
