@@ -95,6 +95,14 @@ def run_bench() -> dict:
         timed("events_stream",
               lambda: q.events_stream_tumbling(sf_dir).num_rows
               if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # as-of LOCF join (sort + boundary-user fold)
+        timed("events_asof",
+              lambda: q.events_asof_join(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # token-budget chunking (flat-map over documents)
+        timed("doc_chunk",
+              lambda: q.doc_chunk(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
