@@ -475,9 +475,11 @@ def events_asof_join(sf_dir: str):
     events_sessionize: after the (user_id, ts, event_id) sort each
     user is one contiguous run, so every interior user resolves fully
     inside its block with one vectorized maximum.accumulate kernel;
-    only rows of each block's first/last users defer to the small
-    single-task fold (2 users x #blocks, independent of #users), which
-    runs the SAME kernel over the re-sorted remainder.
+    only rows of each block's first/last users defer to a KEYED fold
+    (groupby user_id -> the SAME kernel per user), so a hot user
+    spanning many blocks parallelizes across the fold's groups instead
+    of funnelling through one task; deferred volume is bounded by the
+    block-straddling users' rows (2 users x #blocks groups max).
 
     The mixed table is materialized once for its two consumers
     (resolved stream + deferred fold); it is output-sized (resolved
@@ -568,8 +570,8 @@ def events_asof_join(sf_dir: str):
     deferred = mixed.map_batches(
         lambda g: g.loc[g["deferred"],
                         ["event_id", "user_id", "ts", "event_type", "value"]],
-        batch_format="pandas").repartition(1) \
-        .map_batches(fold, batch_format="pandas")
+        batch_format="pandas") \
+        .groupby("user_id").map_groups(fold, batch_format="pandas")
     return done.union(deferred)
 
 
