@@ -800,6 +800,9 @@ def doc_sample_hash(sf_dir: str):
         import pandas as pd
         ids = batch["doc_id"].to_numpy().astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) < THRESH
+        if not keep.any():                    # typed empty block: pandas
+            return pa.table({"lang": pa.array([], pa.string()),   # would
+                             "n": pa.array([], pa.int64())})      # infer null
         df = pd.DataFrame({"lang": np.asarray(batch["lang"])[keep]})
         g = df.groupby("lang", sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -1102,8 +1105,12 @@ def geo_bbox_area(sf_dir: str):
         width = np.where(e >= w, e - w, 360.0 - (w - e))
         a = (R * R * np.radians(width)
              * (np.sin(np.radians(n)) - np.sin(np.radians(s))))
+        # half-AWAY to match DuckDB round() (the jaccard lesson —
+        # exact halves are astronomically unlikely for trig products,
+        # but matching modes costs nothing); areas are non-negative
+        a_r = np.floor(a * 1e3 + 0.5) / 1e3
         return pa.table({"item_id": batch["item_id"],
-                         "area_km2_r": pa.array(np.round(a, 3))})
+                         "area_km2_r": pa.array(a_r)})
     return ds.map_batches(area, batch_format="pyarrow")
 
 

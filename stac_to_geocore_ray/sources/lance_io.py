@@ -84,6 +84,14 @@ def write_shard(tbl: pa.Table, path: str, filesystem=None,
         if not HAVE_LANCE:
             raise NotImplementedError(
                 "lance is not importable in this environment")
+        if filesystem is not None:
+            # an fs-local path is MEANINGLESS to lance.write_dataset
+            # (it would silently write to worker-local disk while the
+            # manifest marker lands on the object store); Lance takes
+            # full URIs — callers must pass the original URI instead
+            raise NotImplementedError(
+                "write_shard(.lance) does not accept a pyarrow "
+                "filesystem; pass the full URI to the Lance path")
         lance.write_dataset(tbl, path, mode="overwrite")
         return
     pq.write_table(tbl, path, filesystem=filesystem, **parquet_kwargs)

@@ -260,7 +260,8 @@ class ItemTranslator:
         same poison-record policy as Tiler — the columnar kernels
         cannot fail per-row, the row-local flatten is the only
         record-level failure surface."""
-        assert on_error in ("raise", "quarantine")
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error={on_error!r}")
         try:
             import ray
             if isinstance(coll_lookup, ray.ObjectRef):

@@ -79,7 +79,8 @@ class FrameSampler:
         (downstream ``filter(decode_error is null)`` splits clean rows
         from the quarantine stream); good rows carry a null error.
         Default "raise" keeps the strict schema without the column."""
-        assert on_error in ("raise", "dead-letter")
+        if on_error not in ("raise", "dead-letter"):
+            raise ValueError(f"on_error={on_error!r}")
         self.stride = stride
         self.with_phash = with_phash
         self.phash_chunk = phash_chunk
@@ -97,23 +98,18 @@ class FrameSampler:
         phash_pos: list[int] = []             # output row of each good frame
         total = 0
         for vid, buf in zip(ids, bufs):
+            # two-phase per video so a MID-stream decode failure emits
+            # exactly one dead-letter row and NO partial frames (the
+            # documented contract) — frames buffer locally, pHash
+            # stacks only enter the accumulator once the video decodes
+            frames: list = []
             try:
                 for idx, arr in decode_video(buf, self.stride):
-                    out["video_id"].append(vid)
-                    out["frame_index"].append(idx)
-                    out["w"].append(arr.shape[1])
-                    out["h"].append(arr.shape[0])
                     # gray = channel mean, exactly phash's internal
                     # plane; its mean equals arr.mean() in float64
                     gray = (arr.mean(axis=2) if arr.ndim == 3
                             else arr.astype(np.float64))
-                    out["mean_intensity"].append(float(gray.mean()))
-                    errs.append(None)
-                    if acc is not None:
-                        acc.add(gray.shape, gray[None, :, :],
-                                np.array([len(phash_pos)], dtype=np.int64))
-                        phash_pos.append(total)
-                    total += 1
+                    frames.append((idx, arr.shape[1], arr.shape[0], gray))
             except Exception as exc:
                 if self.on_error != "dead-letter":
                     raise
@@ -123,6 +119,19 @@ class FrameSampler:
                 out["h"].append(None)
                 out["mean_intensity"].append(None)
                 errs.append(f"{type(exc).__name__}: {exc}")
+                total += 1
+                continue
+            for idx, w, h, gray in frames:
+                out["video_id"].append(vid)
+                out["frame_index"].append(idx)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["mean_intensity"].append(float(gray.mean()))
+                errs.append(None)
+                if acc is not None:
+                    acc.add(gray.shape, gray[None, :, :],
+                            np.array([len(phash_pos)], dtype=np.int64))
+                    phash_pos.append(total)
                 total += 1
         tbl = {
             "video_id": pa.array(out["video_id"], pa.string()),
@@ -214,7 +223,8 @@ class AudioFeatures:
 
     def __init__(self, frame: int = 256, n_bands: int = 8,
                  on_error: str = "raise"):
-        assert on_error in ("raise", "dead-letter")
+        if on_error not in ("raise", "dead-letter"):
+            raise ValueError(f"on_error={on_error!r}")
         self.on_error = on_error              # "dead-letter": see FrameSampler
         self.frame = frame
         self.n_bands = n_bands

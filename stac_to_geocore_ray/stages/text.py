@@ -117,14 +117,13 @@ class Fingerprinter:
                  + np.sum(data.astype(np.uint64) * powers, dtype=np.uint64))
         return int(h.astype(np.int64))
 
-    def _fingerprint_block(self, texts: list) -> np.ndarray:
+    def _fingerprint_block(self, bufs: list) -> np.ndarray:
         """One padded-matrix Horner pass over a block of docs: bytes
         LEFT-align to a shared power axis (column j carries
         base^(max_len-1-j)), so each row's sum is its own polynomial;
         the offset term adds via a base^len lookup.  uint64 wraparound
         is the mod; per-doc work is one row assignment, not a per-byte
-        loop."""
-        bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+        loop.  Takes pre-encoded byte buffers."""
         lens = np.array([len(b) for b in bufs], dtype=np.int64)
         m = int(lens.max()) if len(lens) else 0
         if m == 0:
@@ -143,13 +142,27 @@ class Fingerprinter:
         h[lens == 0] = 0
         return h.view(np.int64)
 
+    _CELL_BUDGET = 8_000_000                  # u64 cells per padded matrix
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_col].tolist()
-        # chunk so rows x max_len stays ~8M u64 cells (64 MB) even with
-        # one pathological long doc in the batch
-        out = np.empty(len(texts), dtype=np.int64)
-        step = 256
-        for s in range(0, len(texts), step):
-            out[s:s + step] = self._fingerprint_block(texts[s:s + step])
+        bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+        # chunk by CELLS (rows x running max_len <= budget, ~64 MB),
+        # not by a fixed row count — a fixed step of 256 rows next to
+        # one pathological multi-MB doc would allocate 256 x max_len
+        # (gigabytes); cell-budget chunking isolates long docs into
+        # small (even single-row) chunks automatically
+        out = np.empty(len(bufs), dtype=np.int64)
+        s = 0
+        while s < len(bufs):
+            e, mx = s, 0
+            while e < len(bufs):
+                mx2 = max(mx, len(bufs[e]))
+                if (e - s + 1) * mx2 > self._CELL_BUDGET and e > s:
+                    break
+                mx = mx2
+                e += 1
+            out[s:e] = self._fingerprint_block(bufs[s:e])
+            s = e
         batch["fingerprint"] = out
         return batch

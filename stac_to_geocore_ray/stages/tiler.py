@@ -93,7 +93,8 @@ class Tiler:
         records are a certainty and "re-run the partition forever" is
         not a policy (improves on the reference's SILENT skip at
         s3_operations.py:110-112: every drop is counted + persisted)."""
-        assert on_error in ("raise", "quarantine")
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error={on_error!r}")
         self.tile = tile
         self.hex_res = hex_res
         self.prefix_res = prefix_res
@@ -262,7 +263,8 @@ class ImageResizer:
 
     def __init__(self, size: int = 32, fmt: str = "png",
                  on_error: str = "raise"):
-        assert on_error in ("raise", "quarantine")
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error={on_error!r}")
         self.size = size
         self.fmt = fmt
         self.on_error = on_error

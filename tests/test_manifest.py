@@ -251,6 +251,25 @@ class TestQuarantine:
         assert set(ok.video_id) == {"v0", "v2"} and len(ok) == 4
         assert ok.frame_phash.notna().all()
 
+    def test_framesampler_midstream_corruption_drops_partial_frames(self):
+        """A video corrupt AFTER its first frames must still emit
+        exactly ONE dead-letter row and NO partial frame rows."""
+        import numpy as np
+        from stac_to_geocore_ray.stages import multimodal as mm
+        frames = [np.full((32, 32, 3), k * 20, dtype=np.uint8)
+                  for k in range(4)]
+        good = mm.encode_video(frames)
+        corrupt = bytearray(mm.encode_video(frames))
+        corrupt[60:70] = b"\xff" * 10        # clobber a later frame body
+        batch = mm.pa.table({"video_id": ["v0", "vbad"],
+                             "bytes": [good, bytes(corrupt)]})
+        out = mm.FrameSampler(stride=1, on_error="dead-letter")(batch) \
+            .to_pandas()
+        bad = out[out.decode_error.notna()]
+        assert bad.video_id.tolist() == ["vbad"] and len(bad) == 1
+        ok = out[out.decode_error.isna()]
+        assert set(ok.video_id) == {"v0"} and len(ok) == 4
+
     def test_audiofeatures_dead_letter_row(self):
         from stac_to_geocore_ray.stages import multimodal as mm
         good = mm.encode_audio(mm.synth_clip(3, 16_000, 0.1))
