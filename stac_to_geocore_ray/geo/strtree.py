@@ -23,15 +23,27 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray,
     """Ray-cast containment of many points in ONE polygon ring.
 
     ``xs, ys``: polygon vertices (first vertex need not be repeated).
-    Boundary behavior follows the even-odd crossing rule.
+    Interior via the even-odd crossing rule, with points EXACTLY on an
+    edge counted inside — CLOSED containment, matching rect mode's
+    ``>= w AND <= e`` bbox test and the closed-interval SQL oracles
+    (plain even-odd excludes a rectangle's east/north edges, so the
+    two modes disagreed on boundary probes before round 3).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     x1, y1 = xs, ys
     x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
     inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
     for k in range(len(xs)):
         ax, ay, bx, by = x1[k], y1[k], x2[k], y2[k]
+        # exact on-segment test (collinear + within segment bbox) —
+        # float-exact for the coordinate-equality cases that matter
+        col = (bx - ax) * (py - ay) == (by - ay) * (px - ax)
+        if col.any():
+            on_edge |= (col
+                        & (px >= min(ax, bx)) & (px <= max(ax, bx))
+                        & (py >= min(ay, by)) & (py <= max(ay, by)))
         cond = (ay > py) != (by > py)
         if not cond.any():
             continue
@@ -39,7 +51,7 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray,
             t = (py - ay) / (by - ay)
         cross = cond & (px < ax + t * (bx - ax))
         inside ^= cross
-    return inside
+    return inside | on_edge
 
 
 class STRtree:
@@ -64,7 +76,8 @@ class STRtree:
         BENCH notes)."""
         if bboxes is not None:
             self.polygons = None              # rect mode
-            self.bounds = np.ascontiguousarray(bboxes, dtype=np.float64)
+            self.bounds = np.ascontiguousarray(
+                bboxes, dtype=np.float64).reshape(-1, 4)
             n = len(self.bounds)
         else:
             self.polygons = [(np.asarray(xs, dtype=np.float64),
@@ -96,7 +109,6 @@ class STRtree:
             sl = sl[np.argsort(cy[sl], kind="stable")]
             for t in range(0, len(sl), self.cap):
                 leaves.append(sl[t:t + self.cap])
-        self.leaf_items = leaves
         self.items_flat = np.concatenate(leaves) if leaves else \
             np.empty(0, dtype=np.int64)
         self.leaf_sizes = np.array([len(l) for l in leaves], dtype=np.int64)
@@ -232,6 +244,8 @@ class STRtree:
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         pts_out, polys_out = [], []
+        if self.n == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         if self.dense:
             cand = self._candidates_dense(px, py)
             if self.polygons is None:         # rect mode

@@ -73,6 +73,19 @@ def phash_band_rows(batch: pa.Table, id_col: str = "image_id",
     })
 
 
+def _shares_any_band(u: np.ndarray, ia: np.ndarray, ib: np.ndarray,
+                     bands, width: int, mask: np.uint64) -> np.ndarray:
+    """True where pair (ia, ib) matches exactly on ANY of ``bands`` —
+    the single definition both the lower-band global dedup and the
+    sub-band earlier-band dedup share (they must agree bit-for-bit for
+    the emit-exactly-once invariant to hold)."""
+    out = np.zeros(len(ia), dtype=bool)
+    for k in bands:
+        sh = np.uint64(k * width)
+        out |= ((u[ia] >> sh) & mask) == ((u[ib] >> sh) & mask)
+    return out
+
+
 def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
                            hash_col: str = "phash",
                            max_dist: int = 2,
@@ -105,10 +118,7 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
         u = hs.view(np.uint64)
         width = 64 // n_bands
         mask = np.uint64((1 << width) - 1)
-        lower = np.zeros(len(ia), dtype=bool)
-        for k in range(dedup_band):
-            sh = np.uint64(k * width)
-            lower |= ((u[ia] >> sh) & mask) == ((u[ib] >> sh) & mask)
+        lower = _shares_any_band(u, ia, ib, range(dedup_band), width, mask)
         ia, ib, d = ia[~lower], ib[~lower], d[~lower]
     return pd.DataFrame({"a": ids[ia], "b": ids[ib],
                          "dist": d.astype(np.int64)})
@@ -148,10 +158,8 @@ def _banded_pairs_in_group(hs: np.ndarray, max_dist: int, group_band: int,
             pa_ = np.minimum(members[ra], members[rb])
             pb_ = np.maximum(members[ra], members[rb])
             if j_idx:                          # emitted by an earlier band?
-                seen = np.zeros(len(pa_), dtype=bool)
-                for jj in other[:j_idx]:
-                    sh = np.uint64(jj * width)
-                    seen |= ((u[pa_] >> sh) & mask) == ((u[pb_] >> sh) & mask)
+                seen = _shares_any_band(u, pa_, pb_, other[:j_idx],
+                                        width, mask)
                 pa_, pb_ = pa_[~seen], pb_[~seen]
             if len(pa_):
                 cand_a.append(pa_)
@@ -222,13 +230,19 @@ class MinHasher:
                              "band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64())})
         # signatures: one vectorized pass per doc (variable shingle
-        # counts); band hashing is then ONE elementwise hash + reshaped
-        # sum over the whole (docs x perms) matrix — pd.util.hash_array
-        # is elementwise on int64, so this equals the per-band form
+        # counts); band hashing is then ONE elementwise hash + a
+        # POSITION-WEIGHTED reshaped sum over the (docs x perms)
+        # matrix — a plain sum is order-insensitive, so two bands that
+        # are permutations of each other would spuriously collide
+        # (verify filters them, but they are wasted candidates); odd
+        # per-position weights make the fold positional while identical
+        # bands still collide (recall unchanged)
         sigs = np.stack([self.signature(t or "") for t in texts])
         flat = pd.util.hash_array(sigs.astype(np.int64).ravel())
-        bh = flat.reshape(len(texts), self.n_bands, self.rows_per_band) \
-            .sum(axis=2, dtype=np.uint64)
+        pos_w = ((np.arange(self.rows_per_band, dtype=np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
+        bh = (flat.reshape(len(texts), self.n_bands, self.rows_per_band)
+              * pos_w[None, None, :]).sum(axis=2, dtype=np.uint64)
         bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         rep = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64),
                                  self.n_bands))
@@ -334,6 +348,11 @@ def planted_near_dups(ids: np.ndarray, mat: np.ndarray, *, every: int = 5,
     helper IS the definition, the pair SCAN is what each side computes
     independently).  The per-row RandomState loop is fixture code, not
     an engine hot path."""
+    if len(ids) and int(ids.max()) >= id_offset:
+        raise ValueError(
+            f"vec_id {int(ids.max())} >= planted-dup id offset {id_offset}; "
+            "raise id_offset (consistently in query AND golden) before "
+            "running at this scale — silent id collisions corrupt pairs")
     sel = ids % every == 0
     sids = ids[sel]
     m = mat[sel]
@@ -353,12 +372,10 @@ def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
     """In-bucket exact cosine confirmation of near-dup candidates."""
     if len(g) < 2:
         return pd.DataFrame({"a": [], "b": [], "cos": []})
+    from .ann import _normalize
     g = g.sort_values(id_col)
     ids = g[id_col].to_numpy()
-    mat = np.asarray(g[vec_col].tolist(), dtype=np.float64)
-    norm = np.linalg.norm(mat, axis=1, keepdims=True)
-    norm[norm == 0] = 1.0
-    mat = mat / norm
+    mat = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
     sim = mat @ mat.T
     ia, ib = np.triu_indices(len(g), k=1)
     keep = sim[ia, ib] >= threshold
@@ -435,10 +452,16 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
     edges = edges_ds.materialize()
+    sch = edges.schema()
     try:
-        node_t = edges.schema().base_schema.field("a").type
-    except Exception:
-        node_t = pa.string()
+        node_t = sch.base_schema.field("a").type
+    except AttributeError:
+        try:                                  # Ray version without base_schema
+            node_t = sch.field("a").type
+        except Exception as exc:
+            raise RuntimeError(
+                f"cannot introspect edge node type from {sch!r} — label "
+                "propagation needs it to emit typed empty blocks") from exc
 
     def _empty(*cols):
         return pa.table({c: pa.array([], node_t) for c in cols})
