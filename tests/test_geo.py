@@ -219,3 +219,32 @@ class TestAntimeridian:
         # both parts are well-formed (w <= e) and cover the same lat band
         for w, s, e, n in parts:
             assert w <= e and (s, n) == (10.0, 11.0)
+
+
+class TestClosedContainment:
+    """Round-3 boundary fix: polygon-ring mode must agree with rect
+    mode and the closed-interval SQL oracles on points exactly on a
+    rectangle's edges (plain even-odd excluded east/north edges)."""
+
+    def test_rect_and_ring_agree_on_edges(self):
+        import numpy as np
+        from stac_to_geocore_ray.geo.strtree import STRtree
+        w, s, e, n = 0.0, 0.0, 10.0, 10.0
+        ring = (np.array([w, e, e, w]), np.array([s, s, n, n]))
+        px = np.array([10.0, 5.0, 10.0, 0.0, 5.0, 11.0, 5.0])
+        py = np.array([5.0, 10.0, 10.0, 0.0, 5.0, 5.0, -1.0])
+        rect = STRtree(bboxes=np.array([[w, s, e, n]]))
+        poly = STRtree(polygons=[ring])
+        got_r = rect.query_points(px, py)
+        got_p = poly.query_points(px, py)
+        exp = np.array([0, 0, 0, 0, 0, -1, -1])
+        assert (got_r == exp).all()
+        assert (got_p == exp).all()
+
+    def test_empty_catalog_query_all(self):
+        import numpy as np
+        from stac_to_geocore_ray.geo.strtree import STRtree
+        t = STRtree(bboxes=[])
+        q, p = t.query_all(np.array([1.0]), np.array([2.0]))
+        assert len(q) == 0 and len(p) == 0
+        assert t.query_points(np.array([1.0]), np.array([2.0])).tolist() == [-1]
