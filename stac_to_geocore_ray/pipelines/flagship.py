@@ -142,15 +142,15 @@ class AlignedCoRead:
                             f"{m['ids_crc']} — shards not co-partitioned "
                             "(stale/regenerated dir?); use join='shuffle'")
             else:
-                assert (img["image_id"].to_pylist()
-                        == items["image_id"].to_pylist()), \
-                    "shards not co-partitioned; use join='shuffle'"
-            merged = img
-            bb = items["bbox"].combine_chunks() if isinstance(
-                items["bbox"], pa.ChunkedArray) else items["bbox"]
-            m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
-            for i, cname in enumerate(("bw", "bs", "be", "bn")):
-                merged = merged.append_column(cname, pa.array(m[:, i]))
+                if img["image_id"].to_pylist() != \
+                        items["image_id"].to_pylist():
+                    # NOT an assert: this is the only co-partition
+                    # safety net without a manifest and must survive -O
+                    raise RuntimeError(
+                        f"{stem}: shards not co-partitioned; "
+                        "use join='shuffle'")
+            from ..stages.footprint import append_bbox_scalar_cols
+            merged = append_bbox_scalar_cols(img, items)
             for c in self.item_cols:
                 merged = merged.append_column(c, items[c])
             out.append(merged)
@@ -168,6 +168,8 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
     import ray.data as rd
 
     from ..sources import lance_io
+    if join not in ("aligned", "shuffle"):
+        raise ValueError(f"join={join!r}")
     p = fixtures.paths(sf_dir)
     if join == "aligned":
         shards = lance_io.shard_names(p["stac_items"])
@@ -200,14 +202,8 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
     def split_bbox_cols(batch: pa.Table) -> pa.Table:
         # the Arrow hash join rejects fixed_size_list payload columns;
         # carry the bbox as four scalar doubles instead
-        bb = batch["bbox"]
-        if isinstance(bb, pa.ChunkedArray):
-            bb = bb.combine_chunks()
-        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
-        out = batch.drop_columns(["bbox"])
-        for i, name in enumerate(("bw", "bs", "be", "bn")):
-            out = out.append_column(name, pa.array(m[:, i]))
-        return out
+        from ..stages.footprint import append_bbox_scalar_cols
+        return append_bbox_scalar_cols(batch.drop_columns(["bbox"]), batch)
 
     items = items.map_batches(split_bbox_cols, batch_format="pyarrow")
     images = rd.read_parquet(p["images"], columns=["image_id", "bytes"])
@@ -325,7 +321,10 @@ def flagship(sf_dir: str, *, concurrency: int | None = None,
     meta = metadata_pipeline(sf_dir, concurrency=concurrency)
     if not with_tiles:
         return meta, None
-    tiles = tile_pipeline(sf_dir, concurrency=concurrency)
+    # rollup consumes only (hex_prefix, mean_intensity): computing
+    # per-tile pHashes here would be pure waste
+    tiles = tile_pipeline(sf_dir, concurrency=concurrency,
+                          with_phash=False)
     return meta, tile_rollup(tiles)
 
 
@@ -345,16 +344,23 @@ def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
     the manifest's ``quarantined`` count; ``"raise"`` restores the
     all-or-nothing round-2 behavior.
     """
-    import glob as _glob
+    import re as _re
 
     import ray
 
+    from ..sources import lance_io
     from ..state.manifest import ManifestSink, partition_id
     p = fixtures.paths(sf_dir)
     sink = ManifestSink(out_dir)
     if resume:
         sink.clean_orphans()
-    frags = sorted(_glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+    else:
+        sink.reset()                          # stale manifests would make
+                                              # write_partition a no-op
+    # format-dispatched listing (glob('*.parquet') returns [] on a
+    # Lance deployment and would report an empty run as success)
+    frags = [os.path.join(p["stac_items"], nm)
+             for nm in lance_io.shard_names(p["stac_items"])]
     todo = sink.plan(frags) if resume else [(f, partition_id(f)) for f in frags]
     if fail_after is not None:
         todo = todo[:fail_after]
@@ -371,8 +377,19 @@ def run_flagship_to_parquet(sf_dir: str, out_dir: str, *, resume: bool = True,
             pid, tiles, inputs=[frag], quarantined=tiler.take_quarantine())
 
     from ..stages.util import windowed_get
-    idx_of = {f: i for i, f in enumerate(frags)}
-    results = windowed_get(do_shard, [(f, pid, idx_of[f]) for f, pid in todo])
+
+    def _shard_no(frag: str) -> int:
+        # AlignedCoRead builds 'part-{idx:05d}' from this number, so it
+        # MUST come from the basename, not the fragment's position in
+        # the listing — a gap in shard numbering would silently pair
+        # every later fragment with the wrong shard
+        m = _re.search(r"part-(\d+)", os.path.basename(frag))
+        if not m:
+            raise ValueError(f"cannot derive shard index from {frag!r}")
+        return int(m.group(1))
+
+    results = windowed_get(do_shard,
+                           [(f, pid, _shard_no(f)) for f, pid in todo])
     done = sink.completed()
     return {"partitions_written": len(results),
             "partitions_total": len(frags),

@@ -65,6 +65,14 @@ def _auto():
 
 
 
+def _cents(values) -> "np.ndarray":
+    """value -> integer cents with HALF-AWAY rounding, matching DuckDB's
+    round() (python/np round are half-to-even; exact-half products DO
+    occur in real data — the jaccard 157/160 lesson).  Sign-aware."""
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype("int64")
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -274,7 +282,7 @@ def events_hourly(sf_dir: str):
         import pandas as pd
         df = batch.to_pandas()
         df["hour"] = df.ts.dt.floor("h")
-        df["cents"] = (df.value * 100).round().astype("int64")
+        df["cents"] = _cents(df.value.to_numpy())
         g = df.groupby(["event_type", "hour"], sort=False).agg(
             n=("value", "size"), cents=("cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -512,7 +520,7 @@ def events_asof_join(sf_dir: str):
         uid = df.user_id.to_numpy()
         ts = df.ts.to_numpy("datetime64[us]")
         etype = df.event_type.to_numpy()
-        cents = np.round(df.value.to_numpy() * 100).astype("int64")
+        cents = _cents(df.value.to_numpy())
         idx = np.arange(n)
         lr = np.where(etype == RIGHT, idx, -1)
         np.maximum.accumulate(lr, out=lr)
@@ -845,7 +853,7 @@ def events_value_quantiles(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["cents"] = np.round(df.value.to_numpy() * 100).astype("int64")
+        df["cents"] = _cents(df.value.to_numpy())
         g = df.groupby(["event_type", "cents"], sort=False) \
             .size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)

@@ -21,9 +21,15 @@ import pyarrow as pa
 def _as_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        # reshape(0, -1) raises on an empty values buffer; recover the
+        # width from a fixed-size list type so empty FILTERED blocks
+        # (e.g. ann_ivf's probe filter) flow through instead of crashing
+        d = getattr(col.type, "list_size", 0) or 0
+        return np.empty((0, d), dtype=np.float64)
     # list<float> -> (n, d); values buffer is contiguous for non-null cols
     values = col.flatten().to_numpy(zero_copy_only=False)
-    n = len(col)
     return values.reshape(n, -1)
 
 
@@ -54,6 +60,10 @@ class BruteForceTopK:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:               # empty filtered block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         mat = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
         ids = batch[self.id_col].to_numpy()
         sims = mat @ self.qmat.T                    # (n, q)

@@ -36,6 +36,18 @@ def bbox_view(batch: pa.Table, col: str = "bbox") -> np.ndarray:
     return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
 
 
+def append_bbox_scalar_cols(dst: pa.Table, src: pa.Table,
+                            col: str = "bbox") -> pa.Table:
+    """Append src's fixed-size-list bbox as four scalar double columns
+    (bw, bs, be, bn) on dst — the single definition of the splice the
+    aligned co-read and the shuffle join both need (Arrow hash joins
+    reject fixed_size_list payload columns)."""
+    m = bbox_view(src, col)
+    for i, name in enumerate(("bw", "bs", "be", "bn")):
+        dst = dst.append_column(name, pa.array(m[:, i]))
+    return dst
+
+
 def encode_footprint(batch: pa.Table, *, s2_level: int = S2_LEVEL,
                      hex_res: int = HEX_RES,
                      hex_prefix_res: int = HEX_PREFIX_RES,

@@ -59,6 +59,7 @@ class WindowBucket:
         self.open: dict[tuple, list] = {}     # (key, wstart) -> [n, cents]
         self.finalized: set[tuple] = set()
         self.ripe: list[tuple] = []           # finalized (k, w, n, cents)
+        self.ripe_base = 0                    # cursor of self.ripe[0]
         self.watermark = -(1 << 62)
         self.late = 0
         self.seen: set[tuple] = set()         # replayed-ingest guard
@@ -85,16 +86,32 @@ class WindowBucket:
             n, c = self.open.pop(kk)
             self.finalized.add(kk)
             self.ripe.append((kk[0], kk[1], n, c))
-        return len(self.ripe)
+        return self.ripe_base + len(self.ripe)
 
     def ripe_windows(self, after: int = 0) -> tuple[pa.Table, int]:
         """Finalized windows accumulated so far, with an incremental
         cursor: returns (windows with seq >= ``after``, next cursor).
-        Windows are RETAINED, so any drain is replayable from any
-        cursor — a periodic driver drain that is lost in flight just
-        re-reads from its last durable cursor (the endless-stream
-        consumption pattern); ``after=0`` returns everything."""
-        return _windows_table(self.ripe[after:]), len(self.ripe)
+        Windows are RETAINED until ``prune``, so any drain is
+        replayable from any un-pruned cursor — a periodic driver drain
+        that is lost in flight just re-reads from its last durable
+        cursor (the endless-stream consumption pattern); ``after=0``
+        returns everything still held."""
+        lo = max(0, after - self.ripe_base)
+        return (_windows_table(self.ripe[lo:]),
+                self.ripe_base + len(self.ripe))
+
+    def prune(self, durable_cursor: int) -> int:
+        """Drop finalized windows below a cursor the consumer has made
+        DURABLE — the eviction that keeps a truly endless deployment's
+        actor memory bounded (without it, ripe grows with stream
+        length; ``seen`` stays: one tiny tuple per feeder BATCH, not
+        per event).  Cursors below the pruned point are no longer
+        replayable; returns the number of rows dropped."""
+        drop = max(0, min(durable_cursor - self.ripe_base, len(self.ripe)))
+        if drop:
+            del self.ripe[:drop]
+            self.ripe_base += drop
+        return drop
 
     def flush(self) -> pa.Table:
         """Windows still open at end-of-stream (watermark never passed)."""
@@ -163,7 +180,11 @@ class WindowFeeder:
         k = self.window_us // self.slide_us
         base = (ts_us // self.slide_us) * self.slide_us
         keys0 = df[self.key_col].astype(str).to_numpy(dtype=object)
-        cents0 = np.round(df[self.value_col].to_numpy() * 100).astype("int64")
+        # half-AWAY like DuckDB round() (exact-half products exist in
+        # real data; np.round's half-to-even silently diverges there)
+        v = df[self.value_col].to_numpy(dtype=np.float64)
+        cents0 = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype("int64")
         # sliding expansion: event -> its k covering windows (k=1 for
         # tumbling), all numpy tile/repeat — still no per-event Python
         offs = (np.arange(k, dtype=np.int64) * self.slide_us)

@@ -178,6 +178,25 @@ class ManifestSink:
                 f.write(payload)
         return manifest
 
+    def reset(self) -> int:
+        """Delete ALL manifests, outputs, and quarantine files — the
+        explicit non-resume mode.  Without this, a resume=False re-run
+        into an existing out_dir recomputes every partition but
+        ``write_partition`` silently discards the fresh tables at the
+        is_done() check, retaining stale data while reporting success.
+        Returns the number of files removed."""
+        from pyarrow.fs import FileType
+        n = 0
+        for d in (self.mdir, posixpath.join(self.root, "_quarantine"),
+                  self.root):
+            if self.fs.get_file_info(d).type == FileType.NotFound:
+                continue
+            for path in self._listdir(d):
+                if self.fs.get_file_info(path).type == FileType.File:
+                    self.fs.delete_file(path)
+                    n += 1
+        return n
+
     def orphans(self) -> list[str]:
         """Output files with no manifest (crashed partial writes)."""
         from ..sources import lance_io

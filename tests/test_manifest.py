@@ -280,3 +280,20 @@ class TestQuarantine:
         out = mm.AudioFeatures(on_error="dead-letter")(batch).to_pandas()
         assert out[out.decode_error.notna()].clip_id.tolist() == ["b"]
         assert out[out.decode_error.isna()].rms.notna().all()
+
+
+def test_nonresume_rebuilds_from_scratch(ray_session, tmp_path):
+    """resume=False must actually rebuild: a second run with different
+    parameters into the same out_dir replaces the old outputs instead
+    of silently skipping at the manifest check."""
+    import pyarrow.parquet as pq
+    from stac_to_geocore_ray.pipelines.flagship import run_flagship_to_parquet
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "o")
+    run_flagship_to_parquet(sf, out, with_phash=False)
+    import glob
+    f0 = sorted(glob.glob(f"{out}/part-*.parquet"))[0]
+    assert "tile_phash" not in pq.read_schema(f0).names
+    r2 = run_flagship_to_parquet(sf, out, with_phash=True, resume=False)
+    assert r2["rows"] > 0
+    assert "tile_phash" in pq.read_schema(f0).names   # actually rebuilt
