@@ -129,3 +129,21 @@ class TestWindowBucket:
         assert got.n.tolist() == expg.n.tolist()
         assert got.sum_cents.tolist() == expg.sum_cents.tolist()
         assert got.key.tolist() == expg.key.tolist()
+
+
+def test_prune_bounds_memory_and_keeps_cursor_math(ray_session):
+    """Endless-stream eviction: pruning below a durable cursor drops
+    retained rows; later drains and cursors stay consistent."""
+    from stac_to_geocore_ray.stages.streaming import WindowBucket
+    b = WindowBucket.remote(100, 0)
+    _ingest(b, [("a", 10, 1), ("a", 150, 2)])   # w0 ripe
+    t1, c1 = ray.get(b.ripe_windows.remote(0))
+    assert t1.num_rows == 1
+    assert ray.get(b.prune.remote(c1)) == 1     # evict below durable cursor
+    t_again, c_same = ray.get(b.ripe_windows.remote(c1))
+    assert t_again.num_rows == 0 and c_same == c1
+    _ingest(b, [("a", 290, 4)])                 # w100 ripens post-prune
+    t2, c2 = ray.get(b.ripe_windows.remote(c1))
+    assert t2.to_pylist() == [{"key": "a", "window_start": 100,
+                               "n": 1, "sum_cents": 2}]
+    assert c2 == c1 + 1
