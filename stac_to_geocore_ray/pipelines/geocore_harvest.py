@@ -18,7 +18,6 @@ and the final output set is byte-identical.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pyarrow as pa
@@ -90,7 +89,17 @@ def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG
     sink = ManifestSink(out_dir)
     if resume:
         sink.clean_orphans()
-    frags = sorted(glob.glob(os.path.join(p["stac_items"], "*.parquet")))
+    else:
+        # non-resume into a used out_dir: without this, write_partition's
+        # is_done() check silently retains stale data (ADVICE r3)
+        sink.reset()
+    from ..sources import lance_io
+    names = lance_io.shard_names(p["stac_items"])
+    if not names:
+        raise FileNotFoundError(
+            f"no input shards under {p['stac_items']} "
+            f"(format-dispatched listing, ext={lance_io.shard_ext()})")
+    frags = [os.path.join(p["stac_items"], n) for n in names]
     todo = sink.plan(frags) if resume else [(f, partition_id(f)) for f in frags]
 
     @ray.remote(num_cpus=1)
@@ -111,7 +120,7 @@ def run_harvest(sf_dir: str, out_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG
     # small sides (root + collections) land in their own partition
     root_rec, coll_recs = harvest_small_sides(sf_dir, cfg)
     small_pid = "smallsides-" + partition_id("root+collections")
-    if not sink.is_done(small_pid):
+    if not resume or not sink.is_done(small_pid):
         small = coll_recs.drop_columns(["options"])
         sink.write_partition(small_pid, small, inputs=["collections.parquet"])
     done = sink.completed()

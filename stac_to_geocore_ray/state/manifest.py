@@ -147,6 +147,12 @@ class ManifestSink:
             # object store: single PUT, all-or-nothing by store contract
             lance_io.write_shard(tbl, final, filesystem=self.fs)
         n_quar = quarantined.num_rows if quarantined is not None else 0
+        if not n_quar:
+            # a prior crashed attempt may have PUT _quarantine/<pid>
+            # before dying pre-manifest; this clean re-run supersedes it
+            stale_q = posixpath.join(self.root, "_quarantine", f"{pid}.parquet")
+            if self._exists(stale_q):
+                self.fs.delete_file(stale_q)
         if n_quar:
             qdir = posixpath.join(self.root, "_quarantine")
             self.fs.create_dir(qdir, recursive=True)
@@ -178,35 +184,69 @@ class ManifestSink:
                 f.write(payload)
         return manifest
 
+    def _owned(self, name: str) -> bool:
+        """True for filenames this sink writes — part-*<ext> shards
+        (plus their .tmp), manifest JSONs, quarantine parquets.  Reset
+        and orphan sweeps touch ONLY these, so pointing out_dir at a
+        directory containing unrelated files never destroys them."""
+        from ..sources import lance_io
+        ext = lance_io.shard_ext()
+        for suffix in ("", ".tmp"):
+            if name.startswith("part-") and name.endswith(ext + suffix):
+                return True
+        return False
+
     def reset(self) -> int:
-        """Delete ALL manifests, outputs, and quarantine files — the
-        explicit non-resume mode.  Without this, a resume=False re-run
-        into an existing out_dir recomputes every partition but
-        ``write_partition`` silently discards the fresh tables at the
-        is_done() check, retaining stale data while reporting success.
-        Returns the number of files removed."""
+        """Delete all SINK-OWNED manifests, outputs, and quarantine
+        files — the explicit non-resume mode.  Without this, a
+        resume=False re-run into an existing out_dir recomputes every
+        partition but ``write_partition`` silently discards the fresh
+        tables at the is_done() check, retaining stale data while
+        reporting success.  Unrelated files under out_dir are left
+        alone.  Returns the number of files removed."""
         from pyarrow.fs import FileType
         n = 0
-        for d in (self.mdir, posixpath.join(self.root, "_quarantine"),
-                  self.root):
+        qdir = posixpath.join(self.root, "_quarantine")
+        for d, keep in ((self.mdir, (".json", ".json.tmp")),
+                        (qdir, (".parquet", ".parquet.tmp")),
+                        (self.root, None)):
             if self.fs.get_file_info(d).type == FileType.NotFound:
                 continue
             for path in self._listdir(d):
-                if self.fs.get_file_info(path).type == FileType.File:
+                if self.fs.get_file_info(path).type != FileType.File:
+                    continue
+                name = posixpath.basename(path)
+                owned = self._owned(name) if keep is None \
+                    else name.endswith(keep)
+                if owned:
                     self.fs.delete_file(path)
                     n += 1
         return n
 
     def orphans(self) -> list[str]:
-        """Output files with no manifest (crashed partial writes)."""
+        """Crash debris: output shards with no manifest, stale ``.tmp``
+        files from interrupted local renames, and quarantine parquets
+        whose partition never reached its manifest marker."""
+        from pyarrow.fs import FileType
         from ..sources import lance_io
         ext = lance_io.shard_ext()
-        done = {f"part-{pid}{ext}" for pid in self.completed()}
+        done_pids = set(self.completed())
+        done = {f"part-{pid}{ext}" for pid in done_pids}
         out = []
         for path in self._listdir(self.root):
             name = posixpath.basename(path)
             if name.endswith(ext) and name not in done:
                 out.append(path)
+            elif self._owned(name) and name.endswith(".tmp"):
+                out.append(path)
+        qdir = posixpath.join(self.root, "_quarantine")
+        if self.fs.get_file_info(qdir).type != FileType.NotFound:
+            for path in self._listdir(qdir):
+                name = posixpath.basename(path)
+                pid = name[:-len(".parquet")] if name.endswith(".parquet") \
+                    else None
+                if name.endswith(".tmp") or (pid and pid not in done_pids):
+                    out.append(path)
         return out
 
     def clean_orphans(self) -> int:

@@ -297,3 +297,73 @@ def test_nonresume_rebuilds_from_scratch(ray_session, tmp_path):
     r2 = run_flagship_to_parquet(sf, out, with_phash=True, resume=False)
     assert r2["rows"] > 0
     assert "tile_phash" in pq.read_schema(f0).names   # actually rebuilt
+
+
+def test_reset_spares_unrelated_files(sink):
+    """reset() deletes only sink-owned names (ADVICE r3): pointing
+    out_dir at a directory with unrelated files must not destroy them."""
+    sink.write_partition("p1", _tbl(), quarantined=_tbl(2))
+    bystander = os.path.join(sink.out_dir, "README.txt")
+    with open(bystander, "w") as f:
+        f.write("not yours")
+    n = sink.reset()
+    assert n >= 2                       # shard + quarantine + manifest
+    assert os.path.exists(bystander)
+    assert not sink.is_done("p1")
+    assert not os.path.exists(os.path.join(sink.out_dir, "part-p1.parquet"))
+
+
+def test_orphans_include_tmp_and_stale_quarantine(sink):
+    """Crash debris beyond bare shards (ADVICE r3): stale .tmp files
+    from interrupted local renames and quarantine parquets whose
+    partition never reached its manifest are swept too."""
+    sink.write_partition("ok", _tbl())
+    tmp = os.path.join(sink.out_dir, "part-crashed.parquet.tmp")
+    with open(tmp, "wb") as f:
+        f.write(b"half a shard")
+    qdir = os.path.join(sink.out_dir, "_quarantine")
+    os.makedirs(qdir, exist_ok=True)
+    import pyarrow.parquet as pq
+    stale_q = os.path.join(qdir, "crashed.parquet")
+    pq.write_table(_tbl(1), stale_q)
+    assert sink.clean_orphans() == 2
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(stale_q)
+    assert sink.is_done("ok")
+
+
+def test_clean_rerun_supersedes_stale_quarantine(sink):
+    """A partition that quarantined rows on a crashed attempt but
+    produces zero quarantined rows on the re-run must not leave the
+    stale dead-letter parquet behind."""
+    qdir = os.path.join(sink.out_dir, "_quarantine")
+    os.makedirs(qdir, exist_ok=True)
+    import pyarrow.parquet as pq
+    stale_q = os.path.join(qdir, "p9.parquet")
+    pq.write_table(_tbl(3), stale_q)           # debris from crashed attempt
+    m = sink.write_partition("p9", _tbl())     # clean re-run, no quarantine
+    assert m["quarantined"] == 0
+    assert not os.path.exists(stale_q)
+
+
+def test_harvest_nonresume_replaces_stale_outputs(ray_session, tmp_path):
+    """run_harvest(resume=False) into a used out_dir must rebuild, not
+    silently retain stale data at the is_done() check (ADVICE r3)."""
+    import glob
+    import json
+    from stac_to_geocore_ray.pipelines.geocore_harvest import run_harvest
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "h")
+    run_harvest(sf, out)
+    # plant a stale shard+manifest pair that a fresh run can't produce
+    stale = os.path.join(out, "part-stale-deadbeef.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(_tbl(), stale)
+    with open(os.path.join(out, "_manifest", "stale-deadbeef.json"), "w") as f:
+        json.dump({"partition_id": "stale-deadbeef", "path": stale,
+                   "inputs": [], "rows": 5, "quarantined": 0,
+                   "checksum": "x", "wall_sec": 0}, f)
+    r = run_harvest(sf, out, resume=False)
+    assert r["completed"] == r["partitions_total"]
+    assert not os.path.exists(stale)
+    assert sorted(glob.glob(f"{out}/_manifest/*.json"))
