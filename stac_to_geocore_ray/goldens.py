@@ -391,6 +391,45 @@ def golden_embedding_neardup(sf_dir: str) -> pa.Table:
         "cos_r": pa.array([r[2] for r in rows], pa.float64())})
 
 
+def golden_ann_ivf(sf_dir: str) -> pa.Table:
+    """Exact scalar top-10-per-query scan over the augmented corpus
+    (embeddings + planted true neighbours), self-match excluded —
+    independent of the engine's IVF bucketing / probe filter / partial
+    top-k merge.  The planted construction is the shared spec
+    (stages/ann.planted_neighbors); by that construction the true
+    top-10 is the planted set in angle order, so equality here proves
+    the probed search recovers every true neighbour exactly."""
+    from .queries import _ANN_QUERY_IDS
+    from .stages.ann import planted_neighbors
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qrow = {int(v): i for i, v in enumerate(ids)}
+    qmat = np.stack([mat[qrow[q]] for q in _ANN_QUERY_IDS])
+    p_ids, p_mat = planted_neighbors(list(_ANN_QUERY_IDS), qmat)
+    all_ids = np.concatenate([ids, p_ids])
+    all_mat = np.concatenate([mat, p_mat.astype(np.float64)])
+    unit = []
+    for v in all_mat:                      # scalar per-row normalize
+        nv = math.sqrt(float(np.dot(v, v)))
+        unit.append(v / nv if nv else v)
+    rows = []
+    for q in _ANN_QUERY_IDS:
+        qv = unit[qrow[int(q)]]
+        sims = [(float(np.dot(u, qv)), int(i))
+                for i, u in zip(all_ids, unit) if int(i) != int(q)]
+        sims.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (c, vid) in enumerate(sims[:10], start=1):
+            rows.append((int(q), rank, vid,
+                         float(np.round(np.float64(c), 4))))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+        "cos_r": pa.array([r[3] for r in rows], pa.float64())})
+
+
 def golden_thumbnails(sf_dir: str) -> pa.Table:
     """Per-PIXEL Python replay of the 32x32 block-mean thumbnail over
     the same 64 shard-0 images image_thumbnails resizes: plain loops
@@ -502,6 +541,7 @@ GOLDENS = {
     "audio_features": golden_audio_features,
     "harvest_manifests": golden_harvest_manifests,
     "embedding_neardup_lsh": golden_embedding_neardup,
+    "ann_ivf": golden_ann_ivf,
     "image_thumbnails": golden_thumbnails,
 }
 

@@ -2187,21 +2187,33 @@ def harvest_manifests(sf_dir: str):
 
 
 def ann_ivf(sf_dir: str):
-    """IVF-bucketed ANN: coarse-quantizer assignment + probed search.
+    """IVF-bucketed ANN: coarse-quantizer assignment + probed search,
+    VALUE-CHECKED via the planted-neighbour construction (round-4 fix
+    for the one rows-only query).
 
-    Fully streaming: centroids fit once on a driver-side sample
-    (k-means-lite, deterministic seed); each batch assigns vectors to
-    centroids, FILTERS to the probed buckets of the broadcast queries,
-    and emits per-batch top-k candidates — the driver merges only
-    candidate rows (never the full assignment).  Rows-only:
-    approximate by construction; the query reports recall@10 vs the
-    exact brute-force scan.
+    The fixture corpus is augmented in-pipeline with 10 deterministic
+    planted neighbours per query (stages/ann.planted_neighbors, the
+    shared construction spec): each within 0.11 rad of its query, so
+    the true top-10 (self excluded) is exactly the planted set in
+    angle order BY CONSTRUCTION — an IVF probe that routes the query's
+    angular neighbourhood correctly must recover it exactly.  The
+    golden (goldens.golden_ann_ivf) replays the search as an
+    independent scalar O(n*q) scan over the same augmented corpus, so
+    hash equality proves the bucketing/probe/merge path end-to-end.
+    The general-corpus recall floor is gated in pytest
+    (tests/test_stages.py::test_ivf_probed_recall_floor).
+
+    Fully streaming: centroids fit once on a driver-side strided
+    sample (k-means-lite, deterministic seed); each batch assigns
+    vectors to centroids, FILTERS to the probed buckets of the
+    broadcast queries, and emits per-batch top-k candidates — the
+    driver merges only candidate rows (never the full assignment).
     """
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
     from .stages.ann import (BruteForceTopK, IVFIndex, _as_matrix,
-                             _normalize, merge_topk)
+                             _normalize, merge_topk, planted_neighbors)
 
     # query vectors: filtered 2-column read (3 rows reach the driver)
     qtbl = pq.read_table(_t(sf_dir, "embeddings"),
@@ -2214,9 +2226,17 @@ def ann_ivf(sf_dir: str):
 
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
-    # centroid fit on a STREAMED strided sample (per-batch stride; the
-    # corpus never materializes on the driver — round 1 read the whole
-    # table here)
+    # planted true neighbours: 30 rows, unioned as one tiny block with
+    # the fixture's exact schema (list<float32>)
+    p_ids, p_mat = planted_neighbors(list(_ANN_QUERY_IDS), qmat_raw)
+    planted_tbl = pa.table({
+        "vec_id": pa.array(p_ids, pa.int64()),
+        "embedding": pa.array([row for row in p_mat],
+                              pa.list_(pa.float32()))})
+    augmented = ds.union(rd.from_arrow(planted_tbl))
+
+    # centroid fit on a STREAMED strided sample of the base corpus
+    # (per-batch stride; the corpus never materializes on the driver)
     n_total = ds.count()
     step = max(1, n_total // 2000)
 
@@ -2237,44 +2257,26 @@ def ann_ivf(sf_dir: str):
     probe_ref = ray.put(sorted(probe_buckets))
     q_ref = ray.put((list(_ANN_QUERY_IDS), qmat_raw))
 
-    assigned = ds.map_batches(lambda b: IVFIndex(cents_ref)(b),
-                              batch_format="pyarrow")
+    assigned = augmented.map_batches(lambda b: IVFIndex(cents_ref)(b),
+                                     batch_format="pyarrow")
 
     def probe_filter(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["ivf_bucket"],
                         value_set=pa.array(ray.get(probe_ref), pa.int32()))
         return batch.filter(keep)
 
+    # k=11: room for the query's self-match, dropped before ranking
     probed = assigned.map_batches(probe_filter, batch_format="pyarrow")
-    cand = probed.map_batches(lambda b: BruteForceTopK(q_ref)(b),
+    cand = probed.map_batches(lambda b: BruteForceTopK(q_ref, k=11)(b),
                               batch_format="pyarrow")
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
-    approx = merge_topk(cand_tbl).to_pandas()
-
-    # exact baseline for recall: the same distributed brute-force
-    # partial-top-k scan as ann_topk (per-batch candidates only; the
-    # full similarity matrix never exists anywhere)
-    exact_cand = ds.map_batches(lambda b: BruteForceTopK(q_ref)(b),
-                                batch_format="pyarrow")
-    exact_df = merge_topk(pa.concat_tables(
-        exact_cand.iter_batches(batch_format="pyarrow"))).to_pandas()
-
-    rows = []
-    for q in _ANN_QUERY_IDS:
-        exact = set(exact_df[exact_df.query_id == q].vec_id.head(10).tolist())
-        got = set(approx[approx.query_id == q].vec_id.head(10).tolist())
-        rows.append({"query_id": int(q),
-                     "n_candidates": int((approx.query_id == q).sum()),
-                     "recall_at_10": round(len(got & exact) / 10.0, 2)})
-    # recall FLOOR gate (round 3): approximate by construction, but a
-    # probed-bucket search that misses most true neighbours is broken,
-    # not "approximate" — fail loudly instead of reporting garbage
-    mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
-    if mean_recall < 0.5:
-        raise RuntimeError(
-            f"IVF mean recall@10 {mean_recall:.2f} < 0.5 floor — "
-            "centroid fit or probe routing is broken")
-    return pa.Table.from_pylist(rows)
+    out = merge_topk(cand_tbl, k=11).to_pandas()
+    out = out[out.vec_id != out.query_id].copy()
+    out = out.groupby("query_id", sort=True).head(10).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cos_r"] = out["cos"].round(4)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "vec_id", "cos_r"]], preserve_index=False)
 
 
 def ngram_jaccard_dedup(sf_dir: str):

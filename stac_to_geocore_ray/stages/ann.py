@@ -95,6 +95,53 @@ def merge_topk(candidates: pa.Table, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def planted_neighbors(query_ids, qmat, *, k: int = 10,
+                      id_offset: int = 2_000_000):
+    """Deterministic planted true-neighbour construction for ANN
+    value-checking (the ``planted_near_dups`` pattern: the helper IS
+    the definition; the SEARCH is what each side computes
+    independently).
+
+    For query q and j in 0..k-1: neighbour_j = q rotated by angle
+    theta_j = 0.02 + 0.01*j toward a per-(query_id, j)-seeded direction
+    orthogonal to q.  cos(q, neighbour_j) = cos(theta_j), strictly
+    decreasing in j and >= cos(0.11) ~ 0.9940 — far above the fixture's
+    background max (~0.51) — so over the augmented corpus the true
+    top-(k+1) of q is [q itself] + its neighbours in j order, BY
+    CONSTRUCTION, and an IVF probe that routes q's immediate angular
+    neighbourhood correctly must recover exactly that list.  Seeding is
+    per (query_id, j): order- and partition-independent.
+
+    Returns (int64 ids, float32 matrix); float32 matches the fixture's
+    ``list<float>`` storage so both the engine's unioned rows and the
+    golden's replay see bit-identical vectors."""
+    import math
+    if len(query_ids) and int(max(query_ids)) * 100 + k > id_offset * 100:
+        raise ValueError("query_id too large for planted id scheme")
+    rows_i, rows_v = [], []
+    for qid, q in zip(query_ids, qmat):
+        q = np.asarray(q, dtype=np.float64)
+        nq = np.linalg.norm(q) or 1.0
+        u = q / nq
+        for j in range(k):
+            rs = np.random.RandomState((int(qid) * 1009 + j) & 0x7FFFFFFF)
+            while True:
+                r = rs.normal(size=q.shape[0])
+                r_perp = r - (r @ u) * u
+                # redraw (same stream: deterministic) when the draw is
+                # numerically parallel to q — the residual would be pure
+                # float noise, not a direction
+                if np.linalg.norm(r_perp) > 1e-6 * np.linalg.norm(r):
+                    break
+            r = r_perp / np.linalg.norm(r_perp)
+            theta = 0.02 + 0.01 * j
+            v = math.cos(theta) * u + math.sin(theta) * r
+            rows_i.append(id_offset + int(qid) * 100 + j)
+            rows_v.append((v * nq).astype(np.float32))
+    return (np.asarray(rows_i, dtype=np.int64),
+            np.stack(rows_v) if rows_v else np.empty((0, 0), np.float32))
+
+
 class IVFIndex:
     """Coarse-quantizer ANN: per-batch centroid assignment stage.
 

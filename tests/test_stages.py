@@ -272,3 +272,58 @@ class TestANN:
                           "embedding": [r.tolist() for r in sample[:10]]})
         out = ivf(batch).to_pandas()
         assert out.ivf_bucket.between(0, 3).all()
+
+    def test_ivf_probed_recall_floor(self):
+        """General-corpus recall gate (moved out of the ann_ivf query
+        in round 4 — the query itself is now value-checked on planted
+        neighbours): probed IVF search over a synthetic clustered
+        corpus must reach recall@10 >= 0.5 vs exact brute force."""
+        from stac_to_geocore_ray.stages.ann import (BruteForceTopK,
+                                                    IVFIndex, merge_topk,
+                                                    _normalize)
+        rng = np.random.RandomState(42)
+        # clustered corpus: 8 centers x 250 points, the regime IVF serves
+        centers = _normalize(rng.normal(size=(8, 16)))
+        mat = np.repeat(centers, 250, axis=0) \
+            + 0.3 * rng.normal(size=(2000, 16))
+        ids = np.arange(2000)
+        cents = IVFIndex.fit_centroids(mat[::5], n_centroids=16)
+        qids, qmat = [7, 503, 1999], mat[[7, 503, 1999]]
+        probe = set()
+        for qv in _normalize(qmat.copy()):
+            probe.update(np.argsort(-(cents @ qv))[:4].tolist())
+        batch = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                          "embedding": [r.tolist() for r in mat]})
+        assigned = IVFIndex(cents)(batch).to_pandas()
+        kept = assigned[assigned.ivf_bucket.isin(probe)]
+        probed_batch = pa.table({
+            "vec_id": pa.array(kept.vec_id.to_numpy(), pa.int64()),
+            "embedding": [r for r in kept.embedding]})
+        approx = merge_topk(
+            BruteForceTopK((qids, qmat))(probed_batch)).to_pandas()
+        exact = merge_topk(BruteForceTopK((qids, qmat))(batch)).to_pandas()
+        recalls = []
+        for q in qids:
+            e = set(exact[exact.query_id == q].vec_id.head(10))
+            a = set(approx[approx.query_id == q].vec_id.head(10))
+            recalls.append(len(a & e) / 10.0)
+        assert sum(recalls) / len(recalls) >= 0.5
+
+    def test_planted_neighbors_construction(self):
+        """The shared spec: planted neighbours are within 0.11 rad of
+        their query, in strictly decreasing cosine order, deterministic
+        and partition-independent."""
+        from stac_to_geocore_ray.stages.ann import planted_neighbors
+        rng = np.random.RandomState(3)
+        qmat = rng.normal(size=(2, 12))
+        ids1, m1 = planted_neighbors([0, 5], qmat)
+        ids2, m2 = planted_neighbors([5], qmat[1:])   # different slicing
+        assert np.array_equal(ids1[10:], ids2)
+        assert np.array_equal(m1[10:], m2)
+        for qi, q in zip([0, 5], qmat):
+            qv = q / np.linalg.norm(q)
+            block = m1[[i for i, pid in enumerate(ids1)
+                        if (pid - 2_000_000) // 100 == qi]].astype(np.float64)
+            cos = (block / np.linalg.norm(block, axis=1, keepdims=True)) @ qv
+            assert (np.diff(cos) < 0).all()          # strictly decreasing
+            assert cos.min() > 0.9939                # cos(0.11)
