@@ -50,8 +50,14 @@ def _meta_read(path: str, columns: list[str]):
         if os.path.isdir(path) else [path]
     total = sum(os.path.getsize(f) for f in paths)
     nblocks = max(ncpu, min(4 * ncpu, total // (64 << 20) + 1))
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=int(nblocks))
+    ds = rd.read_parquet(path, columns=columns,
+                         override_num_blocks=int(nblocks))
+    # strip the parquet-embedded pandas metadata (zero-copy, fuses
+    # with the read): schemas carrying it are UNHASHABLE, so every
+    # downstream sort/union logged "Failed to hash the schemas" and
+    # paid the slow unify path instead of the dedup early-exit
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 def _auto():
@@ -399,7 +405,10 @@ def events_sessionize(sf_dir: str):
     def fold(g):
         g = g.sort_values(["user_id", "first_ts"]).reset_index(drop=True)
         if len(g) == 0:
-            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
+            # typed empty block (int64 user_id, matching the events
+            # schema): an object-dtype empty here gave the union a
+            # second schema and a per-run executor warning (r3 verdict)
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
                                  "n_sessions": pd.Series([], dtype="int64"),
                                  "n_events": pd.Series([], dtype="int64")})
         uid = g.user_id.to_numpy()

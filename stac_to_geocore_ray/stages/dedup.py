@@ -220,6 +220,75 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    # doc-group target for signatures_batch: keeps every temporary
+    # (perm_chunk x group_shingles x 8B ~ 4 MB) inside the cache
+    # hierarchy — measured 6x faster than one whole-batch matrix,
+    # whose 64 MB temporaries page-fault every pass (BENCH/BASELINE.md)
+    _GROUP_BYTES = 65536
+    _PERM_CHUNK = 8
+
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures, segmented-vectorized
+        (round-4): docs are packed into ~64 KB groups; per group the
+        rolling shingle hash is k shifted multiply-adds over ONE
+        concatenated buffer and the per-permutation min is
+        ``np.minimum.reduceat`` at doc offsets.  Bit-identical to
+        per-doc ``signature()`` — padding, windowing and modular math
+        unchanged, just segmented."""
+        k = self.shingle_k
+        # per-doc lower+encode+pad (C string ops only)
+        chunks = []
+        for t in texts:
+            b = (t or "").lower().encode("utf-8", "ignore")
+            chunks.append(b if len(b) >= k else b + b" " * (k - len(b)))
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        weights = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+        p = np.uint64(_MERSENNE)
+        buf = None                      # reused modmul scratch, no temps
+        i = 0
+        while i < len(chunks):
+            j, tot = i, 0
+            while j < len(chunks) and (j == i or
+                                       tot + len(chunks[j]) <= self._GROUP_BYTES):
+                tot += len(chunks[j])
+                j += 1
+            group = chunks[i:j]
+            lens = np.fromiter((len(c) for c in group), dtype=np.int64,
+                               count=len(group))
+            concat = np.frombuffer(b"".join(group), dtype=np.uint8) \
+                .astype(np.uint64)
+            nw = len(concat) - k + 1
+            # rolling hash: k shifted multiply-adds, no (n x k) window
+            h_full = np.zeros(nw, dtype=np.uint64)
+            for jj in range(k):
+                h_full += concat[jj:nw + jj] * weights[jj]
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            counts = lens - k + 1                    # >= 1 by padding
+            total = int(counts.sum())
+            seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            # segmented arange: valid window starts only (shingles
+            # never cross doc boundaries)
+            idx = (np.repeat(starts, counts)
+                   + np.arange(total) - np.repeat(seg_off, counts))
+            sh_all = h_full[idx]
+            pc_ = self._PERM_CHUNK
+            if buf is None or buf.shape[1] < total:
+                buf = np.empty((pc_, max(total, self._GROUP_BYTES)),
+                               dtype=np.uint64)
+            vals = buf[:, :total]
+            for c0 in range(0, self.num_perm, pc_):
+                # in-place (a*x + b) % p into the reused scratch: the
+                # allocation-free passes are what beat the per-doc path
+                a_c = self.a[c0:c0 + pc_, None]     # may be short at tail
+                v = vals[:len(a_c)]
+                np.multiply(sh_all[None, :], a_c, out=v)
+                v += self.b[c0:c0 + pc_, None]
+                v %= p
+                sigs[i:j, c0:c0 + len(a_c)] = \
+                    np.minimum.reduceat(v, seg_off, axis=1).T
+            i = j
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
@@ -237,7 +306,7 @@ class MinHasher:
         # (verify filters them, but they are wasted candidates); odd
         # per-position weights make the fold positional while identical
         # bands still collide (recall unchanged)
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = self.signatures_batch(texts)
         flat = pd.util.hash_array(sigs.astype(np.int64).ravel())
         pos_w = ((np.arange(self.rows_per_band, dtype=np.uint64)
                   * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
@@ -287,8 +356,36 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        vals = np.fromiter((self.simhash(t) for t in texts), dtype=np.int64,
-                           count=len(texts))
+        if not texts:
+            return batch.append_column("simhash",
+                                       pa.array([], pa.int64()))
+        # round-4 vectorization: tokenize per doc (C regex), then ONE
+        # hash_array over all tokens + np.add.reduceat at doc offsets —
+        # bit-identical to per-doc simhash() (hash_array is elementwise)
+        tok_lists = [self.word.findall((t or "").lower()) for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                             count=len(tok_lists))
+        total = int(counts.sum())
+        vals = np.zeros(len(texts), dtype=np.int64)
+        if total:
+            all_toks = np.empty(total, dtype=object)
+            pos = 0
+            for tl in tok_lists:
+                all_toks[pos:pos + len(tl)] = tl
+                pos += len(tl)
+            hs = pd.util.hash_array(all_toks).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            # clip: a trailing empty doc would put its offset == total,
+            # out of reduceat's range; empties are zeroed below anyway
+            seg_off = np.minimum(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), total - 1)
+            v = np.add.reduceat(2 * bits - 1, seg_off, axis=0)
+            packed = ((v > 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)[None, :]) \
+                .sum(axis=1, dtype=np.uint64)
+            vals = packed.astype(np.int64)      # two's-complement wrap
+            vals[counts == 0] = 0               # reduceat junk on empties
         return batch.append_column("simhash", pa.array(vals))
 
 

@@ -44,6 +44,12 @@ class TextQuality:
         words = s.str.lower().str.findall(self.word_re)
         n_tok = toks.str.len().astype("int64")
         n_chars = s.str.len().astype("int64")
+        # measured round 4 (BENCH/BASELINE.md): this genexpr-over-set
+        # count BEATS both explode+isin+groupby (1.5x slower) and a
+        # flatten+reduceat rewrite (1.5x slower) and a \b-regex count
+        # (4x slower) — set membership is a C-level hash probe; the
+        # "vectorized" forms pay more in object-array materialization
+        # than they save.  Kept deliberately; not an unvectorized residue.
         stop_cnt = words.map(lambda ws: sum(w in self.stop for w in ws))
         n_words = words.str.len().clip(lower=1)
         punct = (n_tok - words.str.len()).clip(lower=0)
