@@ -326,7 +326,7 @@ def events_stream_tumbling(sf_dir: str):
     from .stages.streaming import stream_tumbling_windows
     ds = _meta_read(_t(sf_dir, "events"),
                     columns=["event_type", "ts", "value"])
-    tbl, late = stream_tumbling_windows(
+    tbl, late, _malformed = stream_tumbling_windows(
         ds, key_col="event_type", ts_col="ts", value_col="value",
         window_us=3_600_000_000, lateness_us=1 << 60, n_buckets=4)
     if late:    # lateness covers disorder; assert would vanish under -O
@@ -455,7 +455,7 @@ def events_stream_sliding(sf_dir: str):
     from .stages.streaming import stream_tumbling_windows
     ds = _meta_read(_t(sf_dir, "events"),
                     columns=["event_type", "ts", "value"])
-    tbl, late = stream_tumbling_windows(
+    tbl, late, _malformed = stream_tumbling_windows(
         ds, key_col="event_type", ts_col="ts", value_col="value",
         window_us=3_600_000_000, slide_us=1_800_000_000,
         lateness_us=1 << 60, n_buckets=4)

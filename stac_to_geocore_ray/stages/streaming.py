@@ -174,15 +174,34 @@ class WindowFeeder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
         if nrows == 0:
-            return pa.table({"n_routed": pa.array([0], pa.int64())})
+            return pa.table({"n_routed": pa.array([0], pa.int64()),
+                             "n_malformed": pa.array([0], pa.int64())})
         df = batch.to_pandas()
+        # poison-row dead-letter (r3 verdict #8, the Tiler quarantine
+        # pattern): a null/unparseable ts, value, or key must not
+        # crash the feeder NOR silently vanish — it is dropped here
+        # with a count that rides the stats row, so the drain-side
+        # accounting identity distinguishes "late" from "malformed"
+        vals = pd.to_numeric(df[self.value_col], errors="coerce")
+        bad = (df[self.ts_col].isna().to_numpy()
+               | vals.isna().to_numpy()
+               | df[self.key_col].isna().to_numpy())
+        n_bad = int(bad.sum())
+        if n_bad:
+            df = df.loc[~bad]
+            vals = vals.loc[~bad]
+            if len(df) == 0:
+                return pa.table({
+                    "n_routed": pa.array([0], pa.int64()),
+                    "n_malformed": pa.array([n_bad], pa.int64())})
+        nrows = len(df)
         ts_us = df[self.ts_col].to_numpy("datetime64[us]").astype("int64")
         k = self.window_us // self.slide_us
         base = (ts_us // self.slide_us) * self.slide_us
         keys0 = df[self.key_col].astype(str).to_numpy(dtype=object)
         # half-AWAY like DuckDB round() (exact-half products exist in
         # real data; np.round's half-to-even silently diverges there)
-        v = df[self.value_col].to_numpy(dtype=np.float64)
+        v = vals.to_numpy(dtype=np.float64)
         cents0 = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
             .astype("int64")
         # sliding expansion: event -> its k covering windows (k=1 for
@@ -213,7 +232,8 @@ class WindowFeeder:
         ray.get(futs)
         # n_routed counts (event x window) memberships: nrows * k —
         # keeps the drain-side accounting identity for sliding windows
-        return pa.table({"n_routed": pa.array([nrows * k], pa.int64())})
+        return pa.table({"n_routed": pa.array([nrows * k], pa.int64()),
+                         "n_malformed": pa.array([n_bad], pa.int64())})
 
 
 def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
@@ -233,8 +253,10 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
     feeder = WindowFeeder(buckets, key_col, ts_col, value_col, window_us,
                           slide_us)
     stats = events_ds.map_batches(feeder, batch_format="pyarrow")
-    n_routed = sum(int(pa.compute.sum(t["n_routed"]).as_py() or 0)
-                   for t in stats.iter_batches(batch_format="pyarrow"))
+    n_routed, n_malformed = 0, 0
+    for t in stats.iter_batches(batch_format="pyarrow"):
+        n_routed += int(pa.compute.sum(t["n_routed"]).as_py() or 0)
+        n_malformed += int(pa.compute.sum(t["n_malformed"]).as_py() or 0)
     ripe = [t for t, _ in ray.get([b.ripe_windows.remote()
                                    for b in buckets])]
     tails = ray.get([b.flush.remote() for b in buckets])
@@ -243,8 +265,11 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
         ray.kill(b)
     full = pa.concat_tables([*ripe, *tails])
     emitted = int(pa.compute.sum(full["n"]).as_py() or 0)
+    # malformed rows never entered n_routed — the identity stays exact
+    # AND distinguishes "dropped for lateness" from "dropped as poison"
     if emitted + late != n_routed:
         raise RuntimeError(
             f"window accounting mismatch: routed {n_routed} events but "
-            f"emitted {emitted} + late {late}")
-    return full, late
+            f"emitted {emitted} + late {late} "
+            f"(+{n_malformed} malformed, excluded from routing)")
+    return full, late, n_malformed

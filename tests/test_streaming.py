@@ -112,7 +112,7 @@ class TestWindowBucket:
             "ts": ts.astype("datetime64[us]"),
             "v": rng.uniform(0, 10, n).round(2)})
         ds = rd.from_pandas(df).repartition(7)
-        tbl, late = stream_tumbling_windows(
+        tbl, late, _malformed = stream_tumbling_windows(
             ds, key_col="k", ts_col="ts", value_col="v",
             window_us=3_600_000_000, lateness_us=1 << 60, n_buckets=3)
         assert late == 0
@@ -147,3 +147,48 @@ def test_prune_bounds_memory_and_keeps_cursor_math(ray_session):
     assert t2.to_pylist() == [{"key": "a", "window_start": 100,
                                "n": 1, "sum_cents": 2}]
     assert c2 == c1 + 1
+
+
+def test_poison_rows_dead_lettered_and_reconciled(ray_session):
+    """Malformed events (null ts / unparseable value / null key) are
+    dropped with a count, never crash the feeder, and the accounting
+    identity still reconciles — distinguishing 'malformed' from
+    'late' (r3 verdict #8)."""
+    import pandas as pd
+    import ray.data as rd
+    from stac_to_geocore_ray.stages.streaming import stream_tumbling_windows
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    good_n = 50
+    df = pd.DataFrame({
+        "k": ["a"] * good_n + ["a", None, "b"],
+        "ts": ([base + np.timedelta64(i, "s") for i in range(good_n)]
+               + [np.datetime64("NaT"), base, base]),
+        "v": [1.0] * good_n + [2.0, 3.0, float("nan")]})
+    ds = rd.from_pandas(df).repartition(3)
+    tbl, late, malformed = stream_tumbling_windows(
+        ds, key_col="k", ts_col="ts", value_col="v",
+        window_us=3_600_000_000, lateness_us=1 << 60, n_buckets=2)
+    assert malformed == 3
+    assert late == 0
+    got = tbl.to_pandas()
+    # only the 50 good events counted, in one window for key a
+    assert int(got.n.sum()) == good_n
+    assert set(got.key) == {"a"}
+    assert int(got.sum_cents.sum()) == good_n * 100
+
+
+def test_poison_only_batch_still_reconciles(ray_session):
+    """A batch that is ENTIRELY poison must still produce a stats row
+    (the early-return path) and reconcile to zero windows."""
+    import pandas as pd
+    import ray.data as rd
+    from stac_to_geocore_ray.stages.streaming import stream_tumbling_windows
+    df = pd.DataFrame({
+        "k": [None, None],
+        "ts": [np.datetime64("NaT"), np.datetime64("NaT")],
+        "v": [1.0, 2.0]})
+    ds = rd.from_pandas(df)
+    tbl, late, malformed = stream_tumbling_windows(
+        ds, key_col="k", ts_col="ts", value_col="v",
+        window_us=3_600_000_000, lateness_us=0, n_buckets=2)
+    assert malformed == 2 and late == 0 and tbl.num_rows == 0
