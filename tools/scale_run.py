@@ -22,6 +22,8 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 class PeakTracker(threading.Thread):
     """Samples driver RSS + cluster object-store usage every 0.5 s."""
