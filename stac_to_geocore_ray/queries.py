@@ -1709,29 +1709,31 @@ GROUP BY phash
 """
 
 
-def phash_near_dedup(sf_dir: str):
-    """Banded pHash near-dup pairs (Hamming <= 2).
+def _phash_near_dedup_impl(sf_dir: str, edges_only: bool = False):
+    """Multi-index pHash near-dup (Hamming <= 2).
 
-    4 x 16-bit bands guarantee every pair within distance 3 shares a
-    band (pigeonhole), so the groupby-on-band + in-group Hamming scan
-    finds EXACTLY the pairs the O(n^2) SQL oracle finds.
+    A d <= 2 pair breaks at most 2 of the 4 x 16-bit bands, so it
+    agrees exactly on at least one of the 6 band PAIRS (multi-index
+    hashing) — grouping on the 32-bit concatenated band-pair key keeps
+    candidate work quadratic in DISTINCT hashes per group, not members
+    (the single-band version hit a 370k-member band-3 group at sf1.0:
+    one reducer ran >26 min before being killed; the largest band-pair
+    group there is 4,069 distinct hashes).  Emit-exactly-once: a pair
+    is emitted by the lowest-ranked band pair its two hashes agree on.
     """
-    import ray.data as rd
-    from .stages.dedup import hamming_pairs_in_group, phash_band_rows
+    from .stages.dedup import bandpair_group_pairs, phash_bandpair_rows
     p = _fx(sf_dir)
     ds = _meta_read(p["images"], columns=["image_id", "phash"])
-    bands = ds.map_batches(phash_band_rows, batch_format="pyarrow")
+    rows = ds.map_batches(phash_bandpair_rows, batch_format="pyarrow")
 
-    # one map_groups call per (band_id, band_val) would mean tens of
-    # thousands of tiny Python calls; bucket the band space so each
-    # group call handles ~hundreds of bands with one pandas groupby.
-    # The bucket is a MIXED hash of (band_id, band_val): pHash band
-    # values are structured (DCT sign patterns), so the round-1 raw
-    # low byte concentrated half the pairwise work on one reducer.
+    # one map_groups call per (pair_id, key) would mean tens of
+    # thousands of tiny Python calls; bucket the key space (mixed
+    # hash: band values are structured DCT sign patterns) so each
+    # group call handles many keys with one pandas groupby.
     def add_bucket(batch: pa.Table) -> pa.Table:
-        x = (batch["band_val"].to_numpy().astype(np.int64).view(np.uint64)
-             * np.uint64(4)
-             + batch["band_id"].to_numpy().astype(np.uint64))
+        x = (batch["key"].to_numpy().astype(np.int64).view(np.uint64)
+             * np.uint64(8)
+             + batch["pair_id"].to_numpy().astype(np.uint64))
         x ^= x >> np.uint64(31)
         x *= np.uint64(0xFF51AFD7ED558CCD)
         x ^= x >> np.uint64(29)
@@ -1740,13 +1742,9 @@ def phash_near_dedup(sf_dir: str):
 
     def bucket_pairs(g):
         import pandas as pd
-        # dedup_band drops any pair that also shares a lower band, so
-        # the union over groups is globally duplicate-free — no second
-        # shuffle, no driver-side fold (round-2 fix of the round-1
-        # driver `to_pandas` fold)
-        outs = [hamming_pairs_in_group(sub, max_dist=2,
-                                       dedup_band=int(bid))
-                for (bid, _), sub in g.groupby(["band_id", "band_val"],
+        outs = [bandpair_group_pairs(sub, pair_id=int(pid),
+                                     max_dist=2, edges_only=edges_only)
+                for (pid, _), sub in g.groupby(["pair_id", "key"],
                                                sort=False)
                 if len(sub) > 1]
         outs = [o for o in outs if len(o)]
@@ -1756,9 +1754,14 @@ def phash_near_dedup(sf_dir: str):
                                  "dist": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    bands = bands.map_batches(add_bucket, batch_format="pyarrow")
-    return bands.groupby("bucket").map_groups(bucket_pairs,
-                                              batch_format="pandas")
+    rows = rows.map_batches(add_bucket, batch_format="pyarrow")
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+
+
+def phash_near_dedup(sf_dir: str):
+    """Banded pHash near-dup pairs (Hamming <= 2), multi-index keyed."""
+    return _phash_near_dedup_impl(sf_dir, edges_only=False)
 
 
 def _phash_near_dedup_sql() -> str:
@@ -2649,10 +2652,14 @@ def phash_dedup_clusters(sf_dir: str):
     (driver union-find — the pair set is output-sized; dedup.
     label_propagation_components is the distributed swap-in)."""
     from .stages.dedup import union_find_components
-    pairs = phash_near_dedup(sf_dir).materialize()   # count + collect: one run
+    # connectivity-equivalent REDUCED edge set (star per identical-hash
+    # group + one representative edge per near distinct-hash pair):
+    # the full pair listing is quadratic in identical-group size
+    # (17.5M pairs at sf1.0) while these edges are linear (~0.5M)
+    pairs = _phash_near_dedup_impl(sf_dir, edges_only=True).materialize()
     n_pairs = pairs.count()
     if n_pairs > 500_000:
-        # pair set too big to collect: distributed min-label propagation
+        # edge set too big to collect: distributed min-label propagation
         # with pointer jumping (stages/dedup.py), labels stay a Dataset
         from .stages.dedup import label_propagation_components
         labels = label_propagation_components(pairs.select_columns(["a", "b"]))

@@ -174,6 +174,154 @@ def _banded_pairs_in_group(hs: np.ndarray, max_dist: int, group_band: int,
     return ia[keep], ib[keep], d[keep]
 
 
+# ------------------------------------------------- multi-index (band pairs)
+#
+# For max_dist = 2 with 4 bands, a qualifying pair breaks at most 2
+# bands, so it agrees EXACTLY on at least 2 of the 4 — i.e. on at
+# least one of the 6 (i < j) band PAIRS (Norouzi et al., "Fast Search
+# in Hamming Space with Multi-Index Hashing", CVPR'12).  Keying the
+# groupby on the concatenated 32-bit (band_i, band_j) value instead of
+# one 16-bit band shrinks the worst group from O(corpus) members to a
+# few thousand DISTINCT hashes: measured at sf1.0 (1M images) the
+# largest single-band group is 370,716 members (one task burned >26 min
+# / 36 GB in the run that exposed this) while the largest band-pair
+# group is 4,069 distinct hashes.  Candidate work here is quadratic
+# only in distinct hashes per group; identical-hash members are
+# expanded purely as OUTPUT (the dist-0 answer itself).
+
+_BAND_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def phash_bandpair_rows(batch: pa.Table, id_col: str = "image_id",
+                        hash_col: str = "phash") -> pa.Table:
+    """Explode each row into 6 (pair_id, key) rows — key is the 32-bit
+    concatenation of the two 16-bit band values of that band pair."""
+    h = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) \
+        else batch[id_col]
+    mask = np.uint64(0xFFFF)
+    out_ids, out_pid, out_key, out_hash = [], [], [], []
+    for pid, (i, j) in enumerate(_BAND_PAIRS):
+        bi = (h >> np.uint64(i * 16)) & mask
+        bj = (h >> np.uint64(j * 16)) & mask
+        key = ((bi << np.uint64(16)) | bj).astype(np.int64)
+        out_ids.append(ids)
+        out_pid.append(pa.array(np.full(len(key), pid, dtype=np.int32)))
+        out_key.append(pa.array(key))
+        out_hash.append(pa.array(h.view(np.int64)))
+    return pa.table({
+        id_col: pa.concat_arrays(out_ids),
+        "pair_id": pa.concat_arrays(out_pid),
+        "key": pa.concat_arrays(out_key),
+        hash_col: pa.concat_arrays(out_hash),
+    })
+
+
+def _agrees_on_lower_pair(ha: np.ndarray, hb: np.ndarray,
+                          pair_id: int) -> np.ndarray:
+    """True where hash pair (ha, hb) agrees exactly on BOTH bands of
+    any band pair ranked below ``pair_id`` — that pair's group emits
+    it instead (the emit-exactly-once invariant)."""
+    mask = np.uint64(0xFFFF)
+    out = np.zeros(len(ha), dtype=bool)
+    for i, j in _BAND_PAIRS[:pair_id]:
+        si, sj = np.uint64(i * 16), np.uint64(j * 16)
+        out |= (((ha >> si) & mask) == ((hb >> si) & mask)) \
+            & (((ha >> sj) & mask) == ((hb >> sj) & mask))
+    return out
+
+
+def _distinct_near_pairs(uniq: np.ndarray, max_dist: int,
+                         chunk_pairs: int = 4_000_000):
+    """All (p, q, dist) index pairs over DISTINCT hashes with
+    0 < dist <= max_dist, triu chunked so scratch stays ~chunk-sized
+    regardless of group size."""
+    m = len(uniq)
+    out_p, out_q, out_d = [], [], []
+    rows_per_chunk = max(1, chunk_pairs // max(1, m))
+    for st in range(0, m - 1, rows_per_chunk):
+        en = min(st + rows_per_chunk, m - 1)
+        ra, rb = np.triu_indices(en - st, k=1, m=m - st)
+        ra, rb = ra + st, rb + st
+        d = hamming64(uniq[ra].view(np.int64), uniq[rb].view(np.int64))
+        keep = d <= max_dist
+        if keep.any():
+            out_p.append(ra[keep])
+            out_q.append(rb[keep])
+            out_d.append(d[keep])
+    if not out_p:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    return (np.concatenate(out_p), np.concatenate(out_q),
+            np.concatenate(out_d))
+
+
+def bandpair_group_pairs(g: pd.DataFrame, pair_id: int,
+                         id_col: str = "image_id",
+                         hash_col: str = "phash",
+                         max_dist: int = 2,
+                         edges_only: bool = False) -> pd.DataFrame:
+    """One (pair_id, key) candidate group -> confirmed pairs.
+
+    ``edges_only``: emit a connectivity-EQUIVALENT reduced edge set
+    instead of all pairs — a star over each identical-hash member list
+    (hub = min id) plus ONE representative edge per near distinct-hash
+    pair — for consumers (connected components) that need the graph,
+    not the quadratic pair listing.
+    """
+    ids = g[id_col].to_numpy()
+    hs = g[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids, hs = ids[order], hs[order]
+    uniq, inv = np.unique(hs, return_inverse=True)
+    # member lists per distinct hash, in ascending-id order
+    byhash = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv)
+    starts = np.r_[0, np.cumsum(counts)]
+    out_a, out_b, out_d = [], [], []
+
+    # dist-0: identical hashes agree on every band pair -> pair 0 only
+    if pair_id == 0:
+        for u in np.flatnonzero(counts >= 2):
+            mem = ids[byhash[starts[u]:starts[u + 1]]]
+            if edges_only:
+                out_a.append(np.repeat(mem[0], len(mem) - 1))
+                out_b.append(mem[1:])
+                out_d.append(np.zeros(len(mem) - 1, dtype=np.int64))
+            else:
+                ra, rb = np.triu_indices(len(mem), k=1)
+                out_a.append(mem[ra])
+                out_b.append(mem[rb])
+                out_d.append(np.zeros(len(ra), dtype=np.int64))
+
+    if len(uniq) > 1:
+        p, q, d = _distinct_near_pairs(uniq, max_dist)
+        if len(p):
+            lower = _agrees_on_lower_pair(uniq[p], uniq[q], pair_id)
+            p, q, d = p[~lower], q[~lower], d[~lower]
+        for pi, qi, di in zip(p.tolist(), q.tolist(), d.tolist()):
+            ma = ids[byhash[starts[pi]:starts[pi + 1]]]
+            mb = ids[byhash[starts[qi]:starts[qi + 1]]]
+            if edges_only:
+                ea, eb = ma[:1], mb[:1]
+            else:
+                ea = np.repeat(ma, len(mb)); eb = np.tile(mb, len(ma))
+            le = ea <= eb               # np.minimum has no str loop
+            lo = np.where(le, ea, eb)
+            hi = np.where(le, eb, ea)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_d.append(np.full(len(lo), di, dtype=np.int64))
+
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype if ids.dtype != object else object),
+                             "b": pd.Series([], dtype=ids.dtype if ids.dtype != object else object),
+                             "dist": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "dist": np.concatenate(out_d).astype(np.int64)})
+
+
 # --------------------------------------------------------------- minhash
 
 _MERSENNE = (1 << 61) - 1
