@@ -698,15 +698,29 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
 
     edges = edges_ds.materialize()
     sch = edges.schema()
-    try:
-        node_t = sch.base_schema.field("a").type
-    except AttributeError:
-        try:                                  # Ray version without base_schema
-            node_t = sch.field("a").type
-        except Exception as exc:
-            raise RuntimeError(
-                f"cannot introspect edge node type from {sch!r} — label "
-                "propagation needs it to emit typed empty blocks") from exc
+    node_t = None
+    for base in (getattr(sch, "base_schema", None), sch):
+        if isinstance(base, pa.Schema) and "a" in base.names:
+            node_t = base.field("a").type
+            break
+        # pandas-block producers (map_groups emits pandas) surface a
+        # PandasBlockSchema of numpy dtypes; edge endpoints in this
+        # engine are string or integer ids, so object-dtype means str
+        names = getattr(base, "names", None)
+        types = getattr(base, "types", None)
+        if names is not None and types is not None and "a" in names:
+            dt = dict(zip(names, types))["a"]
+            if isinstance(dt, pa.DataType):
+                node_t = dt
+            else:
+                dt = np.dtype(dt)
+                node_t = pa.string() if dt == np.dtype(object) \
+                    else pa.from_numpy_dtype(dt)
+            break
+    if node_t is None:
+        raise RuntimeError(
+            f"cannot introspect edge node type from {sch!r} — label "
+            "propagation needs it to emit typed empty blocks")
 
     def _empty(*cols):
         return pa.table({c: pa.array([], node_t) for c in cols})

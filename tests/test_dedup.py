@@ -105,6 +105,25 @@ def test_label_propagation_matches_union_find(ray_session):
     assert got["n5"] == "n0" and got["z2"] == "z1"
 
 
+def test_label_propagation_pandas_object_blocks(ray_session):
+    """Edge sets produced by pandas map_groups stages carry a
+    PandasBlockSchema with object-dtype string columns; node-type
+    introspection must still resolve (sf1.0 phash_dedup_clusters
+    failure mode)."""
+    import ray.data as rd
+    edges = [("s%02d" % i, "s%02d" % (i + 1)) for i in range(8)]
+    src = rd.from_items([{"a": a, "b": b} for a, b in edges],
+                        override_num_blocks=3)
+    ds = src.map_batches(lambda df: df, batch_format="pandas")
+    assert "object" in repr(ds.materialize().schema())   # the trigger
+    labels = dedup.label_propagation_components(ds, num_partitions=3) \
+        .to_pandas()
+    got = dict(zip(labels.node, labels.label))
+    uf = dedup.union_find_components([a for a, _ in edges],
+                                     [b for _, b in edges])
+    assert got == uf
+
+
 def test_label_propagation_multiblock_no_driver_collect(ray_session):
     """Multi-block edge set through the fully-distributed path (joins +
     pointer jumping); labels match union-find and the convergence
