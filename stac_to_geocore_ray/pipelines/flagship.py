@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from ..sources import fixtures
 from ..stages.footprint import encode_footprint
-from ..stages.util import autoscale_pool
+from ..stages.util import autoscale_pool, table_from_pandas
 from ..stages.knn import HexKNN
 from ..stages.pip_join import PIPJoiner, catalog_polygons
 from ..stages.tiler import Tiler
@@ -252,13 +252,13 @@ def tile_rollup(tiles_ds, salt_factor: int = 8, mode: str = "tree",
             g = df.groupby("hex_prefix", sort=False).agg(
                 n_tiles=("mean_intensity", "size"),
                 sum_intensity=("mean_intensity", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return table_from_pandas(g, preserve_index=False)
 
         def fold(batch: pa.Table) -> pa.Table:
             g = batch.to_pandas().groupby("hex_prefix", sort=False).agg(
                 n_tiles=("n_tiles", "sum"),
                 sum_intensity=("sum_intensity", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return table_from_pandas(g, preserve_index=False)
 
         def finish_tree(batch: pa.Table) -> pa.Table:
             return pa.table({
@@ -290,7 +290,7 @@ def tile_rollup(tiles_ds, salt_factor: int = 8, mode: str = "tree",
         g = df.groupby(["hex_prefix", "salt"], sort=False).agg(
             n_tiles=("mean_intensity", "size"),
             sum_intensity=("mean_intensity", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = tiles_ds.map_batches(partial, batch_format="pyarrow")
     # phase 1: salted fold — a hot prefix's partial rows (one per input

@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .sources import fixtures
+from .stages.util import table_from_pandas
 
 # the driver's oracle runs at this scale; fixture paths in SQL are fixed.
 # GRAFT_ORACLE_SF (read at import) retargets the fixture/golden oracles
@@ -115,7 +116,7 @@ def q1_pricing_summary(sf_dir: str):
             sum_base=("l_extendedprice", "sum"),
             sum_disc=("disc_price", "sum"),
             n=("l_quantity", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -186,7 +187,7 @@ def q3_top_orders(sf_dir: str):
         df = batch.to_pandas()
         df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
         g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     # per-batch revenue partials + one groupby, then the surviving
     # orders apply as a DISTRIBUTED hash join — the round-1 version
@@ -201,14 +202,14 @@ def q3_top_orders(sf_dir: str):
         df["revenue"] = df["rev"].round(0).astype("int64")
         df = df.sort_values(["revenue", "l_orderkey"],
                             ascending=[False, True]).head(10)
-        return pa.Table.from_pandas(df[["l_orderkey", "revenue"]],
+        return table_from_pandas(df[["l_orderkey", "revenue"]],
                                     preserve_index=False)
 
     # per-partition top-10 partials; the driver merges <=10 x #blocks rows
     parts = joined.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
     final = parts.sort_values(["revenue", "l_orderkey"],
                               ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(final.reset_index(drop=True),
+    return table_from_pandas(final.reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -253,7 +254,7 @@ def q5_nation_revenue(sf_dir: str):
             df["nation"] = df.l_suppkey.map(self.s_nat).map(self.n_name)
             df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
             g = df.groupby("nation", sort=False)["revenue"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return table_from_pandas(g, preserve_index=False)
 
     rev = li.map_batches(NatRev, fn_constructor_args=(ref,),
                          batch_format="pyarrow", concurrency=_auto())
@@ -291,7 +292,7 @@ def events_hourly(sf_dir: str):
         df["cents"] = _cents(df.value.to_numpy())
         g = df.groupby(["event_type", "hour"], sort=False).agg(
             n=("value", "size"), cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partial = ds.map_batches(win, batch_format="pyarrow")
     agg = partial.groupby(["event_type", "hour"]).aggregate(
@@ -637,7 +638,7 @@ def doc_token_stats(sf_dir: str):
         g = df.groupby("lang", sort=False).agg(
             n_docs=("text", "size"), tokens=("ws_tokens", "sum"),
             chars=("chars", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partial = ds.map_batches(stats, batch_format="pyarrow")
     agg = partial.groupby("lang").aggregate(
@@ -822,7 +823,7 @@ def doc_sample_hash(sf_dir: str):
                              "n": pa.array([], pa.int64())})      # infer null
         df = pd.DataFrame({"lang": np.asarray(batch["lang"])[keep]})
         g = df.groupby("lang", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
@@ -865,7 +866,7 @@ def events_value_quantiles(sf_dir: str):
         df["cents"] = _cents(df.value.to_numpy())
         g = df.groupby(["event_type", "cents"], sort=False) \
             .size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     hist = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
@@ -917,7 +918,7 @@ def doc_exact_dedup(sf_dir: str):
         df = batch.to_pandas()
         g = df.groupby("content_hash", sort=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Min, Sum
     agg = hashed.map_batches(partial, batch_format="pyarrow") \
@@ -965,7 +966,7 @@ def ann_topk(sf_dir: str):
     cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
     out = merge_topk(cand_tbl).to_pandas()
     out["cos_r"] = out["cos"].round(4)
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         out[["query_id", "vec_id", "rank", "cos_r"]], preserve_index=False)
 
 
@@ -1296,7 +1297,7 @@ def geo_cell_rollup(sf_dir: str):
         import pandas as pd
         g = batch.select(["hex_prefix"]).to_pandas() \
             .groupby("hex_prefix", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("hex_prefix").aggregate(Sum("n", alias_name="n_items"))
@@ -1609,7 +1610,7 @@ def tiles_by_collection(sf_dir: str):
         import pandas as pd
         g = batch.select(["collection_id"]).to_pandas() \
             .groupby("collection_id", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = tiles.map_batches(partial, batch_format="pyarrow") \
         .groupby("collection_id").aggregate(Sum("n", alias_name="n_tiles"))
@@ -1650,7 +1651,7 @@ def tile_phash_stats(sf_dir: str):
                      .view(np.uint64) % np.uint64(2147483647)).astype("int64")
         g = df.groupby("collection_id", sort=False).agg(
             n=("res", "size"), res_sum=("res", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = tiles.map_batches(partial, batch_format="pyarrow") \
         .groupby("collection_id").aggregate(
@@ -1683,7 +1684,7 @@ def phash_exact_dedup(sf_dir: str):
         df = batch.to_pandas()
         g = df.groupby("phash", sort=False).agg(
             image_id=("image_id", "min"), n=("image_id", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # hash-shuffle aggregate with CPU-matched partitions (the default
@@ -2287,7 +2288,7 @@ def ann_ivf(sf_dir: str):
     out = out.groupby("query_id", sort=True).head(10).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     out["cos_r"] = out["cos"].round(4)
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         out[["query_id", "rank", "vec_id", "cos_r"]], preserve_index=False)
 
 
@@ -2492,7 +2493,7 @@ def events_sliding_1h(sf_dir: str):
         next_start = (ts // DAY_US + 1) * DAY_US
         is_halo = ts >= next_start - HOUR_US
         halo = df[is_halo].assign(grp_day=df.grp_day[is_halo] + 1, halo=1)
-        return pa.Table.from_pandas(pd.concat([cur, halo], ignore_index=True)
+        return table_from_pandas(pd.concat([cur, halo], ignore_index=True)
                                     [["event_id", "event_type", "ts_us",
                                       "grp_day", "halo"]],
                                     preserve_index=False)
@@ -2538,7 +2539,7 @@ def events_props_json(sf_dir: str):
         df["k"] = df.props.map(lambda s: _json.loads(s).get("k", 0)).astype("int64")
         g = df.groupby("event_type", sort=False).agg(
             sum_k=("k", "sum"), n=("k", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(parse, batch_format="pyarrow") \
         .groupby("event_type").aggregate(Sum("sum_k", alias_name="sum_k"),

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .util import table_from_pandas
+
 
 def _as_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -92,7 +94,7 @@ def merge_topk(candidates: pa.Table, k: int = 10) -> pa.Table:
                         ascending=[True, False, True], kind="mergesort")
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out, preserve_index=False)
 
 
 def planted_neighbors(query_ids, qmat, *, k: int = 10,

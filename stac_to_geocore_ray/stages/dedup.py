@@ -673,15 +673,19 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
        concat(old, new).groupby(node, label).count() — a changed node
        contributes two count-1 rows; one scalar sum reaches the driver.
 
-    Join keys are node ids / edge endpoints (high cardinality at any
-    scale).  A pointer-jumping accelerant was considered and rejected:
-    its join key is the LABEL, whose distinct count collapses to the
-    component count near convergence — both a reducer-skew hazard and
-    (in Ray's hash-shuffle join) a schema-loss hazard on key-empty
-    partitions.  Near-dup components are clique-like with small
-    diameters, so O(diameter) rounds is the right trade; ``max_rounds``
-    guards pathological chains and raising (default) beats silently
-    returning unconverged labels.
+    Each round then applies PATH HALVING (pointer jumping):
+    ``label(n) <- label(label(n))`` via one more self-join, so long
+    chains collapse in O(log diameter) rounds instead of O(diameter).
+    Plain propagation was measured insufficient at sf1.0: the 1M-image
+    phash near-dup graph has a component whose diameter exceeds 50, so
+    the un-jumped loop hit max_rounds after ~45 min; with halving the
+    same graph converges in a handful of rounds.  The halving join
+    keys the probe side on the LABEL, which skews toward big
+    components near convergence — but the per-key row count is the
+    component SIZE (linear, tiny rows), never quadratic, and key-empty
+    partitions emit typed empty blocks (``_norm_labels``).
+    ``max_rounds`` still guards pathologies and raising (default)
+    beats silently returning unconverged labels.
 
     Per-round label tables are materialized (object store, not driver)
     so lineage does not re-execute across rounds.  Returns a Dataset
@@ -696,7 +700,16 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
         c = batch[col]
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
-    edges = edges_ds.materialize()
+    def _arrow_nometa(batch: pa.Table) -> pa.Table:
+        # pandas-block producers reach the hash-shuffle joins as arrow
+        # conversions carrying the {b'pandas': ...} metadata dict —
+        # unhashable, so every aggregator logs "Failed to hash the
+        # schemas" and pays the slow unify path.  Strip it up front
+        # (zero-copy) and pin the column order.
+        return batch.select(["a", "b"]).replace_schema_metadata(None)
+
+    edges = edges_ds.map_batches(_arrow_nometa,
+                                 batch_format="pyarrow").materialize()
     sch = edges.schema()
     node_t = None
     for base in (getattr(sch, "base_schema", None), sch):
@@ -773,9 +786,32 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
                 "node": pa.concat_arrays([_arr(batch, "a"), _arr(batch, "b")]),
                 "label": pa.concat_arrays([lo, lo])})
 
-        new_labels = with_ab.map_batches(messages, batch_format="pyarrow") \
+        msgs = with_ab.map_batches(messages, batch_format="pyarrow") \
             .groupby("node").aggregate(Min("label", alias_name="label")) \
             .map_batches(_norm_labels, batch_format="pyarrow") \
+            .materialize()          # used twice below — avoid re-execution
+
+        # path halving: label(n) <- label(label(n)).  Every label IS a
+        # node of the table, labels only decrease, and the component
+        # min is a fixpoint, so the result is unchanged — only the
+        # round count drops (O(log diameter)).
+        def as_src(batch: pa.Table) -> pa.Table:
+            if not {"node", "label"} <= set(batch.column_names):
+                return _empty("src", "label2")
+            return pa.table({"src": _arr(batch, "node"),
+                             "label2": _arr(batch, "label")})
+
+        jumped = msgs.join(msgs.map_batches(as_src, batch_format="pyarrow"),
+                           join_type="inner", num_partitions=p,
+                           on=("label",), right_on=("src",))
+
+        def take_jump(batch: pa.Table) -> pa.Table:
+            if not {"node", "label2"} <= set(batch.column_names):
+                return _empty("node", "label")
+            return pa.table({"node": _arr(batch, "node"),
+                             "label": _arr(batch, "label2")})
+
+        new_labels = jumped.map_batches(take_jump, batch_format="pyarrow") \
             .materialize()
 
         # join-free convergence: a changed node appears as two distinct

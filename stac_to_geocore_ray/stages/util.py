@@ -3,6 +3,21 @@
 from __future__ import annotations
 
 
+def table_from_pandas(df, **kw):
+    """``pa.Table.from_pandas`` minus the pandas schema-metadata blob.
+
+    ``from_pandas`` embeds a ``{b'pandas': ...}`` dict in the schema
+    metadata; dict-bearing schemas are unhashable, so every downstream
+    sort / union / repartition logs ``Failed to hash the schemas (for
+    deduplication)`` per reduce task and pays the slow schema-unify
+    path (seen throughout the sf1.0 tile-rollup fold).  Stripping is
+    zero-copy.
+    """
+    import pyarrow as pa
+    kw.setdefault("preserve_index", False)
+    return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
+
+
 def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:
     """Actor-pool size that cannot starve the rest of the pipeline.
 

@@ -21,6 +21,8 @@ The knobs and their reasoning:
 
 from __future__ import annotations
 
+from .stages.util import table_from_pandas
+
 
 def key_skew_report(ds, key: str, top: int = 5,
                     salt_share_threshold: float = 0.2) -> dict:
@@ -42,7 +44,7 @@ def key_skew_report(ds, key: str, top: int = 5,
         import pandas as pd
         df = batch.select([key]).to_pandas()
         g = df.groupby(key, sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas()
