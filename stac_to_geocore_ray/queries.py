@@ -56,9 +56,41 @@ def _meta_read(path: str, columns: list[str]):
     # strip the parquet-embedded pandas metadata (zero-copy, fuses
     # with the read): schemas carrying it are UNHASHABLE, so every
     # downstream sort/union logged "Failed to hash the schemas" and
-    # paid the slow unify path instead of the dedup early-exit
-    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
-                          batch_format="pyarrow")
+    # paid the slow unify path instead of the dedup early-exit.
+    # NOTE: attaching a map op forfeits Dataset.count()'s
+    # metadata-only fast path — use _parquet_nrows for row counts.
+    from .stages.util import strip_schema_metadata
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+
+def _parquet_nrows(path: str, stat_col: str | None = None):
+    """(row count, max column statistic) straight from parquet footers.
+
+    ``Dataset.count()`` on a ``_meta_read`` dataset executes the whole
+    read (the strip op hides the metadata fast path); the footers
+    answer in microseconds at any scale.  ``stat_col`` additionally
+    returns the column's max over all row groups (None when any group
+    lacks statistics).
+    """
+    import glob as _g
+
+    import pyarrow.parquet as pq
+    paths = sorted(_g.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    nrows, cmax, have_stats = 0, None, True
+    for f in paths:
+        md = pq.read_metadata(f)
+        nrows += md.num_rows
+        if stat_col is None or not have_stats:
+            continue
+        idx = md.schema.to_arrow_schema().get_field_index(stat_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            cmax = st.max if cmax is None else max(cmax, st.max)
+    return nrows, (cmax if have_stats else None)
 
 
 def _auto():
@@ -2239,26 +2271,35 @@ def ann_ivf(sf_dir: str):
 
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
+    # row count + max id from parquet footers (Dataset.count() on a
+    # _meta_read dataset would execute the whole read)
+    n_total, max_vec_id = _parquet_nrows(_t(sf_dir, "embeddings"),
+                                         stat_col="vec_id")
+
     # planted true neighbours: 30 rows, unioned as one tiny block with
     # the fixture's exact schema (list<float32>)
-    p_ids, p_mat = planted_neighbors(list(_ANN_QUERY_IDS), qmat_raw)
+    p_ids, p_mat = planted_neighbors(list(_ANN_QUERY_IDS), qmat_raw,
+                                     max_corpus_id=max_vec_id)
     planted_tbl = pa.table({
         "vec_id": pa.array(p_ids, pa.int64()),
         "embedding": pa.array([row for row in p_mat],
                               pa.list_(pa.float32()))})
     augmented = ds.union(rd.from_arrow(planted_tbl))
 
-    # centroid fit on a STREAMED strided sample of the base corpus
-    # (per-batch stride; the corpus never materializes on the driver)
-    n_total = ds.count()
+    # centroid fit on a STREAMED sample of the base corpus, keyed on
+    # ROW CONTENT (vec_id % step), not batch position: block boundaries
+    # depend on the host's CPU count and arrival order is not
+    # guaranteed, so a positional stride would fit different centroids
+    # on different hosts.  Sorting the ~2k-row sample pins k-means init.
     step = max(1, n_total // 2000)
 
     def strided(batch: pa.Table) -> pa.Table:
-        return batch.take(np.arange(0, len(batch), step))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.take(np.flatnonzero(ids % step == 0))
 
     sample_tbl = pa.concat_tables(
         ds.map_batches(strided, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))
+        .iter_batches(batch_format="pyarrow")).sort_by("vec_id")
     sample = _normalize(_as_matrix(sample_tbl["embedding"]).astype(np.float64))
     cents = IVFIndex.fit_centroids(sample, n_centroids=16)
 

@@ -98,7 +98,8 @@ def merge_topk(candidates: pa.Table, k: int = 10) -> pa.Table:
 
 
 def planted_neighbors(query_ids, qmat, *, k: int = 10,
-                      id_offset: int = 2_000_000):
+                      id_offset: int = 2_000_000,
+                      max_corpus_id: int | None = None):
     """Deterministic planted true-neighbour construction for ANN
     value-checking (the ``planted_near_dups`` pattern: the helper IS
     the definition; the SEARCH is what each side computes
@@ -118,8 +119,20 @@ def planted_neighbors(query_ids, qmat, *, k: int = 10,
     ``list<float>`` storage so both the engine's unioned rows and the
     golden's replay see bit-identical vectors."""
     import math
-    if len(query_ids) and int(max(query_ids)) * 100 + k > id_offset * 100:
-        raise ValueError("query_id too large for planted id scheme")
+    if k > 100:
+        raise ValueError("planted id scheme packs j in a base-100 slot")
+    # the real collision hazard is a BASE-CORPUS id reaching the
+    # planted range [id_offset, ...): engine and golden would then
+    # silently disagree (golden's per-query dict collapses the dupe,
+    # the engine keeps both rows).  Callers pass the corpus max (from
+    # parquet footer stats); query ids are corpus members, so they are
+    # checked directly as a fallback when stats are unavailable.
+    hi = max([int(max_corpus_id or 0)]
+             + [int(q) for q in query_ids])
+    if hi >= id_offset:
+        raise ValueError(
+            f"corpus vec_id {hi} collides with planted id range "
+            f"[{id_offset}, ...) — raise id_offset")
     rows_i, rows_v = [], []
     for qid, q in zip(query_ids, qmat):
         q = np.asarray(q, dtype=np.float64)

@@ -524,16 +524,18 @@ class SimHasher:
             hs = pd.util.hash_array(all_toks).astype(np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
-            # clip: a trailing empty doc would put its offset == total,
-            # out of reduceat's range; empties are zeroed below anyway
-            seg_off = np.minimum(
-                np.concatenate([[0], np.cumsum(counts)[:-1]]), total - 1)
+            # offsets over NON-EMPTY docs only: an empty doc's offset
+            # equals its neighbour's, and a TRAILING empty doc's would
+            # be == total (out of reduceat's range — clipping it to
+            # total-1 steals the previous doc's last token into the
+            # empty segment).  Empty docs stay 0 via the scatter.
+            nz = counts > 0
+            seg_off = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
             v = np.add.reduceat(2 * bits - 1, seg_off, axis=0)
             packed = ((v > 0).astype(np.uint64)
                       << np.arange(64, dtype=np.uint64)[None, :]) \
                 .sum(axis=1, dtype=np.uint64)
-            vals = packed.astype(np.int64)      # two's-complement wrap
-            vals[counts == 0] = 0               # reduceat junk on empties
+            vals[nz] = packed.astype(np.int64)  # two's-complement wrap
         return batch.append_column("simhash", pa.array(vals))
 
 
@@ -701,12 +703,11 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
     def _arrow_nometa(batch: pa.Table) -> pa.Table:
-        # pandas-block producers reach the hash-shuffle joins as arrow
-        # conversions carrying the {b'pandas': ...} metadata dict —
-        # unhashable, so every aggregator logs "Failed to hash the
-        # schemas" and pays the slow unify path.  Strip it up front
-        # (zero-copy) and pin the column order.
-        return batch.select(["a", "b"]).replace_schema_metadata(None)
+        # pandas-block producers reach the hash-shuffle joins with the
+        # unhashable {b'pandas': ...} metadata dict — strip (shared
+        # helper; see util.strip_schema_metadata) and pin column order.
+        from .util import strip_schema_metadata
+        return strip_schema_metadata(batch.select(["a", "b"]))
 
     edges = edges_ds.map_batches(_arrow_nometa,
                                  batch_format="pyarrow").materialize()

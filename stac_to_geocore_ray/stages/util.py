@@ -15,7 +15,22 @@ def table_from_pandas(df, **kw):
     """
     import pyarrow as pa
     kw.setdefault("preserve_index", False)
-    return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
+    return strip_schema_metadata(pa.Table.from_pandas(df, **kw))
+
+
+def strip_schema_metadata(batch):
+    """Drop schema-level metadata from an Arrow table (zero-copy).
+
+    Parquet reads and ``Table.from_pandas`` both embed a
+    ``{b'pandas': ...}`` dict in the schema metadata; dict-bearing
+    schemas are UNHASHABLE, so every downstream sort / union /
+    repartition logs ``Failed to hash the schemas (for deduplication)``
+    and pays the slow schema-unify path instead of the set() dedup
+    early-exit.  This is THE one place that strip lives —
+    ``table_from_pandas`` and the read-side ``_meta_read`` both route
+    through it.
+    """
+    return batch.replace_schema_metadata(None)
 
 
 def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:

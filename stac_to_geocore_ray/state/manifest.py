@@ -185,15 +185,20 @@ class ManifestSink:
         return manifest
 
     def _owned(self, name: str) -> bool:
-        """True for filenames this sink writes — part-*<ext> shards
-        (plus their .tmp), manifest JSONs, quarantine parquets.  Reset
-        and orphan sweeps touch ONLY these, so pointing out_dir at a
+        """True for root-level filenames this sink writes — part-*
+        shards in EITHER shard format (plus their .tmp), independent of
+        which format is currently importable, so a reset() after a
+        lance install still clears the stale parquet shards of an
+        earlier run.  (Manifest JSONs and quarantine parquets live in
+        their own subdirs and are matched there by suffix.)  Reset and
+        orphan sweeps touch ONLY owned names, so pointing out_dir at a
         directory containing unrelated files never destroys them."""
-        from ..sources import lance_io
-        ext = lance_io.shard_ext()
-        for suffix in ("", ".tmp"):
-            if name.startswith("part-") and name.endswith(ext + suffix):
-                return True
+        if not name.startswith("part-"):
+            return False
+        for ext in (".parquet", ".lance"):
+            for suffix in ("", ".tmp"):
+                if name.endswith(ext + suffix):
+                    return True
         return False
 
     def reset(self) -> int:
@@ -235,9 +240,11 @@ class ManifestSink:
         out = []
         for path in self._listdir(self.root):
             name = posixpath.basename(path)
+            if not self._owned(name):
+                continue                 # never touch unrelated files
             if name.endswith(ext) and name not in done:
                 out.append(path)
-            elif self._owned(name) and name.endswith(".tmp"):
+            elif name.endswith(".tmp"):
                 out.append(path)
         qdir = posixpath.join(self.root, "_quarantine")
         if self.fs.get_file_info(qdir).type != FileType.NotFound:

@@ -65,6 +65,22 @@ def test_simhash_properties():
     assert sh.simhash("") == 0
 
 
+def test_simhash_batch_matches_per_doc_with_empty_docs():
+    # regression: a TRAILING token-less doc used to steal the previous
+    # doc's last token via the clipped reduceat offset, silently
+    # corrupting its neighbour's simhash (block-boundary-dependent)
+    sh = dedup.SimHasher()
+    cases = [["hello world foo bar", ""],
+             ["", "a b", ""],
+             ["", "", ""],
+             ["one", "", "two three", " .,;"],
+             ["tail text then empties", "", ""]]
+    for texts in cases:
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        assert sh(t)["simhash"].to_pylist() == \
+            [sh.simhash(x) for x in texts], texts
+
+
 def test_embedding_lsh_buckets_similar_vectors():
     lsh = dedup.EmbeddingLSH(dim=8)
     base = np.random.RandomState(0).normal(size=8)
