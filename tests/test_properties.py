@@ -150,3 +150,34 @@ def test_greedy_pack_invariants(sizes):
         cnt[bi] += 1
     for bi, t in tot.items():
         assert t <= 512 or cnt[bi] == 1          # overflow only when alone
+
+
+# round-4 batch-vectorized hash paths must be BIT-IDENTICAL to their
+# per-doc scalar definitions on arbitrary inputs (the goldens replay
+# the scalar form; any divergence is a silent value-hash flip that
+# depends on block boundaries — see the trailing-empty-doc simhash
+# regression)
+text_st = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           categories=("L", "N", "P", "Z", "S")),
+    max_size=200)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(text_st, min_size=1, max_size=12))
+def test_minhash_batch_bit_identical_to_per_doc(texts):
+    from stac_to_geocore_ray.stages.dedup import MinHasher
+    mh = MinHasher(num_perm=32, n_bands=8)
+    batch = mh.signatures_batch(texts)
+    per = np.stack([mh.signature(t) for t in texts])
+    assert (batch == per).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(text_st, min_size=1, max_size=12))
+def test_simhash_batch_bit_identical_to_per_doc(texts):
+    import pyarrow as pa
+    from stac_to_geocore_ray.stages.dedup import SimHasher
+    sh = SimHasher()
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    assert sh(t)["simhash"].to_pylist() == [sh.simhash(x) for x in texts]
