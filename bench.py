@@ -84,6 +84,10 @@ def run_bench() -> dict:
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         timed("geocore_translate", lambda: q.geocore_items(sf_dir).count())
         timed("phash_exact_dedup", lambda: q.phash_exact_dedup(sf_dir).count())
+        # multi-index (band-pair) pHash near-dup pair listing — the
+        # round-4 hot-group fix (worst group: distinct hashes, not
+        # members)
+        timed("phash_near_dedup", lambda: q.phash_near_dedup(sf_dir).count())
         timed("q1_pricing", lambda: q.q1_pricing_summary(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else 0)
         timed("ann_topk", lambda: len(q.ann_topk(sf_dir))
