@@ -1882,8 +1882,9 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
 
     def verify(batch: pa.Table) -> pa.Table:
         lut = ray.get(feats_ref)
-        oa, ob, oj = [], [], []
-        for a, b2 in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+        oa, ob, oj, oi = [], [], [], []
+        for i, (a, b2) in enumerate(zip(batch["a"].to_pylist(),
+                                        batch["b"].to_pylist())):
             s1, s2 = lut.get(a, set()), lut.get(b2, set())
             if not s1 and not s2:
                 if empty_empty == "skip":
@@ -1898,11 +1899,122 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
                 # 9812.5) — one boundary pair flips the hash otherwise
                 oa.append(a); ob.append(b2)
                 oj.append(math.floor(j * 1e4 + 0.5) / 1e4)
-        return pa.table({"a": pa.array(oa, id_type),
-                         "b": pa.array(ob, id_type),
-                         "jaccard": pa.array(oj, pa.float64())})
+                oi.append(i)
+        cols = {"a": pa.array(oa, id_type),
+                "b": pa.array(ob, id_type),
+                "jaccard": pa.array(oj, pa.float64())}
+        # rep-contracted callers carry the content-hash columns through
+        # verification into the output-expansion stage
+        for ch in ("a_ch", "b_ch"):
+            if ch in batch.column_names:
+                cols[ch] = batch[ch].take(pa.array(oi, pa.int64()))
+        return pa.table(cols)
 
     return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _expand_content_clusters(verified_ds, docs_ds, id_type,
+                             chunk_pairs: int = 1_000_000):
+    """Rep-level verified pairs -> the full member-pair listing.
+
+    Counterpart of ``dedup.lsh_group_rep_pairs``: a verified pair's
+    jaccard is EXACT for every member combination (identical normalized
+    text => identical feature set), so members expand only as OUTPUT —
+    the sf1.0 pHash lesson applied to text LSH.  Membership comes from
+    one extra streamed pass over the corpus computing content hashes
+    only (no signatures); the collected lut is sized by the clusters
+    that actually appear in verified pairs, not the corpus.  Expansion
+    yields bounded chunks so a hot cluster's quadratic OUTPUT streams
+    through the object store instead of sitting in one task's heap.
+    """
+    import ray
+    import ray.data as rd
+    from .stages.dedup import norm_text_hash
+
+    tables = list(verified_ds.iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+    if not tables:
+        return empty
+    vt = pa.concat_tables(tables)
+    if vt.num_rows == 0:
+        return empty
+    # no surviving SELF pair => every surviving cluster is a singleton
+    # (a >= 2-member cluster with a non-empty feature set always
+    # verifies its self marker at jaccard 1.0) — expansion is the
+    # identity, skip the membership pass entirely
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return vt.select(["a", "b", "jaccard"])
+    needed = np.unique(np.concatenate([vt["a_ch"].to_numpy(),
+                                       vt["b_ch"].to_numpy()]))
+    need_ref = ray.put(needed)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        ch = norm_text_hash(batch["text"].to_pylist()).view(np.int64)
+        keep = np.isin(ch, nd)
+        return pa.table({"doc_id": pa.array(ids[keep], id_type),
+                         "chash": pa.array(ch[keep])})
+
+    members: dict[int, list] = {}
+    for b in docs_ds.map_batches(member_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i, c in zip(b["doc_id"].to_pylist(), b["chash"].to_pylist()):
+            members.setdefault(c, []).append(i)
+    mem_np = {c: np.sort(np.asarray(v, dtype=np.int64))
+              for c, v in members.items()}
+    mem_ref = ray.put(mem_np)
+
+    def expand(batch: pa.Table):
+        lut = ray.get(mem_ref)
+        buf_a, buf_b, buf_j, n = [], [], [], 0
+
+        def emit(ea, eb, j):
+            nonlocal n
+            buf_a.append(ea); buf_b.append(eb)
+            buf_j.append(np.full(len(ea), j))
+            n += len(ea)
+
+        def flush():
+            nonlocal buf_a, buf_b, buf_j, n
+            t = pa.table({"a": pa.array(np.concatenate(buf_a), id_type),
+                          "b": pa.array(np.concatenate(buf_b), id_type),
+                          "jaccard": pa.array(np.concatenate(buf_j),
+                                              pa.float64())})
+            buf_a, buf_b, buf_j, n = [], [], [], 0
+            return t
+
+        for a, b2, j, ca, cb in zip(batch["a"].to_pylist(),
+                                    batch["b"].to_pylist(),
+                                    batch["jaccard"].to_pylist(),
+                                    batch["a_ch"].to_pylist(),
+                                    batch["b_ch"].to_pylist()):
+            if a == b2:                       # intra-cluster marker
+                mem = lut.get(ca, np.array([], dtype=np.int64))
+                for i in range(len(mem) - 1):
+                    emit(np.repeat(mem[i], len(mem) - 1 - i),
+                         mem[i + 1:], j)
+                    if n >= chunk_pairs:
+                        yield flush()
+            else:                             # cross-cluster pair
+                ma = lut.get(ca, np.array([a], dtype=np.int64))
+                mb = lut.get(cb, np.array([b2], dtype=np.int64))
+                step = max(1, chunk_pairs // max(1, len(mb)))
+                for i0 in range(0, len(ma), step):
+                    blk = ma[i0:i0 + step]
+                    ea = np.repeat(blk, len(mb))
+                    eb = np.tile(mb, len(blk))
+                    lo = np.minimum(ea, eb)
+                    hi = np.maximum(ea, eb)
+                    emit(lo, hi, j)
+                    if n >= chunk_pairs:
+                        yield flush()
+        if n:
+            yield flush()
+
+    return rd.from_arrow(vt).map_batches(expand, batch_format="pyarrow")
 
 
 def minhash_neardup(sf_dir: str):
@@ -1910,24 +2022,23 @@ def minhash_neardup(sf_dir: str):
     import ray
     import ray.data as rd
     from .stages.dedup import MinHasher
+    from .stages.dedup import lsh_group_rep_pairs
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
-    def pairs(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = sorted(g.doc_id.tolist())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(out, columns=["a", "b"])
+    # candidates over DISTINCT-CONTENT representatives (quadratic in
+    # distinct texts per bucket, not members — a hot identical-doc
+    # cluster contracts to one rep; see lsh_group_rep_pairs)
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    from ray.data.aggregate import Count
-    cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+        lsh_group_rep_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count, Min
+    cand = cand.groupby(["a", "b"]).aggregate(
+        Count(alias_name="n_bands"),
+        Min("a_ch", alias_name="a_ch"), Min("b_ch", alias_name="b_ch"))
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    # verify candidates against true shingle Jaccard.  The CORPUS is
+    # verify rep pairs against true shingle Jaccard.  The CORPUS is
     # only ever streamed: the candidate-id set (output-sized) rides
     # down via ray.put, each batch extracts shingle sets for its own
     # candidate rows, and the verify runs in map_batches over the
@@ -1936,11 +2047,12 @@ def minhash_neardup(sf_dir: str):
     cand = cand.materialize()
     if cand.count() == 0:
         return empty
-    return _jaccard_verify_pairs(
+    verified = _jaccard_verify_pairs(
         cand, ds,
         lambda text: set(_shingle_hashes_for_verify(text)
                          .astype(np.int64).tolist()),
         id_type=pa.int64())
+    return _expand_content_clusters(verified, ds, id_type=pa.int64())
 
 
 # exact char-5-shingle Jaccard in SQL: shingles exploded to
@@ -2345,20 +2457,22 @@ def ngram_jaccard_dedup(sf_dir: str):
         toks = (text or "").lower().split()
         return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
 
+    from .stages.dedup import lsh_group_rep_pairs
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
-    def pairs(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids_ = sorted(g.doc_id.tolist())
-        return pd.DataFrame([(x, y) for i, x in enumerate(ids_)
-                             for y in ids_[i + 1:]], columns=["a", "b"])
+    # distinct-content rep candidates (see minhash_neardup) — the
+    # word-ngram feature set is also a pure function of the normalized
+    # text, so rep-level verification is exact for every member; a
+    # rep SELF pair routes each identical-text cluster through verify
+    # once, which preserves empty_empty="skip" (clusters of <3-word
+    # docs have empty gram sets and stay excluded, as before)
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    from ray.data.aggregate import Count as _Count
-    cand = cand.groupby(["a", "b"]).aggregate(_Count(alias_name="n_bands"))
+        lsh_group_rep_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count as _Count, Min as _Min
+    cand = cand.groupby(["a", "b"]).aggregate(
+        _Count(alias_name="n_bands"),
+        _Min("a_ch", alias_name="a_ch"), _Min("b_ch", alias_name="b_ch"))
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -2367,10 +2481,11 @@ def ngram_jaccard_dedup(sf_dir: str):
     cand = cand.materialize()
     if cand.count() == 0:
         return empty
-    return _jaccard_verify_pairs(cand, ds, word_ngrams,
-                                 id_type=pa.int64(),
-                                 empty_empty="skip",
-                                 elem_type=pa.string())
+    verified = _jaccard_verify_pairs(cand, ds, word_ngrams,
+                                     id_type=pa.int64(),
+                                     empty_empty="skip",
+                                     elem_type=pa.string())
+    return _expand_content_clusters(verified, ds, id_type=pa.int64())
 
 
 

@@ -327,6 +327,67 @@ def bandpair_group_pairs(g: pd.DataFrame, pair_id: int,
 _MERSENNE = (1 << 61) - 1
 
 
+def norm_text_hash(texts) -> np.ndarray:
+    """uint64 content hash of each doc's NORMALIZED text
+    (``(t or '').lower()`` — exactly the shingling/tokenizing input, so
+    hash-equal docs have IDENTICAL feature sets for every text-dedup
+    flavor here).  64-bit collisions are the accepted trade (~1e-7
+    birthday odds at 1M distinct docs); a collision merges two docs'
+    clusters, the standard content-addressed-dedup caveat."""
+    lowered = np.asarray([(t or "").lower() for t in texts], dtype=object)
+    return pd.util.hash_array(lowered)
+
+
+def lsh_group_rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One LSH (band_id, band_hash) candidate group -> candidate pairs
+    over DISTINCT-CONTENT representatives.
+
+    The naive in-group emission is quadratic in MEMBERS; a hot cluster
+    of identical docs (a boilerplate/template page at web scale) blows
+    the reducer exactly like the sf1.0 single-band pHash group did
+    (BENCH/BASELINE.md lesson 15).  Identical normalized text =>
+    identical feature set => identical signature, so the group
+    contracts to one representative (min doc_id) per ``chash``:
+
+    - rep-rep pairs (a < b) across distinct contents — candidate work
+      is quadratic in DISTINCT texts per bucket;
+    - one SELF pair (rep, rep) per cluster with >= 2 members — the
+      marker that routes the cluster through feature verification ONCE
+      (so empty-feature semantics are preserved query-side) and into
+      output expansion (members expand only as OUTPUT, with the rep's
+      exact jaccard — equality holds because member feature sets are
+      identical to the rep's).
+
+    Emitted per colliding band; the downstream (a, b) groupby dedups.
+    """
+    # min doc_id per chash: group members share EVERY band (identical
+    # signatures), so the per-group min is the global min
+    agg = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                        "chash": g["chash"].to_numpy()}) \
+        .groupby("chash", sort=False)["doc_id"].agg(["min", "size"])
+    rep_ids = agg["min"].to_numpy()
+    sizes = agg["size"].to_numpy()
+    chs = agg.index.to_numpy()
+    o = np.argsort(rep_ids)
+    rep_ids, sizes, chs = rep_ids[o], sizes[o], chs[o]
+    out_a, out_b, out_ca, out_cb = [], [], [], []
+    if len(rep_ids) > 1:
+        ia, ib = np.triu_indices(len(rep_ids), k=1)
+        out_a.append(rep_ids[ia]); out_b.append(rep_ids[ib])
+        out_ca.append(chs[ia]);    out_cb.append(chs[ib])
+    multi = sizes >= 2
+    if multi.any():
+        out_a.append(rep_ids[multi]); out_b.append(rep_ids[multi])
+        out_ca.append(chs[multi]);    out_cb.append(chs[multi])
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return pd.DataFrame({"a": z, "b": z, "a_ch": z, "b_ch": z})
+    return pd.DataFrame({"a": np.concatenate(out_a).astype(np.int64),
+                         "b": np.concatenate(out_b).astype(np.int64),
+                         "a_ch": np.concatenate(out_ca).astype(np.int64),
+                         "b_ch": np.concatenate(out_cb).astype(np.int64)})
+
+
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)        # fixed seed: deterministic engine-wide
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -445,7 +506,8 @@ class MinHasher:
         if len(texts) == 0:
             return pa.table({self.id_col: ids,
                              "band_id": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64())})
+                             "band_hash": pa.array([], pa.int64()),
+                             "chash": pa.array([], pa.int64())})
         # signatures: one vectorized pass per doc (variable shingle
         # counts); band hashing is then ONE elementwise hash + a
         # POSITION-WEIGHTED reshaped sum over the (docs x perms)
@@ -469,7 +531,12 @@ class MinHasher:
             "band_id": pa.array(np.tile(np.arange(self.n_bands,
                                                   dtype=np.int32),
                                         len(texts))),
-            "band_hash": pa.array(bh.ravel())})
+            "band_hash": pa.array(bh.ravel()),
+            # content hash of the NORMALIZED text (the shingling
+            # input): equal chash => equal feature set, the key the
+            # rep-pair contraction groups identical docs on
+            "chash": pa.array(np.repeat(
+                norm_text_hash(texts).view(np.int64), self.n_bands))})
 
     def jaccard(self, t1: str, t2: str) -> float:
         s1 = set(_shingle_hashes(t1, self.shingle_k).tolist())

@@ -287,3 +287,69 @@ class TestChunkPack:
         # 300 | 600 (oversized, alone) | 300+200
         assert df.bin_id.tolist() == [0, 1, 2, 2]
         assert df.n_tok.tolist() == [300, 600, 300, 200]
+
+
+def test_lsh_rep_contraction_matches_bruteforce(ray_session, tmp_path):
+    """minhash_neardup / ngram_jaccard_dedup after the distinct-content
+    contraction: identical-doc clusters expand to the same pair listing
+    a brute-force all-pairs jaccard produces (values exact), and the
+    ngram empty-gram exclusion (empty_empty='skip') is preserved for
+    clusters of <3-word docs."""
+    import math
+
+    import pyarrow.parquet as pq
+    from stac_to_geocore_ray import queries as q
+    from stac_to_geocore_ray.stages.dedup import MinHasher
+
+    long_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    long_b = long_a.replace("omicron", "omega")     # ~0.95 char jaccard
+    docs = []
+    docs += [(10 + i, long_a) for i in range(6)]    # identical cluster X
+    docs += [(20 + i, long_b) for i in range(4)]    # identical cluster Y
+    docs += [(30 + i, f"unrelated text number {i} with words "
+              f"{'x' * (i + 3)} {'y' * (i + 5)} {'z' * (i + 7)}")
+             for i in range(6)]                     # singletons
+    docs += [(50 + i, "a b") for i in range(3)]     # <3 words: no ngrams
+    docs += [(60, ""), (61, "")]                    # empty texts
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    mh = MinHasher()
+
+    def ngrams(text):
+        toks = (text or "").lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(max(0, len(toks) - 2))}
+
+    def brute(feature, skip_empty_empty):
+        exp = set()
+        for i, (a, ta) in enumerate(docs):
+            for b, tb in docs[i + 1:]:
+                s1, s2 = feature(ta), feature(tb)
+                if not s1 and not s2:
+                    if skip_empty_empty:
+                        continue
+                    j = 1.0
+                else:
+                    j = len(s1 & s2) / max(1, len(s1 | s2))
+                if j >= 0.5:
+                    exp.add((min(a, b), max(a, b),
+                             math.floor(j * 1e4 + 0.5) / 1e4))
+        return exp
+
+    def got(ds):
+        out = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        if isinstance(out, pa.Table):
+            out = out.to_pandas()
+        return {(int(r.a), int(r.b), float(r.jaccard))
+                for r in out.itertuples()}
+
+    def char_shingles(t):
+        from stac_to_geocore_ray.stages.dedup import _shingle_hashes
+        return set(_shingle_hashes(t, 5).tolist())
+
+    assert got(q.minhash_neardup(str(tmp_path))) == \
+        brute(char_shingles, skip_empty_empty=False)
+    assert got(q.ngram_jaccard_dedup(str(tmp_path))) == \
+        brute(ngrams, skip_empty_empty=True)
