@@ -106,22 +106,65 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
     g = g.sort_values(id_col)
     ids = g[id_col].to_numpy()
     hs = g[hash_col].to_numpy().astype(np.int64)
-    if dedup_band is not None and len(g) > large_group_threshold \
-            and max_dist < n_bands - 1:
-        ia, ib, d = _banded_pairs_in_group(hs, max_dist, dedup_band, n_bands)
-    else:
-        ia, ib = np.triu_indices(len(g), k=1)
-        d = hamming64(hs[ia], hs[ib])
-        keep = d <= max_dist
-        ia, ib, d = ia[keep], ib[keep], d[keep]
-    if dedup_band:                            # bands < dedup_band exist
-        u = hs.view(np.uint64)
-        width = 64 // n_bands
-        mask = np.uint64((1 << width) - 1)
-        lower = _shares_any_band(u, ia, ib, range(dedup_band), width, mask)
-        ia, ib, d = ia[~lower], ib[~lower], d[~lower]
-    return pd.DataFrame({"a": ids[ia], "b": ids[ib],
-                         "dist": d.astype(np.int64)})
+
+    # contract to DISTINCT hashes first: a hot cluster of identical
+    # hashes (identical docs under simhash) would otherwise be
+    # member-quadratic — and sub-band refinement cannot split it, since
+    # identical hashes agree on every band.  Hamming work is quadratic
+    # in distinct hashes; identical-hash members expand only as OUTPUT
+    # (the sf1.0 pHash lesson, applied to the single-band path).
+    uniq, inv = np.unique(hs, return_inverse=True)
+    byhash = np.argsort(inv, kind="stable")      # id-ascending per hash
+    counts = np.bincount(inv)
+    starts = np.r_[0, np.cumsum(counts)]
+    out_a, out_b, out_d = [], [], []
+
+    # dist-0 pairs: identical hashes share EVERY band, so under the
+    # lowest-shared-band emit-once rule they belong to band 0 only
+    if dedup_band is None or dedup_band == 0:
+        for u0 in np.flatnonzero(counts >= 2):
+            mem = ids[byhash[starts[u0]:starts[u0 + 1]]]
+            ra, rb = np.triu_indices(len(mem), k=1)
+            out_a.append(mem[ra])
+            out_b.append(mem[rb])
+            out_d.append(np.zeros(len(ra), dtype=np.int64))
+
+    if len(uniq) > 1:
+        if dedup_band is not None and len(uniq) > large_group_threshold \
+                and max_dist < n_bands - 1:
+            ia, ib, d = _banded_pairs_in_group(uniq, max_dist, dedup_band,
+                                               n_bands)
+        else:
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            d = hamming64(uniq[ia], uniq[ib])
+            keep = (d <= max_dist) & (d > 0)
+            ia, ib, d = ia[keep], ib[keep], d[keep]
+        if dedup_band:                        # bands < dedup_band exist
+            u = uniq.view(np.uint64)
+            width = 64 // n_bands
+            mask = np.uint64((1 << width) - 1)
+            lower = _shares_any_band(u, ia, ib, range(dedup_band),
+                                     width, mask)
+            ia, ib, d = ia[~lower], ib[~lower], d[~lower]
+        for pi, qi, di in zip(ia.tolist(), ib.tolist(), d.tolist()):
+            ma = ids[byhash[starts[pi]:starts[pi + 1]]]
+            mb = ids[byhash[starts[qi]:starts[qi + 1]]]
+            ea = np.repeat(ma, len(mb))
+            eb = np.tile(mb, len(ma))
+            le = ea <= eb                     # np.minimum has no str loop
+            out_a.append(np.where(le, ea, eb))
+            out_b.append(np.where(le, eb, ea))
+            out_d.append(np.full(len(ea), di, dtype=np.int64))
+
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype
+                                            if ids.dtype != object else object),
+                             "b": pd.Series([], dtype=ids.dtype
+                                            if ids.dtype != object else object),
+                             "dist": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "dist": np.concatenate(out_d).astype(np.int64)})
 
 
 def _banded_pairs_in_group(hs: np.ndarray, max_dist: int, group_band: int,
