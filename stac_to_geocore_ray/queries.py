@@ -1838,17 +1838,24 @@ def _shingle_hashes_for_verify(text: str):
     return _shingle_hashes(text or "", 5)
 
 
-def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
+def _jaccard_verify_pairs(cand_ds, docs_ds, feat_fn, id_type,
                           threshold: float = 0.5,
-                          empty_empty: str = "one",
-                          elem_type=None):
+                          empty_empty: str = "one"):
     """Exact-Jaccard verification of candidate pairs, corpus streamed.
 
+    ``feat_fn(text)`` returns an int64 feature array (hashed shingles /
+    grams — jaccard over hashes equals jaccard over features absent
+    64-bit collisions, the same assumption the SQL oracles document).
     The candidate-id set (OUTPUT-sized) is broadcast via ``ray.put``;
-    each corpus batch extracts ``set_fn(text)`` for its own candidate
-    rows only, so what comes back to the driver is candidate-sized, not
-    corpus-sized.  The verify itself runs in ``map_batches`` over the
-    candidate Dataset with the broadcast feature table.
+    each corpus batch extracts features for its own candidate rows
+    only, so what comes back to the driver is candidate-sized, not
+    corpus-sized.  The broadcast feature table is THREE FLAT numpy
+    arrays (sorted ids / offsets / concatenated sorted-unique values),
+    NOT a dict of Python sets: plasma deserializes flat arrays
+    zero-copy, where a dict-of-sets costs seconds of unpickling PER
+    VERIFY TASK at the 1M-doc scale (the dominant cost of the whole
+    query before this change).  Verification intersects with
+    ``np.intersect1d(assume_unique=True)`` per pair.
 
     ``empty_empty``: Jaccard of two empty sets — "one" (identical) or
     "skip" (drop the pair), matching the caller's round-1 semantics.
@@ -1859,39 +1866,59 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, set_fn, id_type,
     for b in cand_ds.iter_batches(batch_format="pyarrow"):
         need.update(b["a"].to_pylist())
         need.update(b["b"].to_pylist())
-    need_ref = ray.put(need)
-    feat_type = pa.list_(elem_type or pa.int64())
+    need_ref = ray.put(np.sort(np.asarray(list(need), dtype=np.int64)))
 
     def extract(batch: pa.Table) -> pa.Table:
         nd = ray.get(need_ref)
-        oid, osets = [], []
-        for i, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            if i in nd:
-                oid.append(i)
-                osets.append(sorted(set_fn(t)))
-        return pa.table({"doc_id": pa.array(oid, id_type),
-                         "feat": pa.array(osets, feat_type)})
+        ids = batch["doc_id"].to_numpy()
+        hit = np.flatnonzero(np.isin(ids, nd))
+        texts = batch["text"].take(pa.array(hit)).to_pylist()
+        feats = [np.unique(np.asarray(feat_fn(t), dtype=np.int64))
+                 for t in texts]
+        return pa.table({"doc_id": pa.array(ids[hit], id_type),
+                         "feat": pa.array(list(feats),
+                                          pa.list_(pa.int64()))})
 
-    feats = {}
+    fid, fval = [], []
     for b in docs_ds.map_batches(extract, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):   # candidate-sized
-        for i, s in zip(b["doc_id"].to_pylist(), b["feat"].to_pylist()):
-            feats[i] = set(s)
-    feats_ref = ray.put(feats)
+        fid.append(b["doc_id"].to_numpy())
+        fa = b["feat"]
+        if isinstance(fa, pa.ChunkedArray):
+            fa = fa.combine_chunks()
+        off = fa.offsets.to_numpy()
+        vals = fa.values.to_numpy()
+        fval.extend(vals[off[k]:off[k + 1]] for k in range(len(fa)))
+    ids_cat = np.concatenate(fid) if fid else np.array([], dtype=np.int64)
+    order = np.argsort(ids_cat, kind="stable")
+    lut_ids = ids_cat[order]
+    vals_sorted = [fval[i] for i in order]
+    lut_off = np.r_[0, np.cumsum([len(v) for v in vals_sorted])] \
+        .astype(np.int64)
+    lut_vals = np.concatenate(vals_sorted) if vals_sorted \
+        else np.array([], dtype=np.int64)
+    lut_ref = ray.put((lut_ids, lut_off, lut_vals))
 
     def verify(batch: pa.Table) -> pa.Table:
-        lut = ray.get(feats_ref)
+        lids, loff, lvals = ray.get(lut_ref)   # zero-copy flat arrays
+
+        def feat_of(x):
+            k = int(np.searchsorted(lids, x))
+            if k < len(lids) and lids[k] == x:
+                return lvals[loff[k]:loff[k + 1]]
+            return lvals[:0]
+
         oa, ob, oj, oi = [], [], [], []
         for i, (a, b2) in enumerate(zip(batch["a"].to_pylist(),
                                         batch["b"].to_pylist())):
-            s1, s2 = lut.get(a, set()), lut.get(b2, set())
-            if not s1 and not s2:
+            s1, s2 = feat_of(a), feat_of(b2)
+            if not len(s1) and not len(s2):
                 if empty_empty == "skip":
                     continue
                 j = 1.0
             else:
-                j = len(s1 & s2) / max(1, len(s1 | s2))
+                inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                j = inter / max(1, len(s1) + len(s2) - inter)
             if j >= threshold:
                 # half-AWAY rounding to match DuckDB's round(): python
                 # round()/np.round are half-to-even, and exact-half
@@ -1940,6 +1967,12 @@ def _expand_content_clusters(verified_ds, docs_ds, id_type,
     vt = pa.concat_tables(tables)
     if vt.num_rows == 0:
         return empty
+    # a pair surfaces once per colliding band (no upstream (a, b)
+    # groupby — Ray's sort-aggregate pays per-distinct-key overhead);
+    # the verified set is output-adjacent-sized, so dedup here is one
+    # C-level pass
+    vt = table_from_pandas(
+        vt.to_pandas().drop_duplicates(["a", "b"], ignore_index=True))
     # no surviving SELF pair => every surviving cluster is a singleton
     # (a >= 2-member cluster with a non-empty feature set always
     # verifies its self marker at jaccard 1.0) — expansion is the
@@ -2022,19 +2055,23 @@ def minhash_neardup(sf_dir: str):
     import ray
     import ray.data as rd
     from .stages.dedup import MinHasher
-    from .stages.dedup import lsh_group_rep_pairs
+    from .stages.dedup import add_band_bucket, lsh_bucket_rep_pairs
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
     # candidates over DISTINCT-CONTENT representatives (quadratic in
-    # distinct texts per bucket, not members — a hot identical-doc
-    # cluster contracts to one rep; see lsh_group_rep_pairs)
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lsh_group_rep_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count, Min
-    cand = cand.groupby(["a", "b"]).aggregate(
-        Count(alias_name="n_bands"),
-        Min("a_ch", alias_name="a_ch"), Min("b_ch", alias_name="b_ch"))
+    # distinct texts per band group, not members — a hot identical-doc
+    # cluster contracts to one rep), shuffled on a 64-way bucket of the
+    # band key so one vectorized call handles thousands of band groups
+    cand = bands.map_batches(add_band_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lsh_bucket_rep_pairs,
+                                      batch_format="pandas")
+    # NO (a, b) groupby here: a pair surfaces from up to n_bands bands,
+    # but Ray's sort-aggregate pays per-distinct-key overhead (measured
+    # minutes at ~600k candidate rows, 1M docs), and the rep-level
+    # candidate set is output-adjacent-sized anyway — the expansion
+    # stage drop_duplicates it in one C-level pass; verify just redoes
+    # a pair's (cheap) jaccard at most n_bands times
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -2049,8 +2086,7 @@ def minhash_neardup(sf_dir: str):
         return empty
     verified = _jaccard_verify_pairs(
         cand, ds,
-        lambda text: set(_shingle_hashes_for_verify(text)
-                         .astype(np.int64).tolist()),
+        lambda text: _shingle_hashes_for_verify(text).astype(np.int64),
         id_type=pa.int64())
     return _expand_content_clusters(verified, ds, id_type=pa.int64())
 
@@ -2453,11 +2489,21 @@ def ngram_jaccard_dedup(sf_dir: str):
     from .stages.dedup import MinHasher
     mh = MinHasher(shingle_k=5)
 
-    def word_ngrams(text: str, n: int = 3) -> set:
+    def word_ngrams(text: str, n: int = 3) -> "np.ndarray":
+        # hashed grams: jaccard over hashes == jaccard over grams
+        # absent 64-bit collisions (same assumption as the char-shingle
+        # path; the SQL oracle computes over the gram strings and the
+        # fixture corpus is verified collision-free)
+        import pandas as _pd
         toks = (text or "").lower().split()
-        return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(max(0, len(toks) - n + 1))]
+        if not grams:
+            return np.array([], dtype=np.int64)
+        return _pd.util.hash_array(
+            np.asarray(grams, dtype=object)).view(np.int64)
 
-    from .stages.dedup import lsh_group_rep_pairs
+    from .stages.dedup import add_band_bucket, lsh_bucket_rep_pairs
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
 
@@ -2467,12 +2513,11 @@ def ngram_jaccard_dedup(sf_dir: str):
     # rep SELF pair routes each identical-text cluster through verify
     # once, which preserves empty_empty="skip" (clusters of <3-word
     # docs have empty gram sets and stay excluded, as before)
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lsh_group_rep_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count as _Count, Min as _Min
-    cand = cand.groupby(["a", "b"]).aggregate(
-        _Count(alias_name="n_bands"),
-        _Min("a_ch", alias_name="a_ch"), _Min("b_ch", alias_name="b_ch"))
+    cand = bands.map_batches(add_band_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lsh_bucket_rep_pairs,
+                                      batch_format="pandas")
+    # no (a, b) groupby — dedup happens in the expansion stage's
+    # C-level drop_duplicates (see minhash_neardup for the rationale)
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -2483,8 +2528,7 @@ def ngram_jaccard_dedup(sf_dir: str):
         return empty
     verified = _jaccard_verify_pairs(cand, ds, word_ngrams,
                                      id_type=pa.int64(),
-                                     empty_empty="skip",
-                                     elem_type=pa.string())
+                                     empty_empty="skip")
     return _expand_content_clusters(verified, ds, id_type=pa.int64())
 
 

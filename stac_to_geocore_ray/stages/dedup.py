@@ -381,54 +381,93 @@ def norm_text_hash(texts) -> np.ndarray:
     return pd.util.hash_array(lowered)
 
 
-def lsh_group_rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """One LSH (band_id, band_hash) candidate group -> candidate pairs
-    over DISTINCT-CONTENT representatives.
+def add_band_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """Coarse shuffle key over (band_id, band_hash): LSH band groups
+    are tiny and numerous (~16 x n_docs at low collision rates), and a
+    per-group Python UDF pays ~0.5 ms overhead per group — 300k groups
+    at 20k docs took 177 s.  Grouping on a 64-way hash of the band key
+    instead lets one vectorized call handle thousands of band groups
+    (the simhash/phash add_bucket pattern); every band group lands
+    wholly in one bucket, so semantics are unchanged."""
+    x = (batch["band_hash"].to_numpy().astype(np.int64).view(np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15)
+         + batch["band_id"].to_numpy().astype(np.uint64))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(29)
+    return batch.append_column(
+        "bucket", pa.array((x % np.uint64(n_buckets)).astype(np.int32)))
+
+
+def lsh_bucket_rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One BUCKET of LSH band groups -> candidate pairs over
+    DISTINCT-CONTENT representatives, vectorized across all the
+    bucket's (band_id, band_hash) groups at once.
 
     The naive in-group emission is quadratic in MEMBERS; a hot cluster
     of identical docs (a boilerplate/template page at web scale) blows
     the reducer exactly like the sf1.0 single-band pHash group did
     (BENCH/BASELINE.md lesson 15).  Identical normalized text =>
-    identical feature set => identical signature, so the group
+    identical feature set => identical signature, so each band group
     contracts to one representative (min doc_id) per ``chash``:
 
     - rep-rep pairs (a < b) across distinct contents — candidate work
-      is quadratic in DISTINCT texts per bucket;
+      is quadratic in DISTINCT texts per band group;
     - one SELF pair (rep, rep) per cluster with >= 2 members — the
       marker that routes the cluster through feature verification ONCE
-      (so empty-feature semantics are preserved query-side) and into
-      output expansion (members expand only as OUTPUT, with the rep's
-      exact jaccard — equality holds because member feature sets are
-      identical to the rep's).
+      (preserving empty-feature semantics query-side) and into output
+      expansion (members expand only as OUTPUT with the rep's exact
+      jaccard, since member feature sets are identical to the rep's).
 
     Emitted per colliding band; the downstream (a, b) groupby dedups.
+    The contraction itself is ONE C-level 3-key groupby; only band
+    groups with >= 3 distinct contents (rare) fall back to a loop.
     """
-    # min doc_id per chash: group members share EVERY band (identical
-    # signatures), so the per-group min is the global min
-    agg = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                        "chash": g["chash"].to_numpy()}) \
-        .groupby("chash", sort=False)["doc_id"].agg(["min", "size"])
-    rep_ids = agg["min"].to_numpy()
-    sizes = agg["size"].to_numpy()
-    chs = agg.index.to_numpy()
-    o = np.argsort(rep_ids)
-    rep_ids, sizes, chs = rep_ids[o], sizes[o], chs[o]
-    out_a, out_b, out_ca, out_cb = [], [], [], []
-    if len(rep_ids) > 1:
-        ia, ib = np.triu_indices(len(rep_ids), k=1)
-        out_a.append(rep_ids[ia]); out_b.append(rep_ids[ib])
-        out_ca.append(chs[ia]);    out_cb.append(chs[ib])
-    multi = sizes >= 2
+    # min doc_id per chash within each band group; members of a chash
+    # cluster share EVERY band, so this min is the cluster-global min
+    agg = g.groupby(["band_id", "band_hash", "chash"], sort=True) \
+        ["doc_id"].agg(["min", "size"]).reset_index()
+    out = []
+    zdf = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                        "b": pd.Series([], dtype="int64"),
+                        "a_ch": pd.Series([], dtype="int64"),
+                        "b_ch": pd.Series([], dtype="int64")})
+
+    multi = agg["size"].to_numpy() >= 2
     if multi.any():
-        out_a.append(rep_ids[multi]); out_b.append(rep_ids[multi])
-        out_ca.append(chs[multi]);    out_cb.append(chs[multi])
-    if not out_a:
-        z = np.array([], dtype=np.int64)
-        return pd.DataFrame({"a": z, "b": z, "a_ch": z, "b_ch": z})
-    return pd.DataFrame({"a": np.concatenate(out_a).astype(np.int64),
-                         "b": np.concatenate(out_b).astype(np.int64),
-                         "a_ch": np.concatenate(out_ca).astype(np.int64),
-                         "b_ch": np.concatenate(out_cb).astype(np.int64)})
+        r = agg.loc[multi, "min"].to_numpy(np.int64)
+        c = agg.loc[multi, "chash"].to_numpy(np.int64)
+        out.append(pd.DataFrame({"a": r, "b": r, "a_ch": c, "b_ch": c}))
+
+    grp = agg.groupby(["band_id", "band_hash"], sort=False)
+    gsz = grp["min"].transform("size").to_numpy()
+    if (gsz >= 2).any():
+        pos = grp.cumcount().to_numpy()
+        reps = agg["min"].to_numpy(np.int64)
+        chs = agg["chash"].to_numpy(np.int64)
+        # the overwhelmingly common collision is exactly 2 distinct
+        # contents in a band group — pair them with one vectorized
+        # shift (rows are group-contiguous after the sorted groupby)
+        first = (gsz == 2) & (pos == 0)
+        if first.any():
+            i0 = np.flatnonzero(first)
+            ra, rb = reps[i0], reps[i0 + 1]
+            ca, cb = chs[i0], chs[i0 + 1]
+            lo = ra <= rb
+            out.append(pd.DataFrame({
+                "a": np.where(lo, ra, rb), "b": np.where(lo, rb, ra),
+                "a_ch": np.where(lo, ca, cb), "b_ch": np.where(lo, cb, ca)}))
+        # >= 3 distinct contents in one band group: rare — loop
+        big = np.unique((gsz >= 3).nonzero()[0] - pos[(gsz >= 3)])
+        for s in big.tolist():
+            n = int(gsz[s])
+            rr, cc = reps[s:s + n], chs[s:s + n]
+            o = np.argsort(rr)
+            rr, cc = rr[o], cc[o]
+            ia, ib = np.triu_indices(n, k=1)
+            out.append(pd.DataFrame({"a": rr[ia], "b": rr[ib],
+                                     "a_ch": cc[ia], "b_ch": cc[ib]}))
+    return pd.concat(out, ignore_index=True) if out else zdf
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
