@@ -1775,11 +1775,16 @@ def _phash_near_dedup_impl(sf_dir: str, edges_only: bool = False):
 
     def bucket_pairs(g):
         import pandas as pd
+        # vectorized singleton drop first — iterating millions of
+        # 1-member groups in pandas dominated the simhash 1M-doc run
+        # (queries.py pairs(); same shape here)
+        sz = g.groupby(["pair_id", "key"], sort=False)["image_id"] \
+            .transform("size").to_numpy()
+        g = g[sz > 1]
         outs = [bandpair_group_pairs(sub, pair_id=int(pid),
                                      max_dist=2, edges_only=edges_only)
                 for (pid, _), sub in g.groupby(["pair_id", "key"],
-                                               sort=False)
-                if len(sub) > 1]
+                                               sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype=object),
@@ -2147,12 +2152,19 @@ def simhash_neardup(sf_dir: str):
 
     def pairs(g):
         import pandas as pd
+        # drop singleton band groups BEFORE the Python groupby loop:
+        # at 1M docs a bucket holds ~60k (band_id, band_val) groups and
+        # nearly all are singletons — iterating them in pandas cost
+        # ~330 s of the 380 s measured run; one vectorized size
+        # transform leaves only real collision groups to loop over
+        sz = g.groupby(["band_id", "band_val"], sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        g = g[sz > 1]
         outs = [hamming_pairs_in_group(sub, id_col="doc_id",
                                        hash_col="simhash", max_dist=3,
                                        dedup_band=int(bid))
                 for (bid, _), sub in g.groupby(["band_id", "band_val"],
-                                               sort=False)
-                if len(sub) > 1]
+                                               sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
