@@ -1945,6 +1945,114 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, feat_fn, id_type,
     return cand_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def _expand_member_pairs(vt: pa.Table, mem_np: dict, id_type,
+                         key_a: str, key_b: str,
+                         val_name: str, val_arrow_type,
+                         chunk_pairs: int = 1_000_000):
+    """Shared expansion core for rep-level cluster pairs -> the full
+    member-pair listing, distributed ACROSS tasks.
+
+    ``vt`` rows are (a, b, <val>, <key_a>, <key_b>) with a == b marking
+    an intra-cluster SELF row; ``mem_np`` maps cluster key -> sorted
+    member-id array (output-adjacent-sized, collected by the caller).
+    Hot rows are split DRIVER-SIDE into (lo, hi) a-side range work
+    items (member counts are known from the LUT, so the split is
+    free), then expanded in parallel bounded map_batches tasks — a
+    10k-member identical-content cluster's ~50M output pairs
+    materialize in ~50 tasks instead of one CPU-serial generator.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      val_name: pa.array([], val_arrow_type)})
+    wa, wb, wv, wka, wkb, wlo, whi = [], [], [], [], [], [], []
+    for a, b2, v, ka, kb in zip(vt["a"].to_pylist(), vt["b"].to_pylist(),
+                                vt[val_name].to_pylist(),
+                                vt[key_a].to_pylist(),
+                                vt[key_b].to_pylist()):
+        ma = len(mem_np[ka]) if ka in mem_np else 1
+        if a == b2:                           # self: C(ma, 2) pairs
+            # outer index i yields ma-1-i pairs; greedy ranges
+            lo = 0
+            while lo < ma - 1:
+                hi, acc = lo, 0
+                while hi < ma - 1 and acc < chunk_pairs:
+                    acc += ma - 1 - hi
+                    hi += 1
+                wa.append(a); wb.append(b2); wv.append(v)
+                wka.append(ka); wkb.append(kb)
+                wlo.append(lo); whi.append(hi)
+                lo = hi
+        else:
+            mb = len(mem_np[kb]) if kb in mem_np else 1
+            step = max(1, chunk_pairs // max(1, mb))
+            for lo in range(0, ma, step):
+                wa.append(a); wb.append(b2); wv.append(v)
+                wka.append(ka); wkb.append(kb)
+                wlo.append(lo); whi.append(min(ma, lo + step))
+    if not wa:
+        return rd.from_arrow(empty)
+    work = pa.table({"a": pa.array(wa, id_type),
+                     "b": pa.array(wb, id_type),
+                     "val": pa.array(wv, val_arrow_type),
+                     "ka": pa.array(wka, pa.int64()),
+                     "kb": pa.array(wkb, pa.int64()),
+                     "lo": pa.array(wlo, pa.int64()),
+                     "hi": pa.array(whi, pa.int64())})
+    mem_ref = ray.put(mem_np)
+
+    def expand(batch: pa.Table):
+        lut = ray.get(mem_ref)
+        buf_a, buf_b, buf_v, n = [], [], [], 0
+
+        def flush():
+            nonlocal buf_a, buf_b, buf_v, n
+            t = pa.table({"a": pa.array(np.concatenate(buf_a), id_type),
+                          "b": pa.array(np.concatenate(buf_b), id_type),
+                          val_name: pa.array(np.concatenate(buf_v),
+                                             val_arrow_type)})
+            buf_a, buf_b, buf_v, n = [], [], [], 0
+            return t
+
+        for a, b2, v, ka, kb, lo, hi in zip(
+                batch["a"].to_pylist(), batch["b"].to_pylist(),
+                batch["val"].to_pylist(), batch["ka"].to_pylist(),
+                batch["kb"].to_pylist(), batch["lo"].to_pylist(),
+                batch["hi"].to_pylist()):
+            if a == b2:                       # intra-cluster range
+                mem = lut.get(ka, np.array([a], dtype=np.int64))
+                for i in range(lo, hi):
+                    buf_a.append(np.repeat(mem[i], len(mem) - 1 - i))
+                    buf_b.append(mem[i + 1:])
+                    buf_v.append(np.full(len(mem) - 1 - i, v))
+                    n += len(mem) - 1 - i
+                    if n >= chunk_pairs:
+                        yield flush()
+            else:                             # cross-cluster range
+                ma = lut.get(ka, np.array([a], dtype=np.int64))[lo:hi]
+                mb = lut.get(kb, np.array([b2], dtype=np.int64))
+                ea = np.repeat(ma, len(mb))
+                eb = np.tile(mb, len(ma))
+                buf_a.append(np.minimum(ea, eb))
+                buf_b.append(np.maximum(ea, eb))
+                buf_v.append(np.full(len(ea), v))
+                n += len(ea)
+                if n >= chunk_pairs:
+                    yield flush()
+        if n:
+            yield flush()
+
+    # one block per small work-item group so hot-cluster ranges expand
+    # in PARALLEL tasks, not one generator
+    n_parts = min(work.num_rows, max(4, (os.cpu_count() or 8)))
+    return rd.from_arrow(work).repartition(n_parts) \
+        .map_batches(expand, batch_format="pyarrow")
+
+
 def _expand_content_clusters(verified_ds, docs_ds, id_type,
                              chunk_pairs: int = 1_000_000):
     """Rep-level verified pairs -> the full member-pair listing.
@@ -2003,56 +2111,71 @@ def _expand_content_clusters(verified_ds, docs_ds, id_type,
             members.setdefault(c, []).append(i)
     mem_np = {c: np.sort(np.asarray(v, dtype=np.int64))
               for c, v in members.items()}
-    mem_ref = ray.put(mem_np)
+    return _expand_member_pairs(vt, mem_np, id_type,
+                                key_a="a_ch", key_b="b_ch",
+                                val_name="jaccard",
+                                val_arrow_type=pa.float64(),
+                                chunk_pairs=chunk_pairs)
 
-    def expand(batch: pa.Table):
-        lut = ray.get(mem_ref)
-        buf_a, buf_b, buf_j, n = [], [], [], 0
 
-        def emit(ea, eb, j):
-            nonlocal n
-            buf_a.append(ea); buf_b.append(eb)
-            buf_j.append(np.full(len(ea), j))
-            n += len(ea)
+def _expand_hash_clusters(rep_ds, hashed_ds, id_type,
+                          chunk_pairs: int = 1_000_000):
+    """Distinct-HASH-level verified rows -> the full member-pair
+    listing, expansion distributed ACROSS tasks.
 
-        def flush():
-            nonlocal buf_a, buf_b, buf_j, n
-            t = pa.table({"a": pa.array(np.concatenate(buf_a), id_type),
-                          "b": pa.array(np.concatenate(buf_b), id_type),
-                          "jaccard": pa.array(np.concatenate(buf_j),
-                                              pa.float64())})
-            buf_a, buf_b, buf_j, n = [], [], [], 0
-            return t
+    The simhash counterpart of ``_expand_content_clusters`` (cluster
+    key is the 64-bit hash itself; a member pair's dist equals its
+    reps' dist because members share the hash), with one upgrade: hot
+    rows are split DRIVER-SIDE into (a_lo, a_hi) range work items
+    before expansion, so a 10k-member identical-hash cluster's ~50M
+    output pairs materialize in ~50 parallel tasks instead of one
+    CPU-serial generator (member counts are known driver-side from the
+    LUT, so the split costs nothing extra).  ``rep_ds`` rows:
+    (a, b, dist, a_h, b_h) with a == b marking an intra-cluster SELF
+    row.  ``hashed_ds``: (doc_id, simhash) — streamed, filtered to the
+    hashes that actually appear in rep rows (output-adjacent-sized).
+    """
+    import ray
+    import ray.data as rd
 
-        for a, b2, j, ca, cb in zip(batch["a"].to_pylist(),
-                                    batch["b"].to_pylist(),
-                                    batch["jaccard"].to_pylist(),
-                                    batch["a_ch"].to_pylist(),
-                                    batch["b_ch"].to_pylist()):
-            if a == b2:                       # intra-cluster marker
-                mem = lut.get(ca, np.array([], dtype=np.int64))
-                for i in range(len(mem) - 1):
-                    emit(np.repeat(mem[i], len(mem) - 1 - i),
-                         mem[i + 1:], j)
-                    if n >= chunk_pairs:
-                        yield flush()
-            else:                             # cross-cluster pair
-                ma = lut.get(ca, np.array([a], dtype=np.int64))
-                mb = lut.get(cb, np.array([b2], dtype=np.int64))
-                step = max(1, chunk_pairs // max(1, len(mb)))
-                for i0 in range(0, len(ma), step):
-                    blk = ma[i0:i0 + step]
-                    ea = np.repeat(blk, len(mb))
-                    eb = np.tile(mb, len(blk))
-                    lo = np.minimum(ea, eb)
-                    hi = np.maximum(ea, eb)
-                    emit(lo, hi, j)
-                    if n >= chunk_pairs:
-                        yield flush()
-        if n:
-            yield flush()
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      "dist": pa.array([], pa.int64())})
+    tables = list(rep_ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return rd.from_arrow(empty)
+    vt = pa.concat_tables(tables)
+    if vt.num_rows == 0:
+        return rd.from_arrow(empty)
+    # every >= 2-member identical-hash cluster emits a SELF row from
+    # its band-0 group; none present => all clusters are singletons
+    # and rep rows ARE the member listing
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return rd.from_arrow(vt.select(["a", "b", "dist"]))
 
-    return rd.from_arrow(vt).map_batches(expand, batch_format="pyarrow")
+    needed = np.unique(np.concatenate([vt["a_h"].to_numpy(),
+                                       vt["b_h"].to_numpy()]))
+    need_ref = ray.put(needed)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        hs = batch["simhash"].to_numpy()
+        keep = np.isin(hs, nd)
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(keep)),
+                         "h": pa.array(hs[keep], pa.int64())})
+
+    members: dict[int, list] = {}
+    for b in hashed_ds.map_batches(member_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i, h in zip(b["doc_id"].to_pylist(), b["h"].to_pylist()):
+            members.setdefault(h, []).append(i)
+    mem_np = {h: np.sort(np.asarray(v, dtype=np.int64))
+              for h, v in members.items()}
+    return _expand_member_pairs(vt, mem_np, id_type,
+                                key_a="a_h", key_b="b_h",
+                                val_name="dist",
+                                val_arrow_type=pa.int64(),
+                                chunk_pairs=chunk_pairs)
 
 
 def minhash_neardup(sf_dir: str):
@@ -2143,9 +2266,11 @@ def simhash_neardup(sf_dir: str):
     from .stages.dedup import (SimHasher, hamming_pairs_in_group,
                                phash_band_rows)
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # materialized: consumed twice (band rows + the member pass of the
+    # expansion stage) and tiny — 16 B/doc, never the texts
     hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
                             concurrency=_auto()) \
-        .select_columns(["doc_id", "simhash"])
+        .select_columns(["doc_id", "simhash"]).materialize()
     bands = hashed.map_batches(
         lambda b: phash_band_rows(b, id_col="doc_id", hash_col="simhash"),
         batch_format="pyarrow")
@@ -2160,16 +2285,23 @@ def simhash_neardup(sf_dir: str):
         sz = g.groupby(["band_id", "band_val"], sort=False)["doc_id"] \
             .transform("size").to_numpy()
         g = g[sz > 1]
+        # reps_only: a 10k-member identical-hash cluster is C(10k,2)
+        # ~ 50M output pairs — emitted rep-level here and expanded in
+        # parallel bounded tasks by _expand_hash_clusters, not in this
+        # one map_groups task
         outs = [hamming_pairs_in_group(sub, id_col="doc_id",
                                        hash_col="simhash", max_dist=3,
-                                       dedup_band=int(bid))
+                                       dedup_band=int(bid),
+                                       reps_only=True)
                 for (bid, _), sub in g.groupby(["band_id", "band_val"],
                                                sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
+                                 "dist": pd.Series([], dtype="int64"),
+                                 "a_h": pd.Series([], dtype="int64"),
+                                 "b_h": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -2182,8 +2314,9 @@ def simhash_neardup(sf_dir: str):
         return batch.append_column(
             "bucket", pa.array((x & np.uint64(63)).astype(np.int32)))
 
-    return bands.map_batches(add_bucket, batch_format="pyarrow") \
+    reps = bands.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return _expand_hash_clusters(reps, hashed, id_type=pa.int64())
 
 
 def _simhash_neardup_sql() -> str:

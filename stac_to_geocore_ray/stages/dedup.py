@@ -91,7 +91,8 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
                            max_dist: int = 2,
                            dedup_band: int | None = None,
                            n_bands: int = 4,
-                           large_group_threshold: int = 512) -> pd.DataFrame:
+                           large_group_threshold: int = 512,
+                           reps_only: bool = False) -> pd.DataFrame:
     """Candidate bucket -> confirmed near-dup pairs (a < b, dist <= d).
 
     ``dedup_band``: this group's band index.  When set, a pair that
@@ -100,8 +101,22 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
     of all groups' outputs globally duplicate-free with NO extra
     shuffle or driver-side fold (the round-1 version emitted a pair
     once per shared band and folded on the driver).
+
+    ``reps_only``: emit DISTINCT-HASH-level rows instead of member
+    pairs — (a, b, dist, a_h, b_h) with a/b the min member id per
+    hash, plus one SELF row (rep, rep, 0, h, h) per >=2-member
+    identical-hash cluster (band 0 only, like dist-0 pairs).  Member
+    expansion then happens in a downstream distributed stage (the
+    minhash rep/expand architecture): each unordered member pair maps
+    to exactly one unordered hash pair, so expanding every rep row's
+    member cross product reproduces the member listing exactly once.
+    This removes the in-task quadratic OUTPUT of a hot identical-hash
+    cluster (10k identical docs = 50M pairs in ONE task otherwise).
     """
     if len(g) < 2:
+        if reps_only:
+            return pd.DataFrame({"a": [], "b": [], "dist": [],
+                                 "a_h": [], "b_h": []})
         return pd.DataFrame({"a": [], "b": [], "dist": []})
     g = g.sort_values(id_col)
     ids = g[id_col].to_numpy()
@@ -118,16 +133,27 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
     counts = np.bincount(inv)
     starts = np.r_[0, np.cumsum(counts)]
     out_a, out_b, out_d = [], [], []
+    out_ha, out_hb = [], []
+    reps = ids[byhash[starts[:-1]]]              # min member id per hash
 
     # dist-0 pairs: identical hashes share EVERY band, so under the
     # lowest-shared-band emit-once rule they belong to band 0 only
     if dedup_band is None or dedup_band == 0:
-        for u0 in np.flatnonzero(counts >= 2):
-            mem = ids[byhash[starts[u0]:starts[u0 + 1]]]
-            ra, rb = np.triu_indices(len(mem), k=1)
-            out_a.append(mem[ra])
-            out_b.append(mem[rb])
-            out_d.append(np.zeros(len(ra), dtype=np.int64))
+        if reps_only:
+            m2 = counts >= 2
+            if m2.any():
+                out_a.append(reps[m2])
+                out_b.append(reps[m2])
+                out_d.append(np.zeros(int(m2.sum()), dtype=np.int64))
+                out_ha.append(uniq[m2])
+                out_hb.append(uniq[m2])
+        else:
+            for u0 in np.flatnonzero(counts >= 2):
+                mem = ids[byhash[starts[u0]:starts[u0 + 1]]]
+                ra, rb = np.triu_indices(len(mem), k=1)
+                out_a.append(mem[ra])
+                out_b.append(mem[rb])
+                out_d.append(np.zeros(len(ra), dtype=np.int64))
 
     if len(uniq) > 1:
         if dedup_band is not None and len(uniq) > large_group_threshold \
@@ -146,25 +172,43 @@ def hamming_pairs_in_group(g: pd.DataFrame, id_col: str = "image_id",
             lower = _shares_any_band(u, ia, ib, range(dedup_band),
                                      width, mask)
             ia, ib, d = ia[~lower], ib[~lower], d[~lower]
-        for pi, qi, di in zip(ia.tolist(), ib.tolist(), d.tolist()):
-            ma = ids[byhash[starts[pi]:starts[pi + 1]]]
-            mb = ids[byhash[starts[qi]:starts[qi + 1]]]
-            ea = np.repeat(ma, len(mb))
-            eb = np.tile(mb, len(ma))
-            le = ea <= eb                     # np.minimum has no str loop
-            out_a.append(np.where(le, ea, eb))
-            out_b.append(np.where(le, eb, ea))
-            out_d.append(np.full(len(ea), di, dtype=np.int64))
+        if reps_only:
+            if len(ia):
+                ra, rb = reps[ia], reps[ib]
+                ha, hb = uniq[ia], uniq[ib]
+                le = ra <= rb
+                out_a.append(np.where(le, ra, rb))
+                out_b.append(np.where(le, rb, ra))
+                out_ha.append(np.where(le, ha, hb))
+                out_hb.append(np.where(le, hb, ha))
+                out_d.append(d.astype(np.int64))
+        else:
+            for pi, qi, di in zip(ia.tolist(), ib.tolist(), d.tolist()):
+                ma = ids[byhash[starts[pi]:starts[pi + 1]]]
+                mb = ids[byhash[starts[qi]:starts[qi + 1]]]
+                ea = np.repeat(ma, len(mb))
+                eb = np.tile(mb, len(ma))
+                le = ea <= eb                 # np.minimum has no str loop
+                out_a.append(np.where(le, ea, eb))
+                out_b.append(np.where(le, eb, ea))
+                out_d.append(np.full(len(ea), di, dtype=np.int64))
 
+    id_dtype = ids.dtype if ids.dtype != object else object
     if not out_a:
-        return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype
-                                            if ids.dtype != object else object),
-                             "b": pd.Series([], dtype=ids.dtype
-                                            if ids.dtype != object else object),
-                             "dist": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"a": np.concatenate(out_a),
-                         "b": np.concatenate(out_b),
-                         "dist": np.concatenate(out_d).astype(np.int64)})
+        base = {"a": pd.Series([], dtype=id_dtype),
+                "b": pd.Series([], dtype=id_dtype),
+                "dist": pd.Series([], dtype="int64")}
+        if reps_only:
+            base["a_h"] = pd.Series([], dtype="int64")
+            base["b_h"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(base)
+    out = {"a": np.concatenate(out_a),
+           "b": np.concatenate(out_b),
+           "dist": np.concatenate(out_d).astype(np.int64)}
+    if reps_only:
+        out["a_h"] = np.concatenate(out_ha).astype(np.int64)
+        out["b_h"] = np.concatenate(out_hb).astype(np.int64)
+    return pd.DataFrame(out)
 
 
 def _banded_pairs_in_group(hs: np.ndarray, max_dist: int, group_band: int,
