@@ -353,3 +353,71 @@ def test_lsh_rep_contraction_matches_bruteforce(ray_session, tmp_path):
         brute(char_shingles, skip_empty_empty=False)
     assert got(q.ngram_jaccard_dedup(str(tmp_path))) == \
         brute(ngrams, skip_empty_empty=True)
+
+
+def test_hamming_pairs_reps_only_matches_member_level():
+    """reps_only emission + member expansion reproduces the member-level
+    pair listing exactly (including a hot identical-hash cluster)."""
+    rng = np.random.RandomState(5)
+    hashes = list(rng.randint(-2**62, 2**62, size=60).astype(np.int64))
+    hashes += [hashes[0]] * 7                # hot identical cluster
+    hashes += [np.int64(hashes[3] ^ (1 << 17))]   # near pair
+    ids = np.arange(len(hashes), dtype=np.int64)
+    rng.shuffle(ids)                         # ids not aligned with hashes
+    g = pd.DataFrame({"doc_id": ids, "simhash": np.array(hashes)})
+
+    member = dedup.hamming_pairs_in_group(
+        g, id_col="doc_id", hash_col="simhash", max_dist=3, dedup_band=0)
+    want = set(zip(member.a, member.b, member.dist))
+
+    reps = dedup.hamming_pairs_in_group(
+        g, id_col="doc_id", hash_col="simhash", max_dist=3, dedup_band=0,
+        reps_only=True)
+    # expand inline: each rep row's member cross product, exactly once
+    mem = {h: np.sort(ids[np.asarray(hashes) == h]) for h in set(hashes)}
+    got = set()
+    for a, b, d, ha, hb in zip(reps.a, reps.b, reps.dist,
+                               reps.a_h, reps.b_h):
+        if a == b:
+            ms = mem[ha]
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    assert (ms[i], ms[j], d) not in got
+                    got.add((ms[i], ms[j], d))
+        else:
+            for x in mem[ha]:
+                for y in mem[hb]:
+                    lo, hi = (x, y) if x <= y else (y, x)
+                    assert (lo, hi, d) not in got
+                    got.add((lo, hi, d))
+    assert got == want
+    # rep ids are the min member id of their hash cluster
+    for a, ha in zip(reps.a, reps.a_h):
+        assert a == mem[ha][0]
+
+
+def test_expand_member_pairs_range_work_items(ray_session):
+    """Hot rows split into (lo, hi) ranges; union of all work items'
+    output is the exact pair set, each pair exactly once."""
+    from stac_to_geocore_ray.queries import _expand_member_pairs
+
+    mem = {10: np.arange(100, 110, dtype=np.int64),        # 10 members
+           20: np.arange(200, 204, dtype=np.int64),        # 4 members
+           30: np.arange(300, 305, dtype=np.int64)}        # 5 members
+    vt = pa.table({"a": pa.array([100, 200], pa.int64()),
+                   "b": pa.array([100, 300], pa.int64()),
+                   "dist": pa.array([0, 2], pa.int64()),
+                   "a_h": pa.array([10, 20], pa.int64()),
+                   "b_h": pa.array([10, 30], pa.int64())})
+    # chunk_pairs=7 forces the 45-pair self cluster into ~7 ranges and
+    # the 20-pair cross product into several a-side ranges
+    out = _expand_member_pairs(vt, mem, pa.int64(),
+                               key_a="a_h", key_b="b_h",
+                               val_name="dist", val_arrow_type=pa.int64(),
+                               chunk_pairs=7).to_pandas()
+    got = set(zip(out.a, out.b, out.dist))
+    assert len(out) == len(got) == 45 + 20
+    want = {(a, b, 0) for i, a in enumerate(range(100, 110))
+            for b in list(range(100, 110))[i + 1:]}
+    want |= {(a, b, 2) for a in range(200, 204) for b in range(300, 305)}
+    assert got == want
