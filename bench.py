@@ -107,6 +107,14 @@ def run_bench() -> dict:
         timed("doc_chunk",
               lambda: q.doc_chunk(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
+        # MinHash-LSH near-dup: bucketed rep-pair candidates, flat-array
+        # jaccard verify, distributed member expansion (round-4 1M-doc
+        # path; result may be an empty Arrow table at tiny scales)
+        timed("minhash_neardup",
+              lambda: (lambda out: out.num_rows
+                       if hasattr(out, "num_rows") else out.count())(
+                  q.minhash_neardup(sf_dir))
+              if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
