@@ -3074,6 +3074,240 @@ FROM documents WHERE lang = 'en'
 """
 
 
+# ---------------------------------------- window / pivot / vocab (r4)
+
+def events_window_rank(sf_dir: str):
+    """Per-key WINDOW FUNCTIONS — row_number, lag(cents), lag-gap and a
+    running sum per user ordered by (ts, event_id): the feature-
+    engineering op class (rank / lag / lead / cumulative aggregates)
+    Ray Data has no native operator for.
+
+    Scale shape — identical boundary-user decomposition to
+    events_asof_join: one distributed sort on (user_id, ts, event_id)
+    makes each user a contiguous run, every interior user resolves
+    fully inside its block with one segmented-cumsum/shift kernel, and
+    only rows of each block's first/last users defer to a KEYED fold
+    (groupby user_id -> the same kernel per group), so a hot user
+    parallelizes across fold groups instead of funnelling through one
+    task.  Deferred volume is bounded by block-straddling users' rows.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "value"])
+    OUT = ["event_id", "user_id", "rn", "prev_cents", "gap_us", "cum_cents"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Window columns over a frame sorted by (user_id, ts,
+        event_id) — one vectorized pass, no per-user loop."""
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+                "prev_cents": pd.Series([], dtype="float64"),
+                "gap_us": pd.Series([], dtype="float64"),
+                "cum_cents": pd.Series([], dtype="int64")})
+        uid = df.user_id.to_numpy()
+        ts = df.ts.to_numpy("datetime64[us]").astype("int64")
+        cents = _cents(df.value.to_numpy())
+        idx = np.arange(n)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        rn = (idx - seg_start + 1).astype("int64")
+        prev_cents = np.empty(n, dtype="float64")
+        prev_cents[0] = np.nan
+        prev_cents[1:] = cents[:-1]
+        prev_cents[new_user] = np.nan          # lag never crosses users
+        gap_us = np.empty(n, dtype="float64")
+        gap_us[0] = np.nan
+        gap_us[1:] = (ts[1:] - ts[:-1]).astype("float64")
+        gap_us[new_user] = np.nan
+        total = np.cumsum(cents)
+        cum = total - (total - cents)[seg_start]   # segmented running sum
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(),
+            "user_id": uid,
+            "rn": rn,
+            "prev_cents": prev_cents,
+            "gap_us": gap_us,
+            "cum_cents": cum.astype("int64")})
+
+    def split_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=OUT + ["ts", "value", "deferred"])
+        uid = df.user_id.to_numpy()
+        boundary = (uid == uid[0]) | (uid == uid[-1])
+        interior = kernel(df.loc[~boundary])
+        interior["ts"] = pd.Series([pd.NaT] * len(interior),
+                                   dtype="datetime64[us]",
+                                   index=interior.index)
+        interior["value"] = 0.0
+        interior["deferred"] = False
+        raw = df.loc[boundary,
+                     ["event_id", "user_id", "ts", "value"]].copy()
+        raw["rn"] = np.int64(0)
+        raw["prev_cents"] = np.nan
+        raw["gap_us"] = np.nan
+        raw["cum_cents"] = np.int64(0)
+        raw["deferred"] = True
+        return pd.concat([interior, raw[interior.columns]],
+                         ignore_index=True)
+
+    mixed = ds.sort(["user_id", "ts", "event_id"]) \
+        .map_batches(split_block, batch_format="pandas").materialize()
+
+    done = mixed.map_batches(lambda g: g.loc[~g["deferred"], OUT],
+                             batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.sort_values(["user_id", "ts", "event_id"]))[OUT]
+
+    deferred = mixed.map_batches(
+        lambda g: g.loc[g["deferred"],
+                        ["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas") \
+        .groupby("user_id").map_groups(fold, batch_format="pandas")
+    return done.union(deferred)
+
+
+EVENTS_WINDOW_RANK_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# the pivot's value domain is declared, Spark-style (pivot(values=...));
+# a domain-discovery pre-pass would be one tiny distinct() when unknown
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """PIVOT — per-user event counts and cent sums spread into one
+    column pair per event_type (long -> wide reshape over a declared
+    column domain).
+
+    Scale shape: per-batch pandas pivot_table partials (each batch
+    contributes <= |users-in-batch| rows regardless of event count),
+    then ONE hash groupby on user_id sums the partials — the classic
+    combiner pattern; no row ever reaches the shuffle un-aggregated.
+    Users whose events are all outside the declared domain still
+    surface (all-zero row), matching SQL GROUP BY semantics.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "event_type", "value"])
+    val_cols = [f"n_{t}" for t in PIVOT_TYPES] + \
+               [f"cents_{t}" for t in PIVOT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.value.to_numpy())
+        keep = df.event_type.isin(PIVOT_TYPES)
+        wide = pd.pivot_table(df.loc[keep], index="user_id",
+                              columns="event_type", values="cents",
+                              aggfunc=["size", "sum"], fill_value=0)
+        n = wide["size"].reindex(columns=list(PIVOT_TYPES), fill_value=0) \
+            if len(wide) else pd.DataFrame(columns=list(PIVOT_TYPES))
+        c = wide["sum"].reindex(columns=list(PIVOT_TYPES), fill_value=0) \
+            if len(wide) else pd.DataFrame(columns=list(PIVOT_TYPES))
+        out = pd.DataFrame(index=df.user_id.unique())
+        for t in PIVOT_TYPES:
+            out[f"n_{t}"] = n[t] if t in n.columns else 0
+            out[f"cents_{t}"] = c[t] if t in c.columns else 0
+        out = out.fillna(0).astype("int64")     # out-of-domain-only users
+        out.index.name = "user_id"
+        return table_from_pandas(out.reset_index(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id") \
+        .aggregate(*[Sum(c, alias_name=c) for c in val_cols])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"]}
+        for c in val_cols:
+            cols[c] = pc.cast(batch[c], pa.int64())
+        return pa.table(cols)
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _events_pivot_sql() -> str:
+    n = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
+        f"AS n_{t}" for t in PIVOT_TYPES)
+    c = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN "
+        f"CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) "
+        f"AS cents_{t}" for t in PIVOT_TYPES)
+    return (f"SELECT user_id,\n       {n},\n       {c}\n"
+            "FROM events GROUP BY user_id")
+
+
+def doc_word_freq(sf_dir: str):
+    """VOCABULARY BUILD — global top-50 lowercase whitespace tokens by
+    frequency (ties broken by token): the word-count / vocab op of a
+    tokenizer-training pipeline.
+
+    Scale shape: per-batch value_counts partials (shuffle volume is
+    per-batch DISTINCT tokens, not token occurrences — Zipf makes the
+    contraction enormous), one vocabulary-keyed groupby, per-block
+    top-50 partials, and a <=50 x #blocks driver merge (the q3 top-k
+    pattern).  Tokenization is the engine-wide whitespace split, the
+    same definition DOC_TOKEN_STATS_SQL pins.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    K = 50
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n"] = df["n"].astype("int64")
+        df = df.sort_values(["n", "token"],
+                            ascending=[False, True]).head(K)
+        return table_from_pandas(df[["token", "n"]], preserve_index=False)
+
+    parts = agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    final = parts.sort_values(["n", "token"],
+                              ascending=[False, True]).head(K)
+    return table_from_pandas(final.reset_index(drop=True),
+                             preserve_index=False)
+
+
+DOC_WORD_FREQ_SQL = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> '')
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3132,6 +3366,9 @@ QUERIES = {
     "geo_footprint_split": geo_footprint_split,
     "phash_dedup_clusters": phash_dedup_clusters,
     "docs_en_pruned_read": docs_en_pruned_read,
+    "events_window_rank": events_window_rank,
+    "events_type_pivot": events_type_pivot,
+    "doc_word_freq": doc_word_freq,
 }
 
 
@@ -3193,4 +3430,7 @@ def oracle() -> dict[str, str]:
             "SELECT hex_prefix, CAST(count(*) AS BIGINT) AS n_items "
             f"FROM read_parquet('{_g_cells_path()}') GROUP BY hex_prefix"),
         "phash_dedup_clusters": _phash_dedup_clusters_sql(),
+        "events_window_rank": EVENTS_WINDOW_RANK_SQL,
+        "events_type_pivot": _events_pivot_sql(),
+        "doc_word_freq": DOC_WORD_FREQ_SQL,
     }
