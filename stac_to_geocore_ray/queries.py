@@ -890,7 +890,6 @@ def events_value_quantiles(sf_dir: str):
     import pandas as pd
 
     import ray.data as rd
-    from ray.data.aggregate import Sum
     ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -900,8 +899,13 @@ def events_value_quantiles(sf_dir: str):
             .size().reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    hist = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+    # sorted_combine, not groupby().aggregate: the (type, cents) key
+    # space is ~|types| x |domain|, so per-block partials barely
+    # contract and Ray's per-row aggregate reduce dominated a 20M-event
+    # run (57 s); the sort-path combine does the same sum in ~7 s
+    from .stages.util import sorted_combine
+    hist = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "cents"], sum_cols=["n"])
 
     QS = (0.5, 0.9, 0.99)
 
@@ -3137,9 +3141,21 @@ def events_window_rank(sf_dir: str):
             "gap_us": gap_us,
             "cum_cents": cum.astype("int64")})
 
+    _MIXED_EMPTY = {
+        "event_id": "int64", "user_id": "int64", "rn": "int64",
+        "prev_cents": "float64", "gap_us": "float64",
+        "cum_cents": "int64", "ts": "datetime64[us]",
+        "value": "float64", "deferred": "bool"}
+
+    def _typed_empty(cols) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=_MIXED_EMPTY[c])
+                             for c in cols})
+
     def split_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame(columns=OUT + ["ts", "value", "deferred"])
+            # typed empty (the sessionize lesson: object-dtype empties
+            # give the executor a second schema and a per-run warning)
+            return _typed_empty(list(_MIXED_EMPTY))
         uid = df.user_id.to_numpy()
         boundary = (uid == uid[0]) | (uid == uid[-1])
         interior = kernel(df.loc[~boundary])
@@ -3161,16 +3177,22 @@ def events_window_rank(sf_dir: str):
     mixed = ds.sort(["user_id", "ts", "event_id"]) \
         .map_batches(split_block, batch_format="pandas").materialize()
 
-    done = mixed.map_batches(lambda g: g.loc[~g["deferred"], OUT],
-                             batch_format="pandas")
+    def take_done(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.loc[~g["deferred"], OUT]
+        return out if len(out) else _typed_empty(OUT)
+
+    RAW = ["event_id", "user_id", "ts", "value"]
+
+    def take_deferred(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.loc[g["deferred"], RAW]
+        return out if len(out) else _typed_empty(RAW)
+
+    done = mixed.map_batches(take_done, batch_format="pandas")
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         return kernel(g.sort_values(["user_id", "ts", "event_id"]))[OUT]
 
-    deferred = mixed.map_batches(
-        lambda g: g.loc[g["deferred"],
-                        ["event_id", "user_id", "ts", "value"]],
-        batch_format="pandas") \
+    deferred = mixed.map_batches(take_deferred, batch_format="pandas") \
         .groupby("user_id").map_groups(fold, batch_format="pandas")
     return done.union(deferred)
 
@@ -3208,7 +3230,6 @@ def events_type_pivot(sf_dir: str):
     import pandas as pd
 
     import ray.data as rd
-    from ray.data.aggregate import Sum
     ds = _meta_read(_t(sf_dir, "events"),
                     columns=["user_id", "event_type", "value"])
     val_cols = [f"n_{t}" for t in PIVOT_TYPES] + \
@@ -3216,26 +3237,31 @@ def events_type_pivot(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["cents"] = _cents(df.value.to_numpy())
-        keep = df.event_type.isin(PIVOT_TYPES)
-        wide = pd.pivot_table(df.loc[keep], index="user_id",
-                              columns="event_type", values="cents",
-                              aggfunc=["size", "sum"], fill_value=0)
-        n = wide["size"].reindex(columns=list(PIVOT_TYPES), fill_value=0) \
-            if len(wide) else pd.DataFrame(columns=list(PIVOT_TYPES))
-        c = wide["sum"].reindex(columns=list(PIVOT_TYPES), fill_value=0) \
-            if len(wide) else pd.DataFrame(columns=list(PIVOT_TYPES))
-        out = pd.DataFrame(index=df.user_id.unique())
-        for t in PIVOT_TYPES:
-            out[f"n_{t}"] = n[t] if t in n.columns else 0
-            out[f"cents_{t}"] = c[t] if t in c.columns else 0
-        out = out.fillna(0).astype("int64")     # out-of-domain-only users
-        out.index.name = "user_id"
-        return table_from_pandas(out.reset_index(), preserve_index=False)
+        cents = _cents(df.value.to_numpy())
+        # scatter-add pivot: one (users-in-batch x 2|types|) matrix per
+        # batch; out-of-domain types get code -1 and are masked (their
+        # users still surface via factorize over ALL rows)
+        ucodes, uvals = pd.factorize(df.user_id)
+        tcodes = pd.Categorical(df.event_type,
+                                categories=list(PIVOT_TYPES)).codes
+        nmat = np.zeros((len(uvals), len(PIVOT_TYPES)), dtype=np.int64)
+        cmat = np.zeros_like(nmat)
+        ok = tcodes >= 0
+        np.add.at(nmat, (ucodes[ok], tcodes[ok]), 1)
+        np.add.at(cmat, (ucodes[ok], tcodes[ok]), cents[ok])
+        out = {"user_id": pa.array(np.asarray(uvals), pa.int64())}
+        for j, t in enumerate(PIVOT_TYPES):
+            out[f"n_{t}"] = pa.array(nmat[:, j])
+            out[f"cents_{t}"] = pa.array(cmat[:, j])
+        return pa.table(out)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id") \
-        .aggregate(*[Sum(c, alias_name=c) for c in val_cols])
+    # sorted_combine, not groupby().aggregate: per-block partials keep
+    # ~one row per user-in-block (weak contraction at 300k+ users), and
+    # Ray's per-row aggregate reduce took 241 s at 20M events where the
+    # sort-path combine takes ~9 s
+    from .stages.util import sorted_combine
+    agg = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                         keys=["user_id"], sum_cols=val_cols)
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {"user_id": batch["user_id"]}

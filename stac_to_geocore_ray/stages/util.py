@@ -65,6 +65,63 @@ def autoscale_pool(requested: int | None = None,
     return (1, requested if requested else default_pool_size(fraction))
 
 
+def sorted_combine(ds, keys: list[str], sum_cols: list[str]):
+    """Distributed group-SUM via sort + in-block vectorized combine +
+    boundary-key fold — the replacement for ``groupby().aggregate(Sum)``
+    when per-block partials barely contract (key cardinality comparable
+    to rows-per-block, e.g. per-user pivots or value histograms).
+
+    Ray's sort-based Aggregate reduce is per-row Python: at 20M events
+    the (event_type, cents) histogram aggregate burned 816 s remote
+    wall over ~7M weakly-contracted partial rows (~100 us/row), while a
+    full 20M-row SORT costs ~3 s on the same session.  This routes the
+    same sum through the sort path: one distributed sort on ``keys``
+    makes each key contiguous, one pandas groupby-sum per block
+    combines it, and only each block's FIRST and LAST key (the only
+    keys that can straddle blocks) defer to a single-task fold whose
+    input is <= 2 rows per block — independent of key cardinality.
+
+    Returns a Dataset with columns ``keys + sum_cols`` (one row per
+    distinct key).  All dtype handling is slice-derived (``df[:0]``),
+    so empty blocks keep the full schema.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = list(keys) + list(sum_cols)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols]
+        if len(df) == 0:
+            return df.assign(_boundary=pd.Series([], dtype=bool))
+        g = df.groupby(list(keys), sort=False, as_index=False)[
+            list(sum_cols)].sum()
+        boundary = np.zeros(len(g), dtype=bool)
+        boundary[0] = True          # sorted input: only the block's
+        boundary[-1] = True         # first/last key can straddle blocks
+        g["_boundary"] = boundary
+        return g
+
+    # combined-size intermediate (<= one row per distinct key per
+    # block), materialized once for its two consumers
+    mixed = ds.sort(list(keys)) \
+        .map_batches(combine, batch_format="pandas").materialize()
+
+    finals = mixed.map_batches(lambda g: g.loc[~g["_boundary"], cols],
+                               batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g[cols]
+        return g.groupby(list(keys), sort=False, as_index=False)[
+            list(sum_cols)].sum()[cols]
+
+    folded = mixed.map_batches(lambda g: g.loc[g["_boundary"], cols],
+                               batch_format="pandas") \
+        .repartition(1).map_batches(fold, batch_format="pandas")
+    return finals.union(folded)
+
+
 def windowed_get(task_fn, args_list, window: int | None = None) -> list:
     """Submit Ray tasks in bounded windows (backpressure-polite fan-out).
 

@@ -1,0 +1,180 @@
+"""Events-at-scale measured run — the third and last leg of the
+measured-scale program (images proved at sf1.0 = 1M, text at 1M docs;
+this proves the EVENT pipelines at 20M events, 200x the bench scale).
+
+The stream is synthesized deterministically (per-shard seeds over a
+FIXED shard layout) with the skew a web-scale event pipeline actually
+sees:
+
+- ONE HOT USER: user 0 produces 1% of all events (200k at 20M) — the
+  case that stresses every boundary-user keyed fold (sessionize, as-of
+  join, window functions): the hot user straddles most sort blocks and
+  must parallelize across the fold's groups, not funnel into one task;
+- a zipf-flavored long tail over ~n/67 ordinary users;
+- timestamps UNSORTED over a 30-day span (the distributed sort and the
+  streaming stage's out-of-order ingest both do real work);
+- value matches the fixture distribution (cents domain <= 49,002, so
+  events_value_quantiles' bounded-domain histogram stays bounded).
+
+Usage:
+    python tools/scale_events.py [out_dir] [--n 20000000]          # generate
+    python tools/scale_events.py [out_dir] --run [--queries a,b]   # measure
+
+Owns its Ray session (like bench.py); not imported by __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEED = 0xE7E17
+SHARD = 500_000
+TYPES = np.asarray(["click", "error", "purchase", "signup", "view"],
+                   dtype=object)
+T0_US = np.datetime64("2026-01-01T00:00:00", "us").astype("int64")
+SPAN_US = 30 * 24 * 3_600_000_000           # 30 days
+
+
+def _shard_table(lo: int, hi: int, n_total: int) -> pa.Table:
+    rng = np.random.default_rng(SEED + lo)
+    m = hi - lo
+    ids = np.arange(lo, hi, dtype=np.int64)
+    n_users = max(n_total // 67, 2)
+    # 1% hot user 0; the rest long-tail-ish: square a uniform so low
+    # user ids are denser (mild skew beyond the planted hot key)
+    u = rng.random(m)
+    users = (u * u * (n_users - 1)).astype(np.int64) + 1
+    users[rng.random(m) < 0.01] = 0
+    ts = T0_US + rng.integers(0, SPAN_US, size=m)
+    value = np.round(rng.uniform(0.01, 490.02, size=m), 2)
+    return pa.table({
+        "event_id": pa.array(ids),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(TYPES[rng.integers(0, len(TYPES), size=m)],
+                               pa.string()),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(["{}"] * m, pa.string()),
+    })
+
+
+def _write_shard(out: str, lo: int, hi: int, shard: int, n_total: int) -> int:
+    tbl = _shard_table(lo, hi, n_total)
+    pq.write_table(tbl, os.path.join(out, "events.parquet",
+                                     f"part-{shard:05d}.parquet"))
+    return tbl.num_rows
+
+
+def generate(out_dir: str, n: int) -> None:
+    ev_dir = os.path.join(out_dir, "events.parquet")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(ev_dir, exist_ok=True)
+    ranges = [(lo, min(lo + SHARD, n), s)
+              for s, lo in enumerate(range(0, n, SHARD))]
+    import ray
+    if ray.is_initialized() and n >= 4 * SHARD:
+        task = ray.remote(num_cpus=1)(_write_shard)
+        total = sum(ray.get([task.remote(out_dir, lo, hi, s, n)
+                             for lo, hi, s in ranges]))
+    else:
+        total = sum(_write_shard(out_dir, lo, hi, s, n)
+                    for lo, hi, s in ranges)
+    with open(marker, "w") as f:
+        f.write(f"n={total}\n")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "/tmp/stgr_scale/events20m"
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv \
+        else 20_000_000
+    only = sys.argv[sys.argv.index("--queries") + 1].split(",") \
+        if "--queries" in sys.argv else None
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    t0 = time.time()
+    generate(out_dir, n)
+    gen_s = round(time.time() - t0, 1)
+    with open(os.path.join(out_dir, "_COMPLETE")) as f:
+        n = int(f.read().strip().split("=")[1])
+
+    if "--run" not in sys.argv:
+        print(json.dumps({"generated": out_dir, "n_events": n,
+                          "gen_sec": gen_s}))
+        ray.shutdown()
+        return
+
+    from scale_run import PeakTracker
+
+    from stac_to_geocore_ray import queries as q
+
+    # warm the worker pool so the first timed query doesn't absorb
+    # process-startup cost (observed ~7s of the first line at 200k)
+    import ray.data as rd
+    rd.read_parquet(os.path.join(out_dir, "events.parquet"),
+                    columns=["event_id"]).count()
+
+    tracker = PeakTracker()
+    tracker.start()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def _n(out) -> int:
+        if hasattr(out, "num_rows"):
+            return out.num_rows
+        if hasattr(out, "count"):
+            return out.count()
+        return len(out)
+
+    def timed(name, fn):
+        if only and name not in only:
+            return
+        t = time.time()
+        counts[name] = _n(fn())
+        timings[name] = round(time.time() - t, 3)
+        print(f"  {name}: {timings[name]}s  rows={counts[name]}", flush=True)
+
+    timed("events_hourly", lambda: q.events_hourly(out_dir))
+    timed("events_value_quantiles",
+          lambda: q.events_value_quantiles(out_dir))
+    timed("events_type_pivot", lambda: q.events_type_pivot(out_dir))
+    timed("events_sessionize", lambda: q.events_sessionize(out_dir))
+    timed("events_asof_join", lambda: q.events_asof_join(out_dir))
+    timed("events_window_rank", lambda: q.events_window_rank(out_dir))
+    timed("events_stream_tumbling",
+          lambda: q.events_stream_tumbling(out_dir))
+    tracker.stop()
+
+    print(json.dumps({
+        "metric": "events 200x-scale run",
+        "n_events": n,
+        "num_cpus": num_cpus,
+        "gen_sec": gen_s,
+        "queries": timings,
+        "rows": counts,
+        "peak_driver_rss_gb": round(tracker.peak_rss_gb, 2),
+        "peak_object_store_gb": round(tracker.peak_store_gb, 2),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
