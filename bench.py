@@ -115,6 +115,16 @@ def run_bench() -> dict:
                        if hasattr(out, "num_rows") else out.count())(
                   q.minhash_neardup(sf_dir))
               if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
+        # window functions (rank/lag/cumsum per user): sort +
+        # boundary-user keyed fold, full-size output
+        timed("events_window_rank",
+              lambda: q.events_window_rank(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # long->wide pivot via sorted_combine (lesson 21: sort-path
+        # combine, not the per-row aggregate reduce)
+        timed("events_type_pivot",
+              lambda: q.events_type_pivot(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

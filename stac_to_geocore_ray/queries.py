@@ -956,14 +956,18 @@ def doc_exact_dedup(sf_dir: str):
             doc_id=("doc_id", "min"), n=("doc_id", "size")).reset_index()
         return table_from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Min, Sum
-    agg = hashed.map_batches(partial, batch_format="pyarrow") \
-        .groupby("content_hash").aggregate(
-            Min("doc_id", alias_name="doc_id"), Sum("n", alias_name="n_copies"))
+    # sorted_combine, not groupby().aggregate: content hashes are
+    # ~unique (no per-block contraction), the weak-contraction shape of
+    # lesson 21 — measured 14.3 -> 3.2 s at 1M docs (hash-partitioned
+    # aggregate: 13.1 s)
+    from .stages.util import sorted_combine
+    agg = sorted_combine(hashed.map_batches(partial, batch_format="pyarrow"),
+                         keys=["content_hash"],
+                         aggs={"doc_id": "min", "n": "sum"})
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                         "n_copies": pc.cast(batch["n_copies"], pa.int64())})
+                         "n_copies": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -1711,7 +1715,6 @@ def phash_exact_dedup(sf_dir: str):
     the shuffle moves per-batch partials, not raw rows.
     """
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
     p = _fx(sf_dir)
     ds = _meta_read(p["images"], columns=["image_id", "phash"])
 
@@ -1723,18 +1726,19 @@ def phash_exact_dedup(sf_dir: str):
         return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    # hash-shuffle aggregate with CPU-matched partitions (the default
-    # sort shuffle pays per-input-block map costs; measured 7.7 -> 1.7 s
-    # at sf0.1/32cpu together with the _meta_read block shaping)
-    import ray as _ray
-    npart = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    agg = partials.groupby("phash", num_partitions=npart).aggregate(
-        Min("image_id", alias_name="image_id"), Sum("n", alias_name="n_copies"))
+    # sorted_combine, not groupby().aggregate: pHashes are ~unique
+    # (73k distinct per 100k images at sf0.1 — no per-block
+    # contraction), the weak-contraction shape of lesson 21.  Measured
+    # 1.8-2.1 -> 1.6-1.7 s at sf0.1; the gap scales with key count
+    # (doc_exact_dedup's identical shape: 14.3 -> 3.2 s at 1M keys).
+    from .stages.util import sorted_combine
+    agg = sorted_combine(partials, keys=["phash"],
+                         aggs={"image_id": "min", "n": "sum"})
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"phash": batch["phash"],
                          "image_id": batch["image_id"],
-                         "n_copies": pc.cast(batch["n_copies"], pa.int64())})
+                         "n_copies": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

@@ -65,7 +65,8 @@ def autoscale_pool(requested: int | None = None,
     return (1, requested if requested else default_pool_size(fraction))
 
 
-def sorted_combine(ds, keys: list[str], sum_cols: list[str]):
+def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
+                   aggs: dict[str, str] | None = None):
     """Distributed group-SUM via sort + in-block vectorized combine +
     boundary-key fold — the replacement for ``groupby().aggregate(Sum)``
     when per-block partials barely contract (key cardinality comparable
@@ -81,21 +82,28 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str]):
     keys that can straddle blocks) defer to a single-task fold whose
     input is <= 2 rows per block — independent of key cardinality.
 
-    Returns a Dataset with columns ``keys + sum_cols`` (one row per
-    distinct key).  All dtype handling is slice-derived (``df[:0]``),
-    so empty blocks keep the full schema.
+    ``aggs`` maps value column -> one of ``sum | min | max`` (all
+    reassociative, so block-combine then fold-combine is exact);
+    ``sum_cols`` is shorthand for all-sum.  Returns a Dataset with
+    columns ``keys + value cols`` (one row per distinct key).  All
+    dtype handling is slice-derived (``df[:0]``), so empty blocks keep
+    the full schema.
     """
     import numpy as np
     import pandas as pd
 
-    cols = list(keys) + list(sum_cols)
+    if aggs is None:
+        aggs = {c: "sum" for c in (sum_cols or [])}
+    bad = {f for f in aggs.values() if f not in ("sum", "min", "max")}
+    if bad or not aggs:
+        raise ValueError(f"sorted_combine: unsupported aggs {bad or aggs}")
+    cols = list(keys) + list(aggs)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df[cols]
         if len(df) == 0:
             return df.assign(_boundary=pd.Series([], dtype=bool))
-        g = df.groupby(list(keys), sort=False, as_index=False)[
-            list(sum_cols)].sum()
+        g = df.groupby(list(keys), sort=False, as_index=False).agg(aggs)
         boundary = np.zeros(len(g), dtype=bool)
         boundary[0] = True          # sorted input: only the block's
         boundary[-1] = True         # first/last key can straddle blocks
@@ -113,8 +121,8 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str]):
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return g[cols]
-        return g.groupby(list(keys), sort=False, as_index=False)[
-            list(sum_cols)].sum()[cols]
+        return g.groupby(list(keys), sort=False,
+                         as_index=False).agg(aggs)[cols]
 
     folded = mixed.map_batches(lambda g: g.loc[g["_boundary"], cols],
                                batch_format="pandas") \
