@@ -116,3 +116,69 @@ class TestDocWordFreq:
         assert len(got) <= 50
         n = got.n.to_numpy()
         assert (n[:-1] >= n[1:]).all()
+
+
+class TestSortedCombine:
+    """Direct pin of stages/util.sorted_combine (lesson 21): the sort +
+    in-block combine + boundary-key fold must equal a driver pandas
+    groupby for every agg kind, including when one hot key spans many
+    blocks."""
+
+    def _run(self, df, keys, aggs, ray_session):
+        import ray.data
+        from stac_to_geocore_ray.stages.util import sorted_combine
+        ctx = ray.data.DataContext.get_current()
+        old = ctx.target_max_block_size
+        ctx.target_max_block_size = 4 * 1024   # force many tiny blocks
+        try:
+            ds = ray.data.from_pandas(df).repartition(16)
+            out = sorted_combine(ds, keys=keys, aggs=aggs).to_pandas()
+        finally:
+            ctx.target_max_block_size = old
+        return out.sort_values(keys).reset_index(drop=True)
+
+    def test_matches_pandas_all_agg_kinds(self, ray_session):
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 500, size=20_000),
+            "a": rng.integers(-100, 100, size=20_000),
+            "b": rng.integers(0, 1_000_000, size=20_000)})
+        aggs = {"a": "sum", "b": "min"}
+        got = self._run(df, ["k"], aggs, None)
+        ref = df.groupby("k", as_index=False).agg(aggs) \
+            .sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_hot_key_spanning_blocks(self, ray_session):
+        # one key holds half the rows -> present in most sorted blocks;
+        # its partials must fold to ONE exact row
+        rng = np.random.default_rng(11)
+        k = rng.integers(0, 200, size=10_000)
+        k[: 5_000] = 42
+        df = pd.DataFrame({"k": k, "v": np.ones(10_000, dtype="int64"),
+                           "m": np.arange(10_000, dtype="int64")})
+        got = self._run(df, ["k"], {"v": "sum", "m": "max"}, None)
+        ref = df.groupby("k", as_index=False).agg({"v": "sum", "m": "max"}) \
+            .sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+        assert int(got.loc[got.k == 42, "v"].iloc[0]) == int((k == 42).sum())
+
+    def test_multi_key(self, ray_session):
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "k1": rng.choice(["x", "y", "z"], size=5_000),
+            "k2": rng.integers(0, 50, size=5_000),
+            "v": rng.integers(0, 10, size=5_000)})
+        got = self._run(df, ["k1", "k2"], {"v": "sum"}, None)
+        ref = df.groupby(["k1", "k2"], as_index=False).agg({"v": "sum"}) \
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_rejects_unknown_agg(self, ray_session):
+        import ray.data
+        from stac_to_geocore_ray.stages.util import sorted_combine
+        ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+        with pytest.raises(ValueError):
+            sorted_combine(ds, keys=["k"], aggs={"v": "mean"})
+        with pytest.raises(ValueError):
+            sorted_combine(ds, keys=["k"])
