@@ -3338,6 +3338,69 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 """
 
 
+def events_distinct_users(sf_dir: str):
+    """EXACT COUNT(DISTINCT) per group — distinct users (and total
+    events) per event_type: the distinct-aggregation op class, which
+    no single-pass combiner can compute (partial distinct sets must be
+    deduplicated ACROSS blocks before counting).
+
+    Scale shape: per-batch drop_duplicates contracts each block to its
+    local (type, user) pairs, sorted_combine dedups them globally (the
+    weak-contraction shape again — pair cardinality ~ |users| x few —
+    so the sort path, not the per-row aggregate reduce), and the final
+    per-type count is a 5-key pandas fold.  Event totals ride along as
+    a summed column, so one pass serves both aggregates.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from .stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["event_type", "user_id"], sort=False) \
+            .size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    pairs = sorted_combine(ds.map_batches(pair_partial,
+                                          batch_format="pyarrow"),
+                           keys=["event_type", "user_id"],
+                           aggs={"n": "sum"})
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+        return df.groupby("event_type", sort=False) \
+            .agg(n_users=("user_id", "size"), n_events=("n", "sum")) \
+            .reset_index()
+
+    # distinct pairs are already globally unique, so per-block counts
+    # sum exactly; the final combine folds <= |types| x #blocks rows
+    from ray.data.aggregate import Sum
+    out = pairs.map_batches(per_type, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_events", alias_name="n_events"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_users": pc.cast(batch["n_users"], pa.int64()),
+            "n_events": pc.cast(batch["n_events"], pa.int64())})
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3399,6 +3462,7 @@ QUERIES = {
     "events_window_rank": events_window_rank,
     "events_type_pivot": events_type_pivot,
     "doc_word_freq": doc_word_freq,
+    "events_distinct_users": events_distinct_users,
 }
 
 
@@ -3463,4 +3527,5 @@ def oracle() -> dict[str, str]:
         "events_window_rank": EVENTS_WINDOW_RANK_SQL,
         "events_type_pivot": _events_pivot_sql(),
         "doc_word_freq": DOC_WORD_FREQ_SQL,
+        "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     }

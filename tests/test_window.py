@@ -182,3 +182,19 @@ class TestSortedCombine:
             sorted_combine(ds, keys=["k"], aggs={"v": "mean"})
         with pytest.raises(ValueError):
             sorted_combine(ds, keys=["k"])
+
+
+class TestEventsDistinctUsers:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_distinct_users
+        got = events_distinct_users(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+        ref = ev.groupby("event_type") \
+            .agg(n_users=("user_id", "nunique"),
+                 n_events=("user_id", "size")).reset_index() \
+            .sort_values("event_type").reset_index(drop=True)
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n_users.tolist() == ref.n_users.tolist()
+        assert got.n_events.tolist() == ref.n_events.tolist()
