@@ -909,20 +909,27 @@ def events_value_quantiles(sf_dir: str):
 
     QS = (0.5, 0.9, 0.99)
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents")
-        counts = g.n.to_numpy()
-        cum = np.cumsum(counts)
-        n = int(cum[-1])
-        ranks = np.ceil(np.asarray(QS) * n).astype(np.int64) - 1
-        ranks = np.clip(ranks, 0, n - 1)
-        vals = g.cents.to_numpy()[np.searchsorted(cum, ranks, side="right")]
-        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
-                             "p50": [vals[0]], "p90": [vals[1]],
-                             "p99": [vals[2]]})
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, g in df.sort_values(["event_type", "cents"]) \
+                      .groupby("event_type", sort=False):
+            counts = g.n.to_numpy()
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            ranks = np.ceil(np.asarray(QS) * n).astype(np.int64) - 1
+            ranks = np.clip(ranks, 0, n - 1)
+            vals = g.cents.to_numpy()[np.searchsorted(cum, ranks,
+                                                      side="right")]
+            out.append((t, vals[0], vals[1], vals[2]))
+        return pd.DataFrame(out, columns=["event_type", "p50", "p90", "p99"])
 
-    return hist.groupby("event_type").map_groups(quantiles,
-                                                 batch_format="pandas")
+    # one-task read-off: the hist is bounded by |types| x |domain| BY
+    # THE OP'S CONTRACT (that bound is why exact quantiles are possible
+    # at all), so a single fold holds it comfortably — and unlike a
+    # groupby().map_groups over 5 keys it emits no schema-less empty
+    # partitions (executor warning noise)
+    return hist.repartition(1).map_batches(quantiles,
+                                           batch_format="pandas")
 
 
 EVENTS_QUANTILES_SQL = """
@@ -3379,19 +3386,17 @@ def events_distinct_users(sf_dir: str):
             .reset_index()
 
     # distinct pairs are already globally unique, so per-block counts
-    # sum exactly; the final combine folds <= |types| x #blocks rows
-    from ray.data.aggregate import Sum
-    out = pairs.map_batches(per_type, batch_format="pandas") \
-        .groupby("event_type").aggregate(
-            Sum("n_users", alias_name="n_users"),
-            Sum("n_events", alias_name="n_events"))
+    # sum exactly; the single-task fold input is <= |types| x #blocks
+    # rows (a groupby().aggregate here would shuffle the same few rows
+    # through an all-to-all and emit schema-less empty partitions)
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.groupby("event_type", sort=False, as_index=False) \
+            .agg({"n_users": "sum", "n_events": "sum"})
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": batch["event_type"],
-            "n_users": pc.cast(batch["n_users"], pa.int64()),
-            "n_events": pc.cast(batch["n_events"], pa.int64())})
-    return out.map_batches(finish, batch_format="pyarrow")
+    return pairs.map_batches(per_type, batch_format="pandas") \
+        .repartition(1).map_batches(fold, batch_format="pandas")
 
 
 EVENTS_DISTINCT_USERS_SQL = """
