@@ -3406,6 +3406,127 @@ FROM events GROUP BY event_type
 """
 
 
+def events_retention(sf_dir: str):
+    """COHORT RETENTION matrix — distinct active users per
+    (cohort_day = user's first-ever event day, activity_day): the
+    first-occurrence self-join of product analytics, computed JOIN-FREE.
+
+    The textbook plan is min(ts)-per-user then a 20M x |users| hash
+    join back onto events.  The sorted-stream decomposition used by
+    sessionize/as-of makes the join unnecessary: after ONE sort on
+    (user_id, ts) each user is a contiguous ascending run, so the
+    user's cohort day is their run's first row and their distinct
+    activity days are the day-change points — both read off in one
+    vectorized pass.  Interior users emit (cohort_day, activity_day)
+    rows in-block; each block's first/last users defer to a keyed fold
+    (hot users parallelize across groups).  A user contributes exactly
+    one row per active day, so the final per-cell count of rows IS
+    count(DISTINCT user_id); cells are few (days x days), making the
+    tail groupby a strong-contraction aggregate.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = _meta_read(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """(cohort_day, activity_day) per user-day over a frame sorted
+        by (user_id, ts) containing each user's FULL run."""
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "activity_day": pd.Series([], dtype="int64")})
+        uid = df.user_id.to_numpy()
+        day = (df.ts.to_numpy("datetime64[us]").astype("int64")
+               // DAY_US) * DAY_US
+        n = len(df)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n)
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        new_day = new_user.copy()
+        new_day[1:] |= day[1:] != day[:-1]   # days ascend within a user
+        return pd.DataFrame({"cohort_day": day[seg_start][new_day],
+                             "activity_day": day[new_day]})
+
+    def split_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "activity_day": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "deferred": pd.Series([], dtype=bool)})
+        uid = df.user_id.to_numpy()
+        boundary = (uid == uid[0]) | (uid == uid[-1])
+        interior = kernel(df.loc[~boundary])
+        interior["user_id"] = np.int64(0)
+        interior["ts"] = pd.Series([pd.NaT] * len(interior),
+                                   dtype="datetime64[us]",
+                                   index=interior.index)
+        interior["deferred"] = False
+        raw = df.loc[boundary, ["user_id", "ts"]].copy()
+        raw["cohort_day"] = np.int64(0)
+        raw["activity_day"] = np.int64(0)
+        raw["deferred"] = True
+        return pd.concat([interior, raw[interior.columns]],
+                         ignore_index=True)
+
+    mixed = ds.sort(["user_id", "ts"]) \
+        .map_batches(split_block, batch_format="pandas").materialize()
+
+    PAIR = ["cohort_day", "activity_day"]
+    done = mixed.map_batches(lambda g: g.loc[~g["deferred"], PAIR],
+                             batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.sort_values(["user_id", "ts"]))[PAIR]
+
+    deferred = mixed.map_batches(
+        lambda g: g.loc[g["deferred"], ["user_id", "ts"]],
+        batch_format="pandas") \
+        .groupby("user_id").map_groups(fold, batch_format="pandas")
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "activity_day": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")})
+        return df.groupby(PAIR, sort=False).size() \
+            .reset_index(name="n_users")
+
+    # cells = active-days x cohort-days (tiny, strong contraction) —
+    # the plain aggregate is the right tool here
+    agg = done.union(deferred) \
+        .map_batches(count_partial, batch_format="pandas") \
+        .groupby(PAIR).aggregate(Sum("n_users", alias_name="n_users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": pc.cast(batch["cohort_day"],
+                                  pa.timestamp("us")),
+            "activity_day": pc.cast(batch["activity_day"],
+                                    pa.timestamp("us")),
+            "n_users": pc.cast(batch["n_users"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id)
+SELECT f.cohort_day,
+       date_trunc('day', e.ts) AS activity_day,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3468,6 +3589,7 @@ QUERIES = {
     "events_type_pivot": events_type_pivot,
     "doc_word_freq": doc_word_freq,
     "events_distinct_users": events_distinct_users,
+    "events_retention": events_retention,
 }
 
 
@@ -3533,4 +3655,5 @@ def oracle() -> dict[str, str]:
         "events_type_pivot": _events_pivot_sql(),
         "doc_word_freq": DOC_WORD_FREQ_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
+        "events_retention": EVENTS_RETENTION_SQL,
     }

@@ -198,3 +198,42 @@ class TestEventsDistinctUsers:
         assert got.event_type.tolist() == ref.event_type.tolist()
         assert got.n_users.tolist() == ref.n_users.tolist()
         assert got.n_events.tolist() == ref.n_events.tolist()
+
+
+class TestEventsRetention:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_retention
+        got = events_retention(SF).to_pandas() \
+            .sort_values(["cohort_day", "activity_day"]) \
+            .reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts"])
+        ev["activity_day"] = ev.ts.dt.floor("D")
+        first = ev.groupby("user_id")["activity_day"].min() \
+            .rename("cohort_day")
+        ev = ev.join(first, on="user_id")
+        ref = ev.drop_duplicates(["user_id", "activity_day"]) \
+            .groupby(["cohort_day", "activity_day"]).size() \
+            .reset_index(name="n_users") \
+            .sort_values(["cohort_day", "activity_day"]) \
+            .reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert (got.cohort_day.to_numpy() == ref.cohort_day.to_numpy()).all()
+        assert (got.activity_day.to_numpy()
+                == ref.activity_day.to_numpy()).all()
+        assert (got.n_users.to_numpy() == ref.n_users.to_numpy()).all()
+
+    def test_diagonal_dominance_and_totals(self, ray_session):
+        # every user appears on their own cohort day (cohort row where
+        # activity == cohort covers all cohort members), and total
+        # distinct (user, day) pairs are conserved
+        from stac_to_geocore_ray.queries import events_retention
+        got = events_retention(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts"])
+        ev["day"] = ev.ts.dt.floor("D")
+        n_pairs = len(ev.drop_duplicates(["user_id", "day"]))
+        assert int(got.n_users.sum()) == n_pairs
+        diag = got[got.cohort_day == got.activity_day]
+        n_users = ev.user_id.nunique()
+        assert int(diag.n_users.sum()) == n_users

@@ -163,6 +163,7 @@ def main() -> None:
           lambda: q.events_stream_tumbling(out_dir))
     timed("events_distinct_users",
           lambda: q.events_distinct_users(out_dir))
+    timed("events_retention", lambda: q.events_retention(out_dir))
     tracker.stop()
 
     print(json.dumps({
