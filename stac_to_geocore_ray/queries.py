@@ -2433,6 +2433,12 @@ def doc_fingerprints(sf_dir: str):
                            batch_format="pandas")
 
 
+# above this corpus size (normalized float64 bytes incl. planted rows)
+# the LSH confirm stops broadcasting vectors and carries them through
+# the shuffle instead — the broadcast must fit comfortably in a worker
+EMB_BROADCAST_MAX_BYTES = 2 << 30
+
+
 def embedding_neardup_lsh(sf_dir: str):
     """Multi-table LSH embedding near-dup at the threshold LSH is built
     for (cos >= 0.90) — the sub-quadratic scale path of the dedup
@@ -2450,17 +2456,33 @@ def embedding_neardup_lsh(sf_dir: str):
     O(n^2) scalar pair scan over the same augmented corpus
     (goldens.golden_embedding_neardup).
 
-    Scale shape: 8 tables x 256 buckets; vectors shuffle once on
-    (table_id, bucket); in-bucket work is |bucket|^2 with buckets
+    Scale shape: 8 tables x 256 buckets; only NARROW (vec_id, table_id,
+    bucket) rows shuffle — 24 B/row instead of the full embedding
+    payload per table (the 1M-vector run measured the carrying variant
+    at 713 s / 9.6 GB store against a 5.8 GB 8x-expanded shuffle; the
+    narrow shuffle is ~230 MB).  In-bucket exact-cosine confirmation
+    looks vectors up in a ray.put broadcast of the normalized corpus
+    (float64 for value-hash-exact cosines; ~0.6 GB at 1M x 64) — above
+    EMB_BROADCAST_MAX_BYTES the query falls back to carrying embeddings
+    through the shuffle, the right trade when the corpus itself no
+    longer fits a worker.  In-bucket work is |bucket|^2 with buckets
     ~n/256 per table — never an all-pairs sweep.  (A cos-0.4 "weakly
     similar" target is NOT LSH-recoverable sub-quadratically; that
     regime is embedding_neardup_exact's block-matmul scan.)"""
+    import ray
     import pyarrow.parquet as pq
-    from .stages.ann import _as_matrix
+    from .stages.ann import _as_matrix, _normalize
     from .stages.dedup import (EmbeddingLSH, cosine_pairs_in_group,
-                               planted_near_dups)
-    # vector dim from ONE row (round 1 read the whole embedding column)
-    dim = len(next(pq.ParquetFile(_t(sf_dir, "embeddings"))
+                               cosine_pairs_by_lookup, planted_near_dups)
+    # vector dim from ONE row (round 1 read the whole embedding column);
+    # sharded deployments store the table as a DIRECTORY of parts, so
+    # probe the first fragment (found by the 1M-vector scale run)
+    emb_path = _t(sf_dir, "embeddings")
+    if os.path.isdir(emb_path):
+        import glob as _glob
+        emb_path = sorted(_glob.glob(os.path.join(emb_path,
+                                                  "*.parquet")))[0]
+    dim = len(next(pq.ParquetFile(emb_path)
                    .iter_batches(batch_size=1, columns=["embedding"]))
               .column(0)[0])
     ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -2477,17 +2499,52 @@ def embedding_neardup_lsh(sf_dir: str):
                          "embedding": emb})
 
     augmented = ds.map_batches(plant, batch_format="pyarrow")
-    bucketed = augmented.map_batches(
-        EmbeddingLSH, fn_constructor_args=(dim,),
-        fn_constructor_kwargs={"n_planes": 8, "n_tables": 8},
-        batch_format="pyarrow", concurrency=_auto())
-    pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
-        lambda g: cosine_pairs_in_group(g, threshold=0.90),
-        batch_format="pandas")
 
-    # pair may surface in many tables: fold duplicates via aggregate
-    from ray.data.aggregate import Max
-    agg = pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+    # corpus bytes from footers: pick narrow-shuffle + broadcast lookup
+    # vs carrying embeddings through the shuffle
+    n_total, _ = _parquet_nrows(_t(sf_dir, "embeddings"))
+    est_bytes = int(n_total * 1.2) * dim * 8        # float64, + planted
+    broadcast_mode = est_bytes <= EMB_BROADCAST_MAX_BYTES
+
+    if broadcast_mode:
+        # normalized augmented corpus built ONCE driver-side (planting
+        # is per-row deterministic, so this equals the per-batch plant)
+        base = pq.read_table(_t(sf_dir, "embeddings"),
+                             columns=["vec_id", "embedding"])
+        bids = base["vec_id"].to_numpy()
+        bmat = _as_matrix(base["embedding"]).astype(np.float64)
+        order = np.argsort(bids, kind="stable")
+        bids, bmat = bids[order], bmat[order]
+        dup_ids, dup_mat = planted_near_dups(bids, bmat)
+        all_ids = np.concatenate([bids, dup_ids])   # planted ids > base
+        all_mat = _normalize(np.concatenate([bmat, dup_mat]))
+        lut_ref = ray.put((all_ids, all_mat))
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            return batch.select(["vec_id", "table_id", "lsh_bucket"])
+
+        bucketed = augmented.map_batches(
+            EmbeddingLSH, fn_constructor_args=(dim,),
+            fn_constructor_kwargs={"n_planes": 8, "n_tables": 8},
+            batch_format="pyarrow", concurrency=_auto()) \
+            .map_batches(narrow, batch_format="pyarrow")
+        pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
+            lambda g: cosine_pairs_by_lookup(g, lut_ref, threshold=0.90),
+            batch_format="pandas")
+    else:
+        bucketed = augmented.map_batches(
+            EmbeddingLSH, fn_constructor_args=(dim,),
+            fn_constructor_kwargs={"n_planes": 8, "n_tables": 8},
+            batch_format="pyarrow", concurrency=_auto())
+        pairs = bucketed.groupby(["table_id", "lsh_bucket"]).map_groups(
+            lambda g: cosine_pairs_in_group(g, threshold=0.90),
+            batch_format="pandas")
+
+    # a pair may surface in many tables: max-fold duplicates.  Pair
+    # keys are ~unique (weak contraction), so sorted_combine, not the
+    # per-row aggregate reduce (lesson 21)
+    from .stages.util import sorted_combine
+    agg = sorted_combine(pairs, keys=["a", "b"], aggs={"cos": "max"})
 
     def flat(batch: pa.Table) -> pa.Table:
         return pa.table({"a": pc.cast(batch["a"], pa.int64()),

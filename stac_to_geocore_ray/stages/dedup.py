@@ -836,6 +836,42 @@ def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
                          "cos": sim[ia, ib][keep]})
 
 
+def cosine_pairs_by_lookup(g: pd.DataFrame, lut_ref,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           chunk: int = 2048) -> pd.DataFrame:
+    """In-bucket exact cosine confirmation over NARROW candidate rows:
+    the group carries only ids; vectors come from a ``ray.put``
+    broadcast of the (sorted-id, normalized float64 matrix) corpus —
+    zero-copy per task, no embedding payload in the shuffle (the
+    1M-vector leg measured the payload-carrying variant at 713 s vs
+    this path; see embedding_neardup_lsh).  Math is identical to
+    cosine_pairs_in_group (row-local float64 normalize + dot), so the
+    golden hashes are unchanged.  The sims matrix is computed in
+    ``chunk``-row slabs to bound per-task heap on hot buckets.
+    """
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": [], "cos": []})
+    import ray
+    lut_ids, lut_mat = ray.get(lut_ref) \
+        if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+    ids = np.sort(g[id_col].to_numpy())
+    mat = lut_mat[np.searchsorted(lut_ids, ids)]
+    n = len(ids)
+    out_a, out_b, out_c = [], [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sims = mat[lo:hi] @ mat.T               # (slab, n)
+        r, c = np.nonzero(sims >= threshold)
+        keep = (r + lo) < c                     # upper triangle only
+        out_a.append(ids[r[keep] + lo])
+        out_b.append(ids[c[keep]])
+        out_c.append(sims[r[keep], c[keep]])
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "cos": np.concatenate(out_c)})
+
+
 # ------------------------------------------------- connected components
 
 def union_find_components(pairs_a, pairs_b) -> dict:
