@@ -421,3 +421,38 @@ def test_expand_member_pairs_range_work_items(ray_session):
             for b in list(range(100, 110))[i + 1:]}
     want |= {(a, b, 2) for a in range(200, 204) for b in range(300, 305)}
     assert got == want
+
+
+def test_cosine_pairs_by_lookup_equals_in_group():
+    """The narrow-row broadcast-lookup confirm (lesson 22) must emit
+    exactly the pairs and cosines of the payload-carrying kernel,
+    including across chunk boundaries (chunk=3 on an 11-row group)."""
+    from stac_to_geocore_ray.stages.ann import _normalize
+    rng = np.random.RandomState(7)
+    n, dim = 11, 16
+    mat = rng.normal(size=(n, dim))
+    mat[4] = mat[1] * 1.7                    # planted exact-direction dup
+    mat[9] = mat[2] + 0.02 * mat[2].sum() * rng.normal(size=dim) * 0.01
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    g = pd.DataFrame({"vec_id": ids,
+                      "embedding": [row.tolist() for row in mat]})
+    ref = dedup.cosine_pairs_in_group(g, threshold=0.5) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+    lut = (ids, _normalize(mat.astype(np.float64)))
+    narrow = pd.DataFrame({"vec_id": rng.permutation(ids)})
+    got = dedup.cosine_pairs_by_lookup(narrow, lut, threshold=0.5,
+                                       chunk=3) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert got.a.tolist() == ref.a.tolist()
+    assert got.b.tolist() == ref.b.tolist()
+    assert np.allclose(got.cos.to_numpy(), ref.cos.to_numpy(), atol=0)
+
+
+def test_cosine_pairs_by_lookup_trivial_groups():
+    from stac_to_geocore_ray.stages.ann import _normalize
+    ids = np.array([5], dtype=np.int64)
+    lut = (ids, _normalize(np.ones((1, 4))))
+    out = dedup.cosine_pairs_by_lookup(
+        pd.DataFrame({"vec_id": ids}), lut, threshold=0.9)
+    assert len(out) == 0
