@@ -2518,7 +2518,10 @@ def embedding_neardup_lsh(sf_dir: str):
         dup_ids, dup_mat = planted_near_dups(bids, bmat)
         all_ids = np.concatenate([bids, dup_ids])   # planted ids > base
         all_mat = _normalize(np.concatenate([bmat, dup_mat]))
-        lut_ref = ray.put((all_ids, all_mat))
+        # float32 copy rides along for the sgemm threshold pass
+        # (survivor cosines recompute in float64 — hash-identical)
+        lut_ref = ray.put((all_ids, all_mat,
+                           all_mat.astype(np.float32)))
 
         def narrow(batch: pa.Table) -> pa.Table:
             return batch.select(["vec_id", "table_id", "lsh_bucket"])
