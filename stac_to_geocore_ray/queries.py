@@ -3587,6 +3587,76 @@ GROUP BY 1, 2
 """
 
 
+def events_rollup(sf_dir: str):
+    """Hierarchical ROLLUP — counts and cent sums at three grains in
+    one result: (event_type, day), (event_type), and the grand total,
+    with NULL-filled rolled-up key columns (SQL GROUP BY ROLLUP).
+
+    Scale shape: ONE pass over the events computes the finest grain
+    with per-batch combiner partials (strong contraction: cells =
+    |types| x |days|); the coarser grains re-aggregate the finest —
+    a few thousand rows through a single-task fold — so the raw data
+    is read exactly once regardless of how many levels roll up.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df.ts.dt.floor("D")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "day"], sort=False).agg(
+            n=("cents", "size"), c=("cents", "sum")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("c", alias_name="sum_cents"))
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64")})
+        base = df.groupby(["event_type", "day"], sort=False, as_index=False) \
+            .agg({"n_events": "sum", "sum_cents": "sum"})
+        per_type = base.groupby("event_type", sort=False, as_index=False) \
+            .agg({"n_events": "sum", "sum_cents": "sum"})
+        per_type["day"] = pd.NaT
+        total = pd.DataFrame({
+            "event_type": [None],
+            "day": pd.Series([pd.NaT], dtype="datetime64[us]"),
+            "n_events": [base.n_events.sum()],
+            "sum_cents": [base.sum_cents.sum()]})
+        cols = ["event_type", "day", "n_events", "sum_cents"]
+        out = pd.concat([base[cols], per_type[cols], total[cols]],
+                        ignore_index=True)
+        out["day"] = out.day.astype("datetime64[us]")
+        out["n_events"] = out.n_events.astype("int64")
+        out["sum_cents"] = out.sum_cents.astype("int64")
+        return out
+
+    # the finest grain is cell-bounded (|types| x |days|): one task
+    # derives every coarser level from it, raw rows read exactly once
+    return finest.repartition(1).map_batches(levels, batch_format="pandas")
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3650,6 +3720,7 @@ QUERIES = {
     "doc_word_freq": doc_word_freq,
     "events_distinct_users": events_distinct_users,
     "events_retention": events_retention,
+    "events_rollup": events_rollup,
 }
 
 
@@ -3716,4 +3787,5 @@ def oracle() -> dict[str, str]:
         "doc_word_freq": DOC_WORD_FREQ_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_retention": EVENTS_RETENTION_SQL,
+        "events_rollup": EVENTS_ROLLUP_SQL,
     }

@@ -237,3 +237,27 @@ class TestEventsRetention:
         diag = got[got.cohort_day == got.activity_day]
         n_users = ev.user_id.nunique()
         assert int(diag.n_users.sum()) == n_users
+
+
+class TestEventsRollup:
+    def test_levels_reconcile(self, ray_session):
+        from stac_to_geocore_ray.queries import events_rollup
+        got = events_rollup(SF).to_pandas()
+        finest = got[got.event_type.notna() & got.day.notna()]
+        per_type = got[got.event_type.notna() & got.day.isna()]
+        total = got[got.event_type.isna()]
+        assert len(total) == 1
+        # every level sums to the same totals
+        for col in ("n_events", "sum_cents"):
+            assert int(finest[col].sum()) == int(total[col].iloc[0])
+            assert int(per_type[col].sum()) == int(total[col].iloc[0])
+        # per-type rows equal the finest rolled up by type
+        ref = finest.groupby("event_type")[["n_events", "sum_cents"]] \
+            .sum().reset_index().sort_values("event_type") \
+            .reset_index(drop=True)
+        cmp = per_type[["event_type", "n_events", "sum_cents"]] \
+            .sort_values("event_type").reset_index(drop=True)
+        assert cmp.equals(ref)
+        # grand total equals the raw table
+        ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+        assert int(total.n_events.iloc[0]) == len(ev)

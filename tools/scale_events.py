@@ -164,6 +164,7 @@ def main() -> None:
     timed("events_distinct_users",
           lambda: q.events_distinct_users(out_dir))
     timed("events_retention", lambda: q.events_retention(out_dir))
+    timed("events_rollup", lambda: q.events_rollup(out_dir))
     tracker.stop()
 
     print(json.dumps({
