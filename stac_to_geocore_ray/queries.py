@@ -3657,6 +3657,59 @@ GROUP BY ROLLUP (event_type, day)
 """
 
 
+def parts_never_bulk_ordered(sf_dir: str):
+    """Distributed ANTI JOIN — parts with NO bulk lineitem (quantity >
+    45), counted per brand: the NOT-EXISTS op class, via Ray's native
+    hash ``left_anti`` join (the q3 semi-filter broadcasts a key set;
+    this is the shuffle-side variant for when neither side is small).
+
+    Scale shape: the right side is filtered at the read (only bulk
+    rows leave storage) and pre-contracted to per-batch DISTINCT part
+    keys before the join, so the anti-join's shuffle moves at most one
+    row per (batch, distinct key); the brand rollup after the join is
+    a strong-contraction combiner aggregate.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    parts = _meta_read(_t(sf_dir, "part"),
+                       columns=["p_partkey", "p_brand"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity"],
+                         filter=(pa.dataset.field("l_quantity") > 45))
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = pd.unique(batch["l_partkey"].to_numpy())
+        return pa.table({"l_partkey": pa.array(keys, pa.int64())})
+
+    bulk = li.map_batches(distinct_keys, batch_format="pyarrow")
+    survivors = parts.join(bulk, join_type="left_anti", num_partitions=8,
+                           on=("p_partkey",), right_on=("l_partkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        g = df.groupby("p_brand", sort=False).size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = survivors.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(Sum("n", alias_name="n_parts"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": batch["p_brand"],
+                         "n_parts": pc.cast(batch["n_parts"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PARTS_NEVER_BULK_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+GROUP BY p_brand
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3721,6 +3774,7 @@ QUERIES = {
     "events_distinct_users": events_distinct_users,
     "events_retention": events_retention,
     "events_rollup": events_rollup,
+    "parts_never_bulk_ordered": parts_never_bulk_ordered,
 }
 
 
@@ -3788,4 +3842,5 @@ def oracle() -> dict[str, str]:
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_retention": EVENTS_RETENTION_SQL,
         "events_rollup": EVENTS_ROLLUP_SQL,
+        "parts_never_bulk_ordered": PARTS_NEVER_BULK_SQL,
     }

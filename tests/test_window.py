@@ -261,3 +261,20 @@ class TestEventsRollup:
         # grand total equals the raw table
         ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
         assert int(total.n_events.iloc[0]) == len(ev)
+
+
+class TestPartsNeverBulkOrdered:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import parts_never_bulk_ordered
+        got = parts_never_bulk_ordered(SF).to_pandas() \
+            .sort_values("p_brand").reset_index(drop=True)
+        part = pd.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_partkey", "l_quantity"])
+        bulk = set(li.loc[li.l_quantity > 45, "l_partkey"])
+        surv = part[~part.p_partkey.isin(bulk)]
+        ref = surv.groupby("p_brand").size().reset_index(name="n_parts") \
+            .sort_values("p_brand").reset_index(drop=True)
+        assert got.p_brand.tolist() == ref.p_brand.tolist()
+        assert got.n_parts.tolist() == ref.n_parts.tolist()
