@@ -45,16 +45,19 @@ T0_US = np.datetime64("2026-01-01T00:00:00", "us").astype("int64")
 SPAN_US = 30 * 24 * 3_600_000_000           # 30 days
 
 
-def _shard_table(lo: int, hi: int, n_total: int) -> pa.Table:
+def _shard_table(lo: int, hi: int, n_total: int,
+                 hot_frac: float = 0.01) -> pa.Table:
     rng = np.random.default_rng(SEED + lo)
     m = hi - lo
     ids = np.arange(lo, hi, dtype=np.int64)
     n_users = max(n_total // 67, 2)
-    # 1% hot user 0; the rest long-tail-ish: square a uniform so low
-    # user ids are denser (mild skew beyond the planted hot key)
+    # hot_frac of the stream goes to user 0; the rest long-tail-ish:
+    # square a uniform so low user ids are denser (mild skew beyond
+    # the planted hot key).  --hot-frac 0.3+ is the skew-stress mode:
+    # the hot user's rows all reach ONE keyed-fold group.
     u = rng.random(m)
     users = (u * u * (n_users - 1)).astype(np.int64) + 1
-    users[rng.random(m) < 0.01] = 0
+    users[rng.random(m) < hot_frac] = 0
     ts = T0_US + rng.integers(0, SPAN_US, size=m)
     value = np.round(rng.uniform(0.01, 490.02, size=m), 2)
     return pa.table({
@@ -68,14 +71,15 @@ def _shard_table(lo: int, hi: int, n_total: int) -> pa.Table:
     })
 
 
-def _write_shard(out: str, lo: int, hi: int, shard: int, n_total: int) -> int:
-    tbl = _shard_table(lo, hi, n_total)
+def _write_shard(out: str, lo: int, hi: int, shard: int, n_total: int,
+                 hot_frac: float = 0.01) -> int:
+    tbl = _shard_table(lo, hi, n_total, hot_frac)
     pq.write_table(tbl, os.path.join(out, "events.parquet",
                                      f"part-{shard:05d}.parquet"))
     return tbl.num_rows
 
 
-def generate(out_dir: str, n: int) -> None:
+def generate(out_dir: str, n: int, hot_frac: float = 0.01) -> None:
     ev_dir = os.path.join(out_dir, "events.parquet")
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
@@ -86,10 +90,10 @@ def generate(out_dir: str, n: int) -> None:
     import ray
     if ray.is_initialized() and n >= 4 * SHARD:
         task = ray.remote(num_cpus=1)(_write_shard)
-        total = sum(ray.get([task.remote(out_dir, lo, hi, s, n)
+        total = sum(ray.get([task.remote(out_dir, lo, hi, s, n, hot_frac)
                              for lo, hi, s in ranges]))
     else:
-        total = sum(_write_shard(out_dir, lo, hi, s, n)
+        total = sum(_write_shard(out_dir, lo, hi, s, n, hot_frac)
                     for lo, hi, s in ranges)
     with open(marker, "w") as f:
         f.write(f"n={total}\n")
@@ -102,6 +106,8 @@ def main() -> None:
         else 20_000_000
     only = sys.argv[sys.argv.index("--queries") + 1].split(",") \
         if "--queries" in sys.argv else None
+    hot_frac = float(sys.argv[sys.argv.index("--hot-frac") + 1]) \
+        if "--hot-frac" in sys.argv else 0.01
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     import ray
@@ -111,7 +117,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     t0 = time.time()
-    generate(out_dir, n)
+    generate(out_dir, n, hot_frac)
     gen_s = round(time.time() - t0, 1)
     with open(os.path.join(out_dir, "_COMPLETE")) as f:
         n = int(f.read().strip().split("=")[1])
