@@ -167,6 +167,8 @@ def main() -> None:
     timed("events_window_rank", lambda: q.events_window_rank(out_dir))
     timed("events_stream_tumbling",
           lambda: q.events_stream_tumbling(out_dir))
+    timed("events_stream_sliding",
+          lambda: q.events_stream_sliding(out_dir))
     timed("events_distinct_users",
           lambda: q.events_distinct_users(out_dir))
     timed("events_retention", lambda: q.events_retention(out_dir))
