@@ -545,9 +545,6 @@ def events_asof_join(sf_dir: str):
                     columns=["event_id", "user_id", "ts", "event_type",
                              "value"])
 
-    OUT_COLS = ["event_id", "user_id", "ts",
-                "prior_purchase_ts", "prior_purchase_cents"]
-
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized LOCF over a frame sorted by (user_id, ts,
         event_id); returns resolved LEFT rows."""
@@ -585,44 +582,11 @@ def events_asof_join(sf_dir: str):
             "prior_purchase_ts": p_ts[left],
             "prior_purchase_cents": p_cents[left]})
 
-    def split_block(df: pd.DataFrame) -> pd.DataFrame:
-        """Interior users -> resolved rows (deferred=False); first/last
-        users' RAW rows ride along (deferred=True) for the fold."""
-        if len(df) == 0:
-            return pd.DataFrame(columns=OUT_COLS + ["event_type",
-                                                    "value", "deferred"])
-        uid = df.user_id.to_numpy()
-        boundary = (uid == uid[0]) | (uid == uid[-1])
-        interior = kernel(df.loc[~boundary])
-        interior["event_type"] = ""
-        interior["value"] = 0.0
-        interior["deferred"] = False
-        raw = df.loc[boundary, ["event_id", "user_id", "ts",
-                                "event_type", "value"]].copy()
-        raw["prior_purchase_ts"] = pd.Series(
-            [pd.NaT] * len(raw), dtype="datetime64[us]", index=raw.index)
-        raw["prior_purchase_cents"] = np.nan
-        raw["deferred"] = True
-        return pd.concat([interior, raw[interior.columns]],
-                         ignore_index=True)
-
-    mixed = ds.sort(["user_id", "ts", "event_id"]) \
-        .map_batches(split_block, batch_format="pandas").materialize()
-
-    def take_done(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[~g["deferred"], OUT_COLS]
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        return kernel(g)[OUT_COLS]
-
-    done = mixed.map_batches(take_done, batch_format="pandas")
-    deferred = mixed.map_batches(
-        lambda g: g.loc[g["deferred"],
-                        ["event_id", "user_id", "ts", "event_type", "value"]],
-        batch_format="pandas") \
-        .groupby("user_id").map_groups(fold, batch_format="pandas")
-    return done.union(deferred)
+    from .stages.util import keyed_boundary_decompose
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "event_type", "value"],
+        kernel=kernel)
 
 
 EVENTS_ASOF_SQL = """
@@ -2503,7 +2467,10 @@ def embedding_neardup_lsh(sf_dir: str):
     # corpus bytes from footers: pick narrow-shuffle + broadcast lookup
     # vs carrying embeddings through the shuffle
     n_total, _ = _parquet_nrows(_t(sf_dir, "embeddings"))
-    est_bytes = int(n_total * 1.2) * dim * 8        # float64, + planted
+    # full broadcast tuple: float64 matrix + float32 copy + ids, over
+    # the planted-augmented corpus (the f64-only estimate under-counted
+    # the actual ray.put object by ~1.5x — review finding)
+    est_bytes = int(n_total * 1.2) * (dim * (8 + 4) + 8)
     broadcast_mode = est_bytes <= EMB_BROADCAST_MAX_BYTES
 
     if broadcast_mode:
@@ -3171,7 +3138,6 @@ def events_window_rank(sf_dir: str):
     import ray.data as rd
     ds = _meta_read(_t(sf_dir, "events"),
                     columns=["event_id", "user_id", "ts", "value"])
-    OUT = ["event_id", "user_id", "rn", "prev_cents", "gap_us", "cum_cents"]
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         """Window columns over a frame sorted by (user_id, ts,
@@ -3212,60 +3178,10 @@ def events_window_rank(sf_dir: str):
             "gap_us": gap_us,
             "cum_cents": cum.astype("int64")})
 
-    _MIXED_EMPTY = {
-        "event_id": "int64", "user_id": "int64", "rn": "int64",
-        "prev_cents": "float64", "gap_us": "float64",
-        "cum_cents": "int64", "ts": "datetime64[us]",
-        "value": "float64", "deferred": "bool"}
-
-    def _typed_empty(cols) -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series([], dtype=_MIXED_EMPTY[c])
-                             for c in cols})
-
-    def split_block(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            # typed empty (the sessionize lesson: object-dtype empties
-            # give the executor a second schema and a per-run warning)
-            return _typed_empty(list(_MIXED_EMPTY))
-        uid = df.user_id.to_numpy()
-        boundary = (uid == uid[0]) | (uid == uid[-1])
-        interior = kernel(df.loc[~boundary])
-        interior["ts"] = pd.Series([pd.NaT] * len(interior),
-                                   dtype="datetime64[us]",
-                                   index=interior.index)
-        interior["value"] = 0.0
-        interior["deferred"] = False
-        raw = df.loc[boundary,
-                     ["event_id", "user_id", "ts", "value"]].copy()
-        raw["rn"] = np.int64(0)
-        raw["prev_cents"] = np.nan
-        raw["gap_us"] = np.nan
-        raw["cum_cents"] = np.int64(0)
-        raw["deferred"] = True
-        return pd.concat([interior, raw[interior.columns]],
-                         ignore_index=True)
-
-    mixed = ds.sort(["user_id", "ts", "event_id"]) \
-        .map_batches(split_block, batch_format="pandas").materialize()
-
-    def take_done(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.loc[~g["deferred"], OUT]
-        return out if len(out) else _typed_empty(OUT)
-
-    RAW = ["event_id", "user_id", "ts", "value"]
-
-    def take_deferred(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.loc[g["deferred"], RAW]
-        return out if len(out) else _typed_empty(RAW)
-
-    done = mixed.map_batches(take_done, batch_format="pandas")
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return kernel(g.sort_values(["user_id", "ts", "event_id"]))[OUT]
-
-    deferred = mixed.map_batches(take_deferred, batch_format="pandas") \
-        .groupby("user_id").map_groups(fold, batch_format="pandas")
-    return done.union(deferred)
+    from .stages.util import keyed_boundary_decompose
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "value"], kernel=kernel)
 
 
 EVENTS_WINDOW_RANK_SQL = """
@@ -3397,10 +3313,14 @@ def doc_word_freq(sf_dir: str):
                              preserve_index=False)
 
 
+# filter '' AFTER the split rather than trim() BEFORE it: DuckDB
+# trim() strips spaces only, so text edged by \n or \t would leave ''
+# tokens the engine's str.split() never produces (review finding)
 DOC_WORD_FREQ_SQL = """
 SELECT token, count(*) AS n FROM (
-  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
-  FROM documents WHERE trim(text) <> '')
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents)
+WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 """
 
@@ -3512,43 +3432,11 @@ def events_retention(sf_dir: str):
         return pd.DataFrame({"cohort_day": day[seg_start][new_day],
                              "activity_day": day[new_day]})
 
-    def split_block(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({
-                "cohort_day": pd.Series([], dtype="int64"),
-                "activity_day": pd.Series([], dtype="int64"),
-                "user_id": pd.Series([], dtype="int64"),
-                "ts": pd.Series([], dtype="datetime64[us]"),
-                "deferred": pd.Series([], dtype=bool)})
-        uid = df.user_id.to_numpy()
-        boundary = (uid == uid[0]) | (uid == uid[-1])
-        interior = kernel(df.loc[~boundary])
-        interior["user_id"] = np.int64(0)
-        interior["ts"] = pd.Series([pd.NaT] * len(interior),
-                                   dtype="datetime64[us]",
-                                   index=interior.index)
-        interior["deferred"] = False
-        raw = df.loc[boundary, ["user_id", "ts"]].copy()
-        raw["cohort_day"] = np.int64(0)
-        raw["activity_day"] = np.int64(0)
-        raw["deferred"] = True
-        return pd.concat([interior, raw[interior.columns]],
-                         ignore_index=True)
-
-    mixed = ds.sort(["user_id", "ts"]) \
-        .map_batches(split_block, batch_format="pandas").materialize()
-
+    from .stages.util import keyed_boundary_decompose
+    pairs_ds = keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts"], key_col="user_id",
+        raw_cols=["user_id", "ts"], kernel=kernel)
     PAIR = ["cohort_day", "activity_day"]
-    done = mixed.map_batches(lambda g: g.loc[~g["deferred"], PAIR],
-                             batch_format="pandas")
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return kernel(g.sort_values(["user_id", "ts"]))[PAIR]
-
-    deferred = mixed.map_batches(
-        lambda g: g.loc[g["deferred"], ["user_id", "ts"]],
-        batch_format="pandas") \
-        .groupby("user_id").map_groups(fold, batch_format="pandas")
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -3561,8 +3449,7 @@ def events_retention(sf_dir: str):
 
     # cells = active-days x cohort-days (tiny, strong contraction) —
     # the plain aggregate is the right tool here
-    agg = done.union(deferred) \
-        .map_batches(count_partial, batch_format="pandas") \
+    agg = pairs_ds.map_batches(count_partial, batch_format="pandas") \
         .groupby(PAIR).aggregate(Sum("n_users", alias_name="n_users"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -3669,13 +3556,17 @@ def parts_never_bulk_ordered(sf_dir: str):
     row per (batch, distinct key); the brand rollup after the join is
     a strong-contraction combiner aggregate.
     """
+    import pyarrow.dataset as pads   # pa.dataset is a LAZY submodule:
+    # unimported it only exists after some read registers it (verified
+    # AttributeError otherwise — review finding)
+
     import ray.data as rd
     from ray.data.aggregate import Sum
     parts = _meta_read(_t(sf_dir, "part"),
                        columns=["p_partkey", "p_brand"])
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity"],
-                         filter=(pa.dataset.field("l_quantity") > 45))
+                         filter=(pads.field("l_quantity") > 45))
 
     def distinct_keys(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -819,12 +819,20 @@ def planted_near_dups(ids: np.ndarray, mat: np.ndarray, *, every: int = 5,
     return sids + id_offset, m + eps * norm * noise
 
 
+def _empty_pairs() -> pd.DataFrame:
+    """Typed empty pair frame (untyped empties give sub-2-row bucket
+    groups a null schema and downstream sorts the slow unify path)."""
+    return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                         "b": pd.Series([], dtype="int64"),
+                         "cos": pd.Series([], dtype="float64")})
+
+
 def cosine_pairs_in_group(g: pd.DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95) -> pd.DataFrame:
     """In-bucket exact cosine confirmation of near-dup candidates."""
     if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": [], "cos": []})
+        return _empty_pairs()
     from .ann import _normalize
     g = g.sort_values(id_col)
     ids = g[id_col].to_numpy()
@@ -861,7 +869,7 @@ def cosine_pairs_by_lookup(g: pd.DataFrame, lut_ref,
     4-decimal round the queries emit.
     """
     if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": [], "cos": []})
+        return _empty_pairs()
     import ray
     lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) \
         else lut_ref

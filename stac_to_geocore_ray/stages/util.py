@@ -130,6 +130,90 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
     return finals.union(folded)
 
 
+def _filler(dtype, n: int, index):
+    """Typed padding column for schema-unioning mixed blocks."""
+    import numpy as np
+    import pandas as pd
+    kind = np.dtype(dtype).kind if not str(dtype).startswith("datetime") \
+        else "M"
+    if kind == "M":
+        return pd.Series([pd.NaT] * n, dtype="datetime64[us]", index=index)
+    if kind == "f":
+        return pd.Series(np.full(n, np.nan), index=index)
+    if kind in ("i", "u"):
+        return pd.Series(np.zeros(n, dtype=dtype), index=index)
+    if kind == "b":
+        return pd.Series(np.zeros(n, dtype=bool), index=index)
+    return pd.Series([None] * n, dtype=object, index=index)
+
+
+def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
+                             raw_cols: list[str], kernel):
+    """The sorted-stream per-key decomposition shared by the window /
+    as-of / retention operators (was three near-verbatim copies —
+    review finding):
+
+    1. one distributed sort on ``sort_keys`` makes each ``key_col``
+       value a contiguous run;
+    2. every INTERIOR key of a block resolves fully in-block through
+       ``kernel`` (a vectorized fn: sorted frame with complete key
+       runs -> output frame; must return a TYPED empty on empty
+       input — its empty return defines the output schema);
+    3. only rows of each block's first/last key defer (raw) to a
+       KEYED fold — groupby(key) -> kernel per group — so a hot key
+       parallelizes across fold groups instead of funnelling through
+       one task.  Deferred volume is bounded by block-straddling
+       keys' rows.
+
+    Returns a Dataset with the kernel's output columns.
+    """
+    import pandas as pd
+
+    def split_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = kernel(df.iloc[0:0])
+        out_cols = list(out_empty.columns)
+        extra_raw = [c for c in raw_cols if c not in out_cols]
+        if len(df) == 0:
+            mixed = out_empty.copy()
+            for c in extra_raw:
+                mixed[c] = _filler(df.dtypes[c], 0, mixed.index)
+            mixed["deferred"] = pd.Series([], dtype=bool)
+            return mixed
+        k = df[key_col].to_numpy()
+        boundary = (k == k[0]) | (k == k[-1])
+        interior = kernel(df.loc[~boundary])
+        for c in extra_raw:
+            interior[c] = _filler(df.dtypes[c], len(interior),
+                                  interior.index)
+        interior["deferred"] = False
+        raw = df.loc[boundary, raw_cols].copy()
+        for c in out_cols:
+            if c not in raw.columns:
+                raw[c] = _filler(out_empty.dtypes[c], len(raw), raw.index)
+        raw["deferred"] = True
+        return pd.concat([interior, raw[interior.columns]],
+                         ignore_index=True)
+
+    mixed = ds.sort(sort_keys) \
+        .map_batches(split_block, batch_format="pandas").materialize()
+
+    def take_done(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = list(kernel(g.iloc[0:0]).columns)
+        return g.loc[~g["deferred"], out_cols]
+
+    def take_deferred(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[g["deferred"], raw_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(g.sort_values(sort_keys))
+        return out[list(out.columns)]
+
+    done = mixed.map_batches(take_done, batch_format="pandas")
+    deferred = mixed.map_batches(take_deferred, batch_format="pandas") \
+        .groupby(key_col).map_groups(fold, batch_format="pandas")
+    return done.union(deferred)
+
+
 def windowed_get(task_fn, args_list, window: int | None = None) -> list:
     """Submit Ray tasks in bounded windows (backpressure-polite fan-out).
 

@@ -101,7 +101,13 @@ def _write_shard(out: str, lo: int, hi: int, shard: int) -> int:
 def generate(out_dir: str, n: int) -> None:
     docs_dir = os.path.join(out_dir, "documents.parquet")
     marker = os.path.join(out_dir, "_COMPLETE")
+    params = f"n={n}"
     if os.path.exists(marker):
+        have = open(marker).read().strip()
+        if have != params:
+            raise ValueError(
+                f"{out_dir} was generated with '{have}', requested "
+                f"'{params}' — use a fresh out_dir")
         return
     os.makedirs(docs_dir, exist_ok=True)
     ranges = [(lo, min(lo + SHARD, n), s)
@@ -114,7 +120,7 @@ def generate(out_dir: str, n: int) -> None:
     else:
         total = sum(_write_shard(out_dir, lo, hi, s) for lo, hi, s in ranges)
     with open(marker, "w") as f:
-        f.write(f"n={total}\n")
+        f.write(params + "\n")
 
 
 def main() -> None:
@@ -136,7 +142,7 @@ def main() -> None:
     generate(out_dir, n)
     gen_s = round(time.time() - t0, 1)
     with open(os.path.join(out_dir, "_COMPLETE")) as f:
-        n = int(f.read().strip().split("=")[1])   # actual fixture size
+        n = int(f.read().strip().split(";")[0].split("=")[1])
 
     if "--run" not in sys.argv:
         print(json.dumps({"generated": out_dir, "n_docs": n,
@@ -144,7 +150,7 @@ def main() -> None:
         ray.shutdown()
         return
 
-    from scale_run import PeakTracker
+    from scale_run import PeakTracker, make_timed
 
     from stac_to_geocore_ray import queries as q
 
@@ -152,21 +158,7 @@ def main() -> None:
     tracker.start()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-
-    def _n(out) -> int:
-        if hasattr(out, "num_rows"):
-            return out.num_rows
-        if hasattr(out, "count"):
-            return out.count()
-        return len(out)
-
-    def timed(name, fn):
-        if only and name not in only:
-            return
-        t = time.time()
-        counts[name] = _n(fn())
-        timings[name] = round(time.time() - t, 3)
-        print(f"  {name}: {timings[name]}s  rows={counts[name]}", flush=True)
+    timed = make_timed(timings, counts, only)
 
     timed("doc_exact_dedup", lambda: q.doc_exact_dedup(out_dir))
     timed("minhash_neardup", lambda: q.minhash_neardup(out_dir))

@@ -63,7 +63,13 @@ def _write_shard(out: str, lo: int, hi: int, shard: int) -> int:
 def generate(out_dir: str, n: int) -> None:
     emb_dir = os.path.join(out_dir, "embeddings.parquet")
     marker = os.path.join(out_dir, "_COMPLETE")
+    params = f"n={n};dim={DIM}"
     if os.path.exists(marker):
+        have = open(marker).read().strip()
+        if have != params:
+            raise ValueError(
+                f"{out_dir} was generated with '{have}', requested "
+                f"'{params}' — use a fresh out_dir")
         return
     os.makedirs(emb_dir, exist_ok=True)
     ranges = [(lo, min(lo + SHARD, n), s)
@@ -76,7 +82,7 @@ def generate(out_dir: str, n: int) -> None:
     else:
         total = sum(_write_shard(out_dir, lo, hi, s) for lo, hi, s in ranges)
     with open(marker, "w") as f:
-        f.write(f"n={total}\n")
+        f.write(params + "\n")
 
 
 def main() -> None:
@@ -98,7 +104,7 @@ def main() -> None:
     generate(out_dir, n)
     gen_s = round(time.time() - t0, 1)
     with open(os.path.join(out_dir, "_COMPLETE")) as f:
-        n = int(f.read().strip().split("=")[1])
+        n = int(f.read().strip().split(";")[0].split("=")[1])
 
     if "--run" not in sys.argv:
         print(json.dumps({"generated": out_dir, "n_vectors": n,
@@ -106,7 +112,7 @@ def main() -> None:
         ray.shutdown()
         return
 
-    from scale_run import PeakTracker
+    from scale_run import PeakTracker, make_timed
 
     from stac_to_geocore_ray import queries as q
 
@@ -118,21 +124,7 @@ def main() -> None:
     tracker.start()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-
-    def _n(out) -> int:
-        if hasattr(out, "num_rows"):
-            return out.num_rows
-        if hasattr(out, "count"):
-            return out.count()
-        return len(out)
-
-    def timed(name, fn):
-        if only and name not in only:
-            return
-        t = time.time()
-        counts[name] = _n(fn())
-        timings[name] = round(time.time() - t, 3)
-        print(f"  {name}: {timings[name]}s  rows={counts[name]}", flush=True)
+    timed = make_timed(timings, counts, only)
 
     timed("ann_topk", lambda: q.ann_topk(out_dir))
     timed("ann_ivf", lambda: q.ann_ivf(out_dir))

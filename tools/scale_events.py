@@ -82,7 +82,15 @@ def _write_shard(out: str, lo: int, hi: int, shard: int, n_total: int,
 def generate(out_dir: str, n: int, hot_frac: float = 0.01) -> None:
     ev_dir = os.path.join(out_dir, "events.parquet")
     marker = os.path.join(out_dir, "_COMPLETE")
+    params = f"n={n};hot_frac={hot_frac}"
     if os.path.exists(marker):
+        have = open(marker).read().strip()
+        if have != params:
+            # a stale marker would silently measure the WRONG corpus
+            # (e.g. a skew-stress run against a 1%-hot fixture)
+            raise ValueError(
+                f"{out_dir} was generated with '{have}', requested "
+                f"'{params}' — use a fresh out_dir")
         return
     os.makedirs(ev_dir, exist_ok=True)
     ranges = [(lo, min(lo + SHARD, n), s)
@@ -96,7 +104,7 @@ def generate(out_dir: str, n: int, hot_frac: float = 0.01) -> None:
         total = sum(_write_shard(out_dir, lo, hi, s, n, hot_frac)
                     for lo, hi, s in ranges)
     with open(marker, "w") as f:
-        f.write(f"n={total}\n")
+        f.write(params + "\n")
 
 
 def main() -> None:
@@ -120,7 +128,7 @@ def main() -> None:
     generate(out_dir, n, hot_frac)
     gen_s = round(time.time() - t0, 1)
     with open(os.path.join(out_dir, "_COMPLETE")) as f:
-        n = int(f.read().strip().split("=")[1])
+        n = int(f.read().strip().split(";")[0].split("=")[1])
 
     if "--run" not in sys.argv:
         print(json.dumps({"generated": out_dir, "n_events": n,
@@ -128,7 +136,7 @@ def main() -> None:
         ray.shutdown()
         return
 
-    from scale_run import PeakTracker
+    from scale_run import PeakTracker, make_timed
 
     from stac_to_geocore_ray import queries as q
 
@@ -142,21 +150,7 @@ def main() -> None:
     tracker.start()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-
-    def _n(out) -> int:
-        if hasattr(out, "num_rows"):
-            return out.num_rows
-        if hasattr(out, "count"):
-            return out.count()
-        return len(out)
-
-    def timed(name, fn):
-        if only and name not in only:
-            return
-        t = time.time()
-        counts[name] = _n(fn())
-        timings[name] = round(time.time() - t, 3)
-        print(f"  {name}: {timings[name]}s  rows={counts[name]}", flush=True)
+    timed = make_timed(timings, counts, only)
 
     timed("events_hourly", lambda: q.events_hourly(out_dir))
     timed("events_value_quantiles",

@@ -56,6 +56,30 @@ class PeakTracker(threading.Thread):
         self._stop.set()
 
 
+def result_rows(out) -> int:
+    """Row count of a query result (Dataset / Arrow table / frame)."""
+    if hasattr(out, "num_rows"):
+        return out.num_rows
+    if hasattr(out, "count"):
+        return out.count()
+    return len(out)
+
+
+def make_timed(timings: dict, counts: dict, only=None):
+    """Shared measurement closure for the tools/scale_* harnesses
+    (was copy-pasted three times — review finding): runs fn, counts
+    rows, records seconds, prints one progress line."""
+    def timed(name, fn):
+        if only and name not in only:
+            return
+        t = time.time()
+        counts[name] = result_rows(fn())
+        timings[name] = round(time.time() - t, 3)
+        print(f"  {name}: {timings[name]}s  rows={counts[name]}",
+              flush=True)
+    return timed
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else "/tmp/stgr_scale/sf1.0"
