@@ -278,3 +278,55 @@ class TestPartsNeverBulkOrdered:
             .sort_values("p_brand").reset_index(drop=True)
         assert got.p_brand.tolist() == ref.p_brand.tolist()
         assert got.n_parts.tolist() == ref.n_parts.tolist()
+
+
+class TestKeyedBoundaryDecompose:
+    """Direct pin of stages/util.keyed_boundary_decompose — the shared
+    sort -> interior-kernel -> keyed-fold machinery under the window /
+    as-of / retention queries."""
+
+    def test_toy_kernel_matches_pandas(self, ray_session, tiny_blocks):
+        import ray.data
+        from stac_to_geocore_ray.stages.util import keyed_boundary_decompose
+        rng = np.random.default_rng(23)
+        n = 8_000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 300, size=n).astype("int64"),
+            "seq": np.arange(n, dtype="int64"),
+            "v": rng.integers(-5, 6, size=n).astype("int64")})
+        # hot key spanning many sorted blocks
+        df.loc[: n // 3, "k"] = 42
+
+        def kernel(g):
+            if len(g) == 0:
+                return pd.DataFrame({
+                    "seq": pd.Series([], dtype="int64"),
+                    "k": pd.Series([], dtype="int64"),
+                    "cum": pd.Series([], dtype="int64")})
+            kv = g.k.to_numpy()
+            v = g.v.to_numpy()
+            new = np.empty(len(g), dtype=bool)
+            new[0] = True
+            new[1:] = kv[1:] != kv[:-1]
+            idx = np.arange(len(g))
+            seg_start = idx[new][np.cumsum(new) - 1]
+            total = np.cumsum(v)
+            cum = total - (total - v)[seg_start]
+            return pd.DataFrame({"seq": g.seq.to_numpy(), "k": kv,
+                                 "cum": cum.astype("int64")})
+
+        ds = ray.data.from_pandas(df).repartition(16)
+        got = keyed_boundary_decompose(
+            ds, sort_keys=["k", "seq"], key_col="k",
+            raw_cols=["k", "seq", "v"], kernel=kernel).to_pandas() \
+            .sort_values("seq").reset_index(drop=True)
+
+        ref_sorted = df.sort_values(["k", "seq"])
+        ref = pd.DataFrame({
+            "seq": ref_sorted.seq,
+            "k": ref_sorted.k,
+            "cum": ref_sorted.groupby("k")["v"].cumsum()}) \
+            .sort_values("seq").reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert (got.seq.to_numpy() == ref.seq.to_numpy()).all()
+        assert (got.cum.to_numpy() == ref.cum.to_numpy()).all()
