@@ -42,6 +42,10 @@ import pyarrow as pa
 
 import ray
 
+# feeder batch rows: bounds each task's transient pandas footprint
+# (lesson 23 — whole-block batches thrashed at 3M rows/block)
+FEEDER_BATCH_ROWS = 256 * 1024
+
 
 @ray.remote(num_cpus=0.25)
 class WindowBucket:
@@ -198,7 +202,11 @@ class WindowFeeder:
         ts_us = df[self.ts_col].to_numpy("datetime64[us]").astype("int64")
         k = self.window_us // self.slide_us
         base = (ts_us // self.slide_us) * self.slide_us
-        keys0 = df[self.key_col].astype(str).to_numpy(dtype=object)
+        # factorize ONCE: the groupby runs on int codes (object-key
+        # groupbys paid a per-event string conversion + object hash —
+        # the dominant feeder cost at the 100M-event scale run); key
+        # strings materialize only for the CONTRACTED partial rows
+        kcodes, kuniq = pd.factorize(df[self.key_col])
         # half-AWAY like DuckDB round() (exact-half products exist in
         # real data; np.round's half-to-even silently diverges there)
         v = vals.to_numpy(dtype=np.float64)
@@ -208,13 +216,14 @@ class WindowFeeder:
         # tumbling), all numpy tile/repeat — still no per-event Python
         offs = (np.arange(k, dtype=np.int64) * self.slide_us)
         part = pd.DataFrame({
-            "key": np.tile(keys0, k),
+            "kc": np.tile(kcodes.astype(np.int64), k),
             "wstart": (base[None, :] - offs[:, None]).ravel(),
             "cents": np.tile(cents0, k)})
         # THE reduction: events -> (key, window) partials, one groupby
-        g = part.groupby(["key", "wstart"], sort=False).agg(
+        g = part.groupby(["kc", "wstart"], sort=False).agg(
             n=("cents", "size"), cents=("cents", "sum")).reset_index()
-        keys = g.key.to_numpy(dtype=object)
+        keys = np.asarray(kuniq.astype(str), dtype=object)[
+            g.kc.to_numpy()]
         bucket_of = (pd.util.hash_array(keys)
                      % len(self.buckets)).astype(np.int64)
         max_ts = int(ts_us.max())
@@ -252,7 +261,13 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
                for _ in range(n_buckets)]
     feeder = WindowFeeder(buckets, key_col, ts_col, value_col, window_us,
                           slide_us)
-    stats = events_ds.map_batches(feeder, batch_format="pyarrow")
+    # bounded feeder batches: whole-block batches at 100M events put a
+    # ~3M-row pandas conversion in every concurrent task and the
+    # transient heap thrashed (41 s; 256k-row batches: 5.2 s, measured
+    # A/B on the same session) — ingest idempotency is per (task, call
+    # seq), so finer batches stay retry-safe
+    stats = events_ds.map_batches(feeder, batch_format="pyarrow",
+                                  batch_size=FEEDER_BATCH_ROWS)
     n_routed, n_malformed = 0, 0
     for t in stats.iter_batches(batch_format="pyarrow"):
         n_routed += int(pa.compute.sum(t["n_routed"]).as_py() or 0)
