@@ -159,21 +159,26 @@ class WindowFeeder:
         self.slide_us = window_us if slide_us is None else slide_us
         if self.window_us % self.slide_us:
             raise ValueError("slide_us must divide window_us")
-        self._seq: dict = {}                  # task id -> next call seq
 
-    def _ingest_id(self) -> tuple:
-        """(task id, call-seq) — identical on a retried task (fresh
-        instance after worker death restarts the seq at 0), unique
-        across distinct tasks."""
+    def _ingest_id(self, ts_us: "np.ndarray", cents: "np.ndarray",
+                   nrows: int) -> tuple:
+        """(task id, batch content fingerprint) — identical whenever
+        the SAME batch of the SAME task replays, independent of any
+        instance state.  The earlier (task id, per-instance call-seq)
+        id assumed retries only follow worker death; a task re-executed
+        via lineage reconstruction on a live worker whose cached feeder
+        instance had already advanced the seq would mint FRESH ids and
+        double-count (round-4 review finding).  The fingerprint
+        (row count, first/last ts, cent sum) is deterministic per batch
+        and collision-free within a task for any real event stream."""
         try:
             tid = ray.get_runtime_context().get_task_id()
         except Exception:
             tid = None
         if tid is None:                        # driver-side call (tests)
             tid = f"driver-{id(self)}"
-        seq = self._seq.get(tid, 0)
-        self._seq[tid] = seq + 1
-        return (tid, seq)
+        return (tid, nrows, int(ts_us[0]), int(ts_us[-1]),
+                int(cents.sum()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
@@ -227,7 +232,7 @@ class WindowFeeder:
         bucket_of = (pd.util.hash_array(keys)
                      % len(self.buckets)).astype(np.int64)
         max_ts = int(ts_us.max())
-        iid = self._ingest_id()
+        iid = self._ingest_id(ts_us, cents0, nrows)
         futs = []
         for b in np.unique(bucket_of):
             m = bucket_of == b

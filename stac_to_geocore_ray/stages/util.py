@@ -134,8 +134,13 @@ def _filler(dtype, n: int, index):
     """Typed padding column for schema-unioning mixed blocks."""
     import numpy as np
     import pandas as pd
-    kind = np.dtype(dtype).kind if not str(dtype).startswith("datetime") \
-        else "M"
+    # pandas extension dtypes (Categorical, Int64, ArrowDtype) raise
+    # TypeError in np.dtype(); pad them as object/None (review finding)
+    try:
+        kind = np.dtype(dtype).kind \
+            if not str(dtype).startswith("datetime") else "M"
+    except TypeError:
+        kind = "O"
     if kind == "M":
         return pd.Series([pd.NaT] * n, dtype="datetime64[us]", index=index)
     if kind == "f":
@@ -197,16 +202,18 @@ def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
     mixed = ds.sort(sort_keys) \
         .map_batches(split_block, batch_format="pandas").materialize()
 
+    _cols_cache: list = []                    # out_cols are run-invariant
+
     def take_done(g: pd.DataFrame) -> pd.DataFrame:
-        out_cols = list(kernel(g.iloc[0:0]).columns)
-        return g.loc[~g["deferred"], out_cols]
+        if not _cols_cache:
+            _cols_cache.append(list(kernel(g.iloc[0:0]).columns))
+        return g.loc[~g["deferred"], _cols_cache[0]]
 
     def take_deferred(g: pd.DataFrame) -> pd.DataFrame:
         return g.loc[g["deferred"], raw_cols]
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = kernel(g.sort_values(sort_keys))
-        return out[list(out.columns)]
+        return kernel(g.sort_values(sort_keys))
 
     done = mixed.map_batches(take_done, batch_format="pandas")
     deferred = mixed.map_batches(take_deferred, batch_format="pandas") \

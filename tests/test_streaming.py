@@ -192,3 +192,26 @@ def test_poison_only_batch_still_reconciles(ray_session):
         ds, key_col="k", ts_col="ts", value_col="v",
         window_us=3_600_000_000, lateness_us=0, n_buckets=2)
     assert malformed == 2 and late == 0 and tbl.num_rows == 0
+
+
+def test_feeder_replay_same_batch_not_double_counted(ray_session):
+    """Content-derived ingest ids (review finding): replaying the SAME
+    batch through the SAME live feeder instance — the lineage-
+    reconstruction-on-cached-worker case a per-instance call counter
+    cannot survive — must be skipped by the buckets."""
+    import pyarrow as pa
+    import ray
+    from stac_to_geocore_ray.stages.streaming import (WindowBucket,
+                                                      WindowFeeder)
+    buckets = [WindowBucket.remote(100, 1 << 60)]
+    feeder = WindowFeeder(buckets, "k", "ts", "v", 100)
+    batch = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([10, 20, 130], pa.timestamp("us")),
+        "v": [1.0, 2.0, 3.0]})
+    feeder(batch)
+    feeder(batch)                      # replayed batch, same instance
+    tbl = ray.get(buckets[0].flush.remote())
+    total = sum(tbl["n"].to_pylist())
+    assert total == 3                  # counted once, not twice
+    ray.kill(buckets[0])

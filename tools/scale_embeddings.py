@@ -66,7 +66,7 @@ def generate(out_dir: str, n: int) -> None:
     params = f"n={n};dim={DIM}"
     if os.path.exists(marker):
         have = open(marker).read().strip()
-        if have != params:
+        if have != params and have != f"n={n}":   # legacy marker grace
             raise ValueError(
                 f"{out_dir} was generated with '{have}', requested "
                 f"'{params}' — use a fresh out_dir")

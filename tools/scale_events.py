@@ -85,7 +85,8 @@ def generate(out_dir: str, n: int, hot_frac: float = 0.01) -> None:
     params = f"n={n};hot_frac={hot_frac}"
     if os.path.exists(marker):
         have = open(marker).read().strip()
-        if have != params:
+        legacy_ok = (have == f"n={n}" and hot_frac == 0.01)
+        if have != params and not legacy_ok:
             # a stale marker would silently measure the WRONG corpus
             # (e.g. a skew-stress run against a 1%-hot fixture)
             raise ValueError(

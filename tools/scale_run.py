@@ -57,12 +57,14 @@ class PeakTracker(threading.Thread):
 
 
 def result_rows(out) -> int:
-    """Row count of a query result (Dataset / Arrow table / frame)."""
+    """Row count of a query result (Dataset / Arrow table / frame).
+    pandas frames are length-checked BEFORE the count() probe — a
+    DataFrame.count() is a per-column Series, not a row count."""
     if hasattr(out, "num_rows"):
         return out.num_rows
-    if hasattr(out, "count"):
-        return out.count()
-    return len(out)
+    if hasattr(out, "__len__"):
+        return len(out)
+    return out.count()
 
 
 def make_timed(timings: dict, counts: dict, only=None):
