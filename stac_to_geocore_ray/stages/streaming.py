@@ -17,7 +17,8 @@ Scale shape (round-3 rewrite):
   magnitude fewer rows than events, and per-event Python never runs
   anywhere.  Actor-RPC volume per batch is #buckets tiny tables.
 - **Idempotent ingest (exactly-once under task retry)**: every ingest
-  carries a deterministic id (Ray task id + per-task call sequence).
+  carries a deterministic id (Ray task id + batch content fingerprint,
+  replay-stable regardless of worker/instance caching).
   A retried feeder task (worker crash) replays the same ids and the
   bucket skips them, so counts never double.  This only holds because
   finalized windows are RETAINED in the bucket until the final drain —
@@ -269,8 +270,8 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
     # bounded feeder batches: whole-block batches at 100M events put a
     # ~3M-row pandas conversion in every concurrent task and the
     # transient heap thrashed (41 s; 256k-row batches: 5.2 s, measured
-    # A/B on the same session) — ingest idempotency is per (task, call
-    # seq), so finer batches stay retry-safe
+    # A/B on the same session) — ingest idempotency is content-keyed
+    # per batch, so finer batches stay retry-safe
     stats = events_ds.map_batches(feeder, batch_format="pyarrow",
                                   batch_size=FEEDER_BATCH_ROWS)
     n_routed, n_malformed = 0, 0
