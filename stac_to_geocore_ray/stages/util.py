@@ -153,7 +153,8 @@ def _filler(dtype, n: int, index):
 
 
 def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
-                             raw_cols: list[str], kernel):
+                             raw_cols: list[str], kernel,
+                             batch_size: int = 256 * 1024):
     """The sorted-stream per-key decomposition shared by the window /
     as-of / retention operators (was three near-verbatim copies —
     review finding):
@@ -199,8 +200,14 @@ def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
         return pd.concat([interior, raw[interior.columns]],
                          ignore_index=True)
 
+    # bounded split batches (the lesson-23 shape: multi-copy pandas
+    # kernels thrash on multi-million-row whole blocks); batches are
+    # consecutive slices of the sorted stream, so the boundary-key
+    # argument holds per BATCH — finer batches just defer a few more
+    # (first/last) keys to the fold, still <= 2 per batch
     mixed = ds.sort(sort_keys) \
-        .map_batches(split_block, batch_format="pandas").materialize()
+        .map_batches(split_block, batch_format="pandas",
+                     batch_size=batch_size).materialize()
 
     _cols_cache: list = []                    # out_cols are run-invariant
 

@@ -62,9 +62,10 @@ def result_rows(out) -> int:
     DataFrame.count() is a per-column Series, not a row count."""
     if hasattr(out, "num_rows"):
         return out.num_rows
-    if hasattr(out, "__len__"):
-        return len(out)
-    return out.count()
+    try:
+        return len(out)          # frames; Dataset DEFINES __len__ but
+    except Exception:            # raises — fall through to count()
+        return out.count()
 
 
 def make_timed(timings: dict, counts: dict, only=None):
