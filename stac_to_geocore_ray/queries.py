@@ -3601,6 +3601,92 @@ GROUP BY p_brand
 """
 
 
+def events_range_join(sf_dir: str):
+    """RANGE JOIN — count all events falling inside each VIP user's
+    activity interval [min ts, max ts] (VIP = user_id % 50 == 0): the
+    irregular-interval temporal join of the build-instruction custom
+    trio (as-of join and windowed aggregates are the other two), which
+    no equi-join key can express.
+
+    Scale shape: the interval side is built with one filtered
+    partial-agg pass (strong contraction: one row per VIP) and
+    broadcast via ray.put; the probe side never shuffles — each batch
+    sorts its timestamps once and answers every interval with two
+    searchsorted probes (O(n log n + m log n) per batch, no n x m
+    bitmap), emitting one partial count row per interval.  The final
+    fold is bounded by |intervals| x #batches.  An interval-tree /
+    sorted-endpoint sweep replaces the broadcast when the interval
+    side itself outgrows a worker (same seam as the PIP joiner's
+    STRtree).
+    """
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+    ds_cols = _meta_read(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def vip_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.user_id % 50 == 0]
+        if len(df) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.timestamp("us")),
+                             "hi": pa.array([], pa.timestamp("us"))})
+        g = df.groupby("user_id").agg(lo=("ts", "min"),
+                                      hi=("ts", "max")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    # interval side: one row per VIP — collect + fold driver-side
+    vips = ds_cols.map_batches(vip_partial, batch_format="pyarrow") \
+        .to_pandas()
+    vips = vips.groupby("user_id").agg(lo=("lo", "min"),
+                                       hi=("hi", "max")).reset_index() \
+        .sort_values("user_id").reset_index(drop=True)
+    ivals = (vips.user_id.to_numpy(),
+             vips.lo.to_numpy("datetime64[us]").astype("int64"),
+             vips.hi.to_numpy("datetime64[us]").astype("int64"))
+    ref = ray.put(ivals)
+
+    class IntervalCounter:
+        def __init__(self, r):
+            self.uid, self.lo, self.hi = \
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = np.sort(batch["ts"].to_numpy()
+                         .astype("datetime64[us]").astype("int64"))
+            n = (np.searchsorted(ts, self.hi, side="right")
+                 - np.searchsorted(ts, self.lo, side="left"))
+            keep = n > 0
+            return pa.table({
+                "user_id": pa.array(self.uid[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64())})
+
+    parts = _meta_read(_t(sf_dir, "events"), columns=["ts"]) \
+        .map_batches(IntervalCounter, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=_auto())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+        return df.groupby("user_id", sort=False, as_index=False) \
+            .agg(n_events=("n", "sum"))
+
+    return parts.repartition(1).map_batches(fold, batch_format="pandas")
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH vip AS (
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi
+  FROM events WHERE user_id % 50 = 0 GROUP BY user_id)
+SELECT v.user_id, count(*) AS n_events
+FROM events e JOIN vip v ON e.ts BETWEEN v.lo AND v.hi
+GROUP BY v.user_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3666,6 +3752,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_rollup": events_rollup,
     "parts_never_bulk_ordered": parts_never_bulk_ordered,
+    "events_range_join": events_range_join,
 }
 
 
@@ -3734,4 +3821,5 @@ def oracle() -> dict[str, str]:
         "events_retention": EVENTS_RETENTION_SQL,
         "events_rollup": EVENTS_ROLLUP_SQL,
         "parts_never_bulk_ordered": PARTS_NEVER_BULK_SQL,
+        "events_range_join": EVENTS_RANGE_JOIN_SQL,
     }

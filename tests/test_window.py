@@ -330,3 +330,24 @@ class TestKeyedBoundaryDecompose:
         assert len(got) == len(ref)
         assert (got.seq.to_numpy() == ref.seq.to_numpy()).all()
         assert (got.cum.to_numpy() == ref.cum.to_numpy()).all()
+
+
+class TestEventsRangeJoin:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import events_range_join
+        got = events_range_join(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts"])
+        vip = ev[ev.user_id % 50 == 0].groupby("user_id") \
+            .agg(lo=("ts", "min"), hi=("ts", "max")).reset_index()
+        rows = []
+        for _, r in vip.iterrows():
+            n = int(((ev.ts >= r.lo) & (ev.ts <= r.hi)).sum())
+            rows.append((int(r.user_id), n))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_events"]) \
+            .sort_values("user_id").reset_index(drop=True)
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.n_events.tolist() == ref.n_events.tolist()
+        # intervals genuinely overlap events of OTHER users
+        assert (got.n_events > 1).any()

@@ -168,6 +168,7 @@ def main() -> None:
           lambda: q.events_distinct_users(out_dir))
     timed("events_retention", lambda: q.events_retention(out_dir))
     timed("events_rollup", lambda: q.events_rollup(out_dir))
+    timed("events_range_join", lambda: q.events_range_join(out_dir))
     tracker.stop()
 
     print(json.dumps({
