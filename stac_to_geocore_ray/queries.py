@@ -3622,7 +3622,6 @@ def events_range_join(sf_dir: str):
     import pandas as pd
 
     import ray
-    import ray.data as rd
     ds_cols = _meta_read(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def vip_partial(batch: pa.Table) -> pa.Table:

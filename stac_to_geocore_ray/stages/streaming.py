@@ -170,8 +170,15 @@ class WindowFeeder:
         via lineage reconstruction on a live worker whose cached feeder
         instance had already advanced the seq would mint FRESH ids and
         double-count (round-4 review finding).  The fingerprint
-        (row count, first/last ts, cent sum) is deterministic per batch
-        and collision-free within a task for any real event stream."""
+        (row count, first/last ts, ts sum, first/last cents, cent sum)
+        is deterministic per batch and collision-free within a task
+        unless two batches are IDENTICAL in content — a duplicate-run
+        pathology where the second batch would be skipped and the
+        drain's accounting identity then fails LOUDLY (RuntimeError),
+        which is the right side of the trade: the per-instance seq id
+        this replaces failed SILENTLY (double-count) on the far more
+        plausible replay case.  If Ray exposes a task attempt number,
+        (task id, attempt-stable seq) removes both failure modes."""
         try:
             tid = ray.get_runtime_context().get_task_id()
         except Exception:
@@ -179,6 +186,7 @@ class WindowFeeder:
         if tid is None:                        # driver-side call (tests)
             tid = f"driver-{id(self)}"
         return (tid, nrows, int(ts_us[0]), int(ts_us[-1]),
+                int(ts_us.sum()), int(cents[0]), int(cents[-1]),
                 int(cents.sum()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
