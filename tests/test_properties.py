@@ -181,3 +181,90 @@ def test_simhash_batch_bit_identical_to_per_doc(texts):
     sh = SimHasher()
     t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
     assert sh(t)["simhash"].to_pylist() == [sh.simhash(x) for x in texts]
+
+
+# ---------------------------------------------- round-4 shared kernels
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_sorted_combine_block_fold_equals_global_groupby(data):
+    """Property: for ANY key/value multiset and ANY contiguous block
+    split, sorted_combine's per-block combine + boundary fold equals a
+    global pandas groupby.  This pins the pure-python core (combine +
+    fold semantics) without a Ray session."""
+    import numpy as np
+    import pandas as pd
+    n = data.draw(st.integers(min_value=0, max_value=400))
+    keys = data.draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+    vals = data.draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    df = pd.DataFrame({"k": pd.Series(keys, dtype="int64"),
+                       "v": pd.Series(vals, dtype="int64"),
+                       "m": pd.Series(vals, dtype="int64")}) \
+        .sort_values("k", kind="mergesort").reset_index(drop=True)
+    # arbitrary contiguous block split of the sorted frame
+    n_cuts = data.draw(st.integers(min_value=0, max_value=6))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, max(n, 1)), min_size=n_cuts, max_size=n_cuts)))
+    bounds = [0] + cuts + [n]
+
+    aggs = {"v": "sum", "m": "min"}
+    partials = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        block = df.iloc[lo:hi]
+        if len(block) == 0:
+            continue
+        g = block.groupby("k", sort=False, as_index=False).agg(aggs)
+        boundary = np.zeros(len(g), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
+        g["_b"] = boundary
+        partials.append(g)
+    if not partials:
+        return
+    mixed = pd.concat(partials, ignore_index=True)
+    finals = mixed.loc[~mixed["_b"], ["k", "v", "m"]]
+    folded = mixed.loc[mixed["_b"], ["k", "v", "m"]] \
+        .groupby("k", sort=False, as_index=False).agg(aggs)
+    got = pd.concat([finals, folded], ignore_index=True) \
+        .sort_values("k").reset_index(drop=True)
+    ref = df.groupby("k", as_index=False).agg(aggs) \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_window_kernel_segments_never_leak_across_keys(data):
+    """Property: the segmented window kernel's lag/cumsum columns are
+    exactly the concatenation of independent per-key computations, for
+    ANY sorted key/value stream (incl. single-key and all-unique)."""
+    import numpy as np
+    import pandas as pd
+    n = data.draw(st.integers(min_value=1, max_value=300))
+    keys = sorted(data.draw(st.lists(st.integers(0, 15),
+                                     min_size=n, max_size=n)))
+    cents = np.asarray(data.draw(st.lists(st.integers(-99, 99),
+                                          min_size=n, max_size=n)),
+                       dtype=np.int64)
+    uid = np.asarray(keys, dtype=np.int64)
+    idx = np.arange(n)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    seg_start = idx[new_user][np.cumsum(new_user) - 1]
+    rn = idx - seg_start + 1
+    prev = np.empty(n, dtype="float64")
+    prev[0] = np.nan
+    prev[1:] = cents[:-1]
+    prev[new_user] = np.nan
+    total = np.cumsum(cents)
+    cum = total - (total - cents)[seg_start]
+
+    s = pd.Series(cents)
+    g = s.groupby(pd.Series(uid))
+    ref_rn = g.cumcount().to_numpy() + 1
+    ref_prev = g.shift(1).to_numpy()
+    ref_cum = g.cumsum().to_numpy()
+    assert (rn == ref_rn).all()
+    assert np.allclose(prev, ref_prev, equal_nan=True)
+    assert (cum == ref_cum).all()
