@@ -27,7 +27,8 @@ import pyarrow.parquet as pq
 
 from ..sources import fixtures
 from ..stages.footprint import encode_footprint
-from ..stages.util import autoscale_pool, table_from_pandas
+from ..stages.util import (autoscale_pool, clean_read_parquet,
+                           table_from_pandas)
 from ..stages.knn import HexKNN
 from ..stages.pip_join import PIPJoiner, catalog_polygons
 from ..stages.tiler import Tiler
@@ -59,7 +60,7 @@ def metadata_pipeline(sf_dir: str, *, concurrency: int | None = None,
     coll, cat, knn_cat = _load_catalog(p["collections"])
     cat_ref = ray.put(cat)
     knn_ref = ray.put(knn_cat)
-    ds = rd.read_parquet(p["stac_items"],
+    ds = clean_read_parquet(p["stac_items"],
                          columns=["image_id", "item_id", "collection_id", "bbox"])
     ds = ds.map_batches(encode_footprint, batch_format="pyarrow")
     if len(coll) < actor_threshold:
@@ -196,7 +197,7 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
         # across blocks, copying the binary column (measured 8x slower)
         tiler = Tiler(with_phash=False, passthrough=passthrough)
         return joined.map_batches(tiler.__call__, batch_format="pyarrow")
-    items = rd.read_parquet(p["stac_items"],
+    items = clean_read_parquet(p["stac_items"],
                             columns=["image_id", "bbox", *passthrough])
 
     def split_bbox_cols(batch: pa.Table) -> pa.Table:
@@ -206,7 +207,7 @@ def tile_pipeline(sf_dir: str, *, concurrency: int | None = None,
         return append_bbox_scalar_cols(batch.drop_columns(["bbox"]), batch)
 
     items = items.map_batches(split_bbox_cols, batch_format="pyarrow")
-    images = rd.read_parquet(p["images"], columns=["image_id", "bytes"])
+    images = clean_read_parquet(p["images"], columns=["image_id", "bytes"])
     joined = images.join(items, join_type="inner",
                          num_partitions=num_partitions, on=("image_id",))
     return joined.map_batches(

@@ -27,7 +27,7 @@ from ..config import DEFAULT_CONFIG, TranslateConfig
 from ..sources import fixtures
 from ..stages.geocore import (ItemTranslator, collection_lookup,
                               translate_collections, translate_root)
-from ..stages.util import autoscale_pool
+from ..stages.util import autoscale_pool, clean_read_parquet
 from ..state.manifest import ManifestSink, partition_id
 
 
@@ -60,7 +60,7 @@ def items_dataset(sf_dir: str, cfg: TranslateConfig = DEFAULT_CONFIG,
     coll = pq.read_table(p["collections"])
     lookup = collection_lookup(coll)
     lookup_ref = ray.put(lookup)
-    ds = rd.read_parquet(p["stac_items"])
+    ds = clean_read_parquet(p["stac_items"])
     if len(lookup) < actor_threshold:
         def translate_task(batch):
             return ItemTranslator(lookup_ref, cfg)(batch)

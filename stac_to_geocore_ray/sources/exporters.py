@@ -12,8 +12,8 @@ from __future__ import annotations
 
 def parquet_to_csv(src: str, dst_dir: str, columns: list[str] | None = None):
     """Streaming parquet -> directory of CSV part files."""
-    import ray.data as rd
-    ds = rd.read_parquet(src, columns=columns)
+    from ..stages.util import clean_read_parquet
+    ds = clean_read_parquet(src, columns=columns)
     ds.write_csv(dst_dir)
     return dst_dir
 

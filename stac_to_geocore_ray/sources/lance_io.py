@@ -101,6 +101,8 @@ def read_ray_dataset(table_path: str, *, columns=None, **kwargs):
     """Streaming Ray Dataset over a table path (file, shard dir, or
     Lance dataset), format-dispatched."""
     import ray.data as rd
+
+    from ..stages.util import clean_read_parquet
     if HAVE_LANCE and table_path.endswith(".lance"):
         return rd.read_lance(table_path, columns=columns, **kwargs)
-    return rd.read_parquet(table_path, columns=columns, **kwargs)
+    return clean_read_parquet(table_path, columns=columns, **kwargs)

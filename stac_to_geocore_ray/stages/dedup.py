@@ -877,6 +877,16 @@ def cosine_pairs_by_lookup(g: pd.DataFrame, lut_ref,
     lut_mat32 = lut[2] if len(lut) > 2 else None
     ids = np.sort(g[id_col].to_numpy())
     rows = np.searchsorted(lut_ids, ids)
+    # fail loud if the broadcast corpus ever diverges from the dataset
+    # read: a missing id would otherwise silently map to a wrong (or
+    # clipped) row and produce wrong cosines (advice r4)
+    safe = np.clip(rows, 0, len(lut_ids) - 1)
+    if not np.array_equal(lut_ids[safe], ids):
+        missing = ids[lut_ids[safe] != ids][:5]
+        raise ValueError(
+            "cosine_pairs_by_lookup: candidate vec_ids absent from the "
+            f"broadcast corpus (first few: {missing.tolist()}); the "
+            "driver-side corpus read diverged from the dataset read")
     n = len(ids)
     out_a, out_b, out_c = [], [], []
     if lut_mat32 is not None:

@@ -33,6 +33,44 @@ def strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None)
 
 
+def clean_read_parquet(path, *, columns=None, filesystem=None, **kwargs):
+    """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
+
+    Parquet footers written by pandas embed a ``{b'pandas': ...}``
+    dict in the schema metadata; dict-bearing schemas are UNHASHABLE,
+    so every block handoff — including the read operator's own
+    SplitBlocks — logs ``Failed to hash the schemas (for
+    deduplication)`` and pays the slow schema-unify path.  Probing one
+    fragment's footer and passing ``schema=`` makes the read tasks
+    emit clean blocks from the start (round 4 stripped in a fused map
+    AFTER the read, which left the read itself on the slow path).
+
+    Falls back to a plain read when the footer probe fails (exotic
+    layouts); that only forfeits the fast path, never correctness.
+    """
+    import glob as _g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    probe = path[0] if isinstance(path, (list, tuple)) else path
+    if filesystem is None and isinstance(probe, str) and os.path.isdir(probe):
+        frags = sorted(_g.glob(os.path.join(probe, "*.parquet")))
+        if frags:
+            probe = frags[0]
+    try:
+        full = pq.read_schema(probe, filesystem=filesystem).remove_metadata()
+        schema = pa.schema([full.field(c) for c in columns]) \
+            if columns else full
+    except Exception:
+        return rd.read_parquet(path, columns=columns,
+                               filesystem=filesystem, **kwargs)
+    return rd.read_parquet(path, columns=columns, schema=schema,
+                           filesystem=filesystem, **kwargs)
+
+
 def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:
     """Actor-pool size that cannot starve the rest of the pipeline.
 
@@ -103,7 +141,10 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
         df = df[cols]
         if len(df) == 0:
             return df.assign(_boundary=pd.Series([], dtype=bool))
-        g = df.groupby(list(keys), sort=False, as_index=False).agg(aggs)
+        # dropna=False: a null key is a group like any other — the
+        # pandas default silently DROPS those rows (advice r4)
+        g = df.groupby(list(keys), sort=False, as_index=False,
+                       dropna=False).agg(aggs)
         boundary = np.zeros(len(g), dtype=bool)
         boundary[0] = True          # sorted input: only the block's
         boundary[-1] = True         # first/last key can straddle blocks
@@ -121,8 +162,8 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return g[cols]
-        return g.groupby(list(keys), sort=False,
-                         as_index=False).agg(aggs)[cols]
+        return g.groupby(list(keys), sort=False, as_index=False,
+                         dropna=False).agg(aggs)[cols]
 
     folded = mixed.map_batches(lambda g: g.loc[g["_boundary"], cols],
                                batch_format="pandas") \
