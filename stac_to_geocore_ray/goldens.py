@@ -296,6 +296,69 @@ def golden_tile_phash_stats(sf_dir: str) -> pa.Table:
                                       pa.int64())})
 
 
+def golden_tile_topk_phash(sf_dir: str) -> pa.Table:
+    """Scalar replay of the salted holistic top-k: decode every image,
+    loop its tile grid computing pHash (scalar fi.phash, same as
+    golden_tile_phash_stats) and the tile-center hex prefix (res 4,
+    one latlng_to_cell call per tile), count per (prefix, phash), and
+    emit each prefix's top-3 by (count desc, phash asc) with rank."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .geo import hexgrid
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    t = 64
+    counts: dict[tuple[int, int], int] = {}
+    img_shards = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))
+    item_shards = sorted(_glob.glob(os.path.join(p["stac_items"],
+                                                 "*.parquet")))
+    if [os.path.basename(a) for a in img_shards] != \
+            [os.path.basename(b) for b in item_shards]:
+        raise RuntimeError(
+            "images/ and stac_items/ shard sets differ — fixture dir is "
+            "misaligned (stale or partially regenerated); re-generate it")
+    for ishard, sshard in zip(img_shards, item_shards):
+        imgs = pq.read_table(ishard, columns=["image_id", "bytes"])
+        items = pq.read_table(sshard, columns=["image_id", "bbox"])
+        bbox_of = dict(zip(items["image_id"].to_pylist(),
+                           items["bbox"].to_pylist()))
+        for image_id, buf in zip(imgs["image_id"].to_pylist(),
+                                 imgs["bytes"].to_pylist()):
+            bw, bs, be, bn = bbox_of[image_id]
+            arr = fi.decode(buf)
+            h, w = arr.shape[0], arr.shape[1]
+            ntx = (w + t - 1) // t
+            nty = (h + t - 1) // t
+            for ty in range(nty):
+                for tx in range(ntx):
+                    tile = arr[ty * t:ty * t + t, tx * t:tx * t + t]
+                    ph = int(fi.phash(tile))
+                    tw = t if tx < ntx - 1 else w - (ntx - 1) * t
+                    th = t if ty < nty - 1 else h - (nty - 1) * t
+                    cx = (tx * t + tw / 2.0) / w
+                    cy = (ty * t + th / 2.0) / h
+                    lon = bw + cx * (be - bw)
+                    lat = bn - cy * (bn - bs)
+                    prefix = int(hexgrid.latlng_to_cell(
+                        np.array([lat]), np.array([lon]), 4)[0])
+                    key = (prefix, ph)
+                    counts[key] = counts.get(key, 0) + 1
+    per_cell: dict[int, list[tuple[int, int]]] = {}
+    for (prefix, ph), n in counts.items():
+        per_cell.setdefault(prefix, []).append((n, ph))
+    rows = []
+    for prefix in sorted(per_cell):
+        top = sorted(per_cell[prefix], key=lambda x: (-x[0], x[1]))[:3]
+        for rank, (n, ph) in enumerate(top, 1):
+            rows.append((prefix, ph, n, rank))
+    return pa.table({
+        "hex_prefix": pa.array([r[0] for r in rows], pa.int64()),
+        "tile_phash": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "rank": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def golden_video_frames(sf_dir: str) -> pa.Table:
     """Scalar replay of video_frame_sample: rebuild the same 16 GVID
     containers from shard0 images (the query's construction), decode
@@ -537,6 +600,7 @@ GOLDENS = {
     "decode_stats": golden_decode_stats,
     "geocore_assemble": golden_geocore_assemble,
     "tile_phash_stats": golden_tile_phash_stats,
+    "tile_topk_phash": golden_tile_topk_phash,
     "video_frame_sample": golden_video_frames,
     "audio_features": golden_audio_features,
     "harvest_manifests": golden_harvest_manifests,

@@ -315,6 +315,67 @@ def tile_rollup(tiles_ds, salt_factor: int = 8, mode: str = "tree",
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def tile_topk_phash_rollup(tiles_ds, k: int = 3, salt_factor: int = 8):
+    """Per-cell top-k pHash by tile count — the registered end-to-end
+    exerciser of the SALTED HOLISTIC template (``tile_rollup``
+    mode="salted" documents the shape; this op actually needs it).
+
+    The per-key reduction (top-k over the key's full value multiset)
+    is HOLISTIC: a plain ``groupby(cell).map_groups`` would ship every
+    tile row of a dense urban cell to one reducer.  The salt here
+    derives from the pHash VALUE (``phash & (salt_factor-1)``), which
+    buys two things a row-hash salt would not:
+
+    - every copy of a given (cell, phash) lands in exactly ONE salt
+      shard, so phase-1 per-(cell, salt) counts are FINAL — phase 2
+      merges disjoint count sets per cell and is a pure top-k, no
+      re-count;
+    - a dense cell splits across ``salt_factor`` reducers in exact
+      proportion to its distinct-hash mix (density from repetition —
+      the common case — contracts inside each shard's value_counts).
+
+    Phase-2 input is one row per distinct (cell, phash): bounded by
+    content diversity, not tile count.  ``salt_factor`` must be a
+    power of two (bitwise AND keeps the salt non-negative for
+    negative int64 hashes, where ``%`` in C truncates toward zero).
+
+    Skew line (BENCH/BASELINE.md round 5): one cell holding 50% of a
+    synthetic tile stream, hot pHash inside it — salt_factor 8 vs 1.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    if salt_factor & (salt_factor - 1) or salt_factor <= 0:
+        raise ValueError(f"salt_factor={salt_factor} must be a power of two")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        ph = batch["tile_phash"]
+        salt = pc.cast(pc.bit_wise_and(ph, salt_factor - 1), pa.int32())
+        return pa.table({"hex_prefix": batch["hex_prefix"],
+                         "tile_phash": ph, "salt": salt})
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["tile_phash"].value_counts()
+        return pd.DataFrame({
+            "hex_prefix": np.full(len(vc), g["hex_prefix"].iloc[0],
+                                  dtype=np.int64),
+            "tile_phash": vc.index.to_numpy(),
+            "n": vc.to_numpy().astype(np.int64)})
+
+    counts = tiles_ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby(["hex_prefix", "salt"]) \
+        .map_groups(group_counts, batch_format="pandas")
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "tile_phash"], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["hex_prefix", "tile_phash", "n", "rank"]]
+
+    return counts.groupby("hex_prefix").map_groups(group_topk,
+                                                   batch_format="pandas")
+
+
 def flagship(sf_dir: str, *, concurrency: int | None = None,
              with_tiles: bool = True):
     """Full pipeline; returns the PIP/kNN-joined metadata Dataset and,

@@ -169,6 +169,79 @@ class TestSkewSalting:
         assert np.allclose(salted.avg_intensity, tree2.avg_intensity)
 
 
+class TestSaltedHolisticTopK:
+    def _oracle(self, df, k=3):
+        import pandas as pd
+        counts = df.groupby(["hex_prefix", "tile_phash"]) \
+            .size().reset_index(name="n")
+        rows = []
+        for prefix, g in counts.groupby("hex_prefix"):
+            g = g.sort_values(["n", "tile_phash"],
+                              ascending=[False, True]).head(k)
+            for rank, (_, r) in enumerate(g.iterrows(), 1):
+                rows.append((prefix, r.tile_phash, r.n, rank))
+        return pd.DataFrame(rows, columns=["hex_prefix", "tile_phash",
+                                           "n", "rank"])
+
+    def _synthetic(self, n_dense=5000, n_sparse=500, seed=7):
+        """One dense cell = 90% of the stream, one hot pHash = 60% of
+        the dense cell (density-from-repetition, the urban-cell shape),
+        forced tiny blocks so groups straddle block boundaries."""
+        import numpy as np
+        import pandas as pd
+        rng = np.random.default_rng(seed)
+        dense_cell = 4_000_000
+        cells = np.concatenate([
+            np.full(n_dense, dense_cell, dtype=np.int64),
+            rng.integers(0, 40, n_sparse).astype(np.int64)])
+        hot = np.int64(-42)          # negative: pins the & salt path
+        ph = np.where(rng.random(n_dense) < 0.6, hot,
+                      rng.integers(-1000, 1000, n_dense)).astype(np.int64)
+        phs = np.concatenate([ph, rng.integers(-50, 50,
+                                               n_sparse).astype(np.int64)])
+        return pd.DataFrame({"hex_prefix": cells, "tile_phash": phs})
+
+    def test_matches_pandas_oracle_under_skew(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from stac_to_geocore_ray.pipelines.flagship import \
+            tile_topk_phash_rollup
+        df = self._synthetic()
+        ds = rd.from_pandas(df).repartition(16)
+        got = tile_topk_phash_rollup(ds, k=3, salt_factor=8).to_pandas() \
+            .sort_values(["hex_prefix", "rank"]).reset_index(drop=True)
+        want = self._oracle(df).sort_values(["hex_prefix", "rank"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64))
+        # the hot pHash wins rank 1 in the dense cell
+        top = got[(got.hex_prefix == 4_000_000) & (got["rank"] == 1)]
+        assert top.tile_phash.tolist() == [-42]
+
+    def test_salt_splits_dense_cell(self):
+        """The value-derived salt spreads a dense cell's DISTINCT
+        hashes across shards while keeping every copy of one hash in
+        exactly one shard (phase-1 counts are final)."""
+        import numpy as np
+        df = self._synthetic()
+        dense = df[df.hex_prefix == 4_000_000]
+        salts = dense.tile_phash.to_numpy() & 7
+        assert (salts >= 0).all()               # negative hashes too
+        assert len(np.unique(salts)) == 8       # all reducers engaged
+        for ph, g in dense.groupby("tile_phash"):
+            assert len(np.unique(g.tile_phash.to_numpy() & 7)) == 1
+
+    def test_salt_factor_must_be_power_of_two(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from stac_to_geocore_ray.pipelines.flagship import \
+            tile_topk_phash_rollup
+        ds = rd.from_items([{"hex_prefix": 1, "tile_phash": 2}])
+        with pytest.raises(ValueError, match="power of two"):
+            tile_topk_phash_rollup(ds, salt_factor=6)
+
+
 class TestSkewReport:
     def test_detects_planted_hot_key(self, ray_session):
         import ray.data as rd
