@@ -125,6 +125,9 @@ def run_bench() -> dict:
         timed("events_type_pivot",
               lambda: q.events_type_pivot(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # salted holistic per-cell top-k pHash (round-5 map_groups
+        # template exerciser; decode-bound like tile_assign)
+        timed("tile_topk_phash", lambda: q.tile_topk_phash(sf_dir).count())
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

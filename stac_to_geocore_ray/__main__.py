@@ -2,6 +2,8 @@
 
     python -m stac_to_geocore_ray harvest  --sf-dir D --out O [--no-resume]
     python -m stac_to_geocore_ray flagship --sf-dir D --out O [--fail-after K]
+    python -m stac_to_geocore_ray minhash-pairs --sf-dir D --out O [--ranges N]
+    python -m stac_to_geocore_ray phash-clusters --sf-dir D --out O
     python -m stac_to_geocore_ray export-geocore --sf-dir D --out O [--limit N]
     python -m stac_to_geocore_ray export-csv --src TABLE.parquet --out O
 
@@ -44,6 +46,21 @@ def main(argv=None) -> int:
     f.add_argument("--fail-after", type=int, default=None)
     f.add_argument("--phash", action="store_true")
 
+    mh = sub.add_parser("minhash-pairs",
+                        help="checkpointed MinHash near-dup pair emission")
+    mh.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    mh.add_argument("--out", required=True)
+    mh.add_argument("--no-resume", action="store_true")
+    mh.add_argument("--fail-after", type=int, default=None)
+    mh.add_argument("--ranges", type=int, default=8)
+
+    pc_ = sub.add_parser("phash-clusters",
+                         help="checkpointed pHash connected components")
+    pc_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--no-resume", action="store_true")
+    pc_.add_argument("--collect-threshold", type=int, default=500_000)
+
     g = sub.add_parser("export-geocore", help="translated items -> GeoCore JSON files")
     g.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     g.add_argument("--out", required=True)
@@ -66,6 +83,17 @@ def main(argv=None) -> int:
                                           resume=not args.no_resume,
                                           fail_after=args.fail_after,
                                           with_phash=args.phash)
+        elif args.cmd == "minhash-pairs":
+            from .pipelines.dedup_runs import run_minhash_to_parquet
+            res = run_minhash_to_parquet(args.sf_dir, args.out,
+                                         resume=not args.no_resume,
+                                         fail_after=args.fail_after,
+                                         n_ranges=args.ranges)
+        elif args.cmd == "phash-clusters":
+            from .pipelines.dedup_runs import run_phash_clusters_to_parquet
+            res = run_phash_clusters_to_parquet(
+                args.sf_dir, args.out, resume=not args.no_resume,
+                collect_threshold=args.collect_threshold)
         elif args.cmd == "export-geocore":
             from .pipelines.geocore_harvest import items_dataset
             from .sources.exporters import write_geocore_json

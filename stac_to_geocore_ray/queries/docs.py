@@ -494,45 +494,30 @@ def _expand_member_pairs(vt: pa.Table, mem_np: dict, id_type,
         .map_batches(expand, batch_format="pyarrow")
 
 
-def _expand_content_clusters(verified_ds, docs_ds, id_type,
-                             chunk_pairs: int = 1_000_000):
-    """Rep-level verified pairs -> the full member-pair listing.
+def _collect_verified(verified_ds, id_type) -> pa.Table | None:
+    """Collect the rep-level verified pairs and (a, b)-dedupe them.
 
-    Counterpart of ``dedup.lsh_group_rep_pairs``: a verified pair's
-    jaccard is EXACT for every member combination (identical normalized
-    text => identical feature set), so members expand only as OUTPUT —
-    the sf1.0 pHash lesson applied to text LSH.  Membership comes from
-    one extra streamed pass over the corpus computing content hashes
-    only (no signatures); the collected lut is sized by the clusters
-    that actually appear in verified pairs, not the corpus.  Expansion
-    yields bounded chunks so a hot cluster's quadratic OUTPUT streams
-    through the object store instead of sitting in one task's heap.
+    A pair surfaces once per colliding band (no upstream (a, b)
+    groupby — Ray's sort-aggregate pays per-distinct-key overhead);
+    the verified set is output-adjacent-sized, so dedup here is one
+    C-level pass.  Returns None when nothing verified.
     """
-    import ray
-    import ray.data as rd
-    from ..stages.dedup import norm_text_hash
-
     tables = list(verified_ds.iter_batches(batch_format="pyarrow"))
-    empty = pa.table({"a": pa.array([], id_type),
-                      "b": pa.array([], id_type),
-                      "jaccard": pa.array([], pa.float64())})
     if not tables:
-        return empty
+        return None
     vt = pa.concat_tables(tables)
     if vt.num_rows == 0:
-        return empty
-    # a pair surfaces once per colliding band (no upstream (a, b)
-    # groupby — Ray's sort-aggregate pays per-distinct-key overhead);
-    # the verified set is output-adjacent-sized, so dedup here is one
-    # C-level pass
-    vt = table_from_pandas(
+        return None
+    return table_from_pandas(
         vt.to_pandas().drop_duplicates(["a", "b"], ignore_index=True))
-    # no surviving SELF pair => every surviving cluster is a singleton
-    # (a >= 2-member cluster with a non-empty feature set always
-    # verifies its self marker at jaccard 1.0) — expansion is the
-    # identity, skip the membership pass entirely
-    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
-        return vt.select(["a", "b", "jaccard"])
+
+
+def _member_lut(vt: pa.Table, docs_ds, id_type) -> dict:
+    """content-hash -> sorted member-id array, for the clusters that
+    actually appear in ``vt`` (one streamed content-hash pass over the
+    corpus; the collected lut is output-adjacent-sized)."""
+    import ray
+    from ..stages.dedup import norm_text_hash
     needed = np.unique(np.concatenate([vt["a_ch"].to_numpy(),
                                        vt["b_ch"].to_numpy()]))
     need_ref = ray.put(needed)
@@ -550,8 +535,37 @@ def _expand_content_clusters(verified_ds, docs_ds, id_type,
             .iter_batches(batch_format="pyarrow"):
         for i, c in zip(b["doc_id"].to_pylist(), b["chash"].to_pylist()):
             members.setdefault(c, []).append(i)
-    mem_np = {c: np.sort(np.asarray(v, dtype=np.int64))
-              for c, v in members.items()}
+    return {c: np.sort(np.asarray(v, dtype=np.int64))
+            for c, v in members.items()}
+
+
+def _expand_content_clusters(verified_ds, docs_ds, id_type,
+                             chunk_pairs: int = 1_000_000):
+    """Rep-level verified pairs -> the full member-pair listing.
+
+    Counterpart of ``dedup.lsh_group_rep_pairs``: a verified pair's
+    jaccard is EXACT for every member combination (identical normalized
+    text => identical feature set), so members expand only as OUTPUT —
+    the sf1.0 pHash lesson applied to text LSH.  Membership comes from
+    one extra streamed pass over the corpus computing content hashes
+    only (no signatures); the collected lut is sized by the clusters
+    that actually appear in verified pairs, not the corpus.  Expansion
+    yields bounded chunks so a hot cluster's quadratic OUTPUT streams
+    through the object store instead of sitting in one task's heap.
+    """
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+    vt = _collect_verified(verified_ds, id_type)
+    if vt is None:
+        return empty
+    # no surviving SELF pair => every surviving cluster is a singleton
+    # (a >= 2-member cluster with a non-empty feature set always
+    # verifies its self marker at jaccard 1.0) — expansion is the
+    # identity, skip the membership pass entirely
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return vt.select(["a", "b", "jaccard"])
+    mem_np = _member_lut(vt, docs_ds, id_type)
     return _expand_member_pairs(vt, mem_np, id_type,
                                 key_a="a_ch", key_b="b_ch",
                                 val_name="jaccard",
@@ -619,10 +633,11 @@ def _expand_hash_clusters(rep_ds, hashed_ds, id_type,
                                 chunk_pairs=chunk_pairs)
 
 
-def minhash_neardup(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.5."""
-    import ray
-    import ray.data as rd
+def minhash_verified_table(sf_dir: str):
+    """(deduped rep-level verified pairs | None, docs dataset) — the
+    expensive front half of minhash_neardup, shared with the
+    checkpointed runner (pipelines.dedup_runs.run_minhash_to_parquet).
+    """
     from ..stages.dedup import MinHasher
     from ..stages.dedup import add_band_bucket, lsh_bucket_rep_pairs
     ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -638,26 +653,40 @@ def minhash_neardup(sf_dir: str):
     # NO (a, b) groupby here: a pair surfaces from up to n_bands bands,
     # but Ray's sort-aggregate pays per-distinct-key overhead (measured
     # minutes at ~600k candidate rows, 1M docs), and the rep-level
-    # candidate set is output-adjacent-sized anyway — the expansion
-    # stage drop_duplicates it in one C-level pass; verify just redoes
-    # a pair's (cheap) jaccard at most n_bands times
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+    # candidate set is output-adjacent-sized anyway — _collect_verified
+    # drop_duplicates it in one C-level pass; verify just redoes a
+    # pair's (cheap) jaccard at most n_bands times
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return None, ds
     # verify rep pairs against true shingle Jaccard.  The CORPUS is
     # only ever streamed: the candidate-id set (output-sized) rides
     # down via ray.put, each batch extracts shingle sets for its own
     # candidate rows, and the verify runs in map_batches over the
     # candidate Dataset with the (candidate-sized) shingle table
     # broadcast — no whole-corpus driver dict (round-1 weak spot).
-    cand = cand.materialize()
-    if cand.count() == 0:
-        return empty
     verified = _jaccard_verify_pairs(
         cand, ds,
         lambda text: _shingle_hashes_for_verify(text).astype(np.int64),
         id_type=pa.int64())
-    return _expand_content_clusters(verified, ds, id_type=pa.int64())
+    return _collect_verified(verified, pa.int64()), ds
+
+
+def minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.5."""
+    vt, ds = minhash_verified_table(sf_dir)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if vt is None:
+        return empty
+    if not pc.any(pc.equal(vt["a"], vt["b"])).as_py():
+        return vt.select(["a", "b", "jaccard"])
+    mem_np = _member_lut(vt, ds, pa.int64())
+    return _expand_member_pairs(vt, mem_np, pa.int64(),
+                                key_a="a_ch", key_b="b_ch",
+                                val_name="jaccard",
+                                val_arrow_type=pa.float64())
 
 
 # exact char-5-shingle Jaccard in SQL: shingles exploded to

@@ -129,8 +129,8 @@ def embedding_dedup_clusters(sf_dir: str):
     pairs = embedding_neardup_exact(sf_dir).select_columns(["a", "b"]) \
         .materialize()                               # count + collect: one run
     if pairs.count() > 500_000:
-        from ..stages.dedup import label_propagation_components
-        labels = label_propagation_components(pairs)
+        from ..stages.dedup import distributed_components
+        labels = distributed_components(pairs)
         return labels.map_batches(
             lambda b: pa.table({"vec_id": b["node"], "cluster": b["label"]}),
             batch_format="pyarrow")

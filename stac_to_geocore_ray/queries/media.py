@@ -318,7 +318,7 @@ def phash_dedup_clusters(sf_dir: str):
     """Connected components over the pHash near-dup graph: every image
     touching a pair gets a cluster id = min image_id of its component
     (driver union-find — the pair set is output-sized; dedup.
-    label_propagation_components is the distributed swap-in)."""
+    distributed_components is the distributed swap-in)."""
     from ..stages.dedup import union_find_components
     # connectivity-equivalent REDUCED edge set (star per identical-hash
     # group + one representative edge per near distinct-hash pair):
@@ -329,8 +329,8 @@ def phash_dedup_clusters(sf_dir: str):
     if n_pairs > 500_000:
         # edge set too big to collect: distributed min-label propagation
         # with pointer jumping (stages/dedup.py), labels stay a Dataset
-        from ..stages.dedup import label_propagation_components
-        labels = label_propagation_components(pairs.select_columns(["a", "b"]))
+        from ..stages.dedup import distributed_components
+        labels = distributed_components(pairs.select_columns(["a", "b"]))
         return labels.map_batches(
             lambda b: pa.table({"image_id": b["node"], "cluster": b["label"]}),
             batch_format="pyarrow")

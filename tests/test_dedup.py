@@ -140,6 +140,95 @@ def test_label_propagation_pandas_object_blocks(ray_session):
     assert got == uf
 
 
+def test_broadcast_components_match_union_find(ray_session):
+    """The broadcast-labels path (r4 item #2): identical labels to the
+    join path and union-find on a mixed chain + pairs + hub graph,
+    including int node ids and multi-block edge sets."""
+    import ray.data as rd
+    edges = [("c%02d" % i, "c%02d" % (i + 1)) for i in range(12)]
+    edges += [("p%02d" % i, "q%02d" % i) for i in range(5)]
+    edges += [("hub", "x%02d" % i) for i in range(7)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges],
+                       override_num_blocks=5)
+    got = dedup.label_propagation_broadcast(ds).to_pandas()
+    got = dict(zip(got.node, got.label))
+    uf = dedup.union_find_components([a for a, _ in edges],
+                                     [b for _, b in edges])
+    assert got == uf
+    joined = dedup.label_propagation_components(
+        rd.from_items([{"a": a, "b": b} for a, b in edges],
+                      override_num_blocks=5), num_partitions=3).to_pandas()
+    assert dict(zip(joined.node, joined.label)) == uf
+    # int ids through the auto dispatcher
+    ie = rd.from_items([{"a": i + 1, "b": i} for i in range(9)],
+                       override_num_blocks=3)
+    gi = dedup.distributed_components(ie).to_pandas()
+    assert set(gi.label) == {0} and len(gi) == 10
+
+
+def test_broadcast_components_checkpoint_resume(ray_session, tmp_path):
+    """Crash inside the broadcast loop; resume continues from the round
+    checkpoint and converges to identical labels; a finished sink
+    short-circuits; a foreign edge set is refused."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from stac_to_geocore_ray.state.manifest import ManifestSink
+
+    def edges():
+        a = [f"n{i:03d}" for i in range(40)]
+        b = [f"n{i + 1:03d}" for i in range(40)]
+        return rd.from_items([{"a": x, "b": y} for x, y in zip(a, b)],
+                             override_num_blocks=4)
+
+    ref = dedup.label_propagation_broadcast(edges()).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    sink = ManifestSink(str(tmp_path / "ck"))
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup.label_propagation_broadcast(edges(), checkpoint=sink,
+                                          fail_after_rounds=1)
+    before = sink.completed()
+    assert "lp-r0000" in before and "lp-final" not in before
+    got = dedup.label_propagation_broadcast(edges(), checkpoint=sink) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    after = sink.completed()
+    assert "lp-final" in after
+    assert after["lp-r0000"] == before["lp-r0000"]   # skipped, not redone
+    again = dedup.label_propagation_broadcast(edges(), checkpoint=sink) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, ref)
+    with pytest.raises(ValueError, match="DIFFERENT edge set"):
+        dedup.label_propagation_broadcast(
+            rd.from_items([{"a": "p", "b": "q"}]), checkpoint=sink)
+
+
+def test_broadcast_resumes_from_join_path_checkpoint(ray_session, tmp_path):
+    """min-label states form a monotone lattice: a round checkpoint
+    written by the JOIN path resumes correctly under the BROADCAST
+    path (and converges to the same labels)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from stac_to_geocore_ray.state.manifest import ManifestSink
+
+    def edges():
+        a = [f"m{i:03d}" for i in range(30)]
+        b = [f"m{i + 1:03d}" for i in range(30)]
+        return rd.from_items([{"a": x, "b": y} for x, y in zip(a, b)],
+                             override_num_blocks=3)
+
+    ref = dedup.label_propagation_broadcast(edges()).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    sink = ManifestSink(str(tmp_path / "ck"))
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup.label_propagation_components(edges(), checkpoint=sink,
+                                           fail_after_rounds=1)
+    got = dedup.label_propagation_broadcast(edges(), checkpoint=sink) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_label_propagation_multiblock_no_driver_collect(ray_session):
     """Multi-block edge set through the fully-distributed path (joins +
     pointer jumping); labels match union-find and the convergence

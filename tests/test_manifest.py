@@ -485,3 +485,148 @@ def test_object_store_crash_window_resume_byte_identical(tmp_path):
         da = (root1 / "out" / f"part-{pid}.parquet").read_bytes()
         db = (root2 / "out" / f"part-{pid}.parquet").read_bytes()
         assert da == db          # byte-identical data objects
+
+
+class TestDedupRunsResume:
+    """Kill-after-k resume for the long-running dedup legs (r4 #1)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"] for p, m in ManifestSink(out).completed().items()}
+
+    def test_minhash_run_resumes_byte_identical(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_minhash_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        # crash after the verified+members checkpoints, before any
+        # pair range
+        run_minhash_to_parquet(self.SF, out1, fail_after=0, n_ranges=4)
+        done = set(ManifestSink(out1).completed())
+        assert done == {"verified-0000", "members-0000"}
+        # resume must NOT redo the LSH front half: poison it
+        import stac_to_geocore_ray.queries.docs as docs_mod
+        orig = docs_mod.minhash_verified_table
+        docs_mod.minhash_verified_table = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("front half re-ran on resume"))
+        try:
+            r1 = run_minhash_to_parquet(self.SF, out1, n_ranges=4)
+        finally:
+            docs_mod.minhash_verified_table = orig
+        r2 = run_minhash_to_parquet(self.SF, out2, n_ranges=4)
+        assert r1["pair_rows"] == r2["pair_rows"] > 0
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_minhash_partial_ranges_resume(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_minhash_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        run_minhash_to_parquet(self.SF, out1, fail_after=2, n_ranges=4)
+        before = ManifestSink(out1).completed()
+        assert sum(p.startswith("pairs-") for p in before) == 2
+        run_minhash_to_parquet(self.SF, out1, n_ranges=4)
+        after = ManifestSink(out1).completed()
+        # completed ranges were skipped, not rewritten
+        for pid in before:
+            assert after[pid] == before[pid]
+        run_minhash_to_parquet(self.SF, out2, n_ranges=4)
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_minhash_matches_query_output(self, ray_session, tmp_path):
+        """The checkpointed runner's pair union == the registered
+        query's pairs (same content, partitioned + sorted)."""
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_minhash_to_parquet
+        from stac_to_geocore_ray.queries import minhash_neardup
+        out = str(tmp_path / "a")
+        run_minhash_to_parquet(self.SF, out, n_ranges=4)
+        files = sorted(glob.glob(f"{out}/part-pairs-*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files]) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        want = minhash_neardup(self.SF)
+        want = (want.to_pandas() if hasattr(want, "to_pandas") else want)
+        if not isinstance(want, pd.DataFrame):
+            want = want.to_pandas()
+        want = want.sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_phash_clusters_resume_skips_edges(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_phash_clusters_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        with pytest.raises(RuntimeError, match="injected"):
+            run_phash_clusters_to_parquet(self.SF, out1,
+                                          fail_before_final=True)
+        assert set(ManifestSink(out1).completed()) == {"edges-0000"}
+        # resume must NOT recompute the edge set
+        import stac_to_geocore_ray.queries.media as media_mod
+        orig = media_mod._phash_near_dedup_impl
+        media_mod._phash_near_dedup_impl = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("edge set re-ran on resume"))
+        try:
+            # the runner imports the name at call time from the module
+            from stac_to_geocore_ray.pipelines import dedup_runs
+            r1 = run_phash_clusters_to_parquet(self.SF, out1)
+        finally:
+            media_mod._phash_near_dedup_impl = orig
+        r2 = run_phash_clusters_to_parquet(self.SF, out2)
+        assert r1["clusters_rows"] == r2["clusters_rows"]
+        assert self._checksums(out1) == self._checksums(out2)
+        # a third call short-circuits on the final manifest
+        r3 = run_phash_clusters_to_parquet(self.SF, out1)
+        assert r3["resumed_final"]
+
+    def test_label_propagation_round_checkpoint_resume(self, ray_session,
+                                                       tmp_path):
+        """Crash inside the propagation loop; resume continues from the
+        newest round checkpoint and converges to identical labels."""
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.dedup import \
+            label_propagation_components
+
+        def chain_edges():
+            # a 40-node chain (needs >1 halved round) + a triangle
+            a = [f"n{i:03d}" for i in range(40)] + ["t0", "t0", "t1"]
+            b = [f"n{i + 1:03d}" for i in range(40)] + ["t1", "t2", "t2"]
+            return rd.from_items(
+                [{"a": x, "b": y} for x, y in zip(a, b)],
+                override_num_blocks=4)
+
+        ref = label_propagation_components(chain_edges()).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+
+        sink = ManifestSink(str(tmp_path / "ck"))
+        with pytest.raises(RuntimeError, match="injected"):
+            label_propagation_components(chain_edges(), checkpoint=sink,
+                                         fail_after_rounds=1)
+        done_before = sink.completed()
+        assert "lp-r0000" in done_before and "lp-final" not in done_before
+
+        got = label_propagation_components(chain_edges(), checkpoint=sink) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, ref)
+        done_after = sink.completed()
+        assert "lp-final" in done_after
+        # round 0 was not rewritten on resume
+        assert done_after["lp-r0000"] == done_before["lp-r0000"]
+        # a finished sink returns the final table without iterating
+        again = label_propagation_components(chain_edges(), checkpoint=sink) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(again, ref)
+
+    def test_label_propagation_rejects_foreign_checkpoint(self, ray_session,
+                                                          tmp_path):
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.dedup import \
+            label_propagation_components
+        sink = ManifestSink(str(tmp_path / "ck"))
+        e1 = rd.from_items([{"a": "x", "b": "y"}, {"a": "y", "b": "z"}])
+        label_propagation_components(e1, checkpoint=sink)
+        e2 = rd.from_items([{"a": "p", "b": "q"}])
+        with pytest.raises(ValueError, match="DIFFERENT edge set"):
+            label_propagation_components(e2, checkpoint=sink)
