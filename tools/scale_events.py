@@ -67,7 +67,12 @@ def _shard_table(lo: int, hi: int, n_total: int,
         "event_type": pa.array(TYPES[rng.integers(0, len(TYPES), size=m)],
                                pa.string()),
         "value": pa.array(value, pa.float64()),
-        "props": pa.array(["{}"] * m, pa.string()),
+        # real JSON payloads (fixture-shaped {"k": int}) so the
+        # props-extraction A/B measures actual parsing, not empty-object
+        # scans (round 5; marker param props=k keys the change)
+        "props": pa.array(np.char.add(
+            np.char.add('{"k": ',
+                        rng.integers(0, 100, m).astype("U3")), "}")),
     })
 
 
@@ -82,10 +87,10 @@ def _write_shard(out: str, lo: int, hi: int, shard: int, n_total: int,
 def generate(out_dir: str, n: int, hot_frac: float = 0.01) -> None:
     ev_dir = os.path.join(out_dir, "events.parquet")
     marker = os.path.join(out_dir, "_COMPLETE")
-    params = f"n={n};hot_frac={hot_frac}"
+    params = f"n={n};hot_frac={hot_frac};props=k"
     if os.path.exists(marker):
         have = open(marker).read().strip()
-        legacy_ok = (have == f"n={n}" and hot_frac == 0.01)
+        legacy_ok = False        # pre-round-5 fixtures carry "{}" props
         if have != params and not legacy_ok:
             # a stale marker would silently measure the WRONG corpus
             # (e.g. a skew-stress run against a 1%-hot fixture)
@@ -169,6 +174,7 @@ def main() -> None:
     timed("events_retention", lambda: q.events_retention(out_dir))
     timed("events_rollup", lambda: q.events_rollup(out_dir))
     timed("events_range_join", lambda: q.events_range_join(out_dir))
+    timed("events_props_json", lambda: q.events_props_json(out_dir))
     tracker.stop()
 
     print(json.dumps({
