@@ -40,12 +40,9 @@ redo granularity — more ranges, less lost work per crash.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 
-from ..sources import fixtures  # noqa: F401  (path conventions)
 from ..state.manifest import ManifestSink
 
 
@@ -148,12 +145,30 @@ def run_minhash_to_parquet(sf_dir: str, out_dir: str, *,
             mem_np[int(c)] = np.sort(seg_ids.astype(np.int64))
 
     # ---- stage 3: pair ranges ------------------------------------------
-    todo = [i for i in range(n_ranges)
-            if not (resume and sink.is_done(f"pairs-{i:04d}"))]
-    if fail_after is not None:
-        todo = todo[:fail_after]
     n = vt.num_rows
     step = max(1, -(-n // n_ranges)) if n else 1
+
+    def _range_input(i: int) -> str:
+        lo, hi = i * step, min(n, (i + 1) * step)
+        return f"verified-0000[{lo}:{hi}]"
+
+    # a resume with a DIFFERENT n_ranges would mix partition layouts
+    # (pairs-0003 of an old 4-range run unioned with new 8-range
+    # partitions double-counts rows); the per-range lineage string
+    # pins the layout, so validate it before skipping anything
+    done_pairs = {p: m for p, m in sink.completed().items()
+                  if p.startswith("pairs-")}
+    for pid, m in done_pairs.items():
+        i = int(pid.split("-")[1])
+        if i >= n_ranges or m.get("inputs") != [_range_input(i)]:
+            raise ValueError(
+                f"completed {pid!r} in {out_dir!r} was written under a "
+                f"different range layout ({m.get('inputs')}); resume "
+                f"with the original n_ranges or reset() the sink")
+    todo = [i for i in range(n_ranges)
+            if not (resume and f"pairs-{i:04d}" in done_pairs)]
+    if fail_after is not None:
+        todo = todo[:fail_after]
     written = 0
     for i in todo:
         lo, hi = i * step, min(n, (i + 1) * step)
@@ -168,7 +183,7 @@ def run_minhash_to_parquet(sf_dir: str, out_dir: str, *,
             part = part if part.num_rows or part.num_columns else empty_pairs
         part = _sorted_single_chunk(part, ["a", "b"])
         sink.write_partition(f"pairs-{i:04d}", part,
-                             inputs=[f"verified-0000[{lo}:{hi}]"])
+                             inputs=[_range_input(i)])
         written += 1
     done = sink.completed()
     pair_rows = sum(m["rows"] for p, m in done.items()

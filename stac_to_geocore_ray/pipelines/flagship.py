@@ -355,6 +355,11 @@ def tile_topk_phash_rollup(tiles_ds, k: int = 3, salt_factor: int = 8):
                          "tile_phash": ph, "salt": salt})
 
     def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:                      # typed empty: sparse shuffle
+            return pd.DataFrame({
+                "hex_prefix": pd.Series([], dtype="int64"),
+                "tile_phash": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
         vc = g["tile_phash"].value_counts()
         return pd.DataFrame({
             "hex_prefix": np.full(len(vc), g["hex_prefix"].iloc[0],

@@ -1105,6 +1105,9 @@ def label_propagation_broadcast(edges_ds, nodes: np.ndarray | None = None,
         lab_ref = ray.put(labels)
 
         def msgs(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:          # typed empty: sparse blocks
+                return pa.table({"idx": pa.array([], pa.int64()),
+                                 "lo": pa.array([], pa.int64())})
             lab = ray.get(lab_ref)
             ia = batch["ia"].to_numpy()
             ib = batch["ib"].to_numpy()

@@ -532,6 +532,19 @@ class TestDedupRunsResume:
         run_minhash_to_parquet(self.SF, out2, n_ranges=4)
         assert self._checksums(out1) == self._checksums(out2)
 
+    def test_minhash_rejects_changed_range_layout(self, ray_session,
+                                                  tmp_path):
+        """Resuming with a different n_ranges would union two partition
+        layouts (double-counted pairs) — it must refuse instead."""
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_minhash_to_parquet
+        out = str(tmp_path / "a")
+        run_minhash_to_parquet(self.SF, out, fail_after=2, n_ranges=4)
+        with pytest.raises(ValueError, match="different range layout"):
+            run_minhash_to_parquet(self.SF, out, n_ranges=8)
+        # the original layout still resumes fine
+        run_minhash_to_parquet(self.SF, out, n_ranges=4)
+
     def test_minhash_matches_query_output(self, ray_session, tmp_path):
         """The checkpointed runner's pair union == the registered
         query's pairs (same content, partitioned + sorted)."""
