@@ -166,6 +166,27 @@ def test_broadcast_components_match_union_find(ray_session):
     assert set(gi.label) == {0} and len(gi) == 10
 
 
+def test_broadcast_components_random_graphs(ray_session):
+    """Randomized parity: broadcast CC == union-find on Erdos-Renyi-ish
+    graphs of varying density, including isolated self-edges and int
+    ids (seeded; 5 draws)."""
+    import numpy as np
+    import ray.data as rd
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(5, 60))
+        n_edges = int(rng.integers(1, 3 * n_nodes))
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        ds = rd.from_items([{"a": int(x), "b": int(y)}
+                            for x, y in zip(a, b)],
+                           override_num_blocks=3)
+        got = dedup.label_propagation_broadcast(ds).to_pandas()
+        got = dict(zip(got.node, got.label))
+        uf = dedup.union_find_components(a.tolist(), b.tolist())
+        assert got == uf, f"seed {seed}"
+
+
 def test_broadcast_components_checkpoint_resume(ray_session, tmp_path):
     """Crash inside the broadcast loop; resume continues from the round
     checkpoint and converges to identical labels; a finished sink
