@@ -128,6 +128,14 @@ def run_bench() -> dict:
         # salted holistic per-cell top-k pHash (round-5 map_groups
         # template exerciser; decode-bound like tile_assign)
         timed("tile_topk_phash", lambda: q.tile_topk_phash(sf_dir).count())
+        # left_semi EXISTS join, both sides pruned at the read
+        timed("q4_order_priority",
+              lambda: q.q4_order_priority(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "orders.parquet")) else 0)
+        # correlated scalar-aggregate broadcast filter (two passes)
+        timed("q17_small_qty",
+              lambda: q.q17_small_qty_revenue(sf_dir).num_rows
+              if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

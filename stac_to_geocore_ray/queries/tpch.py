@@ -256,3 +256,179 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
 GROUP BY p_brand
 """
+
+def q4_order_priority(sf_dir: str):
+    """Distributed SEMI JOIN (EXISTS) — orders in a 3-month window with
+    at least one bulk lineitem (quantity > 48), counted per priority.
+    Complements parts_never_bulk_ordered's left_anti with the
+    left_semi op class (reference has no joins at all; this is the
+    engine-generality surface, like TPC-H Q4).
+
+    Scale shape: BOTH sides are pruned at the read (orders by the date
+    window via a row-group-skipping filter, lineitem to bulk rows
+    only), the right side contracts to per-batch DISTINCT order keys
+    before the shuffle, and the priority rollup after the join is a
+    strong-contraction combiner aggregate (5 priorities).
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    orders = clean_read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    li = clean_read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"],
+                            filter=(pads.field("l_quantity") > 48))
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = pd.unique(batch["l_orderkey"].to_numpy())
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    bulk = li.map_batches(distinct_keys, batch_format="pyarrow")
+    survivors = orders.join(bulk, join_type="left_semi", num_partitions=8,
+                            on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        g = df.groupby("o_orderpriority", sort=False).size() \
+              .reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = survivors.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n_orders"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "n_orders": pc.cast(batch["n_orders"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """Correlated scalar-aggregate filter (TPC-H Q17 shape): revenue
+    from lineitems whose quantity is below 20%% of their part's average
+    quantity, for two target brands — the broadcast-aggregate op class
+    (a per-key scalar computed in pass 1 rides into pass 2 as a
+    broadcast filter; no shuffle join of fact against fact).
+
+    Exactness: quantities are integral doubles, so the per-part
+    (sum, count) pair is order-independent and avg = sum/n is
+    bit-identical to DuckDB's; revenue is summed as integer cents and
+    divided by 700.0 only at the end, so the oracle (told to do the
+    same) hashes identically.
+
+    Scale shape: pass 1 reads 2 pruned columns, contracts per batch to
+    per-part (sum, n) partials, and the post-groupby table is
+    |target parts| rows — broadcast via ray.put.  At a part-table
+    scale where that map outgrows a worker's heap the same two passes
+    compose as a hash join on l_partkey instead (the q3/anti-join
+    template); the brand filter keeps this variant honest.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    BRANDS = ("Brand#23", "Brand#42")
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pk = pc.filter(part["p_partkey"],
+                   pc.is_in(part["p_brand"],
+                            value_set=pa.array(BRANDS))).to_numpy()
+    pk_sorted = np.sort(pk)
+    pk_ref = ray.put(pk_sorted)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    class QtyPartial:
+        """Per-batch (sum_qty, n) for target parts only."""
+
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            lp = batch["l_partkey"].to_numpy()
+            pos = np.searchsorted(self.keys, lp)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            mask = self.keys[pos_c] == lp
+            if not mask.any():
+                return pa.table({"p": pa.array([], pa.int64()),
+                                 "sum_qty": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            df = pd.DataFrame({"p": lp[mask],
+                               "q": batch["l_quantity"].to_numpy()[mask]})
+            g = df.groupby("p", sort=False).agg(
+                sum_qty=("q", "sum"), n=("q", "size")).reset_index()
+            return table_from_pandas(g, preserve_index=False)
+
+    avg_tbl = _meta_read(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity"]) \
+        .map_batches(QtyPartial, fn_constructor_args=(pk_ref,),
+                     batch_format="pyarrow", concurrency=_auto()) \
+        .groupby("p").aggregate(Sum("sum_qty", alias_name="sq"),
+                                Sum("n", alias_name="n")) \
+        .to_pandas()   # output-sized: <= |target parts| rows
+    if len(avg_tbl):
+        avg_keys = np.sort(avg_tbl["p"].to_numpy())
+        order = np.argsort(avg_tbl["p"].to_numpy())
+        thresh = 0.2 * (avg_tbl["sq"].to_numpy()[order]
+                        / avg_tbl["n"].to_numpy()[order])
+    else:
+        avg_keys = np.array([], dtype=np.int64)
+        thresh = np.array([], dtype=np.float64)
+    thr_ref = ray.put((avg_keys, thresh))
+
+    class SmallQtyCents:
+        """Filter below-threshold rows, emit one cents partial."""
+
+        def __init__(self, ref):
+            self.keys, self.thresh = (ray.get(ref)
+                                      if isinstance(ref, ray.ObjectRef)
+                                      else ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ._common import _cents
+            lp = batch["l_partkey"].to_numpy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, lp)
+                pos_c = np.clip(pos, 0, len(self.keys) - 1)
+                mask = self.keys[pos_c] == lp
+                mask &= (batch["l_quantity"].to_numpy()
+                         < self.thresh[pos_c])
+            else:
+                mask = np.zeros(len(lp), dtype=bool)
+            cents = int(_cents(
+                batch["l_extendedprice"].to_numpy()[mask]).sum())
+            return pa.table({"cents": pa.array([cents], pa.int64())})
+
+    cents = _meta_read(_t(sf_dir, "lineitem"), columns=li_cols) \
+        .map_batches(SmallQtyCents, fn_constructor_args=(thr_ref,),
+                     batch_format="pyarrow", concurrency=_auto()) \
+        .sum("cents")   # int64-exact global fold
+    avg_yearly = int(np.sign(cents) * math.floor(abs(cents) / 700.0 + 0.5))
+    return pa.table({"avg_yearly": pa.array([avg_yearly], pa.int64())})
+
+
+Q17_SQL = """
+SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0)
+            AS BIGINT) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand IN ('Brand#23', 'Brand#42')
+  AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+"""

@@ -351,3 +351,48 @@ class TestEventsRangeJoin:
         assert got.n_events.tolist() == ref.n_events.tolist()
         # intervals genuinely overlap events of OTHER users
         assert (got.n_events > 1).any()
+
+
+class TestQ4OrderPriority:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q4_order_priority
+        got = q4_order_priority(SF).to_pandas() \
+            .sort_values("o_orderpriority").reset_index(drop=True)
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity"])
+        window = orders[(orders.o_orderdate >= "1996-01-01")
+                        & (orders.o_orderdate < "1996-04-01")]
+        bulk = set(li.loc[li.l_quantity > 48, "l_orderkey"])
+        surv = window[window.o_orderkey.isin(bulk)]
+        ref = surv.groupby("o_orderpriority").size() \
+            .reset_index(name="n_orders") \
+            .sort_values("o_orderpriority").reset_index(drop=True)
+        assert got.o_orderpriority.tolist() == ref.o_orderpriority.tolist()
+        assert got.n_orders.tolist() == ref.n_orders.tolist()
+
+
+class TestQ17SmallQtyRevenue:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q17_small_qty_revenue
+        got = q17_small_qty_revenue(SF).to_pandas()
+        part = pd.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+        li = pd.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        pk = set(part.loc[part.p_brand.isin(["Brand#23", "Brand#42"]),
+                          "p_partkey"])
+        sub = li[li.l_partkey.isin(pk)]
+        avg = sub.groupby("l_partkey")["l_quantity"].mean()
+        small = sub[sub.l_quantity
+                    < 0.2 * sub.l_partkey.map(avg).to_numpy()]
+        cents = (np.floor(np.abs(small.l_extendedprice.to_numpy())
+                          * 100.0 + 0.5)
+                 * np.sign(small.l_extendedprice.to_numpy())) \
+            .astype("int64").sum()
+        ref = int(np.sign(cents) * np.floor(abs(cents) / 700.0 + 0.5))
+        assert len(got) == 1
+        assert int(got.avg_yearly.iloc[0]) == ref

@@ -69,8 +69,14 @@ def compare(name: str, mine: pd.DataFrame, theirs: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -114,6 +120,14 @@ def main():
     bad = {k: v for k, v in results.items()
            if v not in ("OK",) and not v.startswith("rows-only")}
     print(f"\n{len(results) - len(bad)}/{len(results)} clean; failing: {list(bad)}")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "n_clean": len(results) - len(bad),
+                       "failing": sorted(bad),
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     ray.shutdown()
 
 
