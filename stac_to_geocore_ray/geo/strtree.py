@@ -132,22 +132,27 @@ class STRtree:
                           blk[:, 2].max(), blk[:, 3].max())
             self.levels.append(par)
 
-    def _leaf_pairs(self, px: np.ndarray, py: np.ndarray):
-        """(leaf_index, point_index) candidate pair arrays whose bboxes
+    def _leaf_pairs(self, pw: np.ndarray, ps: np.ndarray,
+                    pe: np.ndarray, pn: np.ndarray):
+        """(leaf_index, probe_index) candidate pair arrays whose bboxes
         intersect: a LEVEL SWEEP down the packed hierarchy — active
-        (node, point) pair arrays expand to children with repeat/cumsum
-        index math and filter by containment at each level, so pruning
-        costs vector ops proportional to the live candidate set, never
-        per-node Python (and never a full leaves x probes matrix: the
-        sweep measured 13x faster than the broadcast matrix even in
-        the small regime where the matrix fits)."""
+        (node, probe) pair arrays expand to children with repeat/cumsum
+        index math and filter by closed rect OVERLAP at each level, so
+        pruning costs vector ops proportional to the live candidate
+        set, never per-node Python (and never a full leaves x probes
+        matrix: the sweep measured 13x faster than the broadcast matrix
+        even in the small regime where the matrix fits).
+
+        Probes are rectangles [w, s, e, n]; a point probe is the
+        degenerate rect w == e, s == n, for which the overlap test
+        reduces EXACTLY to the original containment test."""
         top = len(self.levels) - 1
         n_top = len(self.levels[top])
-        N = np.repeat(np.arange(n_top, dtype=np.int64), len(px))
-        P = np.tile(np.arange(len(px), dtype=np.int64), n_top)
+        N = np.repeat(np.arange(n_top, dtype=np.int64), len(pw))
+        P = np.tile(np.arange(len(pw), dtype=np.int64), n_top)
         b = self.levels[top][N]
-        keep = ((px[P] >= b[:, 0]) & (px[P] <= b[:, 2])
-                & (py[P] >= b[:, 1]) & (py[P] <= b[:, 3]))
+        keep = ((pe[P] >= b[:, 0]) & (pw[P] <= b[:, 2])
+                & (pn[P] >= b[:, 1]) & (ps[P] <= b[:, 3]))
         N, P = N[keep], P[keep]
         for level in range(top - 1, -1, -1):
             if len(N) == 0:
@@ -162,8 +167,8 @@ class STRtree:
             intra = np.arange(tot, dtype=np.int64) - np.repeat(base, ccount)
             C = starts + intra
             b = self.levels[level][C]
-            keep = ((px[Pc] >= b[:, 0]) & (px[Pc] <= b[:, 2])
-                    & (py[Pc] >= b[:, 1]) & (py[Pc] <= b[:, 3]))
+            keep = ((pe[Pc] >= b[:, 0]) & (pw[Pc] <= b[:, 2])
+                    & (pn[Pc] >= b[:, 1]) & (ps[Pc] <= b[:, 3]))
             N, P = C[keep], Pc[keep]
         return N, P
 
@@ -223,7 +228,13 @@ class STRtree:
         """Tree path helper: bbox-confirmed (polygon_idx, point_idx)
         candidate pair arrays, fully vectorized — leaf pairs expand to
         member polygons with the same repeat/cumsum index math."""
-        L, Q0 = self._leaf_pairs(px, py)
+        return self._rect_pairs(px, py, px, py)
+
+    def _rect_pairs(self, pw: np.ndarray, ps: np.ndarray,
+                    pe: np.ndarray, pn: np.ndarray):
+        """Tree path helper: overlap-confirmed (stored_idx, probe_idx)
+        pair arrays for rectangle probes [w, s, e, n]."""
+        L, Q0 = self._leaf_pairs(pw, ps, pe, pn)
         if len(L) == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e
@@ -235,9 +246,46 @@ class STRtree:
         intra = np.arange(tot, dtype=np.int64) - np.repeat(base, reps)
         P = self.items_flat[starts + intra]
         b = self.bounds[P]
-        m = ((px[Q] >= b[:, 0]) & (px[Q] <= b[:, 2]) &
-             (py[Q] >= b[:, 1]) & (py[Q] <= b[:, 3]))
+        m = ((pe[Q] >= b[:, 0]) & (pw[Q] <= b[:, 2]) &
+             (pn[Q] >= b[:, 1]) & (ps[Q] <= b[:, 3]))
         return P[m], Q[m]
+
+    def query_rects_all(self, rects: np.ndarray):
+        """(probe_idx, stored_idx) pairs for EVERY closed rectangle
+        OVERLAP (inner intersection join) — the 2-D interval-overlap
+        predicate (a.w <= b.e AND a.e >= b.w AND a.s <= b.n AND
+        a.n >= b.s), the spatial analogue of the events range join.
+
+        RECT-mode catalogs only: for polygon catalogs the bbox overlap
+        is a superset of true polygon intersection and an exact
+        confirm (clipping) is out of scope — fail loud rather than
+        return approximate pairs.
+
+        ``rects``: (N, 4) float array of probe bboxes [w, s, e, n].
+        Degenerate (w > e) antimeridian-crossing boxes are treated as
+        literal intervals (matching a plain SQL overlap predicate);
+        split them with footprint_split first for geographic
+        semantics.
+        """
+        if self.polygons is not None:
+            raise NotImplementedError(
+                "query_rects_all is exact only for rect-mode catalogs; "
+                "polygon catalogs would need an intersection confirm")
+        r = np.ascontiguousarray(rects, dtype=np.float64).reshape(-1, 4)
+        pw, ps, pe, pn = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        if self.n == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        if self.dense:
+            b = self.bounds
+            cand = ((pe[:, None] >= b[None, :, 0])
+                    & (pw[:, None] <= b[None, :, 2])
+                    & (pn[:, None] >= b[None, :, 1])
+                    & (ps[:, None] <= b[None, :, 3]))
+            qq, pp = np.nonzero(cand)
+            return qq.astype(np.int64), pp.astype(np.int64)
+        P, Q = self._rect_pairs(pw, ps, pe, pn)
+        return Q.astype(np.int64), P.astype(np.int64)
 
     def query_all(self, px: np.ndarray, py: np.ndarray):
         """(point_idx, polygon_idx) pairs for EVERY containment (inner join)."""

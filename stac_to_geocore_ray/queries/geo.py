@@ -689,6 +689,63 @@ FROM pts p JOIN cat c
 """
 
 
+def geo_rect_join(sf_dir: str):
+    """Rectangle-INTERSECTION join: every (item, catalog) pair whose
+    footprint bboxes OVERLAP (closed 2-D interval-overlap predicate)
+    — a different join class from the PIP family (containment of a
+    point) and the spatial analogue of events_range_join.  The
+    catalog is the even-numbered items' own non-degenerate bboxes
+    (>> dense_limit at sf >= 0.01, so the STRtree rect-probe TREE
+    sweep is the code under SQL check; sf0.001 exercises the dense
+    matrix path).
+
+    Antimeridian-crossing probe boxes (w > e, fixture rows
+    i % 911 == 907) are matched as literal intervals on both sides —
+    identical to the SQL predicate; geographic splitting is
+    geo_footprint_split's job upstream.
+
+    Scale shape: broadcast rect catalog via ray.put (one packed
+    (N, 4) float array + ids), actor-pool probe (tree built once per
+    actor in __init__), pruned 2-column read of each side, no
+    shuffle.  At a catalog too big to broadcast the same predicate
+    composes as a cell-bucketed shuffle join (bucket both sides by
+    covering cells, per-bucket rect sweep, dedup pairs) — the
+    documented scale-out path.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ..stages.pip_join import RectIntersectJoiner
+    p = _fx(sf_dir)
+    cat_tbl = pq.read_table(p["stac_items"], columns=["image_id", "bbox"])
+    id_col = cat_tbl["image_id"].combine_chunks()
+    bb_col = cat_tbl["bbox"].combine_chunks()
+    bbs = bb_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+    num = pc.cast(pc.utf8_slice_codeunits(id_col, 4, 13),
+                  pa.int64()).to_numpy()
+    keep = (num % 2 == 0) & (bbs[:, 0] < bbs[:, 2]) & (bbs[:, 1] < bbs[:, 3])
+    ids = np.asarray(id_col.to_numpy(zero_copy_only=False))[keep]
+    cat_ref = ray.put((ids.tolist(), bbs[keep]))
+    ds = clean_read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    return ds.map_batches(RectIntersectJoiner, fn_constructor_args=(cat_ref,),
+                          batch_format="pyarrow", concurrency=_auto())
+
+
+def _geo_rect_join_sql() -> str:
+    return f"""
+WITH it AS (
+  SELECT image_id, bbox FROM read_parquet('{_fx_glob("stac_items")}')),
+cat AS (
+  SELECT image_id AS cat_id, bbox
+  FROM it
+  WHERE CAST(substr(image_id, 5) AS BIGINT) % 2 = 0
+    AND bbox[1] < bbox[3] AND bbox[2] < bbox[4])
+SELECT i.image_id, c.cat_id
+FROM it i JOIN cat c
+  ON i.bbox[1] <= c.bbox[3] AND i.bbox[3] >= c.bbox[1]
+ AND i.bbox[2] <= c.bbox[4] AND i.bbox[4] >= c.bbox[2]
+"""
+
+
 def _g_cells_path() -> str:
     from .. import goldens as _g
     return _g.golden_path("geo_cells", ORACLE_SF_DIR)

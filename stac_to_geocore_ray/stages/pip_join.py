@@ -96,3 +96,43 @@ class MultiPIPJoiner(PIPJoiner):
             self.id_col: ids.take(pa.array(pts)),
             self.out_col: self.ids.take(pa.array(polys)),
         })
+
+
+class RectIntersectJoiner:
+    """Inner rectangle-INTERSECTION join (actor-pool stage): emits
+    (id, catalog id) for every closed bbox OVERLAP between the probe
+    row's footprint bbox and a broadcast rect catalog — the 2-D
+    interval-overlap predicate (``STRtree.query_rects_all``), i.e. the
+    spatial analogue of the events range join, vs the containment
+    predicate of the PIP joiners.
+
+    catalog: (ids, (N, 4) bbox array) tuple or a ray.ObjectRef of one;
+    the STRtree is built in rect mode ONCE per actor.
+    """
+
+    def __init__(self, catalog, bbox_col: str = "bbox",
+                 id_col: str = "image_id", out_col: str = "cat_id"):
+        try:
+            import ray
+            if isinstance(catalog, ray.ObjectRef):
+                catalog = ray.get(catalog)
+        except ImportError:
+            pass
+        ids, rects = catalog
+        self.ids = pa.array(ids, pa.string())
+        self.tree = STRtree(bboxes=np.asarray(rects, dtype=np.float64))
+        self.bbox_col, self.id_col, self.out_col = bbox_col, id_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bb = batch[self.bbox_col]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        rects = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        probes, stored = self.tree.query_rects_all(rects)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(probes)),
+            self.out_col: self.ids.take(pa.array(stored)),
+        })

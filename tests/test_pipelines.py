@@ -74,6 +74,35 @@ class TestTilePipeline:
         assert (roll.avg_intensity.between(0, 255)).all()
 
 
+class TestRectIntersectJoin:
+    def test_matches_duckdb_overlap_join(self, ray_session, sf_small):
+        import duckdb
+        from stac_to_geocore_ray.queries import geo_rect_join
+        from stac_to_geocore_ray.sources import fixtures
+        got = geo_rect_join("/root/testdata/sf0.001").to_pandas() \
+            .sort_values(["image_id", "cat_id"]).reset_index(drop=True)
+        glob = fixtures.duckdb_glob(sf_small["stac_items"])
+        ref = duckdb.sql(f"""
+            WITH it AS (
+              SELECT image_id, bbox FROM read_parquet('{glob}')),
+            cat AS (
+              SELECT image_id AS cat_id, bbox FROM it
+              WHERE CAST(substr(image_id, 5) AS BIGINT) % 2 = 0
+                AND bbox[1] < bbox[3] AND bbox[2] < bbox[4])
+            SELECT i.image_id, c.cat_id
+            FROM it i JOIN cat c
+              ON i.bbox[1] <= c.bbox[3] AND i.bbox[3] >= c.bbox[1]
+             AND i.bbox[2] <= c.bbox[4] AND i.bbox[4] >= c.bbox[2]
+        """).df() \
+            .sort_values(["image_id", "cat_id"]).reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.image_id.tolist() == ref.image_id.tolist()
+        assert got.cat_id.tolist() == ref.cat_id.tolist()
+        # every item overlaps itself when it is in the catalog, so the
+        # join is genuinely multi-match (> catalog size pairs)
+        assert (got.image_id == got.cat_id).sum() > 0
+
+
 class TestEntryContract:
     def test_entry_and_registry(self, ray_session, sf_small):
         import sys
