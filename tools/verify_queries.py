@@ -75,8 +75,13 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    skip = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    only = set(argv[1:]) - skip
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -94,7 +99,7 @@ def main():
 
     results = {}
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
