@@ -9,6 +9,7 @@ sorted-column schema, and order-insensitive values.  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -88,6 +89,13 @@ def main():
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    # GRAFT_TINY_BLOCKS=<bytes>: force pathologically small blocks so
+    # every operator's block-boundary handling (keys straddling
+    # blocks, empty blocks, single-row blocks) is exercised
+    # registry-wide — the forced-tiny-block robustness sweep.
+    tiny = os.environ.get("GRAFT_TINY_BLOCKS")
+    if tiny:
+        DataContext.get_current().target_max_block_size = int(tiny)
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
