@@ -223,7 +223,8 @@ def parts_never_bulk_ordered(sf_dir: str):
                        columns=["p_partkey", "p_brand"])
     li = clean_read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity"],
-                         filter=(pads.field("l_quantity") > 45))
+                         filter=(pads.field("l_quantity") > 45),
+                         filter_columns=["l_quantity"])
 
     def distinct_keys(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -280,9 +281,11 @@ def q4_order_priority(sf_dir: str):
     orders = clean_read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"],
         filter=((pads.field("o_orderdate") >= lo)
-                & (pads.field("o_orderdate") < hi)))
+                & (pads.field("o_orderdate") < hi)),
+        filter_columns=["o_orderdate"])
     li = clean_read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"],
-                            filter=(pads.field("l_quantity") > 48))
+                            filter=(pads.field("l_quantity") > 48),
+                            filter_columns=["l_quantity"])
 
     def distinct_keys(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -431,4 +434,157 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand IN ('Brand#23', 'Brand#42')
   AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
                           WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """Distributed LEFT OUTER join + aggregate-of-aggregate (TPC-H Q13
+    shape): per-customer URGENT-order counts — customers with NO
+    urgent order kept at count 0 by the outer join (~13%% of customers
+    at every sf, so the null branch is genuinely populated) — then the
+    distribution of those counts (how many customers placed k urgent
+    orders).  Two op classes
+    the registry lacked: Ray's native hash ``left_outer`` join (the
+    outer sibling of the q4/anti ``left_semi``/``left_anti``) and a
+    second aggregation stacked on the output of a first.
+
+    Scale shape: the orders side never reaches the join raw — it is
+    pruned to ONE column at the read (the priority filter is pushed
+    into the scan) and contracted to per-batch (custkey, n) partials +
+    one combiner groupby, so the outer join's shuffle moves at most
+    |customers| rows per side; the second aggregate's domain is the
+    count histogram (tiny) and folds with the same partial/combine
+    template.  No driver-side materialization until the output-sized
+    histogram.
+    """
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    cust = _meta_read(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = clean_read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+        filter_columns=["o_orderpriority"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(batch["o_custkey"].to_numpy(),
+                                 return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    counts = orders.map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count"))
+    joined = cust.join(counts, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cc = pc.fill_null(batch["c_count"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(cc, return_counts=True)
+        return pa.table({"c_count": pa.array(keys),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = joined.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.cast(batch["c_count"], pa.int64()),
+                         "custdist": pc.cast(batch["custdist"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """Conditional (CASE WHEN) aggregation over a distributed join
+    (TPC-H Q12 shape, keyed to this schema): for lineitems shipped in
+    1997, per return flag, how many belong to HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs everything else — the conditional-aggregate
+    op class (one pass computes N differently-predicated sums).
+
+    Scale shape: lineitem is pruned to two columns with the ship-date
+    window pushed into the scan (row-group skipping), then contracted
+    to per-batch (orderkey, flag, n) partials BEFORE the shuffle;
+    orders is projected to (orderkey, is_high int) at the read so the
+    CASE collapses to arithmetic on the joined batches — high = is_high
+    * n, low = (1 - is_high) * n — and the final groupby folds a
+    3-row-per-batch partial.  Integer counts, so the oracle hash is
+    exact with no rounding contract.
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+        filter_columns=["l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_orderkey", "l_returnflag"], sort=False) \
+              .size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    li_c = li.map_batches(li_partial, batch_format="pyarrow")
+
+    HIGH = pa.array(["1-URGENT", "2-HIGH"])
+    orders = _meta_read(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def ord_map(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "is_high": pc.cast(pc.is_in(batch["o_orderpriority"],
+                                        value_set=HIGH), pa.int64())})
+
+    orders = orders.map_batches(ord_map, batch_format="pyarrow")
+    joined = li_c.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cond_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["high"] = df.is_high * df.n
+        df["low"] = (1 - df.is_high) * df.n
+        g = df.groupby("l_returnflag", sort=False)[["high", "low"]] \
+              .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(cond_partial, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("high", alias_name="high_count"),
+            Sum("low", alias_name="low_count"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "high_count": pc.cast(batch["high_count"], pa.int64()),
+            "low_count": pc.cast(batch["low_count"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
 """

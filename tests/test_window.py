@@ -396,3 +396,54 @@ class TestQ17SmallQtyRevenue:
         ref = int(np.sign(cents) * np.floor(abs(cents) / 700.0 + 0.5))
         assert len(got) == 1
         assert int(got.avg_yearly.iloc[0]) == ref
+
+
+class TestQ13CustomerDistribution:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q13_customer_distribution
+        got = q13_customer_distribution(SF).to_pandas() \
+            .sort_values("c_count").reset_index(drop=True)
+        cust = pd.read_parquet(f"{SF}/customer.parquet",
+                               columns=["c_custkey"])
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"])
+        kept = orders[orders.o_orderpriority == "1-URGENT"]
+        per_cust = kept.groupby("o_custkey").size()
+        c_count = cust.c_custkey.map(per_cust).fillna(0).astype("int64")
+        ref = c_count.value_counts().rename_axis("c_count") \
+            .reset_index(name="custdist") \
+            .sort_values("c_count").reset_index(drop=True)
+        assert got.c_count.tolist() == ref.c_count.tolist()
+        assert got.custdist.tolist() == ref.custdist.tolist()
+        # the LEFT OUTER semantics are actually exercised: some
+        # customer placed no qualifying order
+        assert 0 in got.c_count.tolist()
+
+
+class TestQ12PriorityByReturnflag:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q12_priority_by_returnflag
+        got = q12_priority_by_returnflag(SF).to_pandas() \
+            .sort_values("l_returnflag").reset_index(drop=True)
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_returnflag",
+                                      "l_shipdate"])
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"])
+        win = li[(li.l_shipdate >= "1997-01-01")
+                 & (li.l_shipdate < "1998-01-01")]
+        j = win.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        j["is_high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]) \
+            .astype("int64")
+        ref = j.groupby("l_returnflag").agg(
+            high_count=("is_high", "sum"),
+            low_count=("is_high", lambda s: int((1 - s).sum()))) \
+            .reset_index().sort_values("l_returnflag") \
+            .reset_index(drop=True)
+        assert got.l_returnflag.tolist() == ref.l_returnflag.tolist()
+        assert got.high_count.tolist() == ref.high_count.tolist()
+        assert got.low_count.tolist() == ref.low_count.tolist()
+        # both CASE branches are non-trivial
+        assert (got.high_count > 0).all() and (got.low_count > 0).all()
