@@ -958,3 +958,114 @@ SELECT v.user_id, count(*) AS n_events
 FROM events e JOIN vip v ON e.ts BETWEEN v.lo AND v.hi
 GROUP BY v.user_id
 """
+
+
+def events_user_paths(sf_dir: str):
+    """Grouped ORDER-SENSITIVE string aggregation (string_agg /
+    listagg): per user, the comma-joined sequence of event types in
+    (ts, event_id) order, plus the event count — the session-path /
+    behavioral-sequence op every clickstream pipeline needs and Ray
+    Data has no native aggregate for (its aggregates are commutative;
+    concatenation is associative but NOT commutative, so correctness
+    requires the stream to arrive ordered).
+
+    Scale shape: rides keyed_boundary_decompose — one distributed sort
+    on (user_id, ts, event_id) makes every user a contiguous ordered
+    run; interior users concatenate fully in-block (pandas groupby
+    str.join over the already-ordered run), and only block-straddling
+    users defer raw rows to the keyed fold, which re-sorts per group.
+    Output rows stay distributed (a user's path grows with their event
+    count — a holistic output that must never funnel through one
+    task); the fold's volume is bounded by straddling users' rows, not
+    by user cardinality.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "path": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64")})
+        # input is sorted by (user_id, ts, event_id) with complete
+        # user runs; sort=False groupby preserves within-run order,
+        # so ",".join IS the ordered path
+        return df.groupby("user_id", sort=False).agg(
+            path=("event_type", ",".join),
+            n_events=("event_type", "size")).reset_index()
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["user_id", "ts", "event_id", "event_type"],
+        kernel=kernel)
+
+
+EVENTS_USER_PATHS_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def events_hll_users(sf_dir: str):
+    """APPROXIMATE distinct users per event_type via a HyperLogLog
+    register table (stages/sketch.py) — the cardinality-sketch op
+    class: the only way to count distincts at 100 TB without moving
+    every distinct (group, key) pair through a shuffle.
+
+    Scale shape: each batch contracts to at most |types| x m sparse
+    (event_type, register idx, max rank) rows — a bound INDEPENDENT of
+    batch size — and the global merge is a pure register MAX, so it
+    rides sorted_combine's reassociative max path exactly like a sum.
+    The final estimate folds <= |types| x m (~20 k) rows on one task.
+    Deterministic: splitmix64 hashing means the estimate is a pure
+    function of the distinct user set — sharding, block sizes and
+    merge order are invisible (pinned by the merge-equivalence test).
+
+    No oracle_sql entry: SQL has no HLL the driver could replay
+    bit-for-bit (DuckDB's approx_count_distinct is a different sketch);
+    the driver records the weaker rows-only check, and accuracy (vs
+    exact), merge-equivalence and determinism are pinned in
+    tests/test_sketch.py against events_distinct_users' exact counts.
+    """
+    import pandas as pd
+
+    from ..stages.sketch import (DEFAULT_P, hll_estimate_from_pairs,
+                                 hll_idx_rank)
+    from ..stages.util import sorted_combine
+    p = DEFAULT_P
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "user_id"])
+
+    def observe(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx, rank = hll_idx_rank(df.user_id.to_numpy(), p)
+        part = pd.DataFrame({"event_type": df.event_type,
+                             "idx": idx, "rank": rank})
+        g = part.groupby(["event_type", "idx"], sort=False)["rank"] \
+            .max().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    regs = sorted_combine(ds.map_batches(observe, batch_format="pyarrow"),
+                          keys=["event_type", "idx"],
+                          aggs={"rank": "max"})
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hll_users": pd.Series([], dtype="int64")})
+        rows = [(t, hll_estimate_from_pairs(g["idx"].to_numpy(),
+                                            g["rank"].to_numpy(), p))
+                for t, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "hll_users"]) \
+            .astype({"hll_users": "int64"})
+
+    # register rows are globally max-merged and <= |types| x 2^p total,
+    # so the estimate is an output-sized single-task fold
+    return regs.repartition(1).map_batches(estimate, batch_format="pandas")

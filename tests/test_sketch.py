@@ -1,0 +1,147 @@
+"""HyperLogLog sketch (stages/sketch.py) + the two round-5 event ops
+built on the sorted-stream kernels: events_hll_users (cardinality
+sketch) and events_user_paths (ordered string aggregation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stac_to_geocore_ray.stages.sketch import (
+    DEFAULT_P,
+    hll_add_dense,
+    hll_estimate,
+    hll_estimate_from_pairs,
+    hll_idx_rank,
+    splitmix64,
+    _bit_length_u64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHllKernels:
+    def test_bit_length_exact_vs_python(self):
+        rng = np.random.default_rng(7)
+        # adversarial values: powers of two and their neighbours are
+        # exactly where a float64 log2 goes wrong
+        pows = np.array([1 << k for k in range(64)], dtype=np.uint64)
+        vals = np.concatenate([
+            pows, pows - np.uint64(1), pows | np.uint64(1),
+            rng.integers(0, 1 << 63, 1000).astype(np.uint64),
+            np.array([0], dtype=np.uint64)])
+        got = _bit_length_u64(vals)
+        ref = np.array([int(v).bit_length() for v in vals])
+        assert np.array_equal(got, ref)
+
+    def test_idx_rank_vs_scalar_reference(self):
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 1 << 62, 500).astype(np.uint64)
+        p = DEFAULT_P
+        idx, rank = hll_idx_rank(keys, p)
+        h = splitmix64(keys)
+        for i in range(len(keys)):
+            hv = int(h[i])
+            assert idx[i] == hv >> (64 - p)
+            w = hv & ((1 << (64 - p)) - 1)
+            assert rank[i] == (64 - p) - w.bit_length() + 1
+        assert rank.min() >= 1 and rank.max() <= (64 - p) + 1
+
+    def test_splitmix64_is_a_bijection_sample(self):
+        # no collisions over a large sample (injective on uint64)
+        keys = np.arange(200_000, dtype=np.uint64)
+        assert len(np.unique(splitmix64(keys))) == len(keys)
+
+    def test_merge_equals_single_pass(self):
+        """Register max-merge is shard-invariant: any partition of the
+        keys folds to the identical dense register array."""
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 10_000, 50_000).astype(np.uint64)
+        single = hll_add_dense(np.zeros(1 << DEFAULT_P, np.int64), keys)
+        merged = np.zeros(1 << DEFAULT_P, np.int64)
+        for shard in np.array_split(keys, 13):
+            part = hll_add_dense(np.zeros(1 << DEFAULT_P, np.int64), shard)
+            np.maximum(merged, part, out=merged)
+        assert np.array_equal(single, merged)
+
+    @pytest.mark.parametrize("n", [10, 1_000, 50_000, 400_000])
+    def test_estimate_accuracy(self, n):
+        """Relative error within 3 sigma (sigma = 1.04/sqrt(m)) at
+        every cardinality regime incl. the linear-counting branch."""
+        rng = np.random.default_rng(n)
+        keys = rng.integers(0, 1 << 62, n).astype(np.uint64)
+        truth = len(np.unique(keys))
+        regs = hll_add_dense(np.zeros(1 << DEFAULT_P, np.int64), keys)
+        est = hll_estimate(regs)
+        sigma = 1.04 / np.sqrt(1 << DEFAULT_P)
+        assert abs(est - truth) <= max(1, 3 * sigma * truth)
+
+    def test_estimate_from_pairs_matches_dense(self):
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 5_000, 20_000).astype(np.uint64)
+        regs = hll_add_dense(np.zeros(1 << DEFAULT_P, np.int64), keys)
+        idx = np.flatnonzero(regs)
+        assert hll_estimate_from_pairs(idx, regs[idx]) == \
+            hll_estimate(regs)
+
+    def test_estimate_shape_guard(self):
+        with pytest.raises(ValueError):
+            hll_estimate(np.zeros(17))
+
+
+class TestEventsHllUsers:
+    def test_matches_numpy_reference_exactly(self, ray_session):
+        """The distributed pipeline is a pure function of the distinct
+        user set — its estimate must EQUAL the single-machine dense
+        fold, not just approximate the truth."""
+        from stac_to_geocore_ray.queries import events_hll_users
+        got = events_hll_users(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+        rows = []
+        for t, g in ev.groupby("event_type"):
+            regs = hll_add_dense(np.zeros(1 << DEFAULT_P, np.int64),
+                                 g.user_id.to_numpy().astype(np.uint64))
+            rows.append((t, hll_estimate(regs)))
+        ref = pd.DataFrame(rows, columns=["event_type", "hll_users"]) \
+            .sort_values("event_type").reset_index(drop=True)
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.hll_users.tolist() == ref.hll_users.tolist()
+
+    def test_close_to_exact_counts(self, ray_session):
+        from stac_to_geocore_ray.queries import events_hll_users
+        got = events_hll_users(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+        exact = ev.groupby("event_type").user_id.nunique()
+        sigma = 1.04 / np.sqrt(1 << DEFAULT_P)
+        for _, r in got.iterrows():
+            truth = int(exact[r.event_type])
+            assert abs(int(r.hll_users) - truth) <= \
+                max(1, 3 * sigma * truth)
+
+
+class TestEventsUserPaths:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import events_user_paths
+        got = events_user_paths(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        ref = ev.groupby("user_id").agg(
+            path=("event_type", ",".join),
+            n_events=("event_type", "size")).reset_index()
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.path.tolist() == ref.path.tolist()
+        assert got.n_events.tolist() == ref.n_events.tolist()
+
+    def test_order_sensitivity_is_real(self, ray_session):
+        """The fixture must actually exercise ordering: at least one
+        user's path differs from its sorted-multiset rendering."""
+        from stac_to_geocore_ray.queries import events_user_paths
+        got = events_user_paths(SF).to_pandas()
+        scrambled = got.path.map(
+            lambda s: ",".join(sorted(s.split(","))))
+        assert (got.path != scrambled).any()
