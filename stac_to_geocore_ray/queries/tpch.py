@@ -588,3 +588,107 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag
 """
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """HAVING over a full-fact self-aggregate, then enrich (TPC-H Q18
+    shape): orders whose TOTAL lineitem quantity exceeds 300, joined
+    back to orders and customer for the top 100 by (o_totalprice desc,
+    o_orderdate asc).  The op class q17 does NOT cover: the pass-1
+    aggregate runs over the WHOLE fact table (no pre-filter shrinks
+    it), its output is |orders|-sized, and only the HAVING filter —
+    applied DISTRIBUTED, before anything reaches the driver —
+    contracts it to a tiny survivor set.
+
+    Scale shape: pass 1 reads two pruned columns, contracts per batch
+    (groupby l_orderkey inside the block), and the global sum rides
+    sorted_combine (sort + in-block combine + <=2-rows-per-block
+    boundary fold) because per-order partials barely contract —
+    exactly the weak-contraction regime Ray's per-row aggregate reduce
+    loses on (BENCH/BASELINE.md lesson 15).  The HAVING filter runs as
+    a map_batches over the combined rows, so the driver only ever sees
+    survivors (473 rows at sf0.1; ~5 per million orders by TPC-H's
+    design, so output-sized at any scale).  Orders and customer are
+    then read with column pruning and filtered against the broadcast
+    survivor key set — a semi join with no fact-side shuffle.
+
+    Exactness: quantities are integral doubles, so float sums are
+    exact; o_totalprice/o_orderdate pass through from parquet
+    untouched.
+    """
+    import pandas as pd
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.util import sorted_combine
+
+    THRESH = 300.0
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", sort=False)["l_quantity"] \
+            .sum().reset_index(name="sum_qty")
+        return table_from_pandas(g, preserve_index=False)
+
+    totals = sorted_combine(li.map_batches(partial, batch_format="pyarrow"),
+                            keys=["l_orderkey"], aggs={"sum_qty": "sum"})
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty"], THRESH))
+
+    # survivors: ~5 orders per million — output-sized by construction
+    surv = totals.map_batches(having, batch_format="pyarrow").to_pandas()
+    if len(surv) == 0:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "o_totalprice": pa.array([], pa.float64()),
+                         "sum_qty": pa.array([], pa.float64())})
+    okeys = np.sort(surv["l_orderkey"].to_numpy())
+    okeys_ref = ray.put(okeys)
+
+    class OrderSemi:
+        """Keep only surviving orders (broadcast sorted-key probe)."""
+
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["o_orderkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ok),
+                          0, len(self.keys) - 1)
+            return batch.filter(pa.array(self.keys[pos] == ok))
+
+    ords = _meta_read(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_custkey",
+                               "o_orderdate", "o_totalprice"]) \
+        .map_batches(OrderSemi, fn_constructor_args=(okeys_ref,),
+                     batch_format="pyarrow", concurrency=_auto()) \
+        .to_pandas()                      # survivor-sized
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = ords.merge(surv, left_on="o_orderkey", right_on="l_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                     ascending=[False, True, True]).head(100)
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].reset_index(drop=True)
+    return table_from_pandas(out, preserve_index=False)
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""

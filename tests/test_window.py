@@ -447,3 +447,30 @@ class TestQ12PriorityByReturnflag:
         assert got.low_count.tolist() == ref.low_count.tolist()
         # both CASE branches are non-trivial
         assert (got.high_count > 0).all() and (got.low_count > 0).all()
+
+
+class TestQ18LargeVolumeCustomers:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q18_large_volume_customers
+        got = q18_large_volume_customers(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity"])
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+        cust = pd.read_parquet(f"{SF}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+        qty = li.groupby("l_orderkey")["l_quantity"].sum()
+        surv = qty[qty > 300].rename("sum_qty").reset_index()
+        ref = orders.merge(surv, left_on="o_orderkey",
+                           right_on="l_orderkey") \
+            .merge(cust, left_on="o_custkey", right_on="c_custkey") \
+            .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                         ascending=[False, True, True]).head(100) \
+            .reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.o_orderkey.tolist() == ref.o_orderkey.tolist()
+        assert got.sum_qty.tolist() == ref.sum_qty.tolist()
+        assert got.c_name.tolist() == ref.c_name.tolist()
+        assert got.o_totalprice.tolist() == ref.o_totalprice.tolist()
