@@ -81,8 +81,6 @@ def q3_top_orders(sf_dir: str):
     Deterministic top-k tie-break on (revenue desc, orderkey asc).
     """
     import ray
-    import ray.data as rd
-    from ray.data.aggregate import Sum
     import pyarrow.parquet as pq
     cust = pq.read_table(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
@@ -114,17 +112,24 @@ def q3_top_orders(sf_dir: str):
         g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
         return table_from_pandas(g, preserve_index=False)
 
-    # per-batch revenue partials + one groupby, then the surviving
-    # orders apply as a DISTRIBUTED hash join — the round-1 version
-    # collected the ~|orders|/5 survivor key set onto the driver
+    # per-batch revenue partials + one global combine, then the
+    # surviving orders apply as a DISTRIBUTED hash join — the round-1
+    # version collected the ~|orders|/5 survivor key set onto the
+    # driver.  The combine rides sorted_combine, NOT
+    # groupby().aggregate: per-order partials barely contract (~4
+    # lineitems/order), and Ray's per-row aggregate reduce on the
+    # ~|orders|-sized partial stream cost 49.5 s at 18M lineitems vs
+    # 7.9 s through the sort path (lesson 21 medicine; 30x scale run,
+    # BENCH/BASELINE.md round-5 section), identical output.
+    from ..stages.util import sorted_combine
     rev = li.map_batches(rev_partial, batch_format="pyarrow")
-    agg = rev.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
+    agg = sorted_combine(rev, keys=["l_orderkey"], aggs={"revenue": "sum"})
     joined = agg.join(orders, join_type="inner", num_partitions=8,
                       on=("l_orderkey",), right_on=("o_orderkey",))
 
     def topk_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["revenue"] = df["rev"].round(0).astype("int64")
+        df["revenue"] = df["revenue"].round(0).astype("int64")
         df = df.sort_values(["revenue", "l_orderkey"],
                             ascending=[False, True]).head(10)
         return table_from_pandas(df[["l_orderkey", "revenue"]],
@@ -345,7 +350,6 @@ def q17_small_qty_revenue(sf_dir: str):
     """
     import ray
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     BRANDS = ("Brand#23", "Brand#42")
     part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
@@ -379,17 +383,23 @@ def q17_small_qty_revenue(sf_dir: str):
                 sum_qty=("q", "sum"), n=("q", "size")).reset_index()
             return table_from_pandas(g, preserve_index=False)
 
-    avg_tbl = _meta_read(_t(sf_dir, "lineitem"),
-                         columns=["l_partkey", "l_quantity"]) \
+    # sorted_combine, not groupby().aggregate: at 30x scale (~48k
+    # target parts, 18M lineitems) the per-part partials barely
+    # contract within a block, and Ray's per-row aggregate reduce on
+    # the weakly-contracted stream cost ~8 s of the pass; the sort
+    # path folds it in ~1 s (lesson 21; 30x A/B in BENCH/BASELINE.md)
+    from ..stages.util import sorted_combine
+    avg_tbl = sorted_combine(
+        _meta_read(_t(sf_dir, "lineitem"),
+                   columns=["l_partkey", "l_quantity"])
         .map_batches(QtyPartial, fn_constructor_args=(pk_ref,),
-                     batch_format="pyarrow", concurrency=_auto()) \
-        .groupby("p").aggregate(Sum("sum_qty", alias_name="sq"),
-                                Sum("n", alias_name="n")) \
+                     batch_format="pyarrow", concurrency=_auto()),
+        keys=["p"], aggs={"sum_qty": "sum", "n": "sum"}) \
         .to_pandas()   # output-sized: <= |target parts| rows
     if len(avg_tbl):
         avg_keys = np.sort(avg_tbl["p"].to_numpy())
         order = np.argsort(avg_tbl["p"].to_numpy())
-        thresh = 0.2 * (avg_tbl["sq"].to_numpy()[order]
+        thresh = 0.2 * (avg_tbl["sum_qty"].to_numpy()[order]
                         / avg_tbl["n"].to_numpy()[order])
     else:
         avg_keys = np.array([], dtype=np.int64)
@@ -472,8 +482,15 @@ def q13_customer_distribution(sf_dir: str):
         return pa.table({"o_custkey": pa.array(keys, pa.int64()),
                          "n": pa.array(counts.astype(np.int64))})
 
-    counts = orders.map_batches(cnt_partial, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count"))
+    # sorted_combine, not groupby().aggregate: ~900k urgent-order
+    # partials over 450k custkeys barely contract per block (lesson
+    # 21's weak-contraction regime; 30x A/B in BENCH/BASELINE.md)
+    from ..stages.util import sorted_combine
+    counts = sorted_combine(
+        orders.map_batches(cnt_partial, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs={"n": "sum"}) \
+        .map_batches(lambda b: b.rename_columns(["o_custkey", "c_count"]),
+                     batch_format="pyarrow")
     joined = cust.join(counts, join_type="left_outer", num_partitions=8,
                        on=("c_custkey",), right_on=("o_custkey",))
 

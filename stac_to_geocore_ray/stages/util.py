@@ -176,17 +176,25 @@ def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
     mixed = ds.sort(list(keys)) \
         .map_batches(combine, batch_format="pandas").materialize()
 
-    finals = mixed.map_batches(lambda g: g.loc[~g["_boundary"], cols],
-                               batch_format="pandas")
+    # every emission goes back to Arrow through table_from_pandas so
+    # blocks stay metadata-free: the repartition/union path otherwise
+    # re-embeds the {b'pandas': ...} dict and a downstream hash-shuffle
+    # consumer (e.g. q3's join) logs "Failed to hash the schemas" and
+    # pays the slow unify path per reduce task (round-5 finding)
+    finals = mixed.map_batches(
+        lambda g: table_from_pandas(g.loc[~g["_boundary"], cols]),
+        batch_format="pandas")
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pd.DataFrame):
         if len(g) == 0:
-            return g[cols]
-        return g.groupby(list(keys), sort=False, as_index=False,
-                         dropna=False).agg(aggs)[cols]
+            return table_from_pandas(g[cols])
+        return table_from_pandas(
+            g.groupby(list(keys), sort=False, as_index=False,
+                      dropna=False).agg(aggs)[cols])
 
-    folded = mixed.map_batches(lambda g: g.loc[g["_boundary"], cols],
-                               batch_format="pandas") \
+    folded = mixed.map_batches(
+        lambda g: table_from_pandas(g.loc[g["_boundary"], cols]),
+        batch_format="pandas") \
         .repartition(1).map_batches(fold, batch_format="pandas")
     return finals.union(folded)
 
