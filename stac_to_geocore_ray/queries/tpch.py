@@ -709,3 +709,297 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 100
 """
+
+
+def q2_min_cost_part(sf_dir: str):
+    """ARGMIN-PER-GROUP JOIN-BACK (TPC-H Q2 shape): for each small part
+    (p_size <= 5), the cheapest lineitem by LEXICOGRAPHIC tuple order
+    (price, suppkey, orderkey) — who supplies this part cheapest, and
+    in which order.  A new op class: min-BY (argmin carrying non-key
+    columns), which no independent per-column min can express.
+
+    Scale shape: one distributed sort on the full tuple makes each
+    part's cheapest row the FIRST of its contiguous run, so the argmin
+    is keyed_boundary_decompose with a drop_duplicates(keep="first")
+    kernel: interior parts resolve in-block, only block-straddling
+    parts defer (their rows, already contracted to one per block-key)
+    to the keyed fold.  The contraction output is one row per part;
+    the p_size filter then applies as a native hash join against the
+    pruned+filtered part read (neither side is broadcast — at 100 TB
+    the part table is ~1/30 of lineitem and must shuffle, the same
+    regime as parts_never_bulk_ordered's anti join).
+    """
+    import pyarrow.dataset as pads
+
+    from ..stages.util import keyed_boundary_decompose
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_suppkey", "l_orderkey"])
+    raw_cols = ["l_partkey", "l_extendedprice", "l_suppkey", "l_orderkey"]
+
+    def first_per_part(df):
+        # sorted input with complete key runs: first row per part IS
+        # the lexicographic (price, suppkey, orderkey) argmin
+        return df.drop_duplicates("l_partkey", keep="first")[raw_cols]
+
+    argmin = keyed_boundary_decompose(
+        li, sort_keys=raw_cols, key_col="l_partkey",
+        raw_cols=raw_cols, kernel=first_per_part)
+
+    part = clean_read_parquet(_t(sf_dir, "part"),
+                              columns=["p_partkey", "p_brand"],
+                              filter=(pads.field("p_size") <= 5),
+                              filter_columns=["p_size"])
+    joined = argmin.join(part, join_type="inner", num_partitions=8,
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from ._common import _cents
+        return pa.table({
+            "p_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "p_brand": batch["p_brand"],
+            "min_price_cents": pa.array(
+                _cents(batch["l_extendedprice"].to_numpy()), pa.int64()),
+            "cheapest_supp": pc.cast(batch["l_suppkey"], pa.int64()),
+            "in_order": pc.cast(batch["l_orderkey"], pa.int64()),
+        })
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+Q2_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_extendedprice, l_suppkey, l_orderkey,
+         row_number() OVER (PARTITION BY l_partkey
+           ORDER BY l_extendedprice, l_suppkey, l_orderkey) AS rn
+  FROM lineitem)
+SELECT p_partkey, p_brand,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS min_price_cents,
+       l_suppkey AS cheapest_supp, l_orderkey AS in_order
+FROM r JOIN part ON p_partkey = l_partkey
+WHERE rn = 1 AND p_size <= 5
+"""
+
+
+def q21_late_sole_supplier(sf_dir: str):
+    """PER-GROUP MULTI-EXISTENCE (TPC-H Q21 shape): suppliers who were
+    the SOLE late shipper of a multi-supplier order (shipped > 60 days
+    after the order date while every other supplier shipped on time),
+    counted per supplier, top 20.  Combines EXISTS ("some other
+    supplier on this order") with NOT-EXISTS ("no other late supplier")
+    evaluated per group — neither a semi nor an anti join alone can
+    express it.
+
+    Scale shape: a distributed fact-to-fact hash join brings
+    o_orderdate onto lineitem (orders is the same cardinality as
+    distinct orderkeys — never broadcastable); then TWO
+    sorted_combine contractions — (orderkey, suppkey) -> any_late,
+    then orderkey -> (n_supp, n_late, late_supp) where the sole late
+    supplier rides as max(late * suppkey), exact because suppkeys are
+    >= 1.  Each pass is sort + in-block combine + <=2-rows-per-block
+    fold (lesson 21/25: per-join-key partials barely contract, so
+    Ray's per-row aggregate reduce is the wrong tool).  The final
+    per-supplier count is a strong contraction via ordinary pre-agg +
+    groupby, with a <=20 x #blocks driver top-k merge.
+    """
+    import numpy as np
+
+    from ..stages.util import sorted_combine
+
+    orders = _meta_read(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate"])
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_flag(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        odate = batch["o_orderdate"].to_numpy()
+        late = (ship > odate + np.timedelta64(60, "D")).astype("int64")
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "late": pa.array(late, pa.int64())})
+
+    per_supp = sorted_combine(
+        joined.map_batches(late_flag, batch_format="pyarrow"),
+        keys=["l_orderkey", "l_suppkey"], aggs={"late": "max"})
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        supp = batch["l_suppkey"].to_numpy()
+        late = batch["late"].to_numpy()
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "n_supp": pa.array(np.ones(len(supp), np.int64)),
+            "n_late": pa.array(late, pa.int64()),
+            # suppkeys >= 1, so the sole late supplier survives max()
+            "late_supp": pa.array(late * supp, pa.int64())})
+
+    per_order = sorted_combine(
+        per_supp.map_batches(order_partial, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        aggs={"n_supp": "sum", "n_late": "sum", "late_supp": "max"})
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df = df[(df.n_supp >= 2) & (df.n_late == 1)]
+        g = df.groupby("late_supp", sort=False).size() \
+            .reset_index(name="numwait")
+        g = g.rename(columns={"late_supp": "s_suppkey"})
+        return table_from_pandas(g, preserve_index=False)
+
+    # sorted_combine, not groupby().aggregate: Ray's Aggregate emits
+    # schema-less EMPTY bundles for group-free partitions (group count
+    # can undershoot the partition count here), which downstream ops
+    # log as "different schema" bundle warnings
+    agg = sorted_combine(
+        per_order.map_batches(survivors, batch_format="pyarrow"),
+        keys=["s_suppkey"], aggs={"numwait": "sum"})
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["numwait"] = df["numwait"].astype("int64")
+        df = df.sort_values(["numwait", "s_suppkey"],
+                            ascending=[False, True]).head(20)
+        return table_from_pandas(df[["s_suppkey", "numwait"]],
+                                 preserve_index=False)
+
+    parts = agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    final = parts.sort_values(["numwait", "s_suppkey"],
+                              ascending=[False, True]).head(20)
+    return table_from_pandas(final.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey)
+SELECT late_supp AS s_suppkey, count(*) AS numwait
+FROM o WHERE n_supp >= 2 AND n_late = 1
+GROUP BY late_supp
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """SCALAR-SUBQUERY BROADCAST + ANTI JOIN (TPC-H Q22 shape): rich
+    customers (balance above the positive-balance average) who never
+    placed an URGENT order, rolled up per market segment.  The
+    threshold is a GLOBAL scalar computed from the same table the
+    filter scans — the correlated-scalar-subquery op class, evaluated
+    as a tiny pass-1 aggregate broadcast into pass 2.  (The textbook
+    "no order at all" predicate is degenerate on the driver fixture —
+    every customer has orders at every sf — so the NOT-EXISTS side
+    carries a priority predicate that stays selective at all scales.)
+
+    Cross-engine exactness: the average is defined in INTEGER CENTS
+    with floor division (sum_cents // n), so the engine scalar and
+    DuckDB's are bit-identical — a float average would make the
+    boundary predicate 1-ulp fragile (the q17 lesson applied to a
+    global, not per-group, scalar).
+
+    Scale shape: pass 1 is a per-batch (sum, count) partial folded on
+    the driver (two int64s per block); the NOT-EXISTS side contracts
+    orders to per-batch distinct custkeys before a native left_anti
+    hash join (the parts_never_bulk_ordered shape); the rollup is a
+    strong-contraction pre-agg + groupby over ~5 segments.
+    """
+    import numpy as np
+
+    from ._common import _cents
+
+    cust = _meta_read(_t(sf_dir, "customer"),
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy())
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    n_pos = int(tot["n"].sum())
+    if n_pos == 0:
+        raise ValueError("q22: no positive-balance customers in input")
+    avg_cents = int(tot["s"].sum()) // n_pos       # floor, like DuckDB //
+
+    import pyarrow.dataset as pads
+    orders = clean_read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+        filter_columns=["o_orderpriority"])
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = pd.unique(batch["o_custkey"].to_numpy())
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    have_orders = orders.map_batches(distinct_keys, batch_format="pyarrow")
+    no_orders = cust.join(have_orders, join_type="left_anti",
+                          num_partitions=8,
+                          on=("c_custkey",), right_on=("o_custkey",))
+
+    seg_empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "n_cust": pa.array([], pa.int64()),
+                          "bal_cents": pa.array([], pa.int64())})
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        # the anti join emits schema-less empty bundles for empty hash
+        # partitions; answer with a TYPED empty so every downstream
+        # block unifies (the lesson-14 hygiene)
+        if batch.num_rows == 0:
+            return seg_empty
+        df = batch.to_pandas()
+        df["cents"] = _cents(df["c_acctbal"].to_numpy())
+        df = df[df.cents > avg_cents]
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_cust=("cents", "size"),
+            bal_cents=("cents", "sum")).reset_index()
+        g["n_cust"] = g["n_cust"].astype("int64")
+        g["bal_cents"] = g["bal_cents"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    # driver-side fold, not groupby().aggregate: with ~5 segment
+    # groups the distributed reduce paths (Aggregate's hash partitions
+    # or sorted_combine's sort) leave most partitions EMPTY, and Ray
+    # logs each schema-less empty bundle as a "different schema"
+    # warning.  The partial stream is <= 5 rows per block — the same
+    # output-sized regime as q3's top-k merge — so one pandas fold on
+    # the driver is the scale-correct shape.
+    parts = no_orders.map_batches(seg_partial,
+                                  batch_format="pyarrow").to_pandas()
+    out = parts.groupby("c_mktsegment", sort=True, as_index=False).agg(
+        n_cust=("n_cust", "sum"), bal_cents=("bal_cents", "sum"))
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["bal_cents"] = out["bal_cents"].astype("int64")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q22_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+t AS (SELECT sum(cents) // count(*) AS avg_cents FROM c WHERE cents > 0)
+SELECT c_mktsegment, count(*) AS n_cust, sum(cents) AS bal_cents
+FROM c, t
+WHERE cents > t.avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
