@@ -590,6 +590,47 @@ def golden_geocore_assemble(sf_dir: str) -> pa.Table:
 
 # ------------------------------------------------------------- registry
 
+
+def golden_kmeans(sf_dir: str) -> pa.Table:
+    """Single-process Lloyd replay of the deterministic k-means spec
+    (queries/embeddings.py kmeans_embeddings: smallest-vec_id seeds,
+    KMEANS_QUANT-quantized centroid updates, lowest-id tie-break) —
+    independent of the engine's per-batch partial sums, driver fold
+    and broadcast plumbing.  Per-point distances go through scalar
+    dot products in a plain loop; the quantized-centroid contract is
+    what makes the two evaluation orders agree exactly (drift between
+    summation orders is O(1e-15) relative, quantization is 1e-6)."""
+    from .queries.embeddings import KMEANS_K, KMEANS_ITERS, KMEANS_QUANT
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def assign_one(x, cents):
+        best, bestd = 0, None
+        for j, c in enumerate(cents):
+            d = ((x - c) ** 2).sum()      # same reduction as the engine
+            if bestd is None or d < bestd:
+                best, bestd = j, d
+        return best
+
+    cents = [mat[j].copy() for j in range(KMEANS_K)]
+    for _ in range(KMEANS_ITERS):
+        members = {j: [] for j in range(KMEANS_K)}
+        for i in range(len(ids)):         # scalar assignment loop
+            members[assign_one(mat[i], cents)].append(i)
+        for j in range(KMEANS_K):
+            if members[j]:
+                s = np.zeros(mat.shape[1])
+                for i in members[j]:
+                    s = s + mat[i]
+                cents[j] = np.round(s / len(members[j]), KMEANS_QUANT)
+    out = [assign_one(mat[i], cents) for i in range(len(ids))]
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(out, pa.int64())})
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -606,6 +647,7 @@ GOLDENS = {
     "harvest_manifests": golden_harvest_manifests,
     "embedding_neardup_lsh": golden_embedding_neardup,
     "ann_ivf": golden_ann_ivf,
+    "kmeans_embeddings": golden_kmeans,
     "image_thumbnails": golden_thumbnails,
 }
 

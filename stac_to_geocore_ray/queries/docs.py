@@ -1063,3 +1063,103 @@ SELECT token, count(*) AS n FROM (
 WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 """
+
+
+def doc_tfidf_topk(sf_dir: str):
+    """CORPUS-STATISTIC BROADCAST (tf-idf): each document's top-3 terms
+    by tf-idf — the relevance-term extraction op of a training-data
+    quality pipeline, and a new op class: a per-record score that
+    depends on a CORPUS-WIDE statistic (document frequency) computed by
+    a first pass and broadcast into the second.
+
+    Cross-engine exactness: idf is INTEGER-SCALED — score = tf *
+    ((N << 20) // df) in int64 (floor division both engines) — because
+    a float ln(N/df) ranks 1-ulp fragile across engines; the monotone
+    transform preserves the tf/df ordering semantics of tf-idf while
+    making ties exact (broken by token text).
+
+    Scale shape: pass 1 contracts to per-batch DISTINCT (doc, token)
+    then value_counts (shuffle volume is per-batch distinct tokens —
+    Zipf makes this small), one token-keyed groupby, and a vocab-sized
+    driver collect broadcast via ray.put; pass 2 is embarrassingly
+    parallel per batch (a document never spans rows).  At a 100-TB
+    corpus the vocabulary broadcast is the documented small-side
+    assumption (vocab grows ~ O(corpus^0.5), Heaps' law); past that,
+    swap the broadcast for a token-keyed hash join of the df table
+    against the exploded tf stream — same semantics, one more shuffle.
+
+    PINNED DIVERGENCE (same as doc_word_freq): engine tokenization is
+    pandas str.lower()/str.split() (Unicode whitespace/case), oracle is
+    RE2 '\\s+' + DuckDB lower(); they coincide on the ASCII corpus.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+    from ._common import _parquet_nrows
+
+    K = 3
+    n_docs, _ = _parquet_nrows(_t(sf_dir, "documents"))
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.lower().str.split()
+        pairs = toks.explode().dropna().reset_index()   # (row, token)
+        pairs = pairs.drop_duplicates()                 # distinct per doc
+        vc = pairs["text"].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
+
+    df_tbl = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df")) \
+        .to_pandas()                                    # vocab-sized
+    idf = ((int(n_docs) << 20) // df_tbl["df"].to_numpy().astype("int64"))
+    idf_ref = ray.put(dict(zip(df_tbl["token"], idf.tolist())))
+
+    class Scorer:
+        def __init__(self, ref):
+            self.idf = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            docs = batch["doc_id"].to_pandas()
+            toks = batch["text"].to_pandas().str.lower().str.split()
+            long = pd.DataFrame({"doc_id": docs.repeat(toks.str.len()),
+                                 "token": toks.explode()}).dropna()
+            tf = long.groupby(["doc_id", "token"], sort=False) \
+                .size().reset_index(name="tf")
+            tf["score"] = tf["tf"].to_numpy() * \
+                tf["token"].map(self.idf).to_numpy(dtype="int64")
+            tf = tf.sort_values(["doc_id", "score", "token"],
+                                ascending=[True, False, True])
+            top = tf.groupby("doc_id", sort=False).head(K).copy()
+            top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+            out = top[["doc_id", "rank", "token", "score"]]
+            out = out.astype({"doc_id": "int64", "rank": "int64",
+                              "score": "int64"})
+            return table_from_pandas(out.reset_index(drop=True),
+                                     preserve_index=False)
+
+    return ds.map_batches(Scorer, fn_constructor_args=(idf_ref,),
+                          batch_format="pyarrow", concurrency=_auto())
+
+
+DOC_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf
+       FROM tok2 GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df
+       FROM tok2 GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token,
+             tf.tf * ((n.n * 1048576) // df.df) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+r AS (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token ASC) AS rank
+      FROM s)
+SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
+"""

@@ -392,3 +392,113 @@ def ann_ivf(sf_dir: str):
     out["cos_r"] = out["cos"].round(4)
     return table_from_pandas(
         out[["query_id", "rank", "vec_id", "cos_r"]], preserve_index=False)
+
+
+# deterministic Lloyd's parameters, shared by the engine and the golden
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_QUANT = 6          # centroid decimals; see determinism note below
+
+
+def kmeans_embeddings(sf_dir: str):
+    """ITERATIVE REFINEMENT (Lloyd's k-means): cluster the embedding
+    corpus into KMEANS_K groups with KMEANS_ITERS assignment/update
+    rounds and emit every vector's final cluster id — the op class
+    (broadcast model state -> distributed partials -> tiny driver
+    update -> repeat) behind k-means, IVF codebook training, EM, and
+    power iteration, which no single Dataset expression can express.
+
+    Determinism (this is what makes the golden hash-exact):
+    - seeds are the KMEANS_K smallest vec_ids' vectors (no RNG);
+    - per-round centroids are QUANTIZED to KMEANS_QUANT decimals, so
+      the float drift between the engine's fold order (sum of
+      per-batch partial sums, scheduling-dependent) and any replay's
+      (single full-matrix sum) — relative O(1e-15) — cannot leak into
+      the next round's distance comparisons;
+    - distances use one shared formulation, ((x-c)^2).sum(last axis):
+      the same length-d pairwise reduction in every evaluator, so
+      argmin ties resolve identically (lowest cluster id).
+
+    Scale shape: each round is ONE streaming map_batches pass emitting
+    k x #blocks partial rows ((cluster, count, sum vector)); the
+    driver folds k rows and re-broadcasts ~k*d floats.  Nothing
+    materializes the dataset; an empty cluster keeps its previous
+    centroid.  The final pass streams (vec_id, cluster) out
+    distributed.  Rounds re-read the pruned 2-column parquet — at
+    100 TB that is the intended shape (object-store page cache makes
+    re-reads warm; checkpointing centroids per round costs k*d floats).
+    """
+    import ray
+    from ..stages.ann import _as_matrix
+
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    # ---- seeds: the k smallest vec_ids (per-batch min-k partials +
+    # a <=k x #blocks driver merge — the house top-k pattern)
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"]})
+        keep = np.argsort(ids)[:KMEANS_K]
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "embedding": batch["embedding"].combine_chunks().take(keep)
+                         if isinstance(batch["embedding"], pa.ChunkedArray)
+                         else batch["embedding"].take(keep)})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values("vec_id").head(KMEANS_K)
+    C = np.asarray(seeds["embedding"].tolist(), dtype=np.float64)
+
+    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # one shared formulation — see the determinism note
+        return ((mat[:, None, :] - cent[None, :, :]) ** 2) \
+            .sum(axis=2).argmin(axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        cent = C                        # tiny (k x d): closure-captured
+
+        def update_partial(batch: pa.Table, cent=cent) -> pa.Table:
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            if len(mat) == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.float64()))})
+            a = assign(mat, cent)
+            clusters, counts, sums = [], [], []
+            for j in range(KMEANS_K):
+                m = a == j
+                if m.any():
+                    clusters.append(j)
+                    counts.append(int(m.sum()))
+                    sums.append(mat[m].sum(axis=0))
+            return pa.table({
+                "cluster": pa.array(clusters, pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "sums": pa.array([s.tolist() for s in sums],
+                                 pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(update_partial,
+                               batch_format="pyarrow").to_pandas()
+        newC = C.copy()
+        for j in range(KMEANS_K):
+            sel = parts[parts.cluster == j]
+            if len(sel):
+                tot = np.sum(np.asarray(sel["sums"].tolist(),
+                                        dtype=np.float64), axis=0)
+                newC[j] = np.round(tot / int(sel["count"].sum()),
+                                   KMEANS_QUANT)
+        C = newC
+
+    final = C
+
+    def label(batch: pa.Table, cent=final) -> pa.Table:
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        if len(mat) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cluster": pa.array(assign(mat, cent), pa.int64())})
+
+    return ds.map_batches(label, batch_format="pyarrow")

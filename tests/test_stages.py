@@ -327,3 +327,24 @@ class TestANN:
             cos = (block / np.linalg.norm(block, axis=1, keepdims=True)) @ qv
             assert (np.diff(cos) < 0).all()          # strictly decreasing
             assert cos.min() > 0.9939                # cos(0.11)
+
+
+class TestKmeansEmbeddings:
+    def test_matches_golden_replay(self, ray_session):
+        """Distributed Lloyd (per-batch partials, driver fold,
+        re-broadcast) == single-process scalar replay, exactly — the
+        quantized-centroid determinism contract."""
+        from stac_to_geocore_ray.queries import kmeans_embeddings
+        from stac_to_geocore_ray.goldens import golden_kmeans
+        sf = "/root/testdata/sf0.001"
+        got = kmeans_embeddings(sf).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        ref = golden_kmeans(sf).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert got.vec_id.tolist() == ref.vec_id.tolist()
+        assert got.cluster.tolist() == ref.cluster.tolist()
+        # the clustering is non-trivial: several clusters in use and
+        # the iterations moved at least one point off its seed cluster
+        assert got.cluster.nunique() >= 2
+        sizes = got.cluster.value_counts()
+        assert sizes.max() < len(got)

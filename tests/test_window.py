@@ -564,3 +564,37 @@ class TestQ22SalesOpportunity:
         assert got.c_mktsegment.tolist() == ref.c_mktsegment.tolist()
         assert got.n_cust.tolist() == ref.n_cust.tolist()
         assert got.bal_cents.tolist() == ref.bal_cents.tolist()
+
+
+class TestDocTfidfTopk:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import doc_tfidf_topk
+        got = doc_tfidf_topk(SF).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        n = len(docs)
+        toks = docs.assign(token=docs.text.str.lower().str.split()) \
+            .explode("token").dropna(subset=["token"])
+        tf = toks.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+        df = toks.drop_duplicates(["doc_id", "token"]) \
+            .groupby("token").size()
+        idf = (n << 20) // df
+        tf["score"] = tf.tf * tf.token.map(idf)
+        tf = tf.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+        top = tf.groupby("doc_id").head(3).copy()
+        top["rank"] = top.groupby("doc_id").cumcount() + 1
+        ref = top[["doc_id", "rank", "token", "score"]] \
+            .reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.doc_id.tolist() == ref.doc_id.tolist()
+        assert got.token.tolist() == ref.token.tolist()
+        assert got.score.tolist() == ref.score.tolist()
+        # idf actually discriminates: the top term is not simply the
+        # most frequent term for every document
+        mf = tf.sort_values(["doc_id", "tf", "token"],
+                            ascending=[True, False, True]) \
+            .groupby("doc_id").head(1)
+        top1 = top[top["rank"] == 1]
+        assert (mf.token.to_numpy() != top1.token.to_numpy()).any()
