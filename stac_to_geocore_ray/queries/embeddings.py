@@ -478,8 +478,10 @@ def kmeans_embeddings(sf_dir: str):
                 "sums": pa.array([s.tolist() for s in sums],
                                  pa.list_(pa.float64()))})
 
-        parts = ds.map_batches(update_partial,
-                               batch_format="pyarrow").to_pandas()
+        # bounded batches: the (n, k, d) distance temp is n*k*d*8 B —
+        # 8192 rows x 8 x 64 = 32 MB, independent of block size
+        parts = ds.map_batches(update_partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
         newC = C.copy()
         for j in range(KMEANS_K):
             sel = parts[parts.cluster == j]
@@ -501,4 +503,5 @@ def kmeans_embeddings(sf_dir: str):
             "vec_id": pc.cast(batch["vec_id"], pa.int64()),
             "cluster": pa.array(assign(mat, cent), pa.int64())})
 
-    return ds.map_batches(label, batch_format="pyarrow")
+    return ds.map_batches(label, batch_format="pyarrow",
+                          batch_size=8192)

@@ -49,7 +49,9 @@ DAY_US = 86_400_000_000
 RELATIONAL = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q4_order_priority", "q12_priority_by_returnflag",
               "q13_customer_distribution", "q17_small_qty_revenue",
-              "q18_large_volume_customers", "parts_never_bulk_ordered"]
+              "q18_large_volume_customers", "parts_never_bulk_ordered",
+              "q2_min_cost_part", "q21_late_sole_supplier",
+              "q22_sales_opportunity"]
 
 
 def _domains() -> dict:
