@@ -61,6 +61,14 @@ def main(argv=None) -> int:
     pc_.add_argument("--no-resume", action="store_true")
     pc_.add_argument("--collect-threshold", type=int, default=500_000)
 
+    km = sub.add_parser("kmeans",
+                        help="checkpointed k-means over the embeddings table")
+    km.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    km.add_argument("--out", required=True)
+    km.add_argument("--no-resume", action="store_true")
+    km.add_argument("--fail-after", type=int, default=None)
+    km.add_argument("--parts", type=int, default=4)
+
     g = sub.add_parser("export-geocore", help="translated items -> GeoCore JSON files")
     g.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     g.add_argument("--out", required=True)
@@ -94,6 +102,12 @@ def main(argv=None) -> int:
             res = run_phash_clusters_to_parquet(
                 args.sf_dir, args.out, resume=not args.no_resume,
                 collect_threshold=args.collect_threshold)
+        elif args.cmd == "kmeans":
+            from .pipelines.kmeans_run import run_kmeans_to_parquet
+            res = run_kmeans_to_parquet(args.sf_dir, args.out,
+                                        resume=not args.no_resume,
+                                        fail_after_rounds=args.fail_after,
+                                        n_parts=args.parts)
         elif args.cmd == "export-geocore":
             from .pipelines.geocore_harvest import items_dataset
             from .sources.exporters import write_geocore_json

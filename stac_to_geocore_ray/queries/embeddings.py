@@ -428,13 +428,24 @@ def kmeans_embeddings(sf_dir: str):
     100 TB that is the intended shape (object-store page cache makes
     re-reads warm; checkpointing centroids per round costs k*d floats).
     """
-    import ray
-    from ..stages.ann import _as_matrix
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    C = _kmeans_seed(ds)
+    for _ in range(KMEANS_ITERS):
+        C = _kmeans_round(ds, C)
+    return _kmeans_label_ds(ds, C)
 
-    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
-    # ---- seeds: the k smallest vec_ids (per-batch min-k partials +
-    # a <=k x #blocks driver merge — the house top-k pattern)
+def _kmeans_assign(mat: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """One shared distance formulation — see kmeans_embeddings'
+    determinism note (every evaluator must use this exact reduction)."""
+    return ((mat[:, None, :] - cent[None, :, :]) ** 2) \
+        .sum(axis=2).argmin(axis=1)
+
+
+def _kmeans_seed(ds) -> "np.ndarray":
+    """Seed centroids: the KMEANS_K smallest vec_ids' vectors
+    (per-batch min-k partials + a <=k x #blocks driver merge)."""
     def seed_partial(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
         if len(ids) == 0:
@@ -448,60 +459,124 @@ def kmeans_embeddings(sf_dir: str):
 
     seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
     seeds = seeds.sort_values("vec_id").head(KMEANS_K)
-    C = np.asarray(seeds["embedding"].tolist(), dtype=np.float64)
+    return np.asarray(seeds["embedding"].tolist(), dtype=np.float64)
 
-    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        # one shared formulation — see the determinism note
-        return ((mat[:, None, :] - cent[None, :, :]) ** 2) \
-            .sum(axis=2).argmin(axis=1)
 
-    for _ in range(KMEANS_ITERS):
-        cent = C                        # tiny (k x d): closure-captured
+def _kmeans_round(ds, C: "np.ndarray") -> "np.ndarray":
+    """One Lloyd round: streaming per-batch (cluster, count, sum)
+    partials, a k-row driver fold, quantized centroid update.  An
+    empty cluster keeps its previous centroid."""
+    from ..stages.ann import _as_matrix
+    cent = C                            # tiny (k x d): closure-captured
 
-        def update_partial(batch: pa.Table, cent=cent) -> pa.Table:
-            mat = _as_matrix(batch["embedding"]).astype(np.float64)
-            if len(mat) == 0:
-                return pa.table({"cluster": pa.array([], pa.int64()),
-                                 "count": pa.array([], pa.int64()),
-                                 "sums": pa.array([], pa.list_(pa.float64()))})
-            a = assign(mat, cent)
-            clusters, counts, sums = [], [], []
-            for j in range(KMEANS_K):
-                m = a == j
-                if m.any():
-                    clusters.append(j)
-                    counts.append(int(m.sum()))
-                    sums.append(mat[m].sum(axis=0))
-            return pa.table({
-                "cluster": pa.array(clusters, pa.int64()),
-                "count": pa.array(counts, pa.int64()),
-                "sums": pa.array([s.tolist() for s in sums],
-                                 pa.list_(pa.float64()))})
-
-        # bounded batches: the (n, k, d) distance temp is n*k*d*8 B —
-        # 8192 rows x 8 x 64 = 32 MB, independent of block size
-        parts = ds.map_batches(update_partial, batch_format="pyarrow",
-                               batch_size=8192).to_pandas()
-        newC = C.copy()
+    def update_partial(batch: pa.Table, cent=cent) -> pa.Table:
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        if len(mat) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64()),
+                             "sums": pa.array([], pa.list_(pa.float64()))})
+        a = _kmeans_assign(mat, cent)
+        clusters, counts, sums = [], [], []
         for j in range(KMEANS_K):
-            sel = parts[parts.cluster == j]
-            if len(sel):
-                tot = np.sum(np.asarray(sel["sums"].tolist(),
-                                        dtype=np.float64), axis=0)
-                newC[j] = np.round(tot / int(sel["count"].sum()),
-                                   KMEANS_QUANT)
-        C = newC
+            m = a == j
+            if m.any():
+                clusters.append(j)
+                counts.append(int(m.sum()))
+                sums.append(mat[m].sum(axis=0))
+        return pa.table({
+            "cluster": pa.array(clusters, pa.int64()),
+            "count": pa.array(counts, pa.int64()),
+            "sums": pa.array([s.tolist() for s in sums],
+                             pa.list_(pa.float64()))})
 
-    final = C
+    # bounded batches: the (n, k, d) distance temp is n*k*d*8 B —
+    # 8192 rows x 8 x 64 = 32 MB, independent of block size
+    parts = ds.map_batches(update_partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    newC = C.copy()
+    for j in range(KMEANS_K):
+        sel = parts[parts.cluster == j]
+        if len(sel):
+            tot = np.sum(np.asarray(sel["sums"].tolist(),
+                                    dtype=np.float64), axis=0)
+            newC[j] = np.round(tot / int(sel["count"].sum()),
+                               KMEANS_QUANT)
+    return newC
 
-    def label(batch: pa.Table, cent=final) -> pa.Table:
+
+def _kmeans_label_ds(ds, C: "np.ndarray"):
+    """Final assignment pass: distributed (vec_id, cluster) stream."""
+    from ..stages.ann import _as_matrix
+
+    def label(batch: pa.Table, cent=C) -> pa.Table:
         mat = _as_matrix(batch["embedding"]).astype(np.float64)
         if len(mat) == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int64())})
         return pa.table({
             "vec_id": pc.cast(batch["vec_id"], pa.int64()),
-            "cluster": pa.array(assign(mat, cent), pa.int64())})
+            "cluster": pa.array(_kmeans_assign(mat, cent), pa.int64())})
 
     return ds.map_batches(label, batch_format="pyarrow",
                           batch_size=8192)
+
+
+_ANN_FILTER_LABEL = 3
+
+
+def ann_filtered_topk(sf_dir: str):
+    """PRE-FILTERED VECTOR SEARCH: cosine top-10 among only the corpus
+    rows matching a metadata predicate (label = 3, ~10% selectivity) —
+    the filtered-ANN op class of a hybrid (structured + vector) search
+    stack.  The point vs ann_topk: the predicate is pushed into the
+    PARQUET SCAN (row-group filter; only matching rows leave storage),
+    the pre-filter strategy, rather than ranking the full corpus and
+    discarding non-matching hits afterwards (post-filtering, which
+    under-fills k for selective predicates and wastes the whole scan).
+
+    Scale shape: identical to ann_topk after the filter — broadcast
+    query matrix, per-batch partial top-k over the surviving rows, a
+    <=k x q x #blocks driver merge.  An IVF/bucketed variant composes
+    the same way (ann_ivf's probe filter AND the metadata filter both
+    ride the scan).
+    """
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ..stages.ann import BruteForceTopK, merge_topk, _as_matrix
+
+    qtbl = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(_ANN_QUERY_IDS))])
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = _as_matrix(qtbl["embedding"]).astype(np.float64)
+    qref = ray.put((qids, qmat))
+    ds = clean_read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filter=(pads.field("label") == _ANN_FILTER_LABEL),
+        filter_columns=["label"])
+    cand = ds.map_batches(lambda b: BruteForceTopK(qref)(b),
+                          batch_format="pyarrow")
+    cand_tbl = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+    out = merge_topk(cand_tbl).to_pandas()
+    out["cos_r"] = out["cos"].round(4)
+    return table_from_pandas(
+        out[["query_id", "vec_id", "rank", "cos_r"]], preserve_index=False)
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN {tuple(_ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = {_ANN_FILTER_LABEL}),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= 10
+"""

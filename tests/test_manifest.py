@@ -643,3 +643,78 @@ class TestDedupRunsResume:
         e2 = rd.from_items([{"a": "p", "b": "q"}])
         with pytest.raises(ValueError, match="DIFFERENT edge set"):
             label_propagation_components(e2, checkpoint=sink)
+
+
+class TestKmeansRunResume:
+    """Kill-after-k resume for the iterative leg (round-grain
+    checkpoints: a crash at round k of 5 loses one pass)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"]
+                for p, m in ManifestSink(out).completed().items()}
+
+    def test_round_checkpoint_resume_byte_identical(self, ray_session,
+                                                    tmp_path):
+        from stac_to_geocore_ray.pipelines.kmeans_run import \
+            run_kmeans_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_kmeans_to_parquet(self.SF, out1, fail_after_rounds=2)
+        done = set(ManifestSink(out1).completed())
+        assert done == {"seeds-0000", "round-0000", "round-0001"}
+        # the resume must not recompute the seeds or completed rounds:
+        # poison the seed stage
+        import stac_to_geocore_ray.queries.embeddings as emb_mod
+        orig = emb_mod._kmeans_seed
+        emb_mod._kmeans_seed = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("seed stage re-ran on resume"))
+        try:
+            r1 = run_kmeans_to_parquet(self.SF, out1)
+        finally:
+            emb_mod._kmeans_seed = orig
+        assert r1["seeds_resumed"] and r1["rounds_run"] == 3
+        r2 = run_kmeans_to_parquet(self.SF, out2)
+        assert r2["rounds_run"] == 5 and not r2["seeds_resumed"]
+        assert r1["rows"] == r2["rows"] > 0
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_matches_query_output(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.pipelines.kmeans_run import \
+            run_kmeans_to_parquet
+        from stac_to_geocore_ray.queries import kmeans_embeddings
+        out = str(tmp_path / "a")
+        run_kmeans_to_parquet(self.SF, out, n_parts=3)
+        files = sorted(glob.glob(f"{out}/part-labels-*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files]) \
+            .to_pandas().reset_index(drop=True)
+        want = kmeans_embeddings(self.SF).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert got.vec_id.tolist() == want.vec_id.tolist()
+        assert got.cluster.tolist() == want.cluster.tolist()
+
+    def test_rejects_foreign_checkpoint_and_layout(self, ray_session,
+                                                   tmp_path):
+        import json as _json
+
+        from stac_to_geocore_ray.pipelines.kmeans_run import \
+            run_kmeans_to_parquet
+        out = str(tmp_path / "a")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_kmeans_to_parquet(self.SF, out, fail_after_rounds=1)
+        # corrupt the chain: round-0000 now claims different inputs
+        mpath = f"{out}/_manifest/round-0000.json"
+        m = _json.load(open(mpath))
+        m["inputs"] = ["deadbeef"]
+        _json.dump(m, open(mpath, "w"))
+        with pytest.raises(RuntimeError, match="foreign checkpoint"):
+            run_kmeans_to_parquet(self.SF, out)
+        # and a different labels layout on resume is refused
+        out2 = str(tmp_path / "b")
+        run_kmeans_to_parquet(self.SF, out2, n_parts=2)
+        with pytest.raises(ValueError, match="different range layout"):
+            run_kmeans_to_parquet(self.SF, out2, n_parts=4)

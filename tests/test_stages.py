@@ -348,3 +348,24 @@ class TestKmeansEmbeddings:
         assert got.cluster.nunique() >= 2
         sizes = got.cluster.value_counts()
         assert sizes.max() < len(got)
+
+
+class TestAnnFilteredTopk:
+    def test_prefilter_semantics(self, ray_session):
+        """Every hit satisfies the predicate, ranks are dense per
+        query, and the filtered ranking differs from the unfiltered
+        one (the filter actually bit)."""
+        from stac_to_geocore_ray.queries import (ann_filtered_topk,
+                                                 ann_topk)
+        from stac_to_geocore_ray.queries.embeddings import \
+            _ANN_FILTER_LABEL
+        sf = "/root/testdata/sf0.001"
+        got = ann_filtered_topk(sf).to_pandas()
+        emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "label"])
+        labels = dict(zip(emb.vec_id, emb.label))
+        assert all(labels[v] == _ANN_FILTER_LABEL for v in got.vec_id)
+        for _, g in got.groupby("query_id"):
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        full = ann_topk(sf).to_pandas()
+        assert got.vec_id.tolist() != full.vec_id.tolist()
