@@ -1163,3 +1163,62 @@ r AS (SELECT doc_id, token, score,
       FROM s)
 SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
 """
+
+
+# integer thresholds (rate * 2^32, floored) so the engine filter and
+# the SQL CASE compare the identical constants
+_STRAT_THRESH = {"en": 429496729}           # 10% of the dominant lang
+_STRAT_DEFAULT = 2147483648                 # 50% of everything else
+
+
+def doc_stratified_sample(sf_dir: str):
+    """STRATIFIED SAMPLING: per-group rates rebalance a skewed corpus —
+    the fixture is ~44% English, so 'en' samples at 10% while every
+    other language samples at 50%, narrowing the imbalance without a
+    shuffle.  Like doc_sample_hash the draw is a PURE FUNCTION of the
+    id (Knuth multiplicative hash), so any stage, rerun or cluster
+    size reproduces the identical subset; the stratum->threshold map
+    rides into the map as a tiny broadcast dict.
+
+    Scale shape: a stateless filter fused into the pruned read plus a
+    strong-contraction rollup — no coordination, no RNG state, and the
+    per-group rates can come from a prior pass's group counts (the
+    corpus-statistic broadcast pattern, cf. doc_tfidf_topk).
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        lang = pd.Series(np.asarray(batch["lang"]))
+        thresh = lang.map(_STRAT_THRESH).fillna(_STRAT_DEFAULT) \
+            .to_numpy(dtype=np.uint64)
+        keep = h < thresh
+        if not keep.any():
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pd.DataFrame({"lang": lang[keep]}) \
+            .groupby("lang", sort=False).size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_sampled": pc.cast(batch["n_sampled"],
+                                              pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_STRATIFIED_SQL = """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < CASE WHEN lang = 'en' THEN 429496729 ELSE 2147483648 END
+GROUP BY lang
+"""

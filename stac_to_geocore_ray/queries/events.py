@@ -1069,3 +1069,90 @@ def events_hll_users(sf_dir: str):
     # register rows are globally max-merged and <= |types| x 2^p total,
     # so the estimate is an output-sized single-task fold
     return regs.repartition(1).map_batches(estimate, batch_format="pandas")
+
+
+FUNNEL_WINDOW_S = 86400      # 24 h: completions stay non-zero
+# AND non-total at sf0.001/0.01/0.1 (3/15, 14/150, 137/1500 users)
+
+
+def events_funnel(sf_dir: str):
+    """ORDERED SEQUENCE PATTERN (funnel): how many users complete
+    view -> click -> purchase, each step strictly after the previous
+    one and the whole chain within FUNNEL_WINDOW_S of the user's FIRST
+    view — the product-analytics funnel op, a sequence-pattern class
+    none of the window/pivot/retention ops express (each step's
+    timestamp is defined RECURSIVELY off the previous step's).
+
+    Engine shape: one sorted pass through keyed_boundary_decompose —
+    interior users resolve in-block with three vectorized
+    filter/map/groupby-min steps (t1 = first view, t2 = first click
+    after t1, t3 = first purchase after t2), block-straddling users
+    defer raw rows to the keyed fold.  The per-user (t1, t2, t3) table
+    then contracts to 3 step-count rows via per-batch partials and a
+    driver fold (output-sized, the q3 merge pattern).
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.loc[df.event_type == "view"] \
+            .groupby("user_id")["ts"].min()            # t1 per user
+        c = df.loc[df.event_type == "click", ["user_id", "ts"]].copy()
+        c["t1"] = c.user_id.map(v)
+        t2 = c.loc[c.ts > c.t1].groupby("user_id")["ts"].min()
+        p = df.loc[df.event_type == "purchase", ["user_id", "ts"]].copy()
+        p["t2"] = p.user_id.map(t2)
+        t3 = p.loc[p.ts > p.t2].groupby("user_id")["ts"].min()
+        users = v.index
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype="int64"),
+            "t1": pd.Series(v.to_numpy(), dtype="datetime64[us]"),
+            "t2": pd.Series(t2.reindex(users).to_numpy(),
+                            dtype="datetime64[us]"),
+            "t3": pd.Series(t3.reindex(users).to_numpy(),
+                            dtype="datetime64[us]")})
+
+    from ..stages.util import keyed_boundary_decompose
+    per_user = keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts"], key_col="user_id",
+        raw_cols=["user_id", "ts", "event_type"], kernel=kernel)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        win = pd.Timedelta(seconds=FUNNEL_WINDOW_S)
+        r1 = int(df.t1.notna().sum())
+        r2 = int(((df.t2 - df.t1) <= win).sum())       # NaT compares False
+        r3 = int(((df.t3 - df.t1) <= win).sum())
+        return pa.table({"step": pa.array([1, 2, 3], pa.int64()),
+                         "n_users": pa.array([r1, r2, r3], pa.int64())})
+
+    parts = per_user.map_batches(count_partial,
+                                 batch_format="pyarrow").to_pandas()
+    out = parts.groupby("step", sort=True, as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id)
+SELECT 1 AS step, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, count(*) FROM s1 JOIN s2 USING (user_id)
+WHERE t2 - t1 <= INTERVAL 86400 SECOND
+UNION ALL
+SELECT 3, count(*) FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+WHERE t3 - t1 <= INTERVAL 86400 SECOND
+ORDER BY step
+"""

@@ -598,3 +598,49 @@ class TestDocTfidfTopk:
             .groupby("doc_id").head(1)
         top1 = top[top["rank"] == 1]
         assert (mf.token.to_numpy() != top1.token.to_numpy()).any()
+
+
+class TestEventsFunnel:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import events_funnel
+        from stac_to_geocore_ray.queries.events import FUNNEL_WINDOW_S
+        got = events_funnel(SF).to_pandas() \
+            .sort_values("step").reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        win = pd.Timedelta(seconds=FUNNEL_WINDOW_S)
+        t1 = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+        c = ev[ev.event_type == "click"].copy()
+        c["t1"] = c.user_id.map(t1)
+        t2 = c[c.ts > c.t1].groupby("user_id")["ts"].min()
+        p = ev[ev.event_type == "purchase"].copy()
+        p["t2"] = p.user_id.map(t2)
+        t3 = p[p.ts > p.t2].groupby("user_id")["ts"].min()
+        users = t1.index
+        d2 = t2.reindex(users) - t1
+        d3 = t3.reindex(users) - t1
+        ref = [len(t1), int((d2 <= win).sum()), int((d3 <= win).sum())]
+        assert got.step.tolist() == [1, 2, 3]
+        assert got.n_users.tolist() == ref
+        # the funnel discriminates: monotone, neither empty nor total
+        assert ref[0] > ref[1] > ref[2] > 0
+
+
+class TestDocStratifiedSample:
+    def test_rebalances_and_is_deterministic(self, ray_session):
+        from stac_to_geocore_ray.queries import doc_stratified_sample
+        got = doc_stratified_sample(SF).to_pandas() \
+            .set_index("lang")["n_sampled"]
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"])
+        h = (docs.doc_id.to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        thr = np.where(docs.lang.to_numpy() == "en",
+                       np.uint64(429496729), np.uint64(2147483648))
+        ref = docs[h < thr].groupby("lang").size()
+        assert got.sort_index().tolist() == ref.sort_index().tolist()
+        # the strata actually rebalance: en dominates the corpus but
+        # not the sample
+        full = docs.groupby("lang").size()
+        assert full.idxmax() == "en"
+        assert got.idxmax() != "en"
