@@ -1003,3 +1003,229 @@ WHERE cents > t.avg_cents
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Multi-predicate FILTER + GLOBAL SCALAR REDUCE (TPC-H Q6 shape):
+    discount revenue over a shipdate-year x discount-band x quantity
+    slice — the op class with NO groupby and NO join, where all the
+    work is predicate pushdown: every predicate column rides the read
+    as a pyarrow.dataset row filter, so non-qualifying row groups are
+    pruned by footer statistics and qualifying ones are filtered
+    before a block is ever built (reference analogue: the harvest
+    date-window skip, stac-to-geocore's only predicate).
+
+    Cross-engine exactness: per-row cents of l_extendedprice *
+    l_discount (half-away), folded with Dataset.sum over one partial
+    row per batch; whole units derived only at the end.  The discount
+    band compares stored doubles against the same literals DuckDB
+    sees, so the boundary rows agree bit-for-bit.
+
+    Scale shape: the filtered slice (~1-2% of lineitem) never touches
+    the object store unfiltered; the reduce moves ONE int64 per block.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ._common import _cents
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    expr = ((pads.field("l_shipdate") >= lo)
+            & (pads.field("l_shipdate") < hi)
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0))
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr, filter_columns=["l_shipdate", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["l_extendedprice"].to_numpy()
+                       * batch["l_discount"].to_numpy())
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
+
+    cents = li.map_batches(partial, batch_format="pyarrow").sum("cents")
+    cents = int(cents or 0)
+    revenue = int(np.sign(cents) * math.floor(abs(cents) / 100.0 + 0.5))
+    return pa.table({"revenue": pa.array([revenue], pa.int64())})
+
+
+Q6_SQL = """
+SELECT CAST(round(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            / 100.0) AS BIGINT) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """CONDITIONAL-RATIO SCALAR over a broadcast dimension flag (TPC-H
+    Q14 shape): the share of one month's revenue that came from PROMO
+    parts.  Pass structure: the part table contracts to a sorted
+    partkey array + promo bit vector (ray.put once), each lineitem
+    batch emits ONE (promo_cents, total_cents) partial, and the ratio
+    is derived on the driver from the two exact integer folds.
+
+    Cross-engine exactness: the percentage is published as integer
+    MICRO-percent via floor division of the exact cent sums
+    (pct_micro = 10^8 * promo // total, Python arbitrary-precision ==
+    DuckDB HUGEINT), so no float division ever enters the hash.
+    """
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False)[order]
+    ref = ray.put((keys, promo))
+
+    lo, hi = _dt.datetime(1996, 3, 1), _dt.datetime(1996, 4, 1)
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+        filter_columns=["l_shipdate"])
+
+    class PromoPartial:
+        def __init__(self, r):
+            self.keys, self.promo = (ray.get(r)
+                                     if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch["l_partkey"].to_numpy()
+            cents = _cents(batch["l_extendedprice"].to_numpy()
+                           * (1.0 - batch["l_discount"].to_numpy()))
+            pos = np.searchsorted(self.keys, lp)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == lp
+            if not hit.all():
+                raise ValueError("q14: lineitem references unknown partkey")
+            is_promo = self.promo[pos_c]
+            return pa.table({
+                "promo": pa.array([int(cents[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(cents.sum())], pa.int64())})
+
+    parts = li.map_batches(PromoPartial, fn_constructor_args=(ref,),
+                           batch_format="pyarrow",
+                           concurrency=_auto()).to_pandas()
+    promo_c, total_c = int(parts["promo"].sum()), int(parts["total"].sum())
+    if total_c == 0:
+        raise ValueError("q14: no lineitems in the target month")
+    pct_micro = (100_000_000 * promo_c) // total_c
+    return pa.table({"promo_pct_micro": pa.array([pct_micro], pa.int64())})
+
+
+Q14_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01')
+SELECT CAST((100000000 * CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+                              AS HUGEINT))
+            // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS promo_pct_micro
+FROM f
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """DISJUNCTIVE MULTI-ATTRIBUTE PREDICATE JOIN (TPC-H Q19 shape):
+    revenue where (brand, part size, lineitem quantity) satisfy ANY of
+    three conjunctive bundles — the op class where the join predicate
+    is an OR of cross-table conjunctions, which hash joins cannot
+    evaluate as a key equality.  Evaluated as a broadcast attribute
+    lookup: part contracts to (sorted partkeys, brand code, size),
+    each batch resolves its rows' attributes via searchsorted and
+    evaluates the three bundles as vectorized masks.
+
+    Scale shape: no shuffle at all — part attributes are output-sized
+    for the broadcast regime (two small arrays per million parts; the
+    documented fallback past worker heap is the q3 hash-join template
+    with the OR evaluated post-join), and the fact scan folds to one
+    int64 per block.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    BUNDLES = (("Brand#12", 5, 1.0, 11.0),
+               ("Brand#23", 10, 10.0, 20.0),
+               ("Brand#24", 15, 20.0, 30.0))
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    brands = [b for b, _, _, _ in BUNDLES]
+    code = np.zeros(len(keys), dtype=np.int8)      # 0 = no target brand
+    pb = part["p_brand"]
+    for i, b in enumerate(brands):
+        code[pc.equal(pb, b).to_numpy(zero_copy_only=False)[order]] = i + 1
+    size = part["p_size"].to_numpy().astype(np.int32)[order]
+    ref = ray.put((keys, code, size))
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    class Disjunct:
+        def __init__(self, r):
+            self.keys, self.code, self.size = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch["l_partkey"].to_numpy()
+            qty = batch["l_quantity"].to_numpy()
+            pos = np.searchsorted(self.keys, lp)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == lp
+            if not hit.all():
+                raise ValueError("q19: lineitem references unknown partkey")
+            code, size = self.code[pos_c], self.size[pos_c]
+            keep = np.zeros(len(lp), dtype=bool)
+            for i, (_, max_size, q_lo, q_hi) in enumerate(BUNDLES):
+                keep |= ((code == i + 1)
+                         & (size >= 1) & (size <= max_size)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            cents = _cents(batch["l_extendedprice"].to_numpy()[keep]
+                           * (1.0 - batch["l_discount"].to_numpy()[keep]))
+            return pa.table({"cents": pa.array([int(cents.sum())],
+                                               pa.int64())})
+
+    cents = li.map_batches(Disjunct, fn_constructor_args=(ref,),
+                           batch_format="pyarrow",
+                           concurrency=_auto()).sum("cents")
+    cents = int(cents or 0)
+    revenue = int(np.sign(cents) * math.floor(abs(cents) / 100.0 + 0.5))
+    return pa.table({"revenue": pa.array([revenue], pa.int64())})
+
+
+Q19_SQL = """
+SELECT CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) / 100.0) AS BIGINT) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -644,3 +644,79 @@ class TestDocStratifiedSample:
         full = docs.groupby("lang").size()
         assert full.idxmax() == "en"
         assert got.idxmax() != "en"
+
+
+def _cents_ref(v):
+    v = np.asarray(v, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype("int64")
+
+
+class TestQ6ForecastRevenue:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q6_forecast_revenue
+        got = q6_forecast_revenue(SF).to_pandas()
+        li = pd.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"])
+        sel = li[(li.l_shipdate >= "1996-01-01")
+                 & (li.l_shipdate < "1997-01-01")
+                 & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+                 & (li.l_quantity < 24)]
+        assert len(sel), "fixture slice must be non-empty"
+        cents = _cents_ref(sel.l_extendedprice.to_numpy()
+                           * sel.l_discount.to_numpy()).sum()
+        ref = int(np.sign(cents) * np.floor(abs(cents) / 100.0 + 0.5))
+        assert len(got) == 1
+        assert int(got.revenue.iloc[0]) == ref
+
+
+class TestQ14PromoRevenue:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q14_promo_revenue
+        got = q14_promo_revenue(SF).to_pandas()
+        part = pd.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+        li = pd.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        sel = li[(li.l_shipdate >= "1996-03-01")
+                 & (li.l_shipdate < "1996-04-01")].copy()
+        sel["cents"] = _cents_ref(sel.l_extendedprice.to_numpy()
+                                  * (1 - sel.l_discount.to_numpy()))
+        promo_keys = set(part.loc[part.p_type == "PROMO", "p_partkey"])
+        promo = int(sel.loc[sel.l_partkey.isin(promo_keys), "cents"].sum())
+        total = int(sel.cents.sum())
+        ref = (100_000_000 * promo) // total
+        assert len(got) == 1
+        assert int(got.promo_pct_micro.iloc[0]) == ref
+        # the ratio discriminates: neither 0% nor 100%
+        assert 0 < ref < 100_000_000
+
+
+class TestQ19DisjunctiveRevenue:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q19_disjunctive_revenue
+        got = q19_disjunctive_revenue(SF).to_pandas()
+        part = pd.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_brand", "p_size"])
+        li = pd.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+        df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        keep = (
+            ((df.p_brand == "Brand#12") & df.p_size.between(1, 5)
+             & df.l_quantity.between(1, 11))
+            | ((df.p_brand == "Brand#23") & df.p_size.between(1, 10)
+               & df.l_quantity.between(10, 20))
+            | ((df.p_brand == "Brand#24") & df.p_size.between(1, 15)
+               & df.l_quantity.between(20, 30)))
+        sel = df[keep]
+        assert len(sel), "disjunctive slice must be non-empty"
+        cents = _cents_ref(sel.l_extendedprice.to_numpy()
+                           * (1 - sel.l_discount.to_numpy())).sum()
+        ref = int(np.sign(cents) * np.floor(abs(cents) / 100.0 + 0.5))
+        assert len(got) == 1
+        assert int(got.revenue.iloc[0]) == ref
