@@ -1229,3 +1229,462 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def q7_volume_shipping(sf_dir: str):
+    """BILATERAL REGION-PAIR VOLUME (TPC-H Q7 shape): revenue shipped
+    from EUROPE suppliers to ASIA customers, grouped by (supp_nation,
+    cust_nation, ship year) — the op class where BOTH fact-adjacent
+    dimensions (supplier side and customer side) carry selective
+    predicates that must meet across a fact-fact join.
+
+    Plan: each side pre-filters against its own broadcast nation map
+    BEFORE the lineitem x orders hash join (only qualifying rows are
+    shuffled), the year is derived at the scan, and the
+    post-join rollup contracts per batch to a <= |nations|^2 x years
+    partial stream folded on the driver (the q22 output-sized regime).
+    """
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    reg = pq.read_table(_t(sf_dir, "region"))
+    reg_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_regionkey"].to_pylist()))
+    reg_name = dict(zip(reg["r_regionkey"].to_pylist(),
+                        reg["r_name"].to_pylist()))
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+
+    def _nat_map(tbl: pa.Table, key: str, nkey: str, region: str):
+        """sorted key array + nation code (-1 outside target region)."""
+        allowed = np.array(sorted(
+            k for k, r in reg_of.items() if reg_name[int(r)] == region),
+            dtype=np.int64)
+        keys = tbl[key].to_numpy()
+        order = np.argsort(keys)
+        nk = tbl[nkey].to_numpy().astype(np.int32)[order]
+        code = np.where(np.isin(nk, allowed), nk, np.int32(-1))
+        return keys[order], code
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    cus = pq.read_table(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_nationkey"])
+    s_ref = ray.put(_nat_map(sup, "s_suppkey", "s_nationkey", "EUROPE"))
+    c_ref = ray.put(_nat_map(cus, "c_custkey", "c_nationkey", "ASIA"))
+
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+        filter_columns=["l_shipdate"])
+
+    class SuppSide:
+        def __init__(self, r):
+            self.keys, self.code = (ray.get(r)
+                                    if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["l_suppkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, sk),
+                          0, len(self.keys) - 1)
+            code = np.where(self.keys[pos] == sk, self.code[pos],
+                            np.int32(-1))
+            keep = code >= 0
+            cents = _cents(batch["l_extendedprice"].to_numpy()[keep]
+                           * (1.0 - batch["l_discount"].to_numpy()[keep]))
+            year = batch["l_shipdate"].to_numpy()[keep] \
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "l_orderkey": pa.array(batch["l_orderkey"].to_numpy()[keep],
+                                       pa.int64()),
+                "s_nat": pa.array(code[keep], pa.int32()),
+                "l_year": pa.array(year, pa.int64()),
+                "cents": pa.array(cents, pa.int64())})
+
+    class CustSide:
+        def __init__(self, r):
+            self.keys, self.code = (ray.get(r)
+                                    if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck),
+                          0, len(self.keys) - 1)
+            code = np.where(self.keys[pos] == ck, self.code[pos],
+                            np.int32(-1))
+            keep = code >= 0
+            return pa.table({
+                "o_orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep],
+                                       pa.int64()),
+                "c_nat": pa.array(code[keep], pa.int32())})
+
+    left = li.map_batches(SuppSide, fn_constructor_args=(s_ref,),
+                          batch_format="pyarrow", concurrency=_auto())
+    right = _meta_read(_t(sf_dir, "orders"),
+                       columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(CustSide, fn_constructor_args=(c_ref,),
+                     batch_format="pyarrow", concurrency=_auto())
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pa.table({"s_nat": pa.array([], pa.int32()),
+                      "c_nat": pa.array([], pa.int32()),
+                      "l_year": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas()
+        g = df.groupby(["s_nat", "c_nat", "l_year"], sort=False)["cents"] \
+            .sum().reset_index()
+        g["cents"] = g["cents"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["cents"] \
+        .sum()
+    out["supp_nation"] = out.pop("s_nat").map(
+        lambda k: nat_name[int(k)])
+    out["cust_nation"] = out.pop("c_nat").map(
+        lambda k: nat_name[int(k)])
+    cents = out.pop("cents").to_numpy()
+    out["revenue"] = (np.sign(cents)
+                      * np.floor(np.abs(cents) / 100.0 + 0.5)).astype("int64")
+    out = out[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(cents) / 100.0) AS BIGINT) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """NATIONAL MARKET SHARE (TPC-H Q8 shape): the share of AMERICA
+    customers' ECONOMY-part revenue supplied by NATION_3, per order
+    year — a RATIO OF CONDITIONAL AGGREGATES over a doubly-filtered
+    fact-fact join.  The part/type filter, supplier/nation flag and
+    customer/region flag all ride broadcast lookups into the two scan
+    stages; only qualifying rows reach the hash join; the per-year
+    (nation_cents, total_cents) partials fold on the driver and the
+    share is published as exact integer micro-share (floor division),
+    the q14 no-float-in-the-hash discipline.
+    """
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    pk = np.sort(pc.filter(part["p_partkey"],
+                           pc.equal(part["p_type"], "ECONOMY")).to_numpy())
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    target = {int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                     nat["n_name"].to_pylist())
+              if n == "NATION_3"}
+    sk = sup["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    s_keys = sk[so]
+    s_flag = np.isin(sup["s_nationkey"].to_numpy()[so],
+                     np.array(sorted(target), dtype=np.int64))
+
+    cus = pq.read_table(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_nationkey"])
+    reg = pq.read_table(_t(sf_dir, "region"))
+    america = {int(r) for r, n in zip(reg["r_regionkey"].to_pylist(),
+                                      reg["r_name"].to_pylist())
+               if n == "AMERICA"}
+    in_am = {int(k) for k, r in zip(nat["n_nationkey"].to_pylist(),
+                                    nat["n_regionkey"].to_pylist())
+             if int(r) in america}
+    ck = cus["c_custkey"].to_numpy()
+    co = np.argsort(ck)
+    c_keys = ck[co]
+    c_flag = np.isin(cus["c_nationkey"].to_numpy()[co],
+                     np.array(sorted(in_am), dtype=np.int64))
+    ref = ray.put((pk, s_keys, s_flag, c_keys, c_flag))
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    class LineSide:
+        def __init__(self, r):
+            (self.pk, self.s_keys, self.s_flag,
+             _, _) = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.pk, lp), 0,
+                          max(len(self.pk) - 1, 0))
+            keep = len(self.pk) > 0
+            keep = (self.pk[pos] == lp) if keep else np.zeros(len(lp), bool)
+            sk = batch["l_suppkey"].to_numpy()[keep]
+            spos = np.clip(np.searchsorted(self.s_keys, sk), 0,
+                           len(self.s_keys) - 1)
+            if not (self.s_keys[spos] == sk).all():
+                raise ValueError("q8: lineitem references unknown suppkey")
+            cents = _cents(batch["l_extendedprice"].to_numpy()[keep]
+                           * (1.0 - batch["l_discount"].to_numpy()[keep]))
+            return pa.table({
+                "l_orderkey": pa.array(batch["l_orderkey"].to_numpy()[keep],
+                                       pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "is_nat": pa.array(self.s_flag[spos], pa.bool_())})
+
+    class OrderSide:
+        def __init__(self, r):
+            (_, _, _, self.c_keys, self.c_flag) = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.c_keys, ck), 0,
+                          len(self.c_keys) - 1)
+            keep = (self.c_keys[pos] == ck) & self.c_flag[pos]
+            year = batch["o_orderdate"].to_numpy()[keep] \
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "o_orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep],
+                                       pa.int64()),
+                "o_year": pa.array(year, pa.int64())})
+
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+    orders = clean_read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)),
+        filter_columns=["o_orderdate"])
+    left = li.map_batches(LineSide, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=_auto())
+    right = orders.map_batches(OrderSide, fn_constructor_args=(ref,),
+                               batch_format="pyarrow", concurrency=_auto())
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "nat": pa.array([], pa.int64()),
+                      "tot": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas()
+        df["nat"] = np.where(df["is_nat"].to_numpy(),
+                             df["cents"].to_numpy(), 0)
+        g = df.groupby("o_year", sort=False).agg(
+            nat=("nat", "sum"), tot=("cents", "sum")).reset_index()
+        g["nat"] = g["nat"].astype("int64")
+        g["tot"] = g["tot"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_year", as_index=False).agg(
+        nat=("nat", "sum"), tot=("tot", "sum"))
+    out["share_micro"] = [
+        (1_000_000 * int(a)) // int(t) for a, t in zip(out.nat, out.tot)]
+    out = out[["o_year", "share_micro"]].sort_values("o_year")
+    out["share_micro"] = out["share_micro"].astype("int64")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q8_SQL = """
+WITH f AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         n1.n_name = 'NATION_3' AS is_nat
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE p_type = 'ECONOMY' AND r2.r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST((1000000 * CAST(sum(CASE WHEN is_nat THEN cents ELSE 0 END)
+                            AS HUGEINT))
+            // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_micro
+FROM f
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """PRODUCT-LINE PROFIT (TPC-H Q9 shape): per (supplier nation,
+    order year) profit on gizmo parts, where profit subtracts a
+    part-attribute cost term from the discounted price — the op class
+    whose aggregate input is an ARITHMETIC EXPRESSION ACROSS THREE
+    TABLES (lineitem x part attrs x order year), assembled without
+    shuffling either dimension: part cost and supplier nation ride
+    broadcast lookups into the scan, and only (orderkey, natcode,
+    cents) survivor rows reach the fact-fact hash join.
+
+    Cross-engine exactness: the profit expression is evaluated in the
+    SAME operand order as the SQL text (ext*(1-disc) - 0.1*retail*qty,
+    IEEE doubles are order-sensitive), then half-away cent-rounded
+    per row.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    gz = pc.match_substring(part["p_name"], "gizmo").to_numpy(
+        zero_copy_only=False)
+    keys = part["p_partkey"].to_numpy()[gz]
+    order = np.argsort(keys)
+    p_keys = keys[order]
+    p_retail = part["p_retailprice"].to_numpy()[gz][order]
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    s_keys = sk[so]
+    s_nat = sup["s_nationkey"].to_numpy()[so].astype(np.int32)
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+    ref = ray.put((p_keys, p_retail, s_keys, s_nat))
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+
+    class ProfitSide:
+        def __init__(self, r):
+            (self.p_keys, self.p_retail, self.s_keys, self.s_nat) = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch["l_partkey"].to_numpy()
+            if len(self.p_keys) == 0:
+                keep = np.zeros(len(lp), dtype=bool)
+                pos = np.zeros(len(lp), dtype=np.int64)
+            else:
+                pos = np.clip(np.searchsorted(self.p_keys, lp), 0,
+                              len(self.p_keys) - 1)
+                keep = self.p_keys[pos] == lp
+            retail = self.p_retail[pos[keep]]
+            sk = batch["l_suppkey"].to_numpy()[keep]
+            spos = np.clip(np.searchsorted(self.s_keys, sk), 0,
+                           len(self.s_keys) - 1)
+            if not (self.s_keys[spos] == sk).all():
+                raise ValueError("q9: lineitem references unknown suppkey")
+            amount = (batch["l_extendedprice"].to_numpy()[keep]
+                      * (1.0 - batch["l_discount"].to_numpy()[keep])
+                      - 0.1 * retail * batch["l_quantity"].to_numpy()[keep])
+            return pa.table({
+                "l_orderkey": pa.array(batch["l_orderkey"].to_numpy()[keep],
+                                       pa.int64()),
+                "nat": pa.array(self.s_nat[spos], pa.int32()),
+                "cents": pa.array(_cents(amount), pa.int64())})
+
+    def year_side(batch: pa.Table) -> pa.Table:
+        year = batch["o_orderdate"].to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": pa.array(batch["o_orderkey"].to_numpy(),
+                                   pa.int64()),
+            "o_year": pa.array(year, pa.int64())})
+
+    left = li.map_batches(ProfitSide, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=_auto())
+    right = _meta_read(_t(sf_dir, "orders"),
+                       columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(year_side, batch_format="pyarrow")
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pa.table({"nat": pa.array([], pa.int32()),
+                      "o_year": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas()
+        g = df.groupby(["nat", "o_year"], sort=False)["cents"] \
+            .sum().reset_index()
+        g["cents"] = g["cents"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["nat", "o_year"], as_index=False)["cents"].sum()
+    out["nation"] = out.pop("nat").map(lambda k: nat_name[int(k)])
+    cents = out.pop("cents").to_numpy()
+    out["profit"] = (np.sign(cents)
+                     * np.floor(np.abs(cents) / 100.0 + 0.5)).astype("int64")
+    out = out[["nation", "o_year", "profit"]] \
+        .sort_values(["nation", "o_year"])
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       CAST(round(sum(cents) / 100.0) AS BIGINT) AS profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gizmo%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""

@@ -720,3 +720,112 @@ class TestQ19DisjunctiveRevenue:
         ref = int(np.sign(cents) * np.floor(abs(cents) / 100.0 + 0.5))
         assert len(got) == 1
         assert int(got.revenue.iloc[0]) == ref
+
+
+class TestQ7VolumeShipping:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q7_volume_shipping
+        got = q7_volume_shipping(SF).to_pandas()
+        nat = pd.read_parquet(f"{SF}/nation.parquet")
+        reg = pd.read_parquet(f"{SF}/region.parquet")
+        nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet") \
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        cus = pd.read_parquet(f"{SF}/customer.parquet") \
+            .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        df = li[(li.l_shipdate >= "1995-01-01")
+                & (li.l_shipdate < "1997-01-01")] \
+            .merge(sup[sup.r_name == "EUROPE"][["s_suppkey", "n_name"]]
+                   .rename(columns={"n_name": "supp_nation"}),
+                   left_on="l_suppkey", right_on="s_suppkey") \
+            .merge(orders[["o_orderkey", "o_custkey"]],
+                   left_on="l_orderkey", right_on="o_orderkey") \
+            .merge(cus[cus.r_name == "ASIA"][["c_custkey", "n_name"]]
+                   .rename(columns={"n_name": "cust_nation"}),
+                   left_on="o_custkey", right_on="c_custkey")
+        df["l_year"] = df.l_shipdate.dt.year.astype("int64")
+        df["cents"] = _cents_ref(df.l_extendedprice.to_numpy()
+                                 * (1 - df.l_discount.to_numpy()))
+        ref = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False)["cents"].sum()
+        c = ref.pop("cents").to_numpy()
+        ref["revenue"] = (np.sign(c) * np.floor(np.abs(c) / 100 + 0.5)) \
+            .astype("int64")
+        ref = ref.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        # bilateral: several nation pairs and both years appear
+        assert got.supp_nation.nunique() >= 2
+        assert got.l_year.nunique() == 2
+
+
+class TestQ8MarketShare:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q8_market_share
+        got = q8_market_share(SF).to_pandas()
+        nat = pd.read_parquet(f"{SF}/nation.parquet")
+        reg = pd.read_parquet(f"{SF}/region.parquet")
+        nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet") \
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        cus = pd.read_parquet(f"{SF}/customer.parquet") \
+            .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        df = li.merge(part[part.p_type == "ECONOMY"][["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey") \
+            .merge(sup[["s_suppkey", "n_name"]],
+                   left_on="l_suppkey", right_on="s_suppkey") \
+            .merge(orders[(orders.o_orderdate >= "1995-01-01")
+                          & (orders.o_orderdate < "1997-01-01")]
+                   [["o_orderkey", "o_custkey", "o_orderdate"]],
+                   left_on="l_orderkey", right_on="o_orderkey") \
+            .merge(cus[cus.r_name == "AMERICA"][["c_custkey"]],
+                   left_on="o_custkey", right_on="c_custkey")
+        df["o_year"] = df.o_orderdate.dt.year.astype("int64")
+        df["cents"] = _cents_ref(df.l_extendedprice.to_numpy()
+                                 * (1 - df.l_discount.to_numpy()))
+        df["nat"] = np.where(df.n_name == "NATION_3", df.cents, 0)
+        ref = df.groupby("o_year", as_index=False).agg(
+            nat=("nat", "sum"), tot=("cents", "sum"))
+        ref["share_micro"] = [(1_000_000 * int(a)) // int(t)
+                              for a, t in zip(ref.nat, ref.tot)]
+        ref = ref[["o_year", "share_micro"]].sort_values("o_year") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+class TestQ9ProductProfit:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q9_product_profit
+        got = q9_product_profit(SF).to_pandas()
+        nat = pd.read_parquet(f"{SF}/nation.parquet")
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet") \
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        df = li.merge(part[part.p_name.str.contains("gizmo")]
+                      [["p_partkey", "p_retailprice"]],
+                      left_on="l_partkey", right_on="p_partkey") \
+            .merge(sup[["s_suppkey", "n_name"]],
+                   left_on="l_suppkey", right_on="s_suppkey") \
+            .merge(orders[["o_orderkey", "o_orderdate"]],
+                   left_on="l_orderkey", right_on="o_orderkey")
+        df["o_year"] = df.o_orderdate.dt.year.astype("int64")
+        amount = (df.l_extendedprice.to_numpy()
+                  * (1 - df.l_discount.to_numpy())
+                  - 0.1 * df.p_retailprice.to_numpy()
+                  * df.l_quantity.to_numpy())
+        df["cents"] = _cents_ref(amount)
+        ref = df.rename(columns={"n_name": "nation"}) \
+            .groupby(["nation", "o_year"], as_index=False)["cents"].sum()
+        c = ref.pop("cents").to_numpy()
+        ref["profit"] = (np.sign(c) * np.floor(np.abs(c) / 100 + 0.5)) \
+            .astype("int64")
+        ref = ref.sort_values(["nation", "o_year"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert got.nation.nunique() > 5
