@@ -1688,3 +1688,308 @@ FROM (
 GROUP BY nation, o_year
 ORDER BY nation, o_year
 """
+
+
+def q10_returned_items(sf_dir: str):
+    """TOP-K WITH DIMENSION ENRICHMENT (TPC-H Q10 shape): the 20
+    customers losing the most revenue to returned lineitems in one
+    quarter, enriched with name / balance / nation — the op class
+    that composes a fact-fact join, a join-key aggregate, a
+    distributed top-k, and a JOIN-BACK of dimension attributes applied
+    only to the k survivors (never to the full aggregate).
+
+    Scale shape: both fact reads are predicate-pushed (quarter window,
+    returnflag), the per-customer revenue rides sorted_combine (join-
+    key aggregate = weak contraction, lesson 25), each block emits its
+    local top-20 and the driver merges <= 20 x blocks rows; customer
+    and nation attributes are looked up driver-side for 20 keys.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.util import sorted_combine
+    from ._common import _cents
+
+    lo, hi = _dt.datetime(1996, 7, 1), _dt.datetime(1996, 10, 1)
+    orders = clean_read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)),
+        filter_columns=["o_orderdate"])
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+        filter_columns=["l_returnflag"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.l_extendedprice.to_numpy()
+                             * (1.0 - df.l_discount.to_numpy()))
+        g = df.groupby("l_orderkey", sort=False)["cents"].sum().reset_index()
+        g["cents"] = g["cents"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    rev = sorted_combine(li.map_batches(rev_partial, batch_format="pyarrow"),
+                         keys=["l_orderkey"], aggs={"cents": "sum"})
+    joined = rev.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    _empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                       "cents": pa.array([], pa.int64())})
+
+    def _project(b: pa.Table) -> pa.Table:
+        # the hash join emits SCHEMA-LESS empty bundles for empty
+        # partitions; answer with a typed empty (lesson-14 hygiene)
+        if b.num_rows == 0:
+            return _empty
+        return pa.table({"o_custkey": b["o_custkey"], "cents": b["cents"]})
+
+    cust_rev = sorted_combine(
+        joined.map_batches(_project, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs={"cents": "sum"})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas().sort_values(
+            ["cents", "o_custkey"], ascending=[False, True]).head(20)
+        return table_from_pandas(df, preserve_index=False)
+
+    parts = cust_rev.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["cents", "o_custkey"],
+                            ascending=[False, True]).head(20)
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"]).to_pandas()
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}) \
+        .merge(cust, on="c_custkey").merge(
+            nat, left_on="c_nationkey", right_on="n_nationkey")
+    c = out.pop("cents").to_numpy()
+    out["revenue"] = (np.sign(c)
+                      * np.floor(np.abs(c) / 100.0 + 0.5)).astype("int64")
+    out = out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]] \
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q10_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o_orderdate <  TIMESTAMP '1996-10-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name,
+       CAST(round(cents / 100.0) AS BIGINT) AS revenue,
+       c_acctbal, n_name
+FROM r JOIN customer ON c_custkey = o_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """ARGMAX OVER AN AGGREGATED VIEW (TPC-H Q15 shape): the
+    supplier(s) whose quarterly revenue equals the maximum of the
+    per-supplier revenue view — the op class where the selection
+    predicate is a scalar computed FROM the aggregate itself (vs q2's
+    argmin over base rows and q18's fixed HAVING constant).
+
+    Scale shape: the per-supplier aggregate stays a Dataset; its max
+    folds to one scalar (two tiny passes over the output-sized view,
+    never a driver materialization of the view); survivors filter
+    distributed and only the (usually single-row) argmax set reaches
+    the driver for the name join.  Ties are all returned, as in the
+    spec.
+    """
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ._common import _cents
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+        filter_columns=["l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.l_extendedprice.to_numpy()
+                             * (1.0 - df.l_discount.to_numpy()))
+        g = df.groupby("l_suppkey", sort=False)["cents"].sum().reset_index()
+        g["cents"] = g["cents"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    view = li.map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("cents", alias_name="cents"))
+    best = view.max("cents")
+    if best is None:
+        raise ValueError("q15: no lineitems in the target quarter")
+    best = int(best)
+
+    _w_empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64())})
+
+    def _argmax_filter(b: pa.Table, m=best) -> pa.Table:
+        # the aggregate emits schema-less empty bundles for empty hash
+        # partitions; answer with a typed empty (lesson-14 hygiene)
+        if b.num_rows == 0:
+            return _w_empty
+        return b.filter(pc.equal(b["cents"], m))
+
+    winners = view.map_batches(_argmax_filter,
+                               batch_format="pyarrow").to_pandas()
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(sup, on="s_suppkey")
+    c = out.pop("cents").to_numpy()
+    out["total_revenue"] = (np.sign(c) * np.floor(np.abs(c) / 100.0 + 0.5)) \
+        .astype("int64")
+    out = out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(round(cents / 100.0) AS BIGINT) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE cents = (SELECT max(cents) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """MEAN-RELATIVE HAVING THRESHOLD (TPC-H Q11 shape, adapted to the
+    available tables): parts supplied from EUROPE whose revenue
+    exceeds 1.5x the mean per-part revenue of that slice — the op
+    class where the HAVING threshold is a GLOBAL STATISTIC OF THE
+    AGGREGATE ITSELF (Q11's fixed fraction of the total is scale-
+    brittle on a uniform fixture: a 0.1%-of-total cut empties as the
+    part count grows, and a single-nation filter has ZERO suppliers at
+    sf0.001; value > 1.5x mean over a region keeps the output
+    non-empty and non-total at every fixture scale).  Evaluated
+    distributed: the per-part combine stays a Dataset; (total,
+    n_parts) fold to two scalars; the integer-exact predicate
+    value * 2n > 3 * total filters distributed so the driver never
+    sees non-survivors.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.util import sorted_combine
+    from ._common import _cents
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    reg = pq.read_table(_t(sf_dir, "region"))
+    europe = {int(r) for r, n in zip(reg["r_regionkey"].to_pylist(),
+                                     reg["r_name"].to_pylist())
+              if n == "EUROPE"}
+    target = {int(k) for k, r in zip(nat["n_nationkey"].to_pylist(),
+                                     nat["n_regionkey"].to_pylist())
+              if int(r) in europe}
+    keep_supp = np.sort(pc.filter(
+        sup["s_suppkey"],
+        pc.is_in(sup["s_nationkey"],
+                 value_set=pa.array(sorted(target),
+                                    pa.int32()))).to_numpy())
+    s_ref = ray.put(keep_supp)
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    class NationPartial:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            sk = batch["l_suppkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, sk), 0,
+                          max(len(self.keys) - 1, 0))
+            keep = (self.keys[pos] == sk) if len(self.keys) \
+                else np.zeros(len(sk), bool)
+            df = pd.DataFrame({
+                "l_partkey": batch["l_partkey"].to_numpy()[keep],
+                "cents": _cents(
+                    batch["l_extendedprice"].to_numpy()[keep]
+                    * (1.0 - batch["l_discount"].to_numpy()[keep]))})
+            g = df.groupby("l_partkey", sort=False)["cents"].sum() \
+                .reset_index()
+            g["cents"] = g["cents"].astype("int64")
+            return table_from_pandas(g, preserve_index=False)
+
+    per_part = sorted_combine(
+        li.map_batches(NationPartial, fn_constructor_args=(s_ref,),
+                       batch_format="pyarrow", concurrency=_auto()),
+        keys=["l_partkey"], aggs={"cents": "sum"})
+    totals = per_part.map_batches(
+        lambda b: pa.table({"tot": pa.array([int(np.sum(
+            b["cents"].to_numpy())) if b.num_rows else 0], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    total, n_parts = int(totals["tot"].sum()), int(totals["n"].sum())
+    if n_parts == 0:
+        raise ValueError("q11: no lineitems from the target nation")
+
+    out = per_part.map_batches(
+        lambda b, t=total, n=n_parts: b.filter(
+            pc.greater(pc.multiply(
+                pc.cast(b["cents"], pa.int64()), 2 * n), 3 * t)),
+        batch_format="pyarrow").to_pandas()
+    out = out.rename(columns={"cents": "value_cents"}) \
+        .sort_values("l_partkey")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS value_cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_cents
+FROM v
+WHERE value_cents * 2 * (SELECT count(*) FROM v)
+      > 3 * (SELECT sum(value_cents) FROM v)
+ORDER BY l_partkey
+"""

@@ -829,3 +829,82 @@ class TestQ9ProductProfit:
         ref = ref.sort_values(["nation", "o_year"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
         assert got.nation.nunique() > 5
+
+
+class TestQ10ReturnedItems:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q10_returned_items
+        got = q10_returned_items(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        cust = pd.read_parquet(f"{SF}/customer.parquet")
+        nat = pd.read_parquet(f"{SF}/nation.parquet")
+        df = li[li.l_returnflag == "R"].merge(
+            orders[(orders.o_orderdate >= "1996-07-01")
+                   & (orders.o_orderdate < "1996-10-01")],
+            left_on="l_orderkey", right_on="o_orderkey")
+        df["cents"] = _cents_ref(df.l_extendedprice.to_numpy()
+                                 * (1 - df.l_discount.to_numpy()))
+        r = df.groupby("o_custkey", as_index=False)["cents"].sum() \
+            .sort_values(["cents", "o_custkey"],
+                         ascending=[False, True]).head(20)
+        c = r.pop("cents").to_numpy()
+        r["revenue"] = (np.sign(c) * np.floor(np.abs(c) / 100 + 0.5)) \
+            .astype("int64")
+        ref = r.rename(columns={"o_custkey": "c_custkey"}) \
+            .merge(cust, on="c_custkey") \
+            .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        ref = ref[["c_custkey", "c_name", "revenue", "c_acctbal",
+                   "n_name"]].sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert len(got) == 20
+
+
+class TestQ15TopSupplier:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q15_top_supplier
+        got = q15_top_supplier(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet")
+        sel = li[(li.l_shipdate >= "1996-01-01")
+                 & (li.l_shipdate < "1996-04-01")].copy()
+        sel["cents"] = _cents_ref(sel.l_extendedprice.to_numpy()
+                                  * (1 - sel.l_discount.to_numpy()))
+        r = sel.groupby("l_suppkey", as_index=False)["cents"].sum()
+        best = r.cents.max()
+        win = r[r.cents == best].rename(columns={"l_suppkey": "s_suppkey"})
+        ref = win.merge(sup[["s_suppkey", "s_name"]], on="s_suppkey")
+        c = ref.pop("cents").to_numpy()
+        ref["total_revenue"] = (np.sign(c)
+                                * np.floor(np.abs(c) / 100 + 0.5)) \
+            .astype("int64")
+        ref = ref[["s_suppkey", "s_name", "total_revenue"]] \
+            .sort_values("s_suppkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert len(got) >= 1
+
+
+class TestQ11ImportantParts:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q11_important_parts
+        got = q11_important_parts(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet")
+        nat = pd.read_parquet(f"{SF}/nation.parquet")
+        reg = pd.read_parquet(f"{SF}/region.parquet")
+        europe = set(reg.loc[reg.r_name == "EUROPE", "r_regionkey"])
+        nk = set(nat.loc[nat.n_regionkey.isin(europe), "n_nationkey"])
+        sk = set(sup.loc[sup.s_nationkey.isin(nk), "s_suppkey"])
+        sel = li[li.l_suppkey.isin(sk)].copy()
+        sel["cents"] = _cents_ref(sel.l_extendedprice.to_numpy()
+                                  * (1 - sel.l_discount.to_numpy()))
+        v = sel.groupby("l_partkey", as_index=False)["cents"].sum()
+        total, n = int(v.cents.sum()), len(v)
+        ref = v[v.cents * 2 * n > 3 * total] \
+            .rename(columns={"cents": "value_cents"}) \
+            .sort_values("l_partkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        # discriminates: non-empty, non-total
+        assert 0 < len(ref) < n
