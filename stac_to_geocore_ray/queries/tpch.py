@@ -1993,3 +1993,261 @@ WHERE value_cents * 2 * (SELECT count(*) FROM v)
       > 3 * (SELECT sum(value_cents) FROM v)
 ORDER BY l_partkey
 """
+
+
+def q16_supplier_count(sf_dir: str):
+    """GROUPED COUNT-DISTINCT WITH AN ANTI-SET (TPC-H Q16 shape over
+    the available tables: lineitem's observed (part, supplier) pairs
+    stand in for partsupp): how many distinct qualifying suppliers
+    serve each (brand, type, size) bucket, excluding one brand, a size
+    whitelist, and suppliers from a NOT-IN set (negative balance) —
+    the op class whose aggregate is DISTINCT-COUNTING (not
+    reassociative over raw rows: the pair stream must contract to
+    distinct pairs before anything can count).
+
+    Plan: per-batch distinct -> one sorted_combine on (suppkey within
+    (brand,type,size)) makes pairs globally unique, so the final count
+    is an ordinary sum of per-batch partial counts over a bounded
+    (brand x type x size) domain.  Part attributes ride a broadcast;
+    the anti-set is a broadcast sorted array (searchsorted, not a
+    shuffle anti-join — the excluded-supplier side is dimension-sized
+    by construction).
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.util import sorted_combine
+    from ._common import _auto
+
+    SIZES = (1, 4, 9, 16, 25)
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    qual = (pc.not_equal(part["p_brand"], "Brand#5").to_numpy(
+        zero_copy_only=False)
+        & np.isin(part["p_size"].to_numpy(), np.array(SIZES)))
+    keys = part["p_partkey"].to_numpy()[qual]
+    order = np.argsort(keys)
+    p_keys = keys[order]
+    p_brand = part["p_brand"].to_numpy(zero_copy_only=False)[qual][order]
+    p_type = part["p_type"].to_numpy(zero_copy_only=False)[qual][order]
+    p_size = part["p_size"].to_numpy()[qual][order].astype(np.int32)
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(pc.filter(sup["s_suppkey"],
+                            pc.less(sup["s_acctbal"], 0.0)).to_numpy())
+    ref = ray.put((p_keys, bad))
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey"])
+
+    class PairFilter:
+        def __init__(self, r):
+            self.p_keys, self.bad = (ray.get(r)
+                                     if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            lp = batch["l_partkey"].to_numpy()
+            ls = batch["l_suppkey"].to_numpy()
+            if len(self.p_keys):
+                pos = np.clip(np.searchsorted(self.p_keys, lp), 0,
+                              len(self.p_keys) - 1)
+                keep = self.p_keys[pos] == lp
+            else:
+                keep = np.zeros(len(lp), dtype=bool)
+            if len(self.bad):
+                bpos = np.clip(np.searchsorted(self.bad, ls), 0,
+                               len(self.bad) - 1)
+                keep &= self.bad[bpos] != ls
+            df = pd.DataFrame({"l_partkey": lp[keep],
+                               "l_suppkey": ls[keep]}) \
+                .drop_duplicates()
+            df["one"] = np.int64(1)
+            return table_from_pandas(df, preserve_index=False)
+
+    pairs = sorted_combine(
+        li.map_batches(PairFilter, fn_constructor_args=(ref,),
+                       batch_format="pyarrow", concurrency=_auto()),
+        keys=["l_partkey", "l_suppkey"], aggs={"one": "min"})
+
+    attr_ref = ray.put((p_keys, p_brand, p_type, p_size))
+
+    class AttrMap:
+        def __init__(self, r):
+            (self.keys, self.brand, self.type_,
+             self.size) = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch["l_partkey"].to_numpy()
+            pos = np.searchsorted(self.keys, lp)
+            if len(lp) and not (self.keys[np.clip(
+                    pos, 0, len(self.keys) - 1)] == lp).all():
+                raise ValueError("q16: pair references non-qualifying part")
+            return pa.table({
+                "p_brand": pa.array(self.brand[pos]),
+                "p_type": pa.array(self.type_[pos]),
+                "p_size": pa.array(self.size[pos], pa.int32()),
+                "l_suppkey": batch["l_suppkey"],
+                "one": pa.array(np.ones(len(lp), np.int64))})
+
+    bts_supp = sorted_combine(
+        pairs.map_batches(AttrMap, fn_constructor_args=(attr_ref,),
+                          batch_format="pyarrow", concurrency=_auto()),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        aggs={"one": "min"})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        g = df.groupby(["p_brand", "p_type", "p_size"], sort=False) \
+            .size().reset_index(name="supplier_cnt")
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    parts = bts_supp.map_batches(count_partial,
+                                 batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["p_brand", "p_type", "p_size"],
+                        as_index=False)["supplier_cnt"].sum()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out = out.sort_values(["p_brand", "p_type", "p_size"])
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 16, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shippers(sf_dir: str):
+    """TWO-LEVEL CORRELATED-AGGREGATE SEMI JOIN (TPC-H Q20 shape):
+    suppliers who DOMINATED some hot part's 1996 shipments (their
+    (part, supplier) quantity exceeds 40% of the part's total that
+    year) — the op class where the EXISTS predicate compares an inner
+    aggregate against an aggregate OVER THE INNER AGGREGATE's own
+    group (vs q17's scalar-per-key broadcast: here the comparand table
+    is partkey-cardinality, so it HASH JOINS back instead of
+    broadcasting).
+
+    Plan: one predicate-pushed scan -> per-(part, supplier) quantity
+    via sorted_combine -> per-part totals by a second combine over the
+    FIRST's output (already contracted) -> partkey hash join + the
+    integer-exact dominance filter -> distinct suppkeys (output-sized)
+    enrich driver-side.  Quantities are integral doubles; sums cast to
+    int64 so 10*qty > 4*tot has no float boundary.
+    """
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.util import sorted_combine
+    from ._common import _auto
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    hot = pc.starts_with(part["p_name"], "hot").to_numpy(
+        zero_copy_only=False)
+    hot_keys = np.sort(part["p_partkey"].to_numpy()[hot])
+    ref = ray.put(hot_keys)
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    li = clean_read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+        filter_columns=["l_shipdate"])
+
+    class HotQty:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            lp = batch["l_partkey"].to_numpy()
+            if len(self.keys):
+                pos = np.clip(np.searchsorted(self.keys, lp), 0,
+                              len(self.keys) - 1)
+                keep = self.keys[pos] == lp
+            else:
+                keep = np.zeros(len(lp), dtype=bool)
+            df = pd.DataFrame({
+                "l_partkey": lp[keep],
+                "l_suppkey": batch["l_suppkey"].to_numpy()[keep],
+                "qty": batch["l_quantity"].to_numpy()[keep]})
+            g = df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"] \
+                .sum().reset_index()
+            g["qty"] = g["qty"].round().astype("int64")
+            return table_from_pandas(g, preserve_index=False)
+
+    ps = sorted_combine(
+        li.map_batches(HotQty, fn_constructor_args=(ref,),
+                       batch_format="pyarrow", concurrency=_auto()),
+        keys=["l_partkey", "l_suppkey"], aggs={"qty": "sum"})
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        g = df.groupby("l_partkey", sort=False)["qty"].sum() \
+            .reset_index().rename(columns={"qty": "tot"})
+        g["tot"] = g["tot"].astype("int64")
+        return table_from_pandas(
+            g.rename(columns={"l_partkey": "t_partkey"}),
+            preserve_index=False)
+
+    pt = sorted_combine(
+        ps.map_batches(tot_partial, batch_format="pyarrow"),
+        keys=["t_partkey"], aggs={"tot": "sum"})
+
+    joined = ps.join(pt, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("t_partkey",))
+
+    _empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+
+    def dominant(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return _empty
+        df = batch.to_pandas()
+        df = df[10 * df.qty.to_numpy() > 4 * df.tot.to_numpy()]
+        keys = pd.unique(df["l_suppkey"].to_numpy())
+        return pa.table({"l_suppkey": pa.array(keys, pa.int64())})
+
+    winners = joined.map_batches(dominant,
+                                 batch_format="pyarrow").to_pandas()
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.drop_duplicates() \
+        .rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(sup, on="s_suppkey").sort_values("s_suppkey")
+    return table_from_pandas(out.reset_index(drop=True),
+                             preserve_index=False)
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'hot%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, sum(qty) AS tot FROM ps GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM ps JOIN pt USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE 10 * ps.qty > 4 * pt.tot
+ORDER BY s_suppkey
+"""

@@ -908,3 +908,50 @@ class TestQ11ImportantParts:
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
         # discriminates: non-empty, non-total
         assert 0 < len(ref) < n
+
+
+class TestQ16SupplierCount:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q16_supplier_count
+        got = q16_supplier_count(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_partkey", "l_suppkey"])
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet")
+        bad = set(sup.loc[sup.s_acctbal < 0, "s_suppkey"])
+        df = li[~li.l_suppkey.isin(bad)].merge(
+            part[(part.p_brand != "Brand#5")
+                 & part.p_size.isin([1, 4, 9, 16, 25])],
+            left_on="l_partkey", right_on="p_partkey")
+        ref = df.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"] \
+            .nunique().reset_index(name="supplier_cnt") \
+            .sort_values(["p_brand", "p_type", "p_size"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert len(got) > 0
+
+
+class TestQ20ExcessShippers:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import q20_excess_shippers
+        got = q20_excess_shippers(SF).to_pandas()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        sup = pd.read_parquet(f"{SF}/supplier.parquet")
+        hot = set(part.loc[part.p_name.str.startswith("hot"),
+                           "p_partkey"])
+        sel = li[li.l_partkey.isin(hot)
+                 & (li.l_shipdate >= "1996-01-01")
+                 & (li.l_shipdate < "1997-01-01")]
+        ps = sel.groupby(["l_partkey", "l_suppkey"], as_index=False) \
+            .agg(qty=("l_quantity", "sum"))
+        ps["qty"] = ps.qty.round().astype("int64")
+        pt = ps.groupby("l_partkey", as_index=False).agg(
+            tot=("qty", "sum"))
+        j = ps.merge(pt, on="l_partkey")
+        winners = sorted(set(j.loc[10 * j.qty > 4 * j.tot, "l_suppkey"]))
+        ref = pd.DataFrame({"s_suppkey": winners}).merge(
+            sup[["s_suppkey", "s_name"]], on="s_suppkey")
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        # discriminates: some but not all suppliers dominate a part
+        assert 0 < len(ref) < sup.s_suppkey.nunique()
