@@ -749,3 +749,61 @@ FROM it i JOIN cat c
 def _g_cells_path() -> str:
     from .. import goldens as _g
     return _g.golden_path("geo_cells", ORACLE_SF_DIR)
+
+
+RADIUS_JOIN_R = 1.0
+
+
+def geo_radius_join(sf_dir: str):
+    """WITHIN-RADIUS pair join: every (item, catalog point) pair whose
+    footprint CENTROIDS lie within 1 degree planar distance — the
+    distance-predicate join class (vs PIP containment, kNN's fixed-k
+    ranking, and the rect join's interval overlap).  The catalog is
+    every 37th item's centroid.
+
+    Scale shape: broadcast point catalog via ray.put, actor-pool probe
+    (STRtree in degenerate-rect point mode built once per actor) with
+    an epsilon-padded r-box prune and the exact distance predicate
+    deciding — evaluated in the SQL text's operand order so doubles
+    agree bit-for-bit.  Pruned 2-column read, no shuffle.  At a
+    catalog too big to broadcast the same predicate composes as a
+    cell-bucketed shuffle join with r/cell-size neighbor probes — the
+    geo_rect_join scale-out note applies verbatim.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ..stages.pip_join import RadiusJoiner
+    p = _fx(sf_dir)
+    cat_tbl = pq.read_table(p["stac_items"], columns=["image_id", "bbox"])
+    id_col = cat_tbl["image_id"].combine_chunks()
+    bb_col = cat_tbl["bbox"].combine_chunks()
+    bbs = bb_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+    num = pc.cast(pc.utf8_slice_codeunits(id_col, 4, 13),
+                  pa.int64()).to_numpy()
+    keep = num % 37 == 0
+    ids = np.asarray(id_col.to_numpy(zero_copy_only=False))[keep]
+    px = ((bbs[:, 0] + bbs[:, 2]) * 0.5)[keep]
+    py = ((bbs[:, 1] + bbs[:, 3]) * 0.5)[keep]
+    cat_ref = ray.put((ids.tolist(), px, py))
+    ds = clean_read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+    return ds.map_batches(RadiusJoiner,
+                          fn_constructor_args=(cat_ref, RADIUS_JOIN_R),
+                          batch_format="pyarrow", concurrency=_auto())
+
+
+def _geo_radius_join_sql() -> str:
+    r = RADIUS_JOIN_R
+    return f"""
+WITH it AS (
+  SELECT image_id, (bbox[1] + bbox[3]) * 0.5 AS cx,
+         (bbox[2] + bbox[4]) * 0.5 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+cat AS (
+  SELECT image_id AS cat_id, cx AS px, cy AS py
+  FROM it
+  WHERE CAST(substr(image_id, 5) AS BIGINT) % 37 = 0)
+SELECT i.image_id, c.cat_id
+FROM it i JOIN cat c
+  ON (i.cx - c.px) * (i.cx - c.px)
+   + (i.cy - c.py) * (i.cy - c.py) <= {r} * {r}
+"""

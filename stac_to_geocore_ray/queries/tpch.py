@@ -1839,8 +1839,14 @@ def q15_top_supplier(sf_dir: str):
         return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
+    # materialize: the view is consumed TWICE (max, then the argmax
+    # filter) — unmaterialized, the second consumer re-executes the
+    # full scan+aggregate (measured 13.1 s at 30x, ~2x the single-pass
+    # cost).  The view is |supplier|-cardinality, so holding it in the
+    # object store is output-sized, not a dataset materialization.
     view = li.map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("l_suppkey").aggregate(Sum("cents", alias_name="cents"))
+        .groupby("l_suppkey").aggregate(Sum("cents", alias_name="cents")) \
+        .materialize()
     best = view.max("cents")
     if best is None:
         raise ValueError("q15: no lineitems in the target quarter")
@@ -1952,10 +1958,13 @@ def q11_important_parts(sf_dir: str):
             g["cents"] = g["cents"].astype("int64")
             return table_from_pandas(g, preserve_index=False)
 
+    # materialize: per_part is consumed TWICE ((total, n) fold, then
+    # the threshold filter) — unmaterialized, the filter re-runs the
+    # scan + sort.  It is partkey-cardinality: output-sized.
     per_part = sorted_combine(
         li.map_batches(NationPartial, fn_constructor_args=(s_ref,),
                        batch_format="pyarrow", concurrency=_auto()),
-        keys=["l_partkey"], aggs={"cents": "sum"})
+        keys=["l_partkey"], aggs={"cents": "sum"}).materialize()
     totals = per_part.map_batches(
         lambda b: pa.table({"tot": pa.array([int(np.sum(
             b["cents"].to_numpy())) if b.num_rows else 0], pa.int64()),
@@ -2192,10 +2201,14 @@ def q20_excess_shippers(sf_dir: str):
             g["qty"] = g["qty"].round().astype("int64")
             return table_from_pandas(g, preserve_index=False)
 
+    # materialize: ps is consumed TWICE (per-part totals, then the
+    # join's left side) — unmaterialized, the join re-runs the whole
+    # scan + sort (25.7 s at 30x).  ps is (part, supplier)-pair
+    # cardinality over the hot-1996 slice: contracted, not the input.
     ps = sorted_combine(
         li.map_batches(HotQty, fn_constructor_args=(ref,),
                        batch_format="pyarrow", concurrency=_auto()),
-        keys=["l_partkey", "l_suppkey"], aggs={"qty": "sum"})
+        keys=["l_partkey", "l_suppkey"], aggs={"qty": "sum"}).materialize()
 
     def tot_partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

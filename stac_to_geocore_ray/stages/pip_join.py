@@ -136,3 +136,60 @@ class RectIntersectJoiner:
             self.id_col: ids.take(pa.array(probes)),
             self.out_col: self.ids.take(pa.array(stored)),
         })
+
+
+class RadiusJoiner:
+    """Inner WITHIN-RADIUS join (actor-pool stage): emits (id, catalog
+    id) for every probe centroid within planar distance ``r`` of a
+    broadcast point catalog — the distance-predicate join class, vs
+    the PIP joiners' containment and ``RectIntersectJoiner``'s
+    interval overlap.
+
+    The STRtree (rect mode, degenerate point rects) prunes with an
+    epsilon-PADDED r-box around each probe so float rounding of
+    ``c - r`` can never drop a boundary pair; the exact predicate
+    ``dx*dx + dy*dy <= r*r`` (evaluated in the same operand order as
+    the SQL text) decides.  catalog: (ids, px, py) tuple or a
+    ray.ObjectRef of one; the tree builds ONCE per actor.
+    """
+
+    def __init__(self, catalog, radius: float, bbox_col: str = "bbox",
+                 id_col: str = "image_id", out_col: str = "cat_id"):
+        try:
+            import ray
+            if isinstance(catalog, ray.ObjectRef):
+                catalog = ray.get(catalog)
+        except ImportError:
+            pass
+        ids, px, py = catalog
+        self.ids = pa.array(ids, pa.string())
+        self.px = np.asarray(px, dtype=np.float64)
+        self.py = np.asarray(py, dtype=np.float64)
+        pts = np.column_stack([self.px, self.py, self.px, self.py])
+        self.tree = STRtree(bboxes=pts)
+        self.r = float(radius)
+        self.pad = self.r * 1.0000001       # prune-box slack; exact
+        # predicate below decides, so padding only adds candidates
+        self.bbox_col, self.id_col, self.out_col = bbox_col, id_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bb = batch[self.bbox_col]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        rects = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        cx = (rects[:, 0] + rects[:, 2]) * 0.5
+        cy = (rects[:, 1] + rects[:, 3]) * 0.5
+        boxes = np.column_stack([cx - self.pad, cy - self.pad,
+                                 cx + self.pad, cy + self.pad])
+        probes, stored = self.tree.query_rects_all(boxes)
+        dx = cx[probes] - self.px[stored]
+        dy = cy[probes] - self.py[stored]
+        keep = dx * dx + dy * dy <= self.r * self.r
+        probes, stored = probes[keep], stored[keep]
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(probes)),
+            self.out_col: self.ids.take(pa.array(stored)),
+        })

@@ -310,3 +310,49 @@ class TestClosedContainment:
         q, p = t.query_all(np.array([1.0]), np.array([2.0]))
         assert len(q) == 0 and len(p) == 0
         assert t.query_points(np.array([1.0]), np.array([2.0])).tolist() == [-1]
+
+
+class TestRadiusJoiner:
+    """Within-radius join: brute-force parity + boundary closedness."""
+
+    def _batch(self, rects, ids=None):
+        import pyarrow as pa
+        n = len(rects)
+        ids = ids or [f"img_{i:09d}" for i in range(n)]
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bbox": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.asarray(rects, float).ravel()), 4)})
+
+    def test_matches_brute_force(self):
+        from stac_to_geocore_ray.stages.pip_join import RadiusJoiner
+        rng = np.random.RandomState(13)
+        px, py = rng.uniform(-80, 80, (2, 150))
+        cat_ids = [f"cat_{j}" for j in range(150)]
+        cx, cy = rng.uniform(-80, 80, (2, 400))
+        rects = np.column_stack([cx - 0.5, cy - 0.5, cx + 0.5, cy + 0.5])
+        r = 5.0
+        j = RadiusJoiner((cat_ids, px, py), r)
+        out = j(self._batch(rects))
+        got = sorted(zip(out["image_id"].to_pylist(),
+                         out["cat_id"].to_pylist()))
+        ref = []
+        for i in range(400):
+            for k in range(150):
+                dx, dy = cx[i] - px[k], cy[i] - py[k]
+                if dx * dx + dy * dy <= r * r:
+                    ref.append((f"img_{i:09d}", f"cat_{k}"))
+        assert got == sorted(ref)
+        assert len(ref) > 100
+
+    def test_boundary_is_closed_and_pad_never_drops(self):
+        from stac_to_geocore_ray.stages.pip_join import RadiusJoiner
+        # points at EXACTLY r, just inside, just outside
+        j = RadiusJoiner((["c"], np.array([0.0]), np.array([0.0])), 1.0)
+        rects = np.array([
+            [1.0, 0.0, 1.0, 0.0],          # dist == r -> hit (closed)
+            [0.6, 0.8, 0.6, 0.8],          # 3-4-5: dist == r -> hit
+            [1.0 + 1e-9, 0.0, 1.0 + 1e-9, 0.0],   # outside -> miss
+        ])
+        out = j(self._batch(rects, ids=["a", "b", "c"]))
+        assert sorted(out["image_id"].to_pylist()) == ["a", "b"]

@@ -51,7 +51,13 @@ RELATIONAL = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q13_customer_distribution", "q17_small_qty_revenue",
               "q18_large_volume_customers", "parts_never_bulk_ordered",
               "q2_min_cost_part", "q21_late_sole_supplier",
-              "q22_sales_opportunity"]
+              "q22_sales_opportunity",
+              "q6_forecast_revenue", "q14_promo_revenue",
+              "q19_disjunctive_revenue", "q7_volume_shipping",
+              "q8_market_share", "q9_product_profit",
+              "q10_returned_items", "q15_top_supplier",
+              "q11_important_parts", "q16_supplier_count",
+              "q20_excess_shippers"]
 
 
 def _domains() -> dict:
