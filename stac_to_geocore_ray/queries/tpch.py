@@ -2220,26 +2220,70 @@ def q20_excess_shippers(sf_dir: str):
             g.rename(columns={"l_partkey": "t_partkey"}),
             preserve_index=False)
 
-    pt = sorted_combine(
-        ps.map_batches(tot_partial, batch_format="pyarrow"),
-        keys=["t_partkey"], aggs={"tot": "sum"})
-
-    joined = ps.join(pt, join_type="inner", num_partitions=8,
-                     on=("l_partkey",), right_on=("t_partkey",))
-
     _empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
 
-    def dominant(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        if batch.num_rows == 0:
-            return _empty
-        df = batch.to_pandas()
-        df = df[10 * df.qty.to_numpy() > 4 * df.tot.to_numpy()]
-        keys = pd.unique(df["l_suppkey"].to_numpy())
-        return pa.table({"l_suppkey": pa.array(keys, pa.int64())})
+    # size dispatch (the distributed_components pattern): the per-part
+    # totals are partkey-cardinality, strictly contracted from ps.
+    # In the narrow regime they fold on the DRIVER from one partial
+    # pass (ps is (partkey, suppkey)-sorted, so each part hits ~1
+    # block and the partial stream is ~|parts| rows — the q22
+    # output-sized fold) and broadcast as two sorted arrays into a
+    # zero-shuffle dominance lookup over ps.  Past the threshold the
+    # same predicate rides a distributed combine + partkey hash join.
+    # ps.count() (free on the materialized handle) bounds |parts|
+    # from above, so the dispatch never under-estimates the fold.
+    PT_BROADCAST_MAX_ROWS = int(os.environ.get(
+        "GRAFT_PT_BROADCAST_MAX_ROWS", 2_000_000))
+    if ps.count() <= PT_BROADCAST_MAX_ROWS:
+        parts_df = ps.map_batches(tot_partial,
+                                  batch_format="pyarrow").to_pandas()
+        pt_df = parts_df.groupby("t_partkey", as_index=False)["tot"].sum()
+        t_keys = pt_df["t_partkey"].to_numpy()
+        t_order = np.argsort(t_keys)
+        tot_ref = ray.put((t_keys[t_order],
+                           pt_df["tot"].to_numpy()[t_order].astype("int64")))
 
-    winners = joined.map_batches(dominant,
-                                 batch_format="pyarrow").to_pandas()
+        class DominantLookup:
+            def __init__(self, r):
+                self.keys, self.tot = (ray.get(r)
+                                       if isinstance(r, ray.ObjectRef)
+                                       else r)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                import pandas as pd
+                if batch.num_rows == 0:
+                    return _empty
+                lp = batch["l_partkey"].to_numpy()
+                pos = np.searchsorted(self.keys, lp)
+                if len(lp) and not (self.keys[np.clip(
+                        pos, 0, len(self.keys) - 1)] == lp).all():
+                    raise ValueError("q20: ps part missing from totals")
+                keep = (10 * batch["qty"].to_numpy()
+                        > 4 * self.tot[pos])
+                keys = pd.unique(batch["l_suppkey"].to_numpy()[keep])
+                return pa.table({"l_suppkey": pa.array(keys, pa.int64())})
+
+        winners = ps.map_batches(
+            DominantLookup, fn_constructor_args=(tot_ref,),
+            batch_format="pyarrow", concurrency=_auto()).to_pandas()
+    else:
+        pt = sorted_combine(
+            ps.map_batches(tot_partial, batch_format="pyarrow"),
+            keys=["t_partkey"], aggs={"tot": "sum"})
+        joined = ps.join(pt, join_type="inner", num_partitions=8,
+                         on=("l_partkey",), right_on=("t_partkey",))
+
+        def dominant(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            if batch.num_rows == 0:
+                return _empty
+            df = batch.to_pandas()
+            df = df[10 * df.qty.to_numpy() > 4 * df.tot.to_numpy()]
+            keys = pd.unique(df["l_suppkey"].to_numpy())
+            return pa.table({"l_suppkey": pa.array(keys, pa.int64())})
+
+        winners = joined.map_batches(dominant,
+                                     batch_format="pyarrow").to_pandas()
     sup = pq.read_table(_t(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"]).to_pandas()
     out = winners.drop_duplicates() \

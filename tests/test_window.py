@@ -955,3 +955,13 @@ class TestQ20ExcessShippers:
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
         # discriminates: some but not all suppliers dominate a part
         assert 0 < len(ref) < sup.s_suppkey.nunique()
+
+    def test_join_fallback_matches_broadcast_path(self, ray_session,
+                                                  monkeypatch):
+        # force the wide path (pt "too big to broadcast") and pin it
+        # to the broadcast path's output
+        from stac_to_geocore_ray.queries import q20_excess_shippers
+        broadcast = q20_excess_shippers(SF).to_pandas()
+        monkeypatch.setenv("GRAFT_PT_BROADCAST_MAX_ROWS", "0")
+        joined = q20_excess_shippers(SF).to_pandas()
+        pd.testing.assert_frame_equal(joined, broadcast)
