@@ -115,3 +115,129 @@ def hll_add_dense(registers: np.ndarray, keys: np.ndarray,
     idx, rank = hll_idx_rank(keys, p)
     np.maximum.at(registers, idx, rank)
     return registers
+
+
+# ------------------------------------------------------------------ bloom
+
+class BloomFilter:
+    """REGISTER-BLOCKED Bloom filter over int64 keys — the
+    bounded-memory SEMI-JOIN PRE-FILTER for fact-to-fact joins whose
+    build side is too big for an exact broadcast key set (q3's exact
+    ``is_in`` template stops at worker heap; a filter over 1e9 keys
+    at ~1%% false positives is a fixed ~2 GB of bits REGARDLESS of key
+    width, and false positives are harmless when an exact join
+    follows).
+
+    Blocked design (Putze/Sanders/Singler): ONE splitmix64 hash picks
+    the 64-bit word, a second derives K in-word bit positions folded
+    into a single mask — membership is one gather + one compare, ~5
+    flat (n,) temporaries total.  The first cut used textbook
+    k-independent bit probes via an (n, k) position matrix; at 18M
+    probes that allocated ~6 GB of temporaries and cost 14+ s
+    single-thread — the blocked form is ~20x cheaper at a slightly
+    worse (still <1%% at 16 bits/key) false-positive rate.
+
+    Build distributed via per-block partial bitsets OR-folded on the
+    driver (``bloom_from_dataset``); probe via a broadcast of the
+    packed uint64 word array (plasma zero-copies flat buffers).
+    """
+
+    K = 4                       # in-word probe bits (24 hash bits used)
+
+    def __init__(self, n_bits: int, words: "np.ndarray | None" = None):
+        if n_bits <= 0 or n_bits % 64:
+            raise ValueError(f"n_bits must be a positive multiple of "
+                             f"64, got {n_bits}")
+        self.n_bits = n_bits
+        self.n_words = n_bits // 64
+        self.words = (np.zeros(self.n_words, dtype=np.uint64)
+                      if words is None else words)
+        if len(self.words) != self.n_words:
+            raise ValueError("words length does not match n_bits")
+
+    def _word_mask(self, keys: np.ndarray):
+        """(word index, in-word K-bit mask) per key, flat (n,) arrays.
+
+        All mixing runs IN PLACE on two reused buffers: on this host
+        every large fresh numpy temporary is a new mmap whose page
+        faults cost ~4 s/GB (malloc returns big blocks to the OS on
+        free), so the out-of-place form — ~20 temporaries — spent 14 s
+        faulting pages for an 18M-key probe; this form allocates 4.
+        """
+        k = np.ascontiguousarray(keys).view(np.uint64) \
+            if keys.dtype == np.int64 else keys.astype(np.uint64)
+        z = k + _C1                              # buffer 1 (h state)
+        t = np.empty_like(z)                     # buffer 2 (scratch)
+
+        def _mix(z, t):                          # splitmix64, in place
+            np.right_shift(z, np.uint64(30), out=t)
+            np.bitwise_xor(z, t, out=z)
+            np.multiply(z, _C2, out=z)
+            np.right_shift(z, np.uint64(27), out=t)
+            np.bitwise_xor(z, t, out=z)
+            np.multiply(z, _C3, out=z)
+            np.right_shift(z, np.uint64(31), out=t)
+            np.bitwise_xor(z, t, out=z)
+
+        _mix(z, t)                               # z = h1
+        np.remainder(z, np.uint64(self.n_words), out=t)
+        idx = t.astype(np.int64)                 # buffer 3
+        np.add(z, _C1, out=z)
+        _mix(z, t)                               # z = h2
+        np.bitwise_and(z, np.uint64(63), out=t)
+        mask = np.uint64(1) << t                 # buffer 4
+        for _ in range(1, self.K):
+            np.right_shift(z, np.uint64(6), out=z)
+            np.bitwise_and(z, np.uint64(63), out=t)
+            np.left_shift(np.uint64(1), t, out=t)
+            np.bitwise_or(mask, t, out=mask)
+        return idx, mask
+
+    def add(self, keys: np.ndarray) -> "BloomFilter":
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return self
+        idx, mask = self._word_mask(keys)
+        # NOT bitwise_or.at (the unbuffered ufunc costs ~100x a
+        # vectorized pass): sort by word, OR each word's run with one
+        # C-level reduceat.
+        order = np.argsort(idx, kind="stable")
+        w_sorted = idx[order]
+        starts = np.flatnonzero(np.r_[True, w_sorted[1:] != w_sorted[:-1]])
+        self.words[w_sorted[starts]] |= np.bitwise_or.reduceat(
+            mask[order], starts)
+        return self
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask; NO false negatives, <1%% false positives."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx, mask = self._word_mask(keys)
+        return (self.words[idx] & mask) == mask
+
+    @staticmethod
+    def size_for(n_keys: int, bits_per_key: int = 16) -> int:
+        return max(64, ((n_keys * bits_per_key + 63) // 64) * 64)
+
+
+def bloom_from_dataset(ds, col: str, n_bits: int) -> "BloomFilter":
+    """Build a BloomFilter over one int64 column of a Dataset:
+    per-block partial bitsets (each a packed uint64 array) OR-fold on
+    the driver.  Driver traffic is blocks x n_bits/8 bytes — bounded
+    by the FILTER size, never the key count."""
+    import pyarrow as pa
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        bf = BloomFilter(n_bits)
+        bf.add(batch[col].to_numpy())
+        return pa.table({"words": pa.array([bf.words.tobytes()],
+                                           pa.binary())})
+
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    for part in ds.map_batches(partial,
+                               batch_format="pyarrow").iter_batches(
+                                   batch_format="pyarrow"):
+        for buf in part["words"].to_pylist():
+            words |= np.frombuffer(buf, dtype=np.uint64)
+    return BloomFilter(n_bits, words)

@@ -4,6 +4,7 @@ sketch) and events_user_paths (ordered string aggregation)."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from stac_to_geocore_ray.stages.sketch import (
@@ -145,3 +146,45 @@ class TestEventsUserPaths:
         scrambled = got.path.map(
             lambda s: ",".join(sorted(s.split(","))))
         assert (got.path != scrambled).any()
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fp(self):
+        from stac_to_geocore_ray.stages.sketch import BloomFilter
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 1 << 62, 50_000).astype(np.int64)
+        bf = BloomFilter(BloomFilter.size_for(len(keys)))
+        bf.add(keys)
+        assert bf.contains(keys).all()            # never a false negative
+        probe = rng.randint(0, 1 << 62, 100_000).astype(np.int64)
+        outside = probe[~np.isin(probe, keys)]
+        fp = bf.contains(outside).mean()
+        assert fp < 0.02, fp                      # ~1% at 10 bits/key
+
+    def test_incremental_add_equals_bulk(self):
+        from stac_to_geocore_ray.stages.sketch import BloomFilter
+        keys = np.arange(1, 10_001, dtype=np.int64)
+        bulk = BloomFilter(1 << 17).add(keys)
+        inc = BloomFilter(1 << 17)
+        for lo in range(0, 10_000, 1_000):
+            inc.add(keys[lo:lo + 1_000])
+        assert np.array_equal(bulk.words, inc.words)
+
+    def test_invalid_sizes_fail_loud(self):
+        from stac_to_geocore_ray.stages.sketch import BloomFilter
+        import pytest
+        with pytest.raises(ValueError):
+            BloomFilter(100)                      # not a multiple of 64
+        with pytest.raises(ValueError):
+            BloomFilter(128, words=np.zeros(1, dtype=np.uint64))
+
+    def test_distributed_build_matches_local(self, ray_session):
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.sketch import (BloomFilter,
+                                                       bloom_from_dataset)
+        keys = np.arange(7, 40_007, dtype=np.int64) * 13
+        ds = rd.from_arrow(pa.table({"k": keys})).repartition(8)
+        n_bits = BloomFilter.size_for(len(keys))
+        dist = bloom_from_dataset(ds, "k", n_bits)
+        local = BloomFilter(n_bits).add(keys)
+        assert np.array_equal(dist.words, local.words)
