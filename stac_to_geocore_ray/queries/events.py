@@ -1156,3 +1156,108 @@ SELECT 3, count(*) FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
 WHERE t3 - t1 <= INTERVAL 86400 SECOND
 ORDER BY step
 """
+
+
+# ------------------------------------------------- global prefix scan (r5)
+
+def events_global_scan(sf_dir: str):
+    """GLOBAL running row number and running cent sum over the WHOLE
+    stream ordered by (ts, event_id) — the distributed PREFIX SCAN
+    primitive (SQL: ``sum(...) OVER (ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)`` with no PARTITION BY).
+
+    This is the one window shape ``keyed_boundary_decompose`` cannot
+    express: with no partition key every row's result depends on every
+    earlier row, so there is no interior/boundary split.  The classic
+    two-phase scan (Blelloch) applies instead:
+
+    1. ONE distributed sort on ``(ts, event_id)`` (a total order —
+       event_id is unique — so block contents are deterministic),
+       materialized so both phases read the SAME blocks;
+    2. an UP-SWEEP pass emits one ``(first-row key, n rows, cent
+       total)`` summary row per block; the driver orders the block
+       summaries by first key and exclusive-prefix-sums them — driver
+       work and traffic are O(#blocks), never O(rows);
+    3. a DOWN-SWEEP pass re-reads each block, computes its local
+       cumulative sums vectorized, and adds the block's broadcast
+       offset, looked up by the block's own first-row key (fail-loud
+       if the key is unknown — a batching drift between the two
+       passes must never silently misalign offsets).
+
+    At 100 TB the materialize is the price of a global scan — the
+    sorted stream must exist somewhere before phase 3 can start; the
+    object store spills it, and every other step is block-parallel.
+    """
+    import pandas as pd
+
+    import ray
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "ts", "value"])
+    snap = ds.sort(["ts", "event_id"]).materialize()
+
+    def up_sweep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"ts0": pa.array([], pa.int64()),
+                             "eid0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"ts0": pa.array([int(ts[0])], pa.int64()),
+                         "eid0": pa.array([int(eid[0])], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64()),
+                         "cents": pa.array([int(cents.sum())], pa.int64())})
+
+    # batch_size=None pins ONE BATCH PER BLOCK in both passes (the
+    # "default" batch size would re-chunk at 1024 rows and the
+    # summaries would no longer describe phase-3's batches)
+    summaries = snap.map_batches(up_sweep, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+    summaries = summaries.sort_values(["ts0", "eid0"]).reset_index(drop=True)
+    if summaries.ts0.size and not summaries[["ts0", "eid0"]].drop_duplicates().shape[0] == len(summaries):
+        raise RuntimeError("duplicate block first-keys in global scan "
+                           "up-sweep — (ts, event_id) is not a total order")
+    n_off = np.concatenate([[0], np.cumsum(summaries.n.to_numpy())[:-1]]) \
+        if len(summaries) else np.zeros(0, dtype=np.int64)
+    c_off = np.concatenate([[0], np.cumsum(summaries.cents.to_numpy())[:-1]]) \
+        if len(summaries) else np.zeros(0, dtype=np.int64)
+    offsets = {(int(t), int(e)): (int(a), int(b))
+               for t, e, a, b in zip(summaries.ts0, summaries.eid0,
+                                     n_off, c_off)}
+    off_ref = ray.put(offsets)
+
+    def down_sweep(batch: pa.Table, _ref=off_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64()),
+                             "run_cents": pa.array([], pa.int64())})
+        lut = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        key = (int(ts[0]), int(eid[0]))
+        if key not in lut:
+            raise RuntimeError(
+                f"global-scan block first-key {key} has no up-sweep "
+                "offset — phase batching diverged between passes")
+        row_off, cent_off = lut[key]
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        rn = np.arange(1, batch.num_rows + 1, dtype=np.int64) + row_off
+        run = np.cumsum(cents) + cent_off
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "rn": pa.array(rn, pa.int64()),
+                         "run_cents": pa.array(run, pa.int64())})
+
+    return snap.map_batches(down_sweep, batch_format="pyarrow",
+                            batch_size=None)
+
+
+EVENTS_GLOBAL_SCAN_SQL = """
+SELECT event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS run_cents
+FROM events
+WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""

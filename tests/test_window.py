@@ -965,3 +965,35 @@ class TestQ20ExcessShippers:
         monkeypatch.setenv("GRAFT_PT_BROADCAST_MAX_ROWS", "0")
         joined = q20_excess_shippers(SF).to_pandas()
         pd.testing.assert_frame_equal(joined, broadcast)
+
+
+class TestEventsGlobalScan:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_global_scan
+        got = events_global_scan(SF).to_pandas() \
+            .sort_values("rn").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "ts", "value"])
+        ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = _cents(ev.value.to_numpy())
+        ref = pd.DataFrame({
+            "event_id": ev.event_id.to_numpy(),
+            "rn": np.arange(1, len(ev) + 1, dtype="int64"),
+            "run_cents": np.cumsum(cents)})
+
+        assert len(got) == len(ref)
+        assert (got.event_id.to_numpy() == ref.event_id.to_numpy()).all()
+        assert (got.run_cents.to_numpy() == ref.run_cents.to_numpy()).all()
+        # the final running sum is the global total — the scan's
+        # cross-block offsets must stitch exactly
+        assert got.run_cents.iloc[-1] == cents.sum()
+
+    def test_multi_block_offsets_stitch(self, ray_session, tiny_blocks):
+        """With ~16 KiB blocks the sorted stream spans many blocks;
+        rn must still be the dense sequence 1..n with no resets."""
+        from stac_to_geocore_ray.queries import events_global_scan
+        df = events_global_scan(SF).to_pandas().sort_values("rn")
+        rn = df.rn.to_numpy()
+        assert rn[0] == 1 and rn[-1] == len(df)
+        assert (np.diff(rn) == 1).all()
