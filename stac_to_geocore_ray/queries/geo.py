@@ -807,3 +807,233 @@ FROM it i JOIN cat c
   ON (i.cx - c.px) * (i.cx - c.px)
    + (i.cy - c.py) * (i.cy - c.py) <= {r} * {r}
 """
+
+
+# -------------------------------------------- pyramid / stencil (r5)
+
+def _grid_ixiy(bb: "np.ndarray", z: int):
+    """(ix, iy) integer grid cell of each bbox CENTER at zoom ``z``
+    (2^z x 2^z cells over [-180,180] x [-90,90]), plus the w<=e mask.
+
+    Operand order is pinned to the SQL oracle's expression exactly
+    (((c + off) / span) * 2^z, floored, clamped to 2^z - 1) so both
+    sides make the identical IEEE-754 decisions at cell boundaries.
+    """
+    w, s, e, n = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+    keep = w <= e
+    k = float(1 << z)
+    cx = (w + e) / 2.0
+    cy = (s + n) / 2.0
+    ix = np.minimum(np.floor((cx + 180.0) / 360.0 * k), k - 1).astype(np.int64)
+    iy = np.minimum(np.floor((cy + 90.0) / 180.0 * k), k - 1).astype(np.int64)
+    return ix, iy, keep
+
+
+def _bbox_matrix(batch: pa.Table) -> "np.ndarray":
+    bb = batch["bbox"]
+    if isinstance(bb, pa.ChunkedArray):
+        bb = bb.combine_chunks()
+    return bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+
+
+PYRAMID_MAX_Z = 6
+
+def geo_pyramid_rollup(sf_dir: str):
+    """HIERARCHICAL tile-pyramid rollup: item count and integer
+    micro-deg^2 bbox-area sum per quadtree cell at EVERY zoom level
+    z = 6..0 in one pass — the multi-resolution aggregation a tile
+    server / heatmap renderer runs over an image catalog.
+
+    Scale shape: each batch contracts to its finest-level (z=6)
+    partial FIRST (<= 4^6 rows per batch regardless of item count),
+    then expands each partial cell into its ancestor chain
+    (ix >> k, iy >> k for each coarser level — 7 rows per distinct
+    cell, sum bounded by sum_z 4^z ~ 5.5k rows/batch), so ONE shuffle
+    groupby over an output-sized key domain aggregates all levels
+    together.  The facts are never re-read per level and nothing
+    level-serial runs on the driver — compare the naive z-serial plan
+    (7 scans or 7 chained shuffles).  Antimeridian-crossing boxes
+    (w > e) are excluded by contract, same WHERE in the oracle.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    p = _fx(sf_dir)
+    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        ix6, iy6, keep = _grid_ixiy(bb, PYRAMID_MAX_Z)
+        w, s, e, n = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        area = (e - w) * (n - s)
+        ua = (np.sign(area)
+              * np.floor(np.abs(area) * 1e6 + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"ix6": ix6[keep], "iy6": iy6[keep],
+                           "ua": ua[keep]})
+        fine = df.groupby(["ix6", "iy6"], sort=False).agg(
+            n=("ua", "size"), ua=("ua", "sum")).reset_index()
+        m = len(fine)
+        zs = np.repeat(np.arange(PYRAMID_MAX_Z + 1, dtype=np.int64), m)
+        shift = (PYRAMID_MAX_Z - zs).astype(np.int64)
+        out = pd.DataFrame({
+            "z": zs,
+            "ix": np.tile(fine.ix6.to_numpy(), PYRAMID_MAX_Z + 1) >> shift,
+            "iy": np.tile(fine.iy6.to_numpy(), PYRAMID_MAX_Z + 1) >> shift,
+            "n": np.tile(fine.n.to_numpy(), PYRAMID_MAX_Z + 1),
+            "ua": np.tile(fine.ua.to_numpy(), PYRAMID_MAX_Z + 1)})
+        out = out.groupby(["z", "ix", "iy"], sort=False).agg(
+            n=("n", "sum"), ua=("ua", "sum")).reset_index()
+        return table_from_pandas(out, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["z", "ix", "iy"]).aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("ua", alias_name="sum_ua"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "z": pc.cast(batch["z"], pa.int64()),
+            "ix": pc.cast(batch["ix"], pa.int64()),
+            "iy": pc.cast(batch["iy"], pa.int64()),
+            "n_items": pc.cast(batch["n_items"], pa.int64()),
+            "sum_ua": pc.cast(batch["sum_ua"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _geo_pyramid_rollup_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0 * 64.0)
+               AS BIGINT), 63) AS ix6,
+         LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0 * 64.0)
+               AS BIGINT), 63) AS iy6,
+         CAST(round((bbox[3] - bbox[1]) * (bbox[4] - bbox[2]) * 1000000)
+              AS BIGINT) AS ua
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3])
+SELECT CAST(t.z AS BIGINT) AS z,
+       ix6 // (1::BIGINT << (6 - t.z)) AS ix,
+       iy6 // (1::BIGINT << (6 - t.z)) AS iy,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(ua) AS BIGINT) AS sum_ua
+FROM b, range(7) t(z)
+GROUP BY 1, 2, 3
+"""
+
+
+FOCAL_Z = 7
+
+def geo_focal_mean(sf_dir: str):
+    """3x3 FOCAL (neighborhood) aggregation over the z=7 density grid:
+    for every occupied cell, the item count summed over its Moore
+    neighborhood and the number of occupied neighbor cells — the
+    stencil/convolution op class (density smoothing, hot-spot
+    detection) that a naive engine writes as a band self-join.
+
+    Scale shape: the stencil runs as SCATTER-GATHER on the CONTRACTED
+    cell table, never on the facts — per-batch partials contract items
+    to <= 4^7 cells, one groupby yields the cell table (bounded by the
+    GRID, 16,384 rows max, regardless of item count), each cell
+    scatters 9 (neighbor, n, 1) rows, and one output-sized groupby
+    gathers sums.  Cells with no occupied neighbors beyond themselves
+    still appear (their own scatter lands on themselves).  The
+    occupied-cell filter is a broadcast of packed cell keys — bounded
+    by the grid, so the broadcast is safe at ANY data scale; a finer
+    grid than ~2^13 would swap the driver fold for a hash semi-join.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+    p = _fx(sf_dir)
+    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        ix, iy, keep = _grid_ixiy(bb, FOCAL_Z)
+        df = pd.DataFrame({"ix": ix[keep], "iy": iy[keep]})
+        g = df.groupby(["ix", "iy"], sort=False).size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["ix", "iy"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()          # grid-bounded; consumed twice (lesson 26)
+
+    side = 1 << FOCAL_Z
+    occ = cells.to_pandas()     # <= 4^z rows — grid-bounded driver pull
+    packed_occ = occ.ix.to_numpy() * side + occ.iy.to_numpy()
+    order = np.argsort(packed_occ)
+    occ_keys = packed_occ[order]
+    occ_n = occ.n.to_numpy().astype(np.int64)[order]
+    occ_ref = ray.put((occ_keys, occ_n))
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        ix = batch["ix"].to_numpy()
+        iy = batch["iy"].to_numpy()
+        n = pc.cast(batch["n"], pa.int64()).to_numpy()
+        m = len(ix)
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), m)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), m)
+        return pa.table({
+            "jx": pa.array(np.tile(ix, 9) + dx, pa.int64()),
+            "jy": pa.array(np.tile(iy, 9) + dy, pa.int64()),
+            "nbr_n": pa.array(np.tile(n, 9), pa.int64()),
+            "one": pa.array(np.ones(9 * m, dtype=np.int64), pa.int64())})
+
+    gathered = cells.map_batches(scatter, batch_format="pyarrow") \
+        .groupby(["jx", "jy"]).aggregate(
+            Sum("nbr_n", alias_name="nbr_sum"),
+            Sum("one", alias_name="nbr_cells"))
+
+    def keep_occupied(batch: pa.Table, _ref=occ_ref) -> pa.Table:
+        keys, own = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        jx = pc.cast(batch["jx"], pa.int64()).to_numpy()
+        jy = pc.cast(batch["jy"], pa.int64()).to_numpy()
+        # the in-grid mask must precede the packed-key probe: (jx, -1)
+        # packs to the same integer as (jx-1, side-1), so an off-grid
+        # scatter row would otherwise alias an occupied cell
+        in_grid = (jx >= 0) & (jx < side) & (jy >= 0) & (jy < side)
+        packed = jx * side + jy
+        hit = np.flatnonzero(
+            in_grid & np.isin(packed, keys, assume_unique=False))
+        if len(hit) == 0:
+            return pa.table({"ix": pa.array([], pa.int64()),
+                             "iy": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "nbr_sum": pa.array([], pa.int64()),
+                             "nbr_cells": pa.array([], pa.int64())})
+        pk = packed[hit]
+        rows = np.searchsorted(keys, pk)
+        if not np.array_equal(keys[rows], pk):   # isin guarantees this
+            raise RuntimeError("focal gather: occupied-key lookup "
+                               "misaligned with broadcast cell table")
+        return pa.table({
+            "ix": pa.array(jx[hit], pa.int64()),
+            "iy": pa.array(jy[hit], pa.int64()),
+            "n": pa.array(own[rows], pa.int64()),
+            "nbr_sum": pc.cast(batch["nbr_sum"], pa.int64()).take(
+                pa.array(hit)),
+            "nbr_cells": pc.cast(batch["nbr_cells"], pa.int64()).take(
+                pa.array(hit))})
+
+    return gathered.map_batches(keep_occupied, batch_format="pyarrow")
+
+
+def _geo_focal_mean_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0 * 128.0)
+               AS BIGINT), 127) AS ix,
+         LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0 * 128.0)
+               AS BIGINT), 127) AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3]
+  GROUP BY 1, 2)
+SELECT a.ix, a.iy, a.n,
+       CAST(sum(b.n) AS BIGINT) AS nbr_sum,
+       CAST(count(*) AS BIGINT) AS nbr_cells
+FROM c a JOIN c b
+  ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+GROUP BY 1, 2, 3
+"""

@@ -1,0 +1,107 @@
+"""Pyramid rollup / focal stencil semantics vs independent pandas
+references (the oracle gate checks the same ops against DuckDB SQL;
+here the hierarchy and neighborhood invariants are pinned in CI)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cells(z):
+    from stac_to_geocore_ray.queries.geo import _grid_ixiy
+    from stac_to_geocore_ray.sources import fixtures
+    bb = np.stack(pd.read_parquet(
+        fixtures.paths(SF)["stac_items"])["bbox"].to_numpy()) \
+        .astype(np.float64)
+    ix, iy, keep = _grid_ixiy(bb, z)
+    return ix[keep], iy[keep], bb[keep]
+
+
+class TestGridIndex:
+    def test_bounds_and_clamp(self):
+        from stac_to_geocore_ray.queries.geo import _grid_ixiy
+        bb = np.array([[-180.0, -90.0, -180.0, -90.0],   # min corner
+                       [180.0, 90.0, 180.0, 90.0],       # max corner clamps
+                       [10.0, 5.0, -10.0, 6.0]])         # w > e drops
+        ix, iy, keep = _grid_ixiy(bb, 6)
+        assert keep.tolist() == [True, True, False]
+        assert ix[0] == 0 and iy[0] == 0
+        assert ix[1] == 63 and iy[1] == 63
+
+    def test_parent_is_shift(self):
+        ix6, iy6, _ = _cells(6)
+        ix5, iy5, _ = _cells(5)
+        assert (ix6 >> 1 == ix5).all() and (iy6 >> 1 == iy5).all()
+
+
+class TestPyramidRollup:
+    @pytest.fixture(scope="class")
+    def pyr(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_pyramid_rollup
+        return geo_pyramid_rollup(SF).to_pandas()
+
+    def test_level_totals_conserved(self, pyr):
+        """Every zoom level partitions the same item set: per-level
+        n_items and sum_ua totals are identical across z."""
+        tot = pyr.groupby("z").agg(n=("n_items", "sum"),
+                                   ua=("sum_ua", "sum"))
+        assert tot.n.nunique() == 1 and tot.ua.nunique() == 1
+
+    def test_parent_equals_child_sum(self, pyr):
+        for z in range(6):
+            child = pyr[pyr.z == z + 1].copy()
+            child["pix"] = child.ix // 2
+            child["piy"] = child.iy // 2
+            rolled = child.groupby(["pix", "piy"]).agg(
+                n=("n_items", "sum"), ua=("sum_ua", "sum")).reset_index()
+            parent = pyr[pyr.z == z].sort_values(["ix", "iy"]) \
+                .reset_index(drop=True)
+            rolled = rolled.sort_values(["pix", "piy"]).reset_index(drop=True)
+            assert (parent.ix.to_numpy() == rolled.pix.to_numpy()).all()
+            assert (parent.n_items.to_numpy() == rolled.n.to_numpy()).all()
+            assert (parent.sum_ua.to_numpy() == rolled.ua.to_numpy()).all()
+
+    def test_finest_level_matches_pandas(self, pyr):
+        ix, iy, bb = _cells(6)
+        ref = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+            ["ix", "iy"]).size().reset_index(name="n")
+        got = pyr[pyr.z == 6].sort_values(["ix", "iy"]).reset_index(drop=True)
+        ref = ref.sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert (got.n_items.to_numpy() == ref.n.to_numpy()).all()
+
+
+class TestFocalMean:
+    def test_matches_brute_force(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_focal_mean
+        got = geo_focal_mean(SF).to_pandas() \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+
+        ix, iy, _ = _cells(7)
+        cnt = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+            ["ix", "iy"]).size()
+        lut = cnt.to_dict()
+        rows = []
+        for (cx, cy), n in lut.items():
+            s = m = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    v = lut.get((cx + dx, cy + dy))
+                    if v is not None:
+                        s += v
+                        m += 1
+            rows.append((cx, cy, n, s, m))
+        ref = pd.DataFrame(rows, columns=["ix", "iy", "n", "nbr_sum",
+                                          "nbr_cells"]) \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        for c in ("ix", "iy", "n", "nbr_sum", "nbr_cells"):
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_isolated_cells_self_only(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_focal_mean
+        df = geo_focal_mean(SF).to_pandas()
+        solo = df[df.nbr_cells == 1]
+        assert (solo.nbr_sum == solo.n).all()
+        assert (df.nbr_cells >= 1).all() and (df.nbr_cells <= 9).all()
