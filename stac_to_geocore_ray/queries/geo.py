@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 from ..sources import fixtures
 from ..stages.util import clean_read_parquet, table_from_pandas
-from ._common import ORACLE_SF_DIR, _auto, _fx, _fx_glob
+from ._common import ORACLE_SF_DIR, _auto, _fx, _fx_glob, _meta_read
 
 # ------------------------------------------------------------ geospatial
 #
@@ -855,11 +855,21 @@ def geo_pyramid_rollup(sf_dir: str):
     (7 scans or 7 chained shuffles).  Antimeridian-crossing boxes
     (w > e) are excluded by contract, same WHERE in the oracle.
     """
+    p = _fx(sf_dir)
+    # _meta_read, not a bare clean_read_parquet: Ray's ~200-block
+    # default read fragments the partials (each tiny batch touches
+    # much of the cell domain, so partial volume scales with BATCH
+    # COUNT); the CPU-matched block count measured 15 -> 4.7 s at 20M
+    return pyramid_from_dataset(_meta_read(p["stac_items"],
+                                           columns=["bbox"]))
+
+
+def pyramid_from_dataset(ds):
+    """Pyramid core over any Dataset with a ``bbox`` fixed-list column
+    (shared by the fixture query and the 20M-bbox scale probe)."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
-    p = _fx(sf_dir)
-    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
 
     def partial(batch: pa.Table) -> pa.Table:
         bb = _bbox_matrix(batch)
@@ -885,18 +895,28 @@ def geo_pyramid_rollup(sf_dir: str):
             n=("n", "sum"), ua=("ua", "sum")).reset_index()
         return table_from_pandas(out, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["z", "ix", "iy"]).aggregate(
-            Sum("n", alias_name="n_items"),
-            Sum("ua", alias_name="sum_ua"))
+    # sorted_combine, not groupby().aggregate: the partials are
+    # weakly contracted (every batch can touch most of the 5.5k-cell
+    # domain, so partial rows ~ #batches x domain), and Ray's native
+    # reduce costs per PARTIAL ROW (lesson 21/25; A/B at 20M bboxes in
+    # BENCH/BASELINE.md round-5 grid section)
+    # batch_size=None: whole-block batches — the default 1024-row
+    # batches contract barely at all against a multi-thousand-cell
+    # domain (measured 2.35M partial rows vs 0.6M from 500k-row
+    # blocks at 20M bboxes), and partial contraction is the whole
+    # point of the pre-aggregate
+    from ..stages.util import sorted_combine
+    agg = sorted_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=None),
+                         keys=["z", "ix", "iy"], sum_cols=["n", "ua"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "z": pc.cast(batch["z"], pa.int64()),
             "ix": pc.cast(batch["ix"], pa.int64()),
             "iy": pc.cast(batch["iy"], pa.int64()),
-            "n_items": pc.cast(batch["n_items"], pa.int64()),
-            "sum_ua": pc.cast(batch["sum_ua"], pa.int64())})
+            "n_items": pc.cast(batch["n"], pa.int64()),
+            "sum_ua": pc.cast(batch["ua"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -941,12 +961,21 @@ def geo_focal_mean(sf_dir: str):
     by the grid, so the broadcast is safe at ANY data scale; a finer
     grid than ~2^13 would swap the driver fold for a hash semi-join.
     """
+    p = _fx(sf_dir)
+    # CPU-matched block count — same rationale as geo_pyramid_rollup
+    # (measured 15 -> 3.0 s at 20M bboxes)
+    return focal_from_dataset(_meta_read(p["stac_items"],
+                                         columns=["bbox"]))
+
+
+def focal_from_dataset(ds):
+    """Focal-stencil core over any Dataset with a ``bbox`` fixed-list
+    column (shared by the fixture query and the 20M-bbox scale probe)."""
     import pandas as pd
 
     import ray
-    from ray.data.aggregate import Sum
-    p = _fx(sf_dir)
-    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+
+    from ..stages.util import sorted_combine
 
     def partial(batch: pa.Table) -> pa.Table:
         bb = _bbox_matrix(batch)
@@ -955,8 +984,14 @@ def geo_focal_mean(sf_dir: str):
         g = df.groupby(["ix", "iy"], sort=False).size().reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    cells = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["ix", "iy"]).aggregate(Sum("n", alias_name="n")) \
+    # both reduces route through sorted_combine: the per-batch partials
+    # are weakly contracted (every batch touches much of the 16k-cell
+    # grid, partial rows ~ #batches x grid) and Ray's native reduce
+    # costs per PARTIAL ROW (lesson 21/25; A/B at 20M bboxes in
+    # BENCH/BASELINE.md round-5 grid section)
+    cells = sorted_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                          batch_size=None),
+                           keys=["ix", "iy"], sum_cols=["n"]) \
         .materialize()          # grid-bounded; consumed twice (lesson 26)
 
     side = 1 << FOCAL_Z
@@ -980,10 +1015,9 @@ def geo_focal_mean(sf_dir: str):
             "nbr_n": pa.array(np.tile(n, 9), pa.int64()),
             "one": pa.array(np.ones(9 * m, dtype=np.int64), pa.int64())})
 
-    gathered = cells.map_batches(scatter, batch_format="pyarrow") \
-        .groupby(["jx", "jy"]).aggregate(
-            Sum("nbr_n", alias_name="nbr_sum"),
-            Sum("one", alias_name="nbr_cells"))
+    gathered = sorted_combine(
+        cells.map_batches(scatter, batch_format="pyarrow"),
+        keys=["jx", "jy"], sum_cols=["nbr_n", "one"])
 
     def keep_occupied(batch: pa.Table, _ref=occ_ref) -> pa.Table:
         keys, own = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
@@ -1011,9 +1045,9 @@ def geo_focal_mean(sf_dir: str):
             "ix": pa.array(jx[hit], pa.int64()),
             "iy": pa.array(jy[hit], pa.int64()),
             "n": pa.array(own[rows], pa.int64()),
-            "nbr_sum": pc.cast(batch["nbr_sum"], pa.int64()).take(
+            "nbr_sum": pc.cast(batch["nbr_n"], pa.int64()).take(
                 pa.array(hit)),
-            "nbr_cells": pc.cast(batch["nbr_cells"], pa.int64()).take(
+            "nbr_cells": pc.cast(batch["one"], pa.int64()).take(
                 pa.array(hit))})
 
     return gathered.map_batches(keep_occupied, batch_format="pyarrow")

@@ -175,6 +175,7 @@ def main() -> None:
     timed("events_rollup", lambda: q.events_rollup(out_dir))
     timed("events_range_join", lambda: q.events_range_join(out_dir))
     timed("events_props_json", lambda: q.events_props_json(out_dir))
+    timed("events_global_scan", lambda: q.events_global_scan(out_dir))
     tracker.stop()
 
     print(json.dumps({

@@ -1,0 +1,141 @@
+"""Grid-operator scale probe: pyramid rollup + focal stencil at 20M
+bboxes (200x the sf0.1 fixture's item count).
+
+Synthesizes a deterministic 20M-row bbox table with the spatial skew a
+real catalog has — a zipf-ish mixture of dense acquisition regions
+(most imagery concentrates over a few AOIs) plus a uniform tail — so
+the finest-level cells are heavily unbalanced, then measures the
+SHARED cores (queries/geo.py pyramid_from_dataset / focal_from_dataset,
+the exact code the fixture queries run).  The point being evidenced:
+both ops' shuffle volume is bounded by the GRID (sum_z 4^z ~ 5.5k rows
+per batch for the pyramid, 4^7 cells for the stencil), so 200x the
+items costs only the scan+partial, never the shuffle.
+
+Usage:  python tools/scale_grid.py [out_dir] [--n 20000000]
+Owns its Ray session (like bench.py); not imported by __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEED = 0x6E0D
+SHARD = 500_000
+# dense acquisition centers (lon, lat, spread_deg, weight)
+AOIS = [(-75.7, 45.4, 3.0, 4), (151.2, -33.9, 2.0, 3),
+        (10.4, 51.1, 4.0, 3), (-120.5, 37.2, 2.5, 2),
+        (77.2, 28.6, 1.5, 2), (-47.9, -15.8, 3.5, 1)]
+
+
+def _shard_table(lo: int, hi: int) -> pa.Table:
+    rng = np.random.default_rng(SEED + lo)
+    m = hi - lo
+    w = np.array([a[3] for a in AOIS], dtype=np.float64)
+    pick = rng.choice(len(AOIS) + 1, size=m,
+                      p=np.r_[w / w.sum() * 0.8, 0.2])
+    cx = rng.uniform(-180.0, 180.0, m)
+    cy = rng.uniform(-90.0, 90.0, m)
+    for i, (ax, ay, spread, _wt) in enumerate(AOIS):
+        sel = pick == i
+        k = int(sel.sum())
+        cx[sel] = np.clip(ax + rng.normal(0.0, spread, k), -179.9, 179.9)
+        cy[sel] = np.clip(ay + rng.normal(0.0, spread, k), -89.9, 89.9)
+    half = rng.uniform(0.005, 0.15, m)
+    bb = np.stack([np.maximum(cx - half, -180.0),
+                   np.maximum(cy - half, -90.0),
+                   np.minimum(cx + half, 180.0),
+                   np.minimum(cy + half, 90.0)], axis=1)
+    return pa.table({"bbox": pa.FixedSizeListArray.from_arrays(
+        pa.array(bb.reshape(-1), pa.float64()), 4)})
+
+
+def _write_shard(out: str, lo: int, hi: int, shard: int) -> int:
+    tbl = _shard_table(lo, hi)
+    pq.write_table(tbl, os.path.join(out, "bboxes",
+                                     f"part-{shard:05d}.parquet"))
+    return tbl.num_rows
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "/tmp/stgr_scale/grid20m"
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv \
+        else 20_000_000
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    bdir = os.path.join(out_dir, "bboxes")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    t0 = time.time()
+    if not (os.path.exists(marker)
+            and open(marker).read().strip() == f"n={n}"):
+        os.makedirs(bdir, exist_ok=True)
+        task = ray.remote(num_cpus=1)(_write_shard)
+        ranges = [(lo, min(lo + SHARD, n), s)
+                  for s, lo in enumerate(range(0, n, SHARD))]
+        sum(ray.get([task.remote(out_dir, lo, hi, s)
+                     for lo, hi, s in ranges]))
+        with open(marker, "w") as f:
+            f.write(f"n={n}\n")
+    gen_s = round(time.time() - t0, 1)
+
+    from scale_run import PeakTracker
+
+    from stac_to_geocore_ray.queries._common import _meta_read
+    from stac_to_geocore_ray.queries.geo import (focal_from_dataset,
+                                                 pyramid_from_dataset)
+
+    # warm the worker pool (process-startup cost otherwise lands in
+    # the first timed line); _meta_read = the queries' own
+    # CPU-matched-block read (the ~200-block default read fragments
+    # the partials — measured 15 vs 3-5 s at 20M)
+    _meta_read(bdir, columns=["bbox"]).count()
+
+    tracker = PeakTracker()
+    tracker.start()
+    timings, counts = {}, {}
+    for name, core in (("geo_pyramid_rollup", pyramid_from_dataset),
+                       ("geo_focal_mean", focal_from_dataset)):
+        t0 = time.time()
+        out = core(_meta_read(bdir, columns=["bbox"]))
+        counts[name] = out.count()
+        timings[name] = round(time.time() - t0, 2)
+    tracker.stop()
+
+    # invariant spot-checks on the pyramid at scale: every level
+    # conserves the item total
+    pyr = pyramid_from_dataset(_meta_read(bdir, columns=["bbox"])).to_pandas()
+    tot = pyr.groupby("z").n_items.sum()
+    assert tot.nunique() == 1 and int(tot.iloc[0]) == n, tot
+
+    print(json.dumps({
+        "metric": "grid ops 200x-scale run",
+        "n_bboxes": n,
+        "num_cpus": num_cpus,
+        "gen_sec": gen_s,
+        "queries": timings,
+        "rows": counts,
+        "level_total_conserved": int(tot.iloc[0]),
+        "peak_driver_rss_gb": round(tracker.peak_rss_gb, 2),
+        "peak_object_store_gb": round(tracker.peak_store_gb, 2),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
