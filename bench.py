@@ -136,6 +136,15 @@ def run_bench() -> dict:
         timed("q17_small_qty",
               lambda: q.q17_small_qty_revenue(sf_dir).num_rows
               if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else 0)
+        # distributed prefix scan (global running sum, no partition key)
+        timed("events_global_scan",
+              lambda: q.events_global_scan(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # quadtree pyramid rollup: all zoom levels in one shuffle
+        timed("geo_pyramid_rollup",
+              lambda: q.geo_pyramid_rollup(sf_dir).count())
+        # 3x3 focal stencil as scatter-gather on the contracted grid
+        timed("geo_focal_mean", lambda: q.geo_focal_mean(sf_dir).count())
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
