@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 from ..sources import fixtures
 from ..stages.util import clean_read_parquet, table_from_pandas
-from ._common import _meta_read, _auto, _cents, _t
+from ._common import _meta_read, _auto, _cents, _parquet_nrows, _t
 
 # ---------------------------------------------------------------- events
 
@@ -1260,4 +1260,76 @@ SELECT event_id,
            AS run_cents
 FROM events
 WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# --------------------------------------------- heavy hitters (MG sketch)
+
+HH_PHI_INV = 125     # heavy hitter = value with count * 125 > total
+HH_K = 256           # MG summary size; guarantee needs k >= HH_PHI_INV
+
+def events_heavy_hitters(sf_dir: str):
+    """Users producing more than 1/100 of the whole stream, with EXACT
+    counts — via a Misra-Gries sketch prune + exact confirm (the same
+    sketch-candidates-then-verify shape as the LSH dedups).
+
+    Scale shape: pass 1 MG-compresses each block to <= 256 (user,
+    count) rows (stages/sketch.py: mergeable-summaries compress), so
+    the driver folds #blocks x 256 rows REGARDLESS of stream size —
+    the sketch family's defining property, like the HLL registers.
+    The MG guarantee (total decrement < n/(k+1), k=256 > 100) means
+    every true heavy hitter is in the fold's survivor set; false
+    candidates are killed by pass 2, an exact count of ONLY the
+    broadcast candidates (<= 256 of them, so the confirm's partials
+    are candidate-domain-sized).  Exact output -> plain SQL oracle;
+    the sketch's guarantee itself is property-tested in
+    tests/test_sketch.py.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.sketch import mg_block_summary, mg_merge
+    ds = _meta_read(_t(sf_dir, "events"), columns=["user_id"])
+    total, _ = _parquet_nrows(_t(sf_dir, "events"))
+
+    def summary(batch: pa.Table) -> pa.Table:
+        v, c = mg_block_summary(batch["user_id"].to_numpy(), HH_K)
+        return pa.table({"user_id": pa.array(v, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(summary, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    cand, _est = mg_merge(parts.user_id.to_numpy(),
+                          parts.cnt.to_numpy(), HH_K)
+    cand_ref = ray.put(np.sort(cand))
+
+    def exact_partial(batch: pa.Table, _ref=cand_ref) -> pa.Table:
+        cand = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        u = batch["user_id"].to_numpy()
+        hit = u[np.isin(u, cand)]
+        rows = np.searchsorted(cand, hit)
+        n = np.bincount(rows, minlength=len(cand)).astype(np.int64)
+        return pa.table({"user_id": pa.array(cand, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    # the confirm's partials are candidate-keyed ((#blocks x <= k)
+    # rows), so fold them on the DRIVER and return a typed Arrow
+    # table: the result can legitimately be EMPTY (no key exceeds the
+    # threshold), and an all-empty Dataset loses its column schema on
+    # to_pandas — the registry convention for maybe-empty results is
+    # a concrete pa.Table (cf. minhash_neardup)
+    conf = ds.map_batches(exact_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    exact = conf.groupby("user_id", sort=True)["n"].sum()
+    hh = exact[exact * HH_PHI_INV > int(total)]
+    return pa.table({"user_id": pa.array(hh.index.to_numpy(), pa.int64()),
+                     "n": pa.array(hh.to_numpy(), pa.int64())})
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) * 125 > (SELECT count(*) FROM events)
 """

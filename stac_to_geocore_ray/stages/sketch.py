@@ -241,3 +241,45 @@ def bloom_from_dataset(ds, col: str, n_bits: int) -> "BloomFilter":
         for buf in part["words"].to_pylist():
             words |= np.frombuffer(buf, dtype=np.uint64)
     return BloomFilter(n_bits, words)
+
+
+# ------------------------------------------------------------ misra-gries
+
+def mg_compress(values: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compress: keep at most ``k`` (value, count) rows.
+
+    If more than ``k`` distinct values are present, subtract the
+    (k+1)-th largest count from every count and keep the positives —
+    the mergeable-summaries compress (Agarwal et al., PODS'12).  The
+    invariant that makes MG a GUARANTEED candidate prune: each
+    compress decrements any single value's count by at most the
+    amount it decrements ALL values, and the total decrement across a
+    dataset of n rows is < n/(k+1), so every value with true count
+    > n/(k+1) is still present in the final summary.
+    """
+    if len(values) <= k:
+        return values, counts
+    order = np.argsort(counts)[::-1]
+    thresh = counts[order[k]]
+    keep = order[:k]
+    dec = counts[keep] - thresh
+    pos = dec > 0
+    return values[keep][pos], dec[pos]
+
+
+def mg_block_summary(values: np.ndarray, k: int):
+    """Exact value counts of one block, MG-compressed to ``k`` rows."""
+    import pandas as pd
+    vc = pd.Series(values).value_counts()
+    return mg_compress(vc.index.to_numpy(),
+                       vc.to_numpy().astype(np.int64), k)
+
+
+def mg_merge(values: np.ndarray, counts: np.ndarray, k: int):
+    """Merge concatenated MG summaries (exact groupby-sum of the
+    partial counts, then one compress).  Summing the partials exactly
+    before the final compress only tightens the bound relative to
+    pairwise compress-as-you-merge."""
+    import pandas as pd
+    s = pd.Series(counts).groupby(pd.Series(values)).sum()
+    return mg_compress(s.index.to_numpy(), s.to_numpy().astype(np.int64), k)

@@ -188,3 +188,78 @@ class TestBloomFilter:
         dist = bloom_from_dataset(ds, "k", n_bits)
         local = BloomFilter(n_bits).add(keys)
         assert np.array_equal(dist.words, local.words)
+
+
+class TestMisraGries:
+    def _blocks(self, values, n_blocks):
+        return np.array_split(values, n_blocks)
+
+    def test_guarantee_no_heavy_hitter_lost(self):
+        """Every value with true count > n/(k+1) survives per-block
+        compress + merge — the bound the heavy-hitters prune rests on."""
+        from stac_to_geocore_ray.stages.sketch import (mg_block_summary,
+                                                       mg_merge)
+        rng = np.random.RandomState(7)
+        k = 64
+        # zipf-flavored stream over a domain far larger than k
+        vals = (rng.zipf(1.3, 200_000) % 10_000).astype(np.int64)
+        n = len(vals)
+        true = pd.Series(vals).value_counts()
+        heavy = set(true[true > n // (k + 1)].index)
+        assert heavy, "fixture must actually contain heavy hitters"
+        pv, pc_ = [], []
+        for blk in self._blocks(vals, 13):
+            v, c = mg_block_summary(blk, k)
+            assert len(v) <= k
+            pv.append(v)
+            pc_.append(c)
+        mv, mc = mg_merge(np.concatenate(pv), np.concatenate(pc_), k)
+        assert len(mv) <= k
+        assert heavy <= set(mv.tolist())
+        # estimates only ever UNDER-count, by < n/(k+1)
+        est = dict(zip(mv.tolist(), mc.tolist()))
+        for v in heavy:
+            assert 0 < est[v] <= true[v]
+            assert true[v] - est[v] < n / (k + 1)
+
+    def test_compress_noop_under_k(self):
+        from stac_to_geocore_ray.stages.sketch import mg_compress
+        v = np.arange(10, dtype=np.int64)
+        c = np.arange(1, 11, dtype=np.int64)
+        rv, rc = mg_compress(v, c, 64)
+        assert np.array_equal(rv, v) and np.array_equal(rc, c)
+
+    def test_block_summary_partition_invariance(self):
+        """Merging summaries of ANY block split yields the same
+        candidate superset for the same stream."""
+        from stac_to_geocore_ray.stages.sketch import (mg_block_summary,
+                                                       mg_merge)
+        rng = np.random.RandomState(11)
+        vals = np.repeat(np.arange(30, dtype=np.int64),
+                         rng.randint(1, 400, 30))
+        rng.shuffle(vals)
+        n, k = len(vals), 8
+        true = pd.Series(vals).value_counts()
+        heavy = set(true[true > n // (k + 1)].index)
+        for n_blocks in (1, 3, 9):
+            pv, pc_ = [], []
+            for blk in self._blocks(vals, n_blocks):
+                v, c = mg_block_summary(blk, k)
+                pv.append(v)
+                pc_.append(c)
+            mv, _ = mg_merge(np.concatenate(pv), np.concatenate(pc_), k)
+            assert heavy <= set(mv.tolist()), n_blocks
+
+
+class TestEventsHeavyHitters:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import events_heavy_hitters
+        from stac_to_geocore_ray.queries.events import HH_PHI_INV
+        got = events_heavy_hitters("/root/testdata/sf0.001").to_pandas()
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["user_id"])
+        vc = ev.user_id.value_counts()
+        ref = vc[vc * HH_PHI_INV > len(ev)].sort_index()
+        got = got.sort_values("user_id").reset_index(drop=True)
+        assert got.user_id.tolist() == ref.index.tolist()
+        assert got.n.tolist() == ref.tolist()
