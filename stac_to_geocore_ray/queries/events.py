@@ -1333,3 +1333,59 @@ FROM events
 GROUP BY user_id
 HAVING count(*) * 125 > (SELECT count(*) FROM events)
 """
+
+
+# --------------------------------------- quantile sketch (equi-depth)
+
+QSK_M = 256
+QSK_QS = (0.5, 0.9, 0.99)
+
+def events_quantile_sketch(sf_dir: str):
+    """Per-type p50/p90/p99 of integer cents via the MERGEABLE
+    equi-depth quantile summary (stages/sketch.py) — the
+    unbounded-domain companion to events_value_quantiles' exact
+    bounded-domain histogram: driver traffic is #blocks x |types| x m
+    summary rows REGARDLESS of stream size or value domain, with a
+    provable rank-error bound (<= n/m + #blocks rows, property-tested
+    over arbitrary block splits).
+
+    Rows-only by design (an approximation has no SQL oracle), but the
+    approximation COLLAPSES to exact whenever every per-(block, type)
+    run has <= m rows — tests/test_sketch.py pins equality against
+    the exact histogram query at sf0.001 through that regime, and the
+    rank bound on streams far past it.  At larger fleet scales the
+    driver fold becomes a two-level tree reduce (fold per node, then
+    globally) — same summaries, same bound.
+    """
+    import pandas as pd
+
+    from ..stages.sketch import quantile_block_summary, quantile_merge
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def summary(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.value.to_numpy())
+        ts, vs, ws = [], [], []
+        for t, g in df.groupby("event_type", sort=False):
+            v, w = quantile_block_summary(g.cents.to_numpy(), QSK_M)
+            ts.append(np.full(len(v), t, dtype=object))
+            vs.append(v)
+            ws.append(w)
+        if not ts:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": pa.array(np.concatenate(ts), pa.string()),
+            "cents": pa.array(np.concatenate(vs), pa.int64()),
+            "w": pa.array(np.concatenate(ws), pa.int64())})
+
+    parts = ds.map_batches(summary, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    rows = []
+    for t, g in parts.groupby("event_type", sort=True):
+        est = quantile_merge(g.cents.to_numpy(), g.w.to_numpy(), QSK_QS)
+        rows.append((t, *[int(x) for x in est]))
+    out = pd.DataFrame(rows, columns=["event_type", "p50_cents",
+                                      "p90_cents", "p99_cents"])
+    return table_from_pandas(out, preserve_index=False)

@@ -283,3 +283,52 @@ def mg_merge(values: np.ndarray, counts: np.ndarray, k: int):
     import pandas as pd
     s = pd.Series(counts).groupby(pd.Series(values)).sum()
     return mg_compress(s.index.to_numpy(), s.to_numpy().astype(np.int64), k)
+
+
+# ------------------------------------------------- equi-depth quantiles
+
+def quantile_block_summary(values: np.ndarray, m: int):
+    """Deterministic equi-depth summary of one block: at most ``m``
+    (value, weight) rows whose weighted CDF tracks the block's true
+    CDF within one bucket (<= ceil(n/m) rows of rank error).
+
+    Buckets are consecutive runs of the SORTED block with integer
+    weights summing exactly to n (first ``n % m`` buckets take the
+    extra row); each bucket is represented by its middle element.
+    No randomness, no float weight drift — summaries are reproducible
+    and merge-order invariant.
+    """
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    if n == 0:
+        return v[:0], np.zeros(0, dtype=np.int64)
+    if n <= m:
+        return v, np.ones(n, dtype=np.int64)
+    base, extra = divmod(n, m)
+    w = np.full(m, base, dtype=np.int64)
+    w[:extra] += 1
+    starts = np.concatenate([[0], np.cumsum(w)[:-1]])
+    return v[starts + w // 2], w
+
+
+def quantile_merge(values: np.ndarray, weights: np.ndarray,
+                   qs) -> np.ndarray:
+    """Weighted-quantile read-off over concatenated block summaries.
+
+    Sorts the (value, weight) rows, and for each q returns the first
+    value whose cumulative weight reaches ``ceil(q * W)`` (the
+    quantile_disc convention the exact histogram path uses).  Total
+    rank error is bounded by the sum of per-block bucket sizes:
+    <= n/m + #blocks rows — independent of how blocks were split,
+    which the tests pin.
+    """
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values)[order]
+    w = np.asarray(weights)[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        out.append(v[np.searchsorted(cum, target)])
+    return np.asarray(out)

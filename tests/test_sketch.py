@@ -263,3 +263,69 @@ class TestEventsHeavyHitters:
         got = got.sort_values("user_id").reset_index(drop=True)
         assert got.user_id.tolist() == ref.index.tolist()
         assert got.n.tolist() == ref.tolist()
+
+
+class TestQuantileSummary:
+    def test_lossless_when_block_fits(self):
+        from stac_to_geocore_ray.stages.sketch import (
+            quantile_block_summary, quantile_merge)
+        rng = np.random.RandomState(5)
+        vals = rng.randint(0, 10_000, 200).astype(np.int64)
+        v, w = quantile_block_summary(vals, 256)
+        assert len(v) == 200 and (w == 1).all()
+        # quantile_disc read-off equals the exact definition
+        for q in (0.5, 0.9, 0.99):
+            exact = np.sort(vals)[int(np.ceil(q * 200)) - 1]
+            assert quantile_merge(v, w, [q])[0] == exact
+
+    def test_rank_error_bound_any_split(self):
+        """Estimated quantile's true rank is within n/m + #blocks of
+        the target rank, for every block split — the mergeable bound
+        the sketch advertises."""
+        from stac_to_geocore_ray.stages.sketch import (
+            quantile_block_summary, quantile_merge)
+        rng = np.random.RandomState(9)
+        vals = np.concatenate([rng.lognormal(3, 1, 60_000),
+                               rng.uniform(0, 5, 40_000)])
+        vals = (vals * 100).astype(np.int64)
+        n, m = len(vals), 128
+        sv = np.sort(vals)
+        for n_blocks in (1, 7, 40):
+            pv, pw = [], []
+            for blk in np.array_split(vals, n_blocks):
+                v, w = quantile_block_summary(blk, m)
+                assert len(v) <= m
+                pv.append(v)
+                pw.append(w)
+            est = quantile_merge(np.concatenate(pv), np.concatenate(pw),
+                                 (0.5, 0.9, 0.99))
+            for q, e in zip((0.5, 0.9, 0.99), est):
+                # true rank range of the estimated value
+                lo = np.searchsorted(sv, e, side="left")
+                hi = np.searchsorted(sv, e, side="right")
+                target = np.ceil(q * n)
+                err = max(lo - target, target - hi, 0)
+                assert err <= n / m + n_blocks, (q, n_blocks, err)
+
+    def test_weights_sum_exactly(self):
+        from stac_to_geocore_ray.stages.sketch import quantile_block_summary
+        for n in (1, 255, 256, 257, 10_000):
+            v, w = quantile_block_summary(
+                np.arange(n, dtype=np.int64), 256)
+            assert int(w.sum()) == n
+
+
+class TestEventsQuantileSketch:
+    def test_exact_in_lossless_regime(self, ray_session):
+        """At sf0.001 every per-(block, type) run fits in m=256 rows,
+        so the sketch must EQUAL the exact bounded-domain histogram."""
+        from stac_to_geocore_ray.queries import (events_quantile_sketch,
+                                                 events_value_quantiles)
+        got = events_quantile_sketch("/root/testdata/sf0.001") \
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+        exact = events_value_quantiles("/root/testdata/sf0.001") \
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+        assert got.event_type.tolist() == exact.event_type.tolist()
+        for sk, ex in (("p50_cents", "p50"), ("p90_cents", "p90"),
+                       ("p99_cents", "p99")):
+            assert got[sk].tolist() == exact[ex].tolist(), sk

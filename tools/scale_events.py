@@ -177,6 +177,8 @@ def main() -> None:
     timed("events_props_json", lambda: q.events_props_json(out_dir))
     timed("events_global_scan", lambda: q.events_global_scan(out_dir))
     timed("events_heavy_hitters", lambda: q.events_heavy_hitters(out_dir))
+    timed("events_quantile_sketch",
+          lambda: q.events_quantile_sketch(out_dir))
     tracker.stop()
 
     print(json.dumps({
