@@ -1389,3 +1389,75 @@ def events_quantile_sketch(sf_dir: str):
     out = pd.DataFrame(rows, columns=["event_type", "p50_cents",
                                       "p90_cents", "p99_cents"])
     return table_from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ grouping sets / cube
+
+def events_cube(sf_dir: str):
+    """CUBE(event_type, day-of-week): count + cent sum at all four
+    grouping-set levels — (type, dow), (type), (dow), () — with
+    coalesced 'ALL' markers, the OLAP lattice aggregation.
+
+    Scale shape (the pyramid trick on the grouping LATTICE): the facts
+    are aggregated ONCE to the finest grouping per batch (<= |types| x
+    7 rows/batch), the lattice expansion x4 runs on the CONTRACTED
+    partials, and a single sorted_combine folds every level together —
+    no per-grouping-set rescan, no CUBE-width shuffle.  The oracle is
+    the explicit UNION ALL of the four GROUP BYs.
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "ts",
+                                                   "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # dayofweek: Monday=0 — matches DuckDB isodow - 1 below
+        dow = df.ts.dt.dayofweek.astype("int64").astype(str)
+        cents = _cents(df.value.to_numpy())
+        fine = pd.DataFrame({"etype": df.event_type, "dow": dow,
+                             "n": 1, "cents": cents}) \
+            .groupby(["etype", "dow"], sort=False, as_index=False) \
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+        levels = [fine]
+        for cols in (("etype",), ("dow",), ()):
+            g = fine.groupby(list(cols), sort=False, as_index=False) \
+                .agg(n=("n", "sum"), cents=("cents", "sum")) \
+                if cols else pd.DataFrame(
+                    {"n": [fine.n.sum()], "cents": [fine.cents.sum()]})
+            for missing in {"etype", "dow"} - set(cols):
+                g[missing] = "ALL"
+            levels.append(g[["etype", "dow", "n", "cents"]])
+        return table_from_pandas(pd.concat(levels, ignore_index=True),
+                                 preserve_index=False)
+
+    agg = sorted_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=None),
+                         keys=["etype", "dow"], sum_cols=["n", "cents"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"etype": batch["etype"],
+                         "dow": batch["dow"],
+                         "n_events": pc.cast(batch["n"], pa.int64()),
+                         "sum_cents": pc.cast(batch["cents"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_CUBE_SQL = """
+WITH b AS (
+  SELECT event_type AS etype,
+         CAST(isodow(ts) - 1 AS VARCHAR) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT etype, dow, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents FROM b GROUP BY 1, 2
+UNION ALL
+SELECT etype, 'ALL', count(*), CAST(sum(cents) AS BIGINT)
+FROM b GROUP BY 1
+UNION ALL
+SELECT 'ALL', dow, count(*), CAST(sum(cents) AS BIGINT)
+FROM b GROUP BY 2
+UNION ALL
+SELECT 'ALL', 'ALL', count(*), CAST(sum(cents) AS BIGINT) FROM b
+"""

@@ -997,3 +997,47 @@ class TestEventsGlobalScan:
         rn = df.rn.to_numpy()
         assert rn[0] == 1 and rn[-1] == len(df)
         assert (np.diff(rn) == 1).all()
+
+
+class TestEventsCube:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_cube
+        got = events_cube(SF).to_pandas() \
+            .sort_values(["etype", "dow"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+        base = pd.DataFrame({
+            "etype": ev.event_type,
+            "dow": ev.ts.dt.dayofweek.astype("int64").astype(str),
+            "cents": _cents(ev.value.to_numpy())})
+        frames = []
+        for cols in (["etype", "dow"], ["etype"], ["dow"], []):
+            if cols:
+                g = base.groupby(cols, as_index=False).agg(
+                    n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            else:
+                g = pd.DataFrame({"n_events": [len(base)],
+                                  "sum_cents": [base.cents.sum()]})
+            for m in {"etype", "dow"} - set(cols):
+                g[m] = "ALL"
+            frames.append(g[["etype", "dow", "n_events", "sum_cents"]])
+        ref = pd.concat(frames, ignore_index=True) \
+            .sort_values(["etype", "dow"]).reset_index(drop=True)
+
+        assert len(got) == len(ref)
+        for c in ("etype", "dow", "n_events", "sum_cents"):
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_lattice_consistency(self, ray_session):
+        """Every coarser level's totals equal the finest level's —
+        the invariant the contracted-partial expansion must keep."""
+        from stac_to_geocore_ray.queries import events_cube
+        df = events_cube(SF).to_pandas()
+        fine = df[(df.etype != "ALL") & (df.dow != "ALL")]
+        grand = df[(df.etype == "ALL") & (df.dow == "ALL")]
+        assert len(grand) == 1
+        assert grand.n_events.iloc[0] == fine.n_events.sum()
+        assert grand.sum_cents.iloc[0] == fine.sum_cents.sum()
+        by_type = df[(df.etype != "ALL") & (df.dow == "ALL")]
+        assert by_type.n_events.sum() == grand.n_events.iloc[0]

@@ -179,6 +179,7 @@ def main() -> None:
     timed("events_heavy_hitters", lambda: q.events_heavy_hitters(out_dir))
     timed("events_quantile_sketch",
           lambda: q.events_quantile_sketch(out_dir))
+    timed("events_cube", lambda: q.events_cube(out_dir))
     tracker.stop()
 
     print(json.dumps({
