@@ -1188,8 +1188,6 @@ def events_global_scan(sf_dir: str):
     sorted stream must exist somewhere before phase 3 can start; the
     object store spills it, and every other step is block-parallel.
     """
-    import pandas as pd
-
     import ray
 
     ds = _meta_read(_t(sf_dir, "events"),
@@ -1269,7 +1267,7 @@ HH_PHI_INV = 125     # heavy hitter = value with count * 125 > total
 HH_K = 256           # MG summary size; guarantee needs k >= HH_PHI_INV
 
 def events_heavy_hitters(sf_dir: str):
-    """Users producing more than 1/100 of the whole stream, with EXACT
+    """Users producing more than 1/125 of the whole stream, with EXACT
     counts — via a Misra-Gries sketch prune + exact confirm (the same
     sketch-candidates-then-verify shape as the LSH dedups).
 
@@ -1277,7 +1275,8 @@ def events_heavy_hitters(sf_dir: str):
     count) rows (stages/sketch.py: mergeable-summaries compress), so
     the driver folds #blocks x 256 rows REGARDLESS of stream size —
     the sketch family's defining property, like the HLL registers.
-    The MG guarantee (total decrement < n/(k+1), k=256 > 100) means
+    The MG guarantee (total decrement < n/(k+1); k must stay >=
+    HH_PHI_INV=125, and k=256 does) means
     every true heavy hitter is in the fold's survivor set; false
     candidates are killed by pass 2, an exact count of ONLY the
     broadcast candidates (<= 256 of them, so the confirm's partials
@@ -1285,8 +1284,6 @@ def events_heavy_hitters(sf_dir: str):
     the sketch's guarantee itself is property-tested in
     tests/test_sketch.py.
     """
-    import pandas as pd
-
     import ray
 
     from ..stages.sketch import mg_block_summary, mg_merge
@@ -1366,7 +1363,8 @@ def events_quantile_sketch(sf_dir: str):
         df = batch.to_pandas()
         df["cents"] = _cents(df.value.to_numpy())
         ts, vs, ws = [], [], []
-        for t, g in df.groupby("event_type", sort=False):
+        # dropna=False: a null type still owns its quantile summary
+        for t, g in df.groupby("event_type", sort=False, dropna=False):
             v, w = quantile_block_summary(g.cents.to_numpy(), QSK_M)
             ts.append(np.full(len(v), t, dtype=object))
             vs.append(v)
@@ -1383,7 +1381,7 @@ def events_quantile_sketch(sf_dir: str):
     parts = ds.map_batches(summary, batch_format="pyarrow",
                            batch_size=None).to_pandas()
     rows = []
-    for t, g in parts.groupby("event_type", sort=True):
+    for t, g in parts.groupby("event_type", sort=True, dropna=False):
         est = quantile_merge(g.cents.to_numpy(), g.w.to_numpy(), QSK_QS)
         rows.append((t, *[int(x) for x in est]))
     out = pd.DataFrame(rows, columns=["event_type", "p50_cents",
@@ -1413,16 +1411,35 @@ def events_cube(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        if len(df) == 0:
+            # NO grand-total zero row for an empty batch: the oracle's
+            # grand total over an empty table is (count 0, sum NULL),
+            # and a fabricated (0, 0) row would diverge
+            return pa.table({"etype": pa.array([], pa.string()),
+                             "dow": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        # the rollup marker is IN-BAND: a real event_type 'ALL' would
+        # merge with rollup rows while the oracle keeps them distinct —
+        # refuse loudly rather than return a semantically wrong cube
+        if (df.event_type == "ALL").any():
+            raise ValueError("events_cube: event_type value 'ALL' "
+                             "collides with the rollup marker")
         # dayofweek: Monday=0 — matches DuckDB isodow - 1 below
         dow = df.ts.dt.dayofweek.astype("int64").astype(str)
         cents = _cents(df.value.to_numpy())
+        # dropna=False throughout: a null key is a group of its own in
+        # DuckDB and in sorted_combine (advice r4) — the default would
+        # drop null-typed rows from keyed levels but not the total
         fine = pd.DataFrame({"etype": df.event_type, "dow": dow,
                              "n": 1, "cents": cents}) \
-            .groupby(["etype", "dow"], sort=False, as_index=False) \
+            .groupby(["etype", "dow"], sort=False, as_index=False,
+                     dropna=False) \
             .agg(n=("n", "sum"), cents=("cents", "sum"))
         levels = [fine]
         for cols in (("etype",), ("dow",), ()):
-            g = fine.groupby(list(cols), sort=False, as_index=False) \
+            g = fine.groupby(list(cols), sort=False, as_index=False,
+                             dropna=False) \
                 .agg(n=("n", "sum"), cents=("cents", "sum")) \
                 if cols else pd.DataFrame(
                     {"n": [fine.n.sum()], "cents": [fine.cents.sum()]})

@@ -869,8 +869,6 @@ def pyramid_from_dataset(ds):
     (shared by the fixture query and the 20M-bbox scale probe)."""
     import pandas as pd
 
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         bb = _bbox_matrix(batch)
         ix6, iy6, keep = _grid_ixiy(bb, PYRAMID_MAX_Z)

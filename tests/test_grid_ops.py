@@ -59,7 +59,9 @@ class TestPyramidRollup:
             parent = pyr[pyr.z == z].sort_values(["ix", "iy"]) \
                 .reset_index(drop=True)
             rolled = rolled.sort_values(["pix", "piy"]).reset_index(drop=True)
+            assert len(parent) == len(rolled)
             assert (parent.ix.to_numpy() == rolled.pix.to_numpy()).all()
+            assert (parent.iy.to_numpy() == rolled.piy.to_numpy()).all()
             assert (parent.n_items.to_numpy() == rolled.n.to_numpy()).all()
             assert (parent.sum_ua.to_numpy() == rolled.ua.to_numpy()).all()
 

@@ -67,10 +67,14 @@ def _write_shard(out: str, lo: int, hi: int, shard: int) -> int:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    n = 20_000_000
+    if "--n" in argv:                 # strip the flag AND its value so
+        i = argv.index("--n")         # the value is never mistaken for
+        n = int(argv[i + 1])          # the positional out_dir
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     out_dir = args[0] if args else "/tmp/stgr_scale/grid20m"
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv \
-        else 20_000_000
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     import ray
@@ -84,6 +88,12 @@ def main() -> None:
     t0 = time.time()
     if not (os.path.exists(marker)
             and open(marker).read().strip() == f"n={n}"):
+        # a marker mismatch means a DIFFERENT n was generated here
+        # before: wipe the shard dir, or stale parts from a larger run
+        # would ride along in the glob and fail the conservation
+        # assert after all the timed work
+        import shutil
+        shutil.rmtree(bdir, ignore_errors=True)
         os.makedirs(bdir, exist_ok=True)
         task = ray.remote(num_cpus=1)(_write_shard)
         ranges = [(lo, min(lo + SHARD, n), s)
