@@ -1222,3 +1222,49 @@ WHERE (doc_id * 2654435761) % 4294967296
       < CASE WHEN lang = 'en' THEN 429496729 ELSE 2147483648 END
 GROUP BY lang
 """
+
+
+# --------------------------------------------------- redaction (r5)
+
+# the production patterns are emails/phone numbers; the synthetic
+# corpus is word-salad, so the registered entry uses a pattern with
+# real matches there.  RE2 on BOTH sides (Arrow's re2 and DuckDB's
+# regexp_replace), so engine and oracle make identical decisions.
+REDACT_PATTERN = r"\b(customer|supplier)\b"
+REDACT_TOKEN = "<REDACTED>"
+
+def doc_redact(sf_dir: str, pattern: str = REDACT_PATTERN,
+               token: str = REDACT_TOKEN):
+    """PII-style REDACTION map: replace every regex match in the text
+    with a fixed token and count the replacements per document — the
+    data-cleaning transform (emails, phone numbers, license plates)
+    every training-data pipeline runs before anything else.
+
+    Scale shape: a pure stateless map — one zero-copy Arrow pass per
+    batch through two RE2 kernels (``replace_substring_regex`` +
+    ``count_substring_regex``), no shuffle, no state, output streams.
+    The redacted TEXT itself is part of the checked output, so the
+    oracle compare pins byte-exact RE2 agreement, not just counts.
+    """
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "redacted": pc.replace_substring_regex(text, pattern,
+                                                   token),
+            "n_redactions": pc.cast(
+                pc.count_substring_regex(text, pattern), pa.int64())})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+DOC_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')
+           AS redacted,
+       CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT)
+           AS n_redactions
+FROM documents
+"""

@@ -107,3 +107,22 @@ class TestFocalMean:
         solo = df[df.nbr_cells == 1]
         assert (solo.nbr_sum == solo.n).all()
         assert (df.nbr_cells >= 1).all() and (df.nbr_cells <= 9).all()
+
+
+class TestDocRedact:
+    def test_redaction_invariants(self, ray_session):
+        import re
+        from stac_to_geocore_ray.queries import doc_redact
+        from stac_to_geocore_ray.queries.docs import (REDACT_PATTERN,
+                                                      REDACT_TOKEN)
+        df = doc_redact(SF).to_pandas()
+        src = pd.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]) \
+            .set_index("doc_id").text
+        rx = re.compile(REDACT_PATTERN)
+        assert df.n_redactions.sum() > 0          # pattern actually fires
+        for r in df.sample(50, random_state=1).itertuples():
+            t = src.loc[r.doc_id]
+            assert r.n_redactions == len(rx.findall(t))
+            assert rx.search(r.redacted) is None  # nothing left behind
+            assert r.redacted == rx.sub(REDACT_TOKEN, t)
