@@ -1268,3 +1268,80 @@ SELECT doc_id,
            AS n_redactions
 FROM documents
 """
+
+
+# --------------------------------------- end-to-end prep pipeline (r5)
+
+PREP_MIN_TOK = 20
+PREP_MAX_TOK = 90
+PREP_LANG = "en"
+
+def doc_prep_pipeline(sf_dir: str):
+    """The CAPSTONE training-data prep composition, end to end in one
+    streaming pipeline: redact (doc_redact's RE2 scrub) -> quality
+    filter (whitespace-token count in [20, 90], counted on the
+    REDACTED text) -> language filter (en) -> exact dedup on the
+    redacted text keeping the lowest doc_id.  Output: the surviving
+    (doc_id, redacted) corpus — what would be written to the training
+    shard store.
+
+    Scale shape: the scrub+filter stages are stateless zero-copy Arrow
+    maps fused into the read (no shuffle until the survivors, which
+    the filters have already thinned); the dedup is one sorted_combine
+    keyed by the content hash of the redacted text with min-doc_id
+    (the weak-contraction shape of lesson 21 — ~unique keys), carrying
+    the text along through a min on the (hash-prefixed) payload.  The
+    oracle reproduces every stage in SQL, grouping on the RAW redacted
+    text — a 64-bit hash collision would therefore surface as a
+    mismatch (the doc_exact_dedup contract).
+    """
+    import pandas as pd
+
+    from ..stages.dedup import add_text_hash
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "documents"),
+                    columns=["doc_id", "text", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(batch["text"], REDACT_PATTERN,
+                                         REDACT_TOKEN)
+        ntok = pc.count_substring_regex(red, r"\S+")
+        keep = pc.and_(
+            pc.equal(batch["lang"], pa.scalar(PREP_LANG)),
+            pc.and_(pc.greater_equal(ntok, pa.scalar(PREP_MIN_TOK)),
+                    pc.less_equal(ntok, pa.scalar(PREP_MAX_TOK))))
+        out = pa.table({"doc_id": batch["doc_id"], "redacted": red})
+        return out.filter(keep)
+
+    survivors = ds.map_batches(prep, batch_format="pyarrow")
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        df = add_text_hash(batch, col="redacted", out="h").to_pandas()
+        g = df.groupby("h", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), redacted=("redacted", "min"))
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = sorted_combine(
+        survivors.map_batches(hash_partial, batch_format="pyarrow"),
+        keys=["h"], aggs={"doc_id": "min", "redacted": "min"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "redacted": batch["redacted"]})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_PREP_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')
+             AS redacted
+  FROM documents),
+q AS (
+  SELECT doc_id, redacted FROM r
+  WHERE lang = '{PREP_LANG}'
+    AND len(regexp_extract_all(redacted, '\\S+'))
+        BETWEEN {PREP_MIN_TOK} AND {PREP_MAX_TOK})
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, redacted
+FROM q GROUP BY redacted
+"""

@@ -126,3 +126,29 @@ class TestDocRedact:
             assert r.n_redactions == len(rx.findall(t))
             assert rx.search(r.redacted) is None  # nothing left behind
             assert r.redacted == rx.sub(REDACT_TOKEN, t)
+
+
+class TestDocPrepPipeline:
+    def test_stage_invariants(self, ray_session):
+        import re
+        from stac_to_geocore_ray.queries import doc_prep_pipeline
+        from stac_to_geocore_ray.queries.docs import (
+            PREP_LANG, PREP_MAX_TOK, PREP_MIN_TOK, REDACT_PATTERN)
+        got = doc_prep_pipeline(SF).to_pandas()
+        src = pd.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+        assert len(got) > 0
+        assert got.redacted.is_unique                    # dedup fired
+        assert got.doc_id.isin(src.doc_id).all()
+        langs = src.set_index("doc_id").lang
+        assert (langs.loc[got.doc_id] == PREP_LANG).all()
+        ntok = got.redacted.str.findall(r"\S+").str.len()
+        assert ntok.between(PREP_MIN_TOK, PREP_MAX_TOK).all()
+        rx = re.compile(REDACT_PATTERN)
+        assert not got.redacted.map(lambda t: bool(rx.search(t))).any()
+        # keep-first: every survivor is the MIN doc_id of its text group
+        en = src[src.lang == PREP_LANG].copy()
+        en["red"] = en.text.map(lambda t: rx.sub("<REDACTED>", t))
+        first = en.groupby("red").doc_id.min()
+        assert got.set_index("redacted").doc_id.eq(
+            first.loc[got.redacted].to_numpy()).all()

@@ -161,6 +161,7 @@ def main() -> None:
     timed = make_timed(timings, counts, only)
 
     timed("doc_redact", lambda: q.doc_redact(out_dir))
+    timed("doc_prep_pipeline", lambda: q.doc_prep_pipeline(out_dir))
     timed("doc_exact_dedup", lambda: q.doc_exact_dedup(out_dir))
     timed("minhash_neardup", lambda: q.minhash_neardup(out_dir))
     timed("ngram_jaccard_dedup", lambda: q.ngram_jaccard_dedup(out_dir))
