@@ -145,6 +145,10 @@ def run_bench() -> dict:
               lambda: q.geo_pyramid_rollup(sf_dir).count())
         # 3x3 focal stencil as scatter-gather on the contracted grid
         timed("geo_focal_mean", lambda: q.geo_focal_mean(sf_dir).count())
+        # end-to-end prep: redact -> filters -> exact dedup, one stream
+        timed("doc_prep_pipeline",
+              lambda: q.doc_prep_pipeline(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
