@@ -69,6 +69,15 @@ def main(argv=None) -> int:
     km.add_argument("--fail-after", type=int, default=None)
     km.add_argument("--parts", type=int, default=4)
 
+    pp = sub.add_parser("prep-shards",
+                        help="resumable training-shard prep writer "
+                             "(redact -> filters -> exact dedup)")
+    pp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--no-resume", action="store_true")
+    pp.add_argument("--fail-after", type=int, default=None)
+    pp.add_argument("--ranges", type=int, default=8)
+
     g = sub.add_parser("export-geocore", help="translated items -> GeoCore JSON files")
     g.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     g.add_argument("--out", required=True)
@@ -108,6 +117,12 @@ def main(argv=None) -> int:
                                         resume=not args.no_resume,
                                         fail_after_rounds=args.fail_after,
                                         n_parts=args.parts)
+        elif args.cmd == "prep-shards":
+            from .pipelines.dedup_runs import run_prep_to_parquet
+            res = run_prep_to_parquet(args.sf_dir, args.out,
+                                      resume=not args.no_resume,
+                                      fail_after=args.fail_after,
+                                      n_ranges=args.ranges)
         elif args.cmd == "export-geocore":
             from .pipelines.geocore_harvest import items_dataset
             from .sources.exporters import write_geocore_json

@@ -256,3 +256,88 @@ def run_phash_clusters_to_parquet(sf_dir: str, out_dir: str, *,
     ct = _sorted_single_chunk(ct, ["image_id"])
     sink.write_partition("clusters-0000", ct, inputs=["edges-0000"])
     return {"clusters_rows": ct.num_rows, "resumed_final": False}
+
+
+def run_prep_to_parquet(sf_dir: str, out_dir: str, *,
+                        resume: bool = True,
+                        fail_after: int | None = None,
+                        n_ranges: int = 8) -> dict:
+    """Resumable TRAINING-SHARD writer for the prep pipeline
+    (queries.docs.doc_prep_pipeline: redact -> quality filter -> lang
+    filter -> exact dedup keep-first).
+
+    Partition layout: ``shard-<i>`` holds the final deduped
+    (doc_id, redacted) rows whose 64-bit content hash falls in the
+    i-th uniform slice of the int64 hash space.  HASH-SPACE-derived
+    ranges (not block or task boundaries) make partitions stable
+    across cluster sizes, and dedup groups can never straddle shards,
+    so every shard is SELF-CONTAINED: scan -> scrub/filter -> range
+    filter -> dedup -> content-sorted write.  A crash redoes only
+    unfinished shards; the scrub rescan per remaining shard is the
+    deliberate trade for needing no intermediate checkpoint of the
+    (input-sized) survivor stream.  ``fail_after=k`` stops after k
+    shard writes (fault injection for the kill/resume tests).
+    """
+    import pyarrow.compute as pc
+
+    from ..queries.docs import prep_dedup, prep_survivors
+
+    sink = ManifestSink(out_dir)
+    if resume:
+        sink.clean_orphans()
+    else:
+        sink.reset()
+
+    lo64, hi64 = -(1 << 63), (1 << 63)
+    step = (hi64 - lo64) // n_ranges
+
+    def _range_input(i: int) -> str:
+        lo = lo64 + i * step
+        hi = hi64 if i == n_ranges - 1 else lo64 + (i + 1) * step
+        return f"hash64[{lo}:{hi})"
+
+    done = {p: m for p, m in sink.completed().items()
+            if p.startswith("shard-")}
+    for pid, m in done.items():
+        i = int(pid.split("-")[1])
+        if i >= n_ranges or m.get("inputs") != [sf_dir, _range_input(i)]:
+            raise ValueError(
+                f"completed {pid!r} in {out_dir!r} was written under a "
+                f"different range layout ({m.get('inputs')}); resume "
+                f"with the original n_ranges or use a fresh out_dir")
+
+    written = 0
+    rows = 0
+    for i in range(n_ranges):
+        pid = f"shard-{i:04d}"
+        if sink.is_done(pid):
+            rows += sink.completed()[pid]["rows"]
+            continue
+        if fail_after is not None and written >= fail_after:
+            return {"shard_rows": rows, "stopped_after": written}
+        lo = lo64 + i * step
+        hi = hi64 if i == n_ranges - 1 else lo64 + (i + 1) * step
+
+        def in_range(batch: "pa.Table", _lo=lo, _hi=hi) -> "pa.Table":
+            h = batch["h"]
+            keep = pc.greater_equal(h, pa.scalar(_lo, pa.int64())) \
+                if _hi == hi64 else \
+                pc.and_(pc.greater_equal(h, pa.scalar(_lo, pa.int64())),
+                        pc.less(h, pa.scalar(_hi, pa.int64())))
+            return batch.filter(keep)
+
+        shard = prep_dedup(
+            prep_survivors(sf_dir).map_batches(in_range,
+                                               batch_format="pyarrow"),
+            keep_hash=True)
+        tbl = _collect_ds(shard)
+        if tbl.num_rows == 0:
+            tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "redacted": pa.array([], pa.string()),
+                            "h": pa.array([], pa.int64())})
+        tbl = _sorted_single_chunk(tbl.select(["doc_id", "redacted", "h"]),
+                                   ["h", "doc_id"])
+        sink.write_partition(pid, tbl, inputs=[sf_dir, _range_input(i)])
+        written += 1
+        rows += tbl.num_rows
+    return {"shard_rows": rows, "stopped_after": None}

@@ -1295,10 +1295,14 @@ def doc_prep_pipeline(sf_dir: str):
     text — a 64-bit hash collision would therefore surface as a
     mismatch (the doc_exact_dedup contract).
     """
-    import pandas as pd
+    return prep_dedup(prep_survivors(sf_dir))
 
+
+def prep_survivors(sf_dir: str):
+    """Scrub + filter + per-row content hash: the streaming front half
+    of the prep pipeline (shared by the query and the resumable
+    shard writer in pipelines/dedup_runs.py)."""
     from ..stages.dedup import add_text_hash
-    from ..stages.util import sorted_combine
     ds = _meta_read(_t(sf_dir, "documents"),
                     columns=["doc_id", "text", "lang"])
 
@@ -1311,12 +1315,19 @@ def doc_prep_pipeline(sf_dir: str):
             pc.and_(pc.greater_equal(ntok, pa.scalar(PREP_MIN_TOK)),
                     pc.less_equal(ntok, pa.scalar(PREP_MAX_TOK))))
         out = pa.table({"doc_id": batch["doc_id"], "redacted": red})
-        return out.filter(keep)
+        return add_text_hash(out.filter(keep), col="redacted", out="h")
 
-    survivors = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def prep_dedup(survivors, keep_hash: bool = False):
+    """Exact dedup of a (doc_id, redacted, h) survivors Dataset:
+    min-doc_id per content hash through sorted_combine (the lesson-21
+    weak-contraction shape — hashes are ~unique)."""
+    from ..stages.util import sorted_combine
 
     def hash_partial(batch: pa.Table) -> pa.Table:
-        df = add_text_hash(batch, col="redacted", out="h").to_pandas()
+        df = batch.to_pandas()
         g = df.groupby("h", sort=False, as_index=False).agg(
             doc_id=("doc_id", "min"), redacted=("redacted", "min"))
         return table_from_pandas(g, preserve_index=False)
@@ -1326,8 +1337,11 @@ def doc_prep_pipeline(sf_dir: str):
         keys=["h"], aggs={"doc_id": "min", "redacted": "min"})
 
     def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                         "redacted": batch["redacted"]})
+        out = {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+               "redacted": batch["redacted"]}
+        if keep_hash:
+            out["h"] = pc.cast(batch["h"], pa.int64())
+        return pa.table(out)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

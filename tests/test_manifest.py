@@ -718,3 +718,58 @@ class TestKmeansRunResume:
         run_kmeans_to_parquet(self.SF, out2, n_parts=2)
         with pytest.raises(ValueError, match="different range layout"):
             run_kmeans_to_parquet(self.SF, out2, n_parts=4)
+
+
+class TestPrepRunResume:
+    """Kill-after-k resume for the training-shard prep writer."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"] for p, m in ManifestSink(out).completed().items()}
+
+    def test_prep_resumes_byte_identical(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_prep_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        r = run_prep_to_parquet(self.SF, out1, fail_after=2, n_ranges=4)
+        assert r["stopped_after"] == 2
+        before = ManifestSink(out1).completed()
+        assert sum(p.startswith("shard-") for p in before) == 2
+        r1 = run_prep_to_parquet(self.SF, out1, n_ranges=4)
+        after = ManifestSink(out1).completed()
+        for pid in before:       # completed shards skipped, not rewritten
+            assert after[pid] == before[pid]
+        r2 = run_prep_to_parquet(self.SF, out2, n_ranges=4)
+        assert r1["shard_rows"] == r2["shard_rows"] > 0
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_prep_rejects_changed_range_layout(self, ray_session,
+                                               tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_prep_to_parquet
+        out = str(tmp_path / "a")
+        run_prep_to_parquet(self.SF, out, fail_after=1, n_ranges=4)
+        import pytest
+        with pytest.raises(ValueError, match="different range layout"):
+            run_prep_to_parquet(self.SF, out, n_ranges=8)
+        run_prep_to_parquet(self.SF, out, n_ranges=4)
+
+    def test_prep_shards_union_equals_query(self, ray_session, tmp_path):
+        """Shard union == the registered query's output (same rows,
+        hash-partitioned + sorted)."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_prep_to_parquet
+        from stac_to_geocore_ray.queries import doc_prep_pipeline
+        out = str(tmp_path / "a")
+        run_prep_to_parquet(self.SF, out, n_ranges=4)
+        files = sorted(glob.glob(f"{out}/part-shard-*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ref = doc_prep_pipeline(self.SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.doc_id.tolist() == ref.doc_id.tolist()
+        assert got.redacted.tolist() == ref.redacted.tolist()
