@@ -149,6 +149,11 @@ def run_bench() -> dict:
         timed("doc_prep_pipeline",
               lambda: q.doc_prep_pipeline(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
+        # substring-level dedup (Lee-et-al 8-gram windows): rolling
+        # 128-bit window hashes, shared-gram set size-dispatched
+        timed("doc_dup_ngram_spans",
+              lambda: q.doc_dup_ngram_spans(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

@@ -1359,3 +1359,175 @@ q AS (
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, redacted
 FROM q GROUP BY redacted
 """
+
+
+# --------------------------------------------- substring-level dedup
+
+# two INDEPENDENT 64-bit token-hash keys (pandas hash_array hash_key
+# must be exactly 16 chars); window hashes combine K token hashes with
+# distinct odd Horner bases, so a cross-gram collision needs the same
+# 128-bit pair — ~3e-15 birthday odds even at 1e12 windows.
+_DUPGRAM_HKEY1 = "dupgram-h1-00001"
+_DUPGRAM_HKEY2 = "dupgram-h2-00002"
+_DUPGRAM_B1 = 0x9E3779B97F4A7C15   # odd golden-ratio mix
+_DUPGRAM_B2 = 0xC2B2AE3D27D4EB4F   # odd (xxhash prime)
+DUPGRAM_K = 8
+# Horner multipliers precomputed in Python ints (numpy uint64 SCALAR
+# multiplies emit RuntimeWarning on wraparound; array ops don't)
+_DUPGRAM_M1 = [np.uint64(pow(_DUPGRAM_B1, j, 1 << 64))
+               for j in range(DUPGRAM_K)]
+_DUPGRAM_M2 = [np.uint64(pow(_DUPGRAM_B2, j, 1 << 64))
+               for j in range(DUPGRAM_K)]
+DUPGRAM_BROADCAST_MAX = 2_000_000
+
+
+def _dupgram_partial(df, k: int = DUPGRAM_K):
+    """Per-batch (h1, h2, doc_id, n) window-hash partials.
+
+    Tokenization is pandas str.lower()/str.split() — the SAME pinned
+    ASCII-coincident divergence from the RE2 oracle as doc_word_freq /
+    doc_tfidf_topk.  All hashing is flat-vectorized: one hash_array
+    over the batch's concatenated tokens, K shifted multiply-adds for
+    the rolling window hash, windows that would straddle a document
+    boundary masked out by the repeated doc index.  A document never
+    spans rows, so per-batch (gram, doc) counts are globally distinct
+    partials — no cross-batch combine is needed before the gram-level
+    aggregate.
+    """
+    import pandas as pd
+
+    toks = df["text"].fillna("").str.lower().str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    empty = pd.DataFrame({"h1": pd.Series([], dtype=np.int64),
+                          "h2": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "one": pd.Series([], dtype=np.int64),
+                          "n": pd.Series([], dtype=np.int64)})
+    total = int(lens.sum())
+    if total < k:
+        return empty
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in toks:                      # row-count loop (list unpack),
+        nt = len(t)                     # not a token-level hot loop
+        if nt:
+            flat[pos:pos + nt] = t
+            pos += nt
+    th1 = pd.util.hash_array(flat, hash_key=_DUPGRAM_HKEY1)
+    th2 = pd.util.hash_array(flat, hash_key=_DUPGRAM_HKEY2)
+    nwin = total - k + 1
+    h1 = np.zeros(nwin, dtype=np.uint64)
+    h2 = np.zeros(nwin, dtype=np.uint64)
+    m1s = _DUPGRAM_M1 if k == DUPGRAM_K else \
+        [np.uint64(pow(_DUPGRAM_B1, j, 1 << 64)) for j in range(k)]
+    m2s = _DUPGRAM_M2 if k == DUPGRAM_K else \
+        [np.uint64(pow(_DUPGRAM_B2, j, 1 << 64)) for j in range(k)]
+    for j in range(k):                  # K=8 vector ops, not per-row
+        h1 += th1[j:nwin + j] * m1s[j]
+        h2 += th2[j:nwin + j] * m2s[j]
+    didx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    valid = didx[:nwin] == didx[k - 1:]
+    if not valid.any():
+        return empty
+    g = pd.DataFrame({"h1": h1[valid].view(np.int64),
+                      "h2": h2[valid].view(np.int64),
+                      "doc_id": df["doc_id"].to_numpy()[didx[:nwin][valid]]}) \
+        .groupby(["h1", "h2", "doc_id"], sort=False).size() \
+        .reset_index(name="n")
+    g["one"] = np.int64(1)
+    return g[["h1", "h2", "doc_id", "one", "n"]]
+
+
+def doc_dup_ngram_spans(sf_dir: str, broadcast_max: int | None = None):
+    """SUBSTRING-level duplicate detection (the Lee et al. "Deduplicating
+    Training Data" op class, bounded to word 8-gram windows): for every
+    document, how many of its 8-gram windows also occur verbatim in at
+    least one OTHER document.  Doc-level dedup (doc_exact_dedup,
+    minhash_neardup) misses boilerplate shared between otherwise-unique
+    pages; this is the op that finds it.
+
+    Scale shape: pass 1 contracts each batch to distinct
+    (window-hash128, doc) counts (one hash_array + 2x8 multiply-adds,
+    no per-token Python); the gram-level distinct-doc count runs
+    through sorted_combine (window-volume shuffle — the unavoidable
+    Lee-et-al fingerprint exchange, same cost family as a suffix-array
+    build); the surviving "shared gram" key set is SIZE-DISPATCHED
+    like q20's comparand: driver-fold + per-batch C-level merge under
+    DUPGRAM_BROADCAST_MAX keys, Ray hash left_semi join past it (the
+    forced-fallback parity is unit-tested).  The pair stream is
+    materialized once for its two consumers (gram rollup + join-back);
+    it is window-volume, so at 100 TB it spills — the alternative
+    (recompute pass 1) is the documented trade.
+
+    Exactness: grams are compared by a 128-bit hash pair, not text
+    (same documented assumption as ngram_jaccard_dedup's hashed grams;
+    the fixture corpus is verified collision-free by the oracle match
+    itself — a collision would inflate a count and break the hash).
+    """
+    import pandas as pd
+
+    import ray
+    from ..stages.util import sorted_combine
+
+    limit = DUPGRAM_BROADCAST_MAX if broadcast_max is None else broadcast_max
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ds.map_batches(_dupgram_partial, batch_format="pandas") \
+        .materialize()
+
+    grams = sorted_combine(pairs, keys=["h1", "h2"], sum_cols=["one"])
+
+    def only_shared(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["one"], 2))
+
+    # shared-gram keys: bounded by grams that actually repeat across
+    # docs; materialized once for the count + (broadcast | join) use
+    kept = grams.map_batches(only_shared, batch_format="pyarrow") \
+        .materialize()
+    n_kept = kept.count()
+    if n_kept <= limit:
+        kd = kept.to_pandas()[["h1", "h2"]]
+        kref = ray.put(kd)
+
+        def semi(df: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(kref)
+            return df.merge(k, on=["h1", "h2"], how="inner")
+
+        hits = pairs.map_batches(semi, batch_format="pandas")
+    else:
+        # hash join fails FieldRef resolution on the zero-column empty
+        # blocks map_batches re-emits; both sides are materialized, so
+        # the ref-level drop is metadata-only
+        from ..stages.util import drop_empty_blocks
+        hits = drop_empty_blocks(pairs).join(
+            drop_empty_blocks(kept.drop_columns(["one"]).materialize()),
+            join_type="left_semi",
+            num_partitions=max(8, _auto()[1]),
+            on=("h1", "h2"))
+
+    agg = sorted_combine(hits, keys=["doc_id"], sum_cols=["n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_dup_windows": pc.cast(batch["n"], pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_DUP_NGRAM_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ex AS (
+  SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(0, len(toks) - 7)),
+             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM raw),
+dup AS (SELECT gram FROM ex GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM ex e JOIN dup USING (gram)
+GROUP BY e.doc_id
+"""

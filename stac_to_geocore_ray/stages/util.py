@@ -91,6 +91,33 @@ def clean_read_parquet(path, *, columns=None, filesystem=None,
     return ds
 
 
+def drop_empty_blocks(ds):
+    """Remove zero-row blocks from a dataset at the ref level
+    (metadata-only decision; no block payload is fetched or copied).
+
+    Ray's ``map_batches`` BYPASSES the UDF on empty input blocks and
+    re-emits them as ZERO-COLUMN empties (probed on this Ray version:
+    a typed-empty Arrow block in -> ``pa.table({})`` out, both batch
+    formats), so typed-empty guards inside the UDF never run.  A
+    zero-column block on either side of a hash join fails FieldRef
+    key resolution (``No match or multiple matches for key field
+    reference``).  Dropping empties is exact — they carry no rows —
+    and restores one consistent schema.  Call on MATERIALIZED inputs
+    only (it consumes the plan via ``iter_internal_ref_bundles``).
+    """
+    import ray.data as rd
+    refs, dropped = [], 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                dropped += 1
+            else:
+                refs.append(ref)
+    if not refs or dropped == 0:
+        return ds                      # all-empty keeps its (one) schema
+    return rd.from_arrow_refs(refs)
+
+
 def default_pool_size(fraction: float = 0.25, floor: int = 1) -> int:
     """Actor-pool size that cannot starve the rest of the pipeline.
 

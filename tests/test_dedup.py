@@ -566,3 +566,52 @@ def test_cosine_pairs_by_lookup_trivial_groups():
     out = dedup.cosine_pairs_by_lookup(
         pd.DataFrame({"vec_id": ids}), lut, threshold=0.9)
     assert len(out) == 0
+
+
+def test_doc_dup_ngram_spans_matches_reference(ray_session, tmp_path):
+    """doc_dup_ngram_spans vs a straight-line Python 8-gram reference:
+    shared-boilerplate windows are counted per doc, grams repeated only
+    WITHIN one doc are excluded, and the forced join fallback
+    (broadcast_max=0) is pair-identical to the broadcast path."""
+    import pyarrow.parquet as pq
+    from stac_to_geocore_ray.queries import docs as qd
+
+    k = qd.DUPGRAM_K
+    boiler = "terms of service apply to all content on this site"  # 10 toks
+    docs = [
+        (1, f"alpha page one unique words here {boiler}"),
+        (2, f"{boiler} beta page totally different body text"),
+        (3, "no shared windows in this document at all nine ten eleven"),
+        (4, " ".join(["self"] * 20)),          # intra-doc repeats only
+        (5, f"{boiler} {boiler}"),             # doc repeats a shared gram
+        (6, "short doc"),                      # < k tokens: no windows
+        (7, None),                             # null text
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    def grams(text):
+        toks = (text or "").lower().split()
+        return [" ".join(toks[i:i + k])
+                for i in range(max(0, len(toks) - k + 1))]
+
+    from collections import Counter
+    per_doc = {d: Counter(grams(t)) for d, t in docs}
+    docs_per_gram = Counter()
+    for cnt in per_doc.values():
+        docs_per_gram.update(set(cnt))
+    shared = {g for g, n in docs_per_gram.items() if n >= 2}
+    exp = {d: sum(n for g, n in cnt.items() if g in shared)
+           for d, cnt in per_doc.items()}
+    exp = {d: n for d, n in exp.items() if n > 0}
+    assert exp, "fixture must plant shared grams"
+    assert 4 not in exp          # intra-doc-only repeats excluded
+
+    got = qd.doc_dup_ngram_spans(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(got.doc_id, got.n_dup_windows)) == exp
+
+    forced = qd.doc_dup_ngram_spans(str(tmp_path), broadcast_max=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert forced.equals(got)
