@@ -1384,37 +1384,46 @@ DUPGRAM_BROADCAST_MAX = 2_000_000
 def _dupgram_partial(df, k: int = DUPGRAM_K):
     """Per-batch (h1, h2, doc_id, n) window-hash partials.
 
-    Tokenization is pandas str.lower()/str.split() — the SAME pinned
-    ASCII-coincident divergence from the RE2 oracle as doc_word_freq /
-    doc_tfidf_topk.  All hashing is flat-vectorized: one hash_array
-    over the batch's concatenated tokens, K shifted multiply-adds for
-    the rolling window hash, windows that would straddle a document
-    boundary masked out by the repeated doc index.  A document never
-    spans rows, so per-batch (gram, doc) counts are globally distinct
-    partials — no cross-batch combine is needed before the gram-level
-    aggregate.
+    Tokenization is Arrow ``utf8_lower`` + ``utf8_split_whitespace``
+    (empty edge tokens filtered) — verified element-identical to the
+    pandas ``str.lower()/str.split()`` used by doc_word_freq /
+    doc_tfidf_topk, so the SAME pinned ASCII-coincident divergence
+    from the RE2 oracle applies.  The flat token stream is
+    dictionary-encoded C-level first, so ``pd.util.hash_array`` (the
+    one Python-object pass) touches only the batch's DISTINCT tokens;
+    per-token hashes are a dictionary take.  The rolling window hash
+    is K shifted multiply-adds; windows that would straddle a document
+    boundary are masked out by the flat stream's parent (doc) index.
+    A document never spans rows, so per-batch (gram, doc) counts are
+    globally distinct partials — no cross-batch combine is needed
+    before the gram-level aggregate.
     """
     import pandas as pd
 
-    toks = df["text"].fillna("").str.lower().str.split()
-    lens = toks.str.len().to_numpy(dtype=np.int64)
     empty = pd.DataFrame({"h1": pd.Series([], dtype=np.int64),
                           "h2": pd.Series([], dtype=np.int64),
                           "doc_id": pd.Series([], dtype=np.int64),
                           "one": pd.Series([], dtype=np.int64),
                           "n": pd.Series([], dtype=np.int64)})
-    total = int(lens.sum())
+    if len(df) == 0:
+        return empty
+    text = pa.array(df["text"].to_numpy(dtype=object), pa.string())
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.coalesce(text, pa.scalar("", pa.string()))))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")       # Arrow split keeps empty edge
+    flat = flat.filter(keep)            # tokens; Python .split() drops
+    parent = parent.filter(keep)        # them — drop to match
+    total = len(flat)
     if total < k:
         return empty
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for t in toks:                      # row-count loop (list unpack),
-        nt = len(t)                     # not a token-level hot loop
-        if nt:
-            flat[pos:pos + nt] = t
-            pos += nt
-    th1 = pd.util.hash_array(flat, hash_key=_DUPGRAM_HKEY1)
-    th2 = pd.util.hash_array(flat, hash_key=_DUPGRAM_HKEY2)
+    didx = parent.to_numpy().astype(np.int64, copy=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    dvals = enc.dictionary.to_numpy(zero_copy_only=False)
+    th1 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY1)[codes]
+    th2 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY2)[codes]
     nwin = total - k + 1
     h1 = np.zeros(nwin, dtype=np.uint64)
     h2 = np.zeros(nwin, dtype=np.uint64)
@@ -1425,7 +1434,6 @@ def _dupgram_partial(df, k: int = DUPGRAM_K):
     for j in range(k):                  # K=8 vector ops, not per-row
         h1 += th1[j:nwin + j] * m1s[j]
         h2 += th2[j:nwin + j] * m2s[j]
-    didx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
     valid = didx[:nwin] == didx[k - 1:]
     if not valid.any():
         return empty
@@ -1474,7 +1482,10 @@ def doc_dup_ngram_spans(sf_dir: str, broadcast_max: int | None = None):
     pairs = ds.map_batches(_dupgram_partial, batch_format="pandas") \
         .materialize()
 
-    grams = sorted_combine(pairs, keys=["h1", "h2"], sum_cols=["one"])
+    # the gram-level pass needs only (h1, h2, one): project BEFORE the
+    # sort so the 5-column window volume doesn't ride the shuffle
+    grams = sorted_combine(pairs.select_columns(["h1", "h2", "one"]),
+                           keys=["h1", "h2"], sum_cols=["one"])
 
     def only_shared(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["one"], 2))
