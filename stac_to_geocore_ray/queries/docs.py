@@ -1381,6 +1381,42 @@ _DUPGRAM_M2 = [np.uint64(pow(_DUPGRAM_B2, j, 1 << 64))
 DUPGRAM_BROADCAST_MAX = 2_000_000
 
 
+def _hashed_token_stream(df):
+    """Batch text -> (doc_index, token_hash1, token_hash2) flat stream.
+
+    Tokenization is Arrow ``utf8_lower`` + ``utf8_split_whitespace``
+    with empty edge tokens filtered — verified element-identical to
+    the pandas ``str.lower()/str.split()`` the other doc ops use, so
+    the SAME pinned ASCII-coincident divergence from the RE2 oracle
+    applies.  The flat token stream is dictionary-encoded C-level
+    first, so ``pd.util.hash_array`` (the one Python-object pass)
+    touches only the batch's DISTINCT tokens; per-token hashes are a
+    dictionary take.  Returns None for an empty batch / all-empty
+    texts.
+    """
+    import pandas as pd
+
+    if len(df) == 0:
+        return None
+    text = pa.array(df["text"].to_numpy(dtype=object), pa.string())
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.coalesce(text, pa.scalar("", pa.string()))))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")       # Arrow split keeps empty edge
+    flat = flat.filter(keep)            # tokens; Python .split() drops
+    parent = parent.filter(keep)        # them — drop to match
+    if len(flat) == 0:
+        return None
+    didx = parent.to_numpy().astype(np.int64, copy=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    dvals = enc.dictionary.to_numpy(zero_copy_only=False)
+    th1 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY1)[codes]
+    th2 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY2)[codes]
+    return didx, th1, th2
+
+
 def _dupgram_partial(df, k: int = DUPGRAM_K):
     """Per-batch (h1, h2, doc_id, n) window-hash partials.
 
@@ -1405,25 +1441,11 @@ def _dupgram_partial(df, k: int = DUPGRAM_K):
                           "doc_id": pd.Series([], dtype=np.int64),
                           "one": pd.Series([], dtype=np.int64),
                           "n": pd.Series([], dtype=np.int64)})
-    if len(df) == 0:
+    stream = _hashed_token_stream(df)
+    if stream is None or stream[0].size < k:
         return empty
-    text = pa.array(df["text"].to_numpy(dtype=object), pa.string())
-    toks = pc.utf8_split_whitespace(
-        pc.utf8_lower(pc.coalesce(text, pa.scalar("", pa.string()))))
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, "")       # Arrow split keeps empty edge
-    flat = flat.filter(keep)            # tokens; Python .split() drops
-    parent = parent.filter(keep)        # them — drop to match
-    total = len(flat)
-    if total < k:
-        return empty
-    didx = parent.to_numpy().astype(np.int64, copy=False)
-    enc = pc.dictionary_encode(flat)
-    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
-    dvals = enc.dictionary.to_numpy(zero_copy_only=False)
-    th1 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY1)[codes]
-    th2 = pd.util.hash_array(dvals, hash_key=_DUPGRAM_HKEY2)[codes]
+    didx, th1, th2 = stream
+    total = didx.size
     nwin = total - k + 1
     h1 = np.zeros(nwin, dtype=np.uint64)
     h2 = np.zeros(nwin, dtype=np.uint64)
@@ -1541,4 +1563,82 @@ dup AS (SELECT gram FROM ex GROUP BY gram
 SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
 FROM ex e JOIN dup USING (gram)
 GROUP BY e.doc_id
+"""
+
+
+# --------------------------------------------- intra-doc repetition
+
+def _repetition_partial(df):
+    """Per-doc 2-gram repetition counters, fully in-batch.
+
+    Same hashed token stream as the dupgram ops (128-bit gram keys, so
+    per-doc distinct counts are hash-exact at fixture scales); a
+    boundary-masked pair hash + one pandas groupby gives per-(doc,
+    gram) counts, a second per-doc fold gives total / distinct / top.
+    No cross-batch state: a doc never spans rows, so this is a pure
+    map — zero shuffle at any scale.
+    """
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "n_2grams": pd.Series([], dtype=np.int64),
+         "n_distinct_2grams": pd.Series([], dtype=np.int64),
+         "top_2gram_n": pd.Series([], dtype=np.int64)})
+    stream = _hashed_token_stream(df)
+    if stream is None or stream[0].size < 2:
+        return empty
+    didx, th1, th2 = stream
+    h1 = th1[:-1] * _DUPGRAM_M1[1] + th1[1:]
+    h2 = th2[:-1] * _DUPGRAM_M2[1] + th2[1:]
+    valid = didx[:-1] == didx[1:]
+    if not valid.any():
+        return empty
+    g = pd.DataFrame({"d": didx[:-1][valid],
+                      "h1": h1[valid].view(np.int64),
+                      "h2": h2[valid].view(np.int64)}) \
+        .groupby(["d", "h1", "h2"], sort=False).size().reset_index(name="c")
+    out = g.groupby("d", sort=False)["c"] \
+        .agg(n_2grams="sum", n_distinct_2grams="count", top_2gram_n="max") \
+        .reset_index()
+    out["doc_id"] = df["doc_id"].to_numpy()[out.pop("d").to_numpy()]
+    return out[["doc_id", "n_2grams", "n_distinct_2grams",
+                "top_2gram_n"]].astype(np.int64)
+
+
+def doc_repetition(sf_dir: str):
+    """Intra-document repetition signals (the Gopher/MassiveText
+    quality-rule family, Rae et al. 2021 §A1.1): per doc, total word
+    2-grams, distinct word 2-grams, and the top 2-gram's occurrence
+    count.  The filter thresholds (duplicate-2-gram fraction, top-gram
+    fraction) derive from these integer-exact counters downstream —
+    counters, not ratios, so the oracle hash never compares floats.
+
+    Scale shape: a pure per-batch map over the pruned (doc_id, text)
+    read — no shuffle, no state, no driver data; embarrassingly
+    parallel at any scale.  Docs with < 2 tokens have no 2-grams and
+    are excluded (the SQL oracle's unnest produces no rows for them).
+    """
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(_repetition_partial, batch_format="pandas")
+
+
+DOC_REPETITION_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ex AS (
+  SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(0, len(toks) - 1)),
+             i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM raw),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_2grams,
+       CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+       CAST(max(c) AS BIGINT) AS top_2gram_n
+FROM pg GROUP BY doc_id
 """

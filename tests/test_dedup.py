@@ -615,3 +615,37 @@ def test_doc_dup_ngram_spans_matches_reference(ray_session, tmp_path):
     forced = qd.doc_dup_ngram_spans(str(tmp_path), broadcast_max=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert forced.equals(got)
+
+
+def test_doc_repetition_matches_reference(ray_session, tmp_path):
+    """doc_repetition vs a straight-line Counter reference: total /
+    distinct / top 2-gram counts per doc, <2-token and null docs
+    excluded, doc boundaries never produce cross-doc grams."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from stac_to_geocore_ray.queries import docs as qd
+
+    docs = [
+        (1, "a b a b a b"),                  # heavy repeat: top=3 of 5
+        (2, "one two three four five"),      # all distinct
+        (3, "x"),                            # 1 token: excluded
+        (4, ""),                             # empty: excluded
+        (5, None),                           # null: excluded
+        (6, "  A  a\ta  "),                  # case fold + odd whitespace
+        (7, "w " * 300),                     # long uniform doc
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    exp = {}
+    for d, t in docs:
+        toks = (t or "").lower().split()
+        grams = Counter(zip(toks, toks[1:]))
+        if grams:
+            exp[d] = (sum(grams.values()), len(grams), max(grams.values()))
+
+    got = qd.doc_repetition(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert {r.doc_id: (r.n_2grams, r.n_distinct_2grams, r.top_2gram_n)
+            for r in got.itertuples()} == exp
