@@ -1642,3 +1642,86 @@ SELECT doc_id,
        CAST(max(c) AS BIGINT) AS top_2gram_n
 FROM pg GROUP BY doc_id
 """
+
+
+# --------------------------------------------- cross-source overlap
+
+def doc_contamination(sf_dir: str):
+    """Cross-source contamination matrix (the benchmark-decontamination
+    op class, e.g. GPT-3 appendix C / Dodge et al. C4 audit): for every
+    pair of sources, how many DISTINCT texts appear verbatim in both.
+    A training pipeline runs this with one side = the eval benchmark;
+    the general pair-matrix form is the SQL-checkable superset.
+
+    Scale shape: per-batch distinct (text-hash128, source) partials
+    (the same dict-encoded two-key hashing as the dupgram family, on
+    whole texts); ONE distributed sort via keyed_boundary_decompose —
+    each complete h1-run dedups its (hash, source) rows and emits
+    source pairs in-block, block-straddling hashes defer to the keyed
+    fold.  Pair partials are bounded by blocks x source-pairs (the
+    source domain is small), so they fold on the driver and return a
+    TYPED Arrow table (the registry convention for maybe-empty
+    results).  Texts are compared by the 128-bit hash pair, not
+    bytes — same documented collision assumption as doc_exact_dedup's
+    oracle (group-by-raw-text would surface a collision as a
+    mismatch).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h1": pd.Series([], dtype=np.int64),
+                              "h2": pd.Series([], dtype=np.int64),
+                              "source": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        txt = df["text"].fillna("").to_numpy(dtype=object)
+        h1 = pd.util.hash_array(txt, hash_key=_DUPGRAM_HKEY1)
+        h2 = pd.util.hash_array(txt, hash_key=_DUPGRAM_HKEY2)
+        return pd.DataFrame({"h1": h1.view(np.int64),
+                             "h2": h2.view(np.int64),
+                             "source": df["source"].to_numpy()}) \
+            .drop_duplicates()
+
+    def pair_kernel(f: pd.DataFrame) -> pd.DataFrame:
+        if len(f) == 0:
+            return pd.DataFrame(
+                {"source_a": pd.Series([], dtype=object),
+                 "source_b": pd.Series([], dtype=object),
+                 "n_shared_texts": pd.Series([], dtype=np.int64)})
+        d = f[["h1", "h2", "source"]].drop_duplicates()
+        m = d.merge(d, on=["h1", "h2"])
+        m = m[m["source_x"] < m["source_y"]]
+        g = m.groupby(["source_x", "source_y"], sort=False) \
+            .size().reset_index(name="n_shared_texts")
+        g.columns = ["source_a", "source_b", "n_shared_texts"]
+        return g
+
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["text", "source"])
+    partials = keyed_boundary_decompose(
+        ds.map_batches(partial, batch_format="pandas"),
+        sort_keys=["h1", "h2", "source"], key_col="h1",
+        raw_cols=["h1", "h2", "source"], kernel=pair_kernel)
+    # block-count x source-pair bounded: driver fold is output-sized
+    pf = partials.to_pandas()
+    if len(pf) == 0:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_shared_texts": pa.array([], pa.int64())})
+    out = pf.groupby(["source_a", "source_b"], sort=False, as_index=False)  \
+        ["n_shared_texts"].sum().sort_values(["source_a", "source_b"])
+    return pa.table({"source_a": pa.array(out["source_a"], pa.string()),
+                     "source_b": pa.array(out["source_b"], pa.string()),
+                     "n_shared_texts": pa.array(out["n_shared_texts"],
+                                                pa.int64())})
+
+
+DOC_CONTAMINATION_SQL = r"""
+WITH hs AS (SELECT DISTINCT coalesce(text, '') AS text, source
+            FROM documents),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM hs a JOIN hs b ON a.text = b.text AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM p GROUP BY source_a, source_b
+"""

@@ -649,3 +649,43 @@ def test_doc_repetition_matches_reference(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert {r.doc_id: (r.n_2grams, r.n_distinct_2grams, r.top_2gram_n)
             for r in got.itertuples()} == exp
+
+
+def test_doc_contamination_matches_reference(ray_session, tmp_path):
+    """doc_contamination vs a straight-line set reference: distinct
+    shared texts per source pair, intra-source duplicates ignored,
+    lexicographic (a < b) pair orientation, multi-copy texts counted
+    once, three-way shared text counted in all three pairs."""
+    import pyarrow.parquet as pq
+    from itertools import combinations
+    from stac_to_geocore_ray.queries import docs as qd
+
+    rows = [
+        ("eval", "the quick brown fox"),
+        ("web", "the quick brown fox"),        # eval<->web
+        ("web", "the quick brown fox"),        # duplicate copy: counts once
+        ("books", "the quick brown fox"),      # three-way
+        ("web", "only in web"),
+        ("books", "only in books"),
+        ("eval", "shared two"), ("web", "shared two"),
+        ("web", "intra only"), ("web", "intra only"),
+        ("books", None), ("web", ""),          # null == '' by contract
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": [t for _, t in rows],
+                    "source": pa.array([s for s, _ in rows], pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    by_src: dict = {}
+    for s, t in rows:
+        by_src.setdefault(s, set()).add(t or "")
+    exp = {}
+    for a, b in combinations(sorted(by_src), 2):
+        n = len(by_src[a] & by_src[b])
+        if n:
+            exp[(a, b)] = n
+    assert exp[("books", "web")] == 2          # fox + null==''
+
+    got = qd.doc_contamination(str(tmp_path)).to_pandas()
+    assert {(r.source_a, r.source_b): r.n_shared_texts
+            for r in got.itertuples()} == exp

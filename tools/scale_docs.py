@@ -174,6 +174,7 @@ def main() -> None:
     timed("doc_tfidf_topk", lambda: q.doc_tfidf_topk(out_dir))
     timed("doc_dup_ngram_spans", lambda: q.doc_dup_ngram_spans(out_dir))
     timed("doc_repetition", lambda: q.doc_repetition(out_dir))
+    timed("doc_contamination", lambda: q.doc_contamination(out_dir))
     tracker.stop()
 
     print(json.dumps({
