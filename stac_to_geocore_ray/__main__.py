@@ -78,6 +78,15 @@ def main(argv=None) -> int:
     pp.add_argument("--fail-after", type=int, default=None)
     pp.add_argument("--ranges", type=int, default=8)
 
+    dg = sub.add_parser("dupgram-spans",
+                        help="resumable substring-level dedup writer "
+                             "(shared 8-gram table + per-doc span shards)")
+    dg.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    dg.add_argument("--out", required=True)
+    dg.add_argument("--no-resume", action="store_true")
+    dg.add_argument("--fail-after", type=int, default=None)
+    dg.add_argument("--ranges", type=int, default=8)
+
     g = sub.add_parser("export-geocore", help="translated items -> GeoCore JSON files")
     g.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     g.add_argument("--out", required=True)
@@ -117,6 +126,12 @@ def main(argv=None) -> int:
                                         resume=not args.no_resume,
                                         fail_after_rounds=args.fail_after,
                                         n_parts=args.parts)
+        elif args.cmd == "dupgram-spans":
+            from .pipelines.dedup_runs import run_dupgram_to_parquet
+            res = run_dupgram_to_parquet(args.sf_dir, args.out,
+                                         resume=not args.no_resume,
+                                         fail_after=args.fail_after,
+                                         n_ranges=args.ranges)
         elif args.cmd == "prep-shards":
             from .pipelines.dedup_runs import run_prep_to_parquet
             res = run_prep_to_parquet(args.sf_dir, args.out,

@@ -341,3 +341,138 @@ def run_prep_to_parquet(sf_dir: str, out_dir: str, *,
         written += 1
         rows += tbl.num_rows
     return {"shard_rows": rows, "stopped_after": None}
+
+
+def run_dupgram_to_parquet(sf_dir: str, out_dir: str, *,
+                           resume: bool = True,
+                           fail_after: int | None = None,
+                           n_ranges: int = 8) -> dict:
+    """Resumable substring-level dedup (doc_dup_ngram_spans) runner.
+
+    Stage layout:
+
+    1. ``shared-0000`` — the shared-gram key table (h1, h2): every
+       8-gram window hash seen in >= 2 distinct docs, content-sorted.
+       This is the expensive front half (full tokenize + window hash +
+       gram-level sorted_combine); a resume skips it wholesale.
+    2. ``spans-<i>`` for i in range(n_ranges) — per-doc dup-window
+       counts for docs whose doc_id falls in the i-th uniform slice of
+       the int64 id space.  Ranges are ID-SPACE-derived (never block
+       or task boundaries), so partitions are stable across cluster
+       sizes and a doc can never straddle shards — every shard is
+       self-contained: pruned scan -> id-range filter (BEFORE the
+       tokenize, so the expensive pass runs once across all shards) ->
+       window partials -> broadcast shared-gram merge -> per-doc fold
+       -> content-sorted write.  The per-shard rescan of the (cheap,
+       2-column) read is the deliberate trade for not checkpointing
+       the window-volume partials (the same trade as prep-shards).
+
+    ``fail_after=k`` stops after k span-shard writes (fault injection
+    for the kill/resume tests).
+    """
+    import pyarrow.compute as pc
+
+    from ..queries.docs import (DUPGRAM_K, _dupgram_partial, _meta_read,
+                                _t)
+    from ..stages.util import sorted_combine, table_from_pandas
+
+    sink = ManifestSink(out_dir)
+    if resume:
+        sink.clean_orphans()
+    else:
+        sink.reset()
+
+    lo64, hi64 = -(1 << 63), (1 << 63)
+    step = (hi64 - lo64) // n_ranges
+
+    def _range_input(i: int) -> str:
+        lo = lo64 + i * step
+        hi = hi64 if i == n_ranges - 1 else lo64 + (i + 1) * step
+        return f"doc_id[{lo}:{hi})"
+
+    done = {p: m for p, m in sink.completed().items()
+            if p.startswith("spans-")}
+    for pid, m in done.items():
+        i = int(pid.split("-")[1])
+        if i >= n_ranges or m.get("inputs") != [sf_dir, _range_input(i)]:
+            raise ValueError(
+                f"completed {pid!r} in {out_dir!r} was written under a "
+                f"different range layout ({m.get('inputs')}); resume "
+                f"with the original n_ranges or use a fresh out_dir")
+
+    # ---- stage 1: shared-gram keys -------------------------------------
+    if sink.is_done("shared-0000"):
+        import pyarrow.parquet as pq
+        shared = pq.read_table(sink.completed()["shared-0000"]["path"])
+    else:
+        ds = _meta_read(_t(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+        pairs = ds.map_batches(_dupgram_partial, batch_format="pandas")
+        grams = sorted_combine(pairs.select_columns(["h1", "h2", "one"]),
+                               keys=["h1", "h2"], sum_cols=["one"])
+        kept = grams.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["one"], 2))
+                       .select(["h1", "h2"]) if b.num_columns else b,
+            batch_format="pyarrow")
+        shared = _collect_ds(kept)
+        if shared.num_columns == 0:
+            shared = pa.table({"h1": pa.array([], pa.int64()),
+                               "h2": pa.array([], pa.int64())})
+        shared = _sorted_single_chunk(shared.select(["h1", "h2"]),
+                                      ["h1", "h2"])
+        sink.write_partition("shared-0000", shared, inputs=[sf_dir])
+
+    import ray
+    shared_ref = ray.put(shared.to_pandas())
+
+    # ---- stage 2: per-doc span counts, id-range shards ------------------
+    written = 0
+    rows = 0
+    for i in range(n_ranges):
+        pid = f"spans-{i:04d}"
+        if sink.is_done(pid):
+            rows += sink.completed()[pid]["rows"]
+            continue
+        if fail_after is not None and written >= fail_after:
+            return {"span_rows": rows, "stopped_after": written,
+                    "shared_grams": shared.num_rows}
+        lo = lo64 + i * step
+        hi = hi64 if i == n_ranges - 1 else lo64 + (i + 1) * step
+
+        def in_range(batch: "pa.Table", _lo=lo, _hi=hi) -> "pa.Table":
+            d = batch["doc_id"]
+            keep = pc.greater_equal(d, pa.scalar(_lo, pa.int64())) \
+                if _hi == hi64 else \
+                pc.and_(pc.greater_equal(d, pa.scalar(_lo, pa.int64())),
+                        pc.less(d, pa.scalar(_hi, pa.int64())))
+            return batch.filter(keep)
+
+        def shard_partial(df, _k=DUPGRAM_K):
+            g = _dupgram_partial(df, k=_k)
+            k = ray.get(shared_ref)
+            hits = g.merge(k, on=["h1", "h2"], how="inner")
+            return table_from_pandas(
+                hits.groupby("doc_id", sort=False, as_index=False)
+                    ["n"].sum())
+
+        ds = _meta_read(_t(sf_dir, "documents"),
+                        columns=["doc_id", "text"]) \
+            .map_batches(in_range, batch_format="pyarrow") \
+            .map_batches(shard_partial, batch_format="pandas")
+        tbl = _collect_ds(ds)
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "n_dup_windows": pa.array([], pa.int64())})
+        else:
+            import pandas as pd
+            f = tbl.to_pandas().groupby("doc_id", sort=False,
+                                        as_index=False)["n"].sum()
+            tbl = pa.table({
+                "doc_id": pa.array(f["doc_id"], pa.int64()),
+                "n_dup_windows": pa.array(f["n"], pa.int64())})
+        tbl = _sorted_single_chunk(tbl, ["doc_id"])
+        sink.write_partition(pid, tbl, inputs=[sf_dir, _range_input(i)])
+        written += 1
+        rows += tbl.num_rows
+    return {"span_rows": rows, "stopped_after": None,
+            "shared_grams": shared.num_rows}

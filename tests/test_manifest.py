@@ -773,3 +773,72 @@ class TestPrepRunResume:
             .sort_values("doc_id").reset_index(drop=True)
         assert got.doc_id.tolist() == ref.doc_id.tolist()
         assert got.redacted.tolist() == ref.redacted.tolist()
+
+
+class TestDupgramRunResume:
+    """Kill-after-k resume for the substring-level dedup writer."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"]
+                for p, m in ManifestSink(out).completed().items()}
+
+    def test_dupgram_resumes_byte_identical(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines import dedup_runs
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        r = dedup_runs.run_dupgram_to_parquet(self.SF, out1, fail_after=2,
+                                              n_ranges=4)
+        assert r["stopped_after"] == 2
+        before = ManifestSink(out1).completed()
+        assert "shared-0000" in before
+        assert sum(p.startswith("spans-") for p in before) == 2
+        # the expensive front half must be SKIPPED on resume: poison it
+        import stac_to_geocore_ray.stages.util as util
+        real_sc = util.sorted_combine
+
+        def poisoned(*a, **kw):
+            raise AssertionError("stage-1 recomputed on resume")
+        util.sorted_combine = poisoned
+        try:
+            r1 = dedup_runs.run_dupgram_to_parquet(self.SF, out1,
+                                                   n_ranges=4)
+        finally:
+            util.sorted_combine = real_sc
+        after = ManifestSink(out1).completed()
+        for pid in before:        # completed partitions skipped, not rewritten
+            assert after[pid] == before[pid]
+        r2 = dedup_runs.run_dupgram_to_parquet(self.SF, out2, n_ranges=4)
+        assert r1["span_rows"] == r2["span_rows"]
+        assert r1["shared_grams"] == r2["shared_grams"] > 0
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_dupgram_rejects_changed_range_layout(self, ray_session,
+                                                  tmp_path):
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_dupgram_to_parquet
+        out = str(tmp_path / "a")
+        run_dupgram_to_parquet(self.SF, out, fail_after=1, n_ranges=4)
+        import pytest
+        with pytest.raises(ValueError, match="different range layout"):
+            run_dupgram_to_parquet(self.SF, out, n_ranges=8)
+        run_dupgram_to_parquet(self.SF, out, n_ranges=4)
+
+    def test_dupgram_shards_union_equals_query(self, ray_session,
+                                               tmp_path):
+        """Span-shard union == the registered query's output."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.pipelines.dedup_runs import \
+            run_dupgram_to_parquet
+        from stac_to_geocore_ray.queries import doc_dup_ngram_spans
+        out = str(tmp_path / "a")
+        run_dupgram_to_parquet(self.SF, out, n_ranges=4)
+        files = sorted(glob.glob(f"{out}/part-spans-*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ref = doc_dup_ngram_spans(self.SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.doc_id.tolist() == ref.doc_id.tolist()
+        assert got.n_dup_windows.tolist() == ref.n_dup_windows.tolist()
