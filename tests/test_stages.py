@@ -369,3 +369,38 @@ class TestAnnFilteredTopk:
             assert g["rank"].tolist() == list(range(1, len(g) + 1))
         full = ann_topk(sf).to_pandas()
         assert got.vec_id.tolist() != full.vec_id.tolist()
+
+
+class TestDropEmptyBlocks:
+    """Lesson 28: map_batches bypasses the UDF on empty blocks and
+    re-emits them schema-less; drop_empty_blocks removes them
+    ref-level so hash joins resolve their key FieldRefs."""
+
+    def test_drops_only_empties(self, ray_session):
+        import ray
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.util import drop_empty_blocks
+        full = pa.table({"a": pa.array([1, 2], pa.int64())})
+        ds = rd.from_arrow_refs(
+            [ray.put(full), ray.put(full.slice(0, 0)), ray.put(full)])
+        # identity map turns the typed empty into a zero-column block
+        mapped = ds.map_batches(lambda b: b,
+                                batch_format="pyarrow").materialize()
+        schemas = [ray.get(r).schema.names
+                   for r in mapped.to_arrow_refs()]
+        assert [] in schemas          # the probed Ray behavior holds
+        clean = drop_empty_blocks(mapped)
+        out = [ray.get(r) for r in clean.to_arrow_refs()]
+        assert all(t.num_rows > 0 and t.schema.names == ["a"]
+                   for t in out)
+        assert sum(t.num_rows for t in out) == 4
+
+    def test_all_empty_keeps_schema(self, ray_session):
+        import ray
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.util import drop_empty_blocks
+        empty = pa.table({"a": pa.array([], pa.int64())})
+        ds = rd.from_arrow_refs([ray.put(empty)]).materialize()
+        clean = drop_empty_blocks(ds)
+        assert clean.count() == 0
+        assert clean.schema().names == ["a"]
