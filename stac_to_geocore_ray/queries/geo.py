@@ -1069,3 +1069,92 @@ FROM c a JOIN c b
   ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
 GROUP BY 1, 2, 3
 """
+
+
+def geo_zonal_stats(sf_dir: str):
+    """Zonal statistics: per catalog polygon (zone), the aggregate of
+    the item-footprint attribute surface it contains — item count,
+    total and mean spherical bbox area of every item whose centroid
+    falls inside the zone (closed boundaries, multi-match: an item
+    under two overlapping zones counts in both).
+
+    The classic raster/vector zonal-stats op the PIP family's pair
+    listings stop short of: the broadcast STRtree supplies the zone
+    assignment and the partials contract IN BATCH to one row per
+    (batch, zone) — O(zones) rows ever shuffle, never O(items).  Areas
+    follow geo_bbox_area's SQL-matched closed form, rounded half-away
+    to milli-km^2 and folded as int64 (the integer-units rule), so
+    partial sums are bit-exact under any batching.
+    """
+    import ray
+    from ..pipelines.flagship import _load_catalog
+    from ..stages.pip_join import ZonalStatsJoiner
+    p = _fx(sf_dir)
+    _, cat, _ = _load_catalog(p["collections"])
+    cat_ref = ray.put(cat)
+    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+    R = 6371.0088
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        bb = batch["bbox"]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        w, s, e, n = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
+        width = np.where(e >= w, e - w, 360.0 - (w - e))
+        a = (R * R * np.radians(width)
+             * (np.sin(np.radians(n)) - np.sin(np.radians(s))))
+        # identical rounding to geo_bbox_area (half-away, 3 dp), then
+        # integer milli-km^2 so every downstream sum is exact
+        amk = (np.floor(a * 1e3 + 0.5)).astype(np.int64)
+        return pa.table({"cx": pa.array((w + e) / 2),
+                         "cy": pa.array((s + n) / 2),
+                         "amk": pa.array(amk)})
+
+    partials = ds.map_batches(probe_rows, batch_format="pyarrow") \
+        .map_batches(ZonalStatsJoiner, fn_constructor_args=(cat_ref,),
+                     batch_format="pyarrow", concurrency=_auto())
+    # the partial stream is O(#input blocks x zones) rows (each batch
+    # contracted to <= 8 zone rows already), so the fold is ONE
+    # repartition into a single worker task — a distributed sort or
+    # groupby over an 8-key domain would shuffle mostly-empty
+    # partitions (and trip the executor's mixed-schema warning on the
+    # zero-column empties).  At a block count where even the partial
+    # stream is big, insert one tree level (repartition(ncpu) +
+    # local combine) before this fold.
+    def fold(df) -> pa.Table:
+        import pandas as pd
+        g = df.groupby("zone", sort=True, as_index=False) \
+              .agg(n_items=("n", "sum"), area_mkm2=("val", "sum"))
+        q = g["area_mkm2"].to_numpy().astype(np.float64) \
+            / (1e3 * g["n_items"].to_numpy().astype(np.float64))
+        # half-AWAY to match DuckDB round() (areas are non-negative)
+        mean = np.floor(q * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "zone": pa.array(g["zone"], pa.string()),
+            "n_items": pa.array(g["n_items"].to_numpy(), pa.int64()),
+            "area_mkm2": pa.array(g["area_mkm2"].to_numpy(), pa.int64()),
+            "mean_km2": pa.array(mean)})
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+def _geo_zonal_stats_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy,
+         CAST(round(6371.0088 * 6371.0088
+              * radians(CASE WHEN bbox[3] >= bbox[1] THEN bbox[3] - bbox[1]
+                             ELSE 360.0 - (bbox[1] - bbox[3]) END)
+              * (sin(radians(bbox[4])) - sin(radians(bbox[2]))), 3) * 1000
+              AS BIGINT) AS amk
+  FROM read_parquet('{_fx_glob("stac_items")}'))
+SELECT c.collection_id AS zone,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(p.amk) AS BIGINT) AS area_mkm2,
+       round(CAST(sum(p.amk) AS DOUBLE) / (1000.0 * count(*)), 6) AS mean_km2
+FROM pts p JOIN read_parquet('{_fx_glob("collections")}') c
+  ON p.cx >= c.bbox[1] AND p.cx <= c.bbox[3]
+ AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
+GROUP BY 1
+"""

@@ -193,3 +193,45 @@ class RadiusJoiner:
             self.id_col: ids.take(pa.array(probes)),
             self.out_col: self.ids.take(pa.array(stored)),
         })
+
+
+class ZonalStatsJoiner(PIPJoiner):
+    """Zonal-statistics PARTIAL stage: multi-match PIP assignment with
+    in-batch contraction — emits one row per (batch, zone) carrying
+    the zone's item count and exact integer value sum, never a row per
+    item.  The classic raster/vector zonal-stats op (per-polygon
+    aggregate of a point/footprint attribute surface): the broadcast
+    STRtree supplies the zone assignment (multi-match, closed
+    boundaries — an item under two overlapping zones counts in both),
+    ``np.add.at`` folds int64 values exactly, and the downstream
+    8-ish-key groupby is a strong-contraction combiner aggregate.
+
+    ``val_col`` must be integer-typed (the house integer-units rule —
+    sums stay order-independent and bit-exact across any partialing).
+    """
+
+    def __init__(self, catalog, x_col: str = "cx", y_col: str = "cy",
+                 val_col: str = "amk", out_col: str = "zone"):
+        super().__init__(catalog, x_col, y_col)
+        self.val_col, self.out_col = val_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        vals = batch[self.val_col].to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise TypeError(
+                f"ZonalStatsJoiner: {self.val_col!r} must be integer "
+                f"units (got {vals.dtype}) so partial sums are exact")
+        pts, polys = self.tree.query_all(px, py)
+        npoly = len(self.ids)
+        n = np.bincount(polys, minlength=npoly).astype(np.int64)
+        s = np.zeros(npoly, dtype=np.int64)
+        np.add.at(s, polys, vals[pts].astype(np.int64))
+        keep = n > 0
+        return pa.table({
+            self.out_col: self.ids.take(pa.array(np.flatnonzero(keep),
+                                                 pa.int32())),
+            "n": pa.array(n[keep]),
+            "val": pa.array(s[keep]),
+        })

@@ -80,6 +80,45 @@ class TestPIPJoiner:
         assert got[2] is None
 
 
+class TestZonalStatsJoiner:
+    def test_partials_match_brute_force(self):
+        from stac_to_geocore_ray.stages.pip_join import ZonalStatsJoiner
+        rng = np.random.RandomState(11)
+        # two overlapping zones + one empty zone; closed-boundary probe
+        zones = [("za", (-10.0, -10.0, 10.0, 10.0)),
+                 ("zb", (0.0, 0.0, 20.0, 20.0)),
+                 ("zc", (50.0, 50.0, 60.0, 60.0))]
+        cat = ([z for z, _ in zones],
+               [(np.array([w, e, e, w]), np.array([s, s, n, n]))
+                for _, (w, s, e, n) in zones])
+        cx = rng.uniform(-15, 25, 300)
+        cy = rng.uniform(-15, 25, 300)
+        cx[0], cy[0] = 10.0, 10.0          # on za's corner AND inside zb
+        vals = rng.randint(1, 1000, 300).astype(np.int64)
+        j = ZonalStatsJoiner(cat)
+        out = j(pa.table({"cx": cx, "cy": cy, "amk": vals})).to_pandas()
+        for z, (w, s, e, n) in zones:
+            m = (cx >= w) & (cx <= e) & (cy >= s) & (cy <= n)
+            row = out[out.zone == z]
+            if not m.any():
+                assert row.empty          # empty zones emit no row
+                continue
+            assert int(row.n.iloc[0]) == int(m.sum())
+            assert int(row.val.iloc[0]) == int(vals[m].sum())
+        # overlap: the corner probe counted in BOTH za and zb
+        assert ((cx == 10.0) & (cy == 10.0)).sum() == 1
+        assert int(out[out.zone == "za"].n.iloc[0]) >= 1
+        assert int(out[out.zone == "zb"].n.iloc[0]) >= 1
+
+    def test_rejects_float_values(self):
+        from stac_to_geocore_ray.stages.pip_join import ZonalStatsJoiner
+        cat = (["z"], [(np.array([0.0, 1.0, 1.0, 0.0]),
+                        np.array([0.0, 0.0, 1.0, 1.0]))])
+        j = ZonalStatsJoiner(cat)
+        with pytest.raises(TypeError, match="integer units"):
+            j(pa.table({"cx": [0.5], "cy": [0.5], "amk": [1.5]}))
+
+
 class TestHexKNNStage:
     def test_matches_brute_force(self):
         ids = ["p", "q", "r"]
