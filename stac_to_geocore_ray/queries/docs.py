@@ -1725,3 +1725,80 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY source_a, source_b
 """
+
+
+def minhash_dedup_clusters(sf_dir: str):
+    """Connected components over the MinHash-LSH near-dup graph: every
+    doc touching a verified >= 0.5-Jaccard pair gets cluster id = min
+    doc_id of its component — the text-leg member of the cluster
+    family (pHash images, embedding vectors, now LSH text).
+
+    Connectivity comes from a REDUCED edge set, never the quadratic
+    member-pair listing: one rep-level edge per verified near pair
+    plus a star (min member -> member) per identical-content cluster
+    appearing in the verified table — linear in docs where the full
+    expansion (minhash_neardup's output contract) is quadratic in hot
+    template clusters.  Driver union-find on the output-adjacent edge
+    set, same >500k-edge distributed_components dispatch as
+    phash_dedup_clusters.
+    """
+    import ray.data as rd
+    from ..stages.dedup import union_find_components
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+    vt, ds = minhash_verified_table(sf_dir)
+    if vt is None:
+        return empty
+    mem = _member_lut(vt, ds, pa.int64())
+    ea = vt["a"].to_numpy().tolist()
+    eb = vt["b"].to_numpy().tolist()
+    for ids in mem.values():
+        if len(ids) > 1:
+            rep = int(ids[0])
+            ea.extend([rep] * (len(ids) - 1))
+            eb.extend(int(x) for x in ids[1:])
+    if len(ea) > 500_000:
+        from ..stages.dedup import distributed_components
+        edges = rd.from_arrow(pa.table({"a": pa.array(ea, pa.int64()),
+                                        "b": pa.array(eb, pa.int64())}))
+        labels = distributed_components(edges)
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
+            batch_format="pyarrow")
+    comp = union_find_components(ea, eb)
+    items = sorted(comp.items())
+    return pa.table({"doc_id": pa.array([k for k, _ in items], pa.int64()),
+                     "cluster": pa.array([v for _, v in items], pa.int64())})
+
+
+# same reach/min-label recursive CTE as the pHash cluster oracle, over
+# the exact shingle-Jaccard pair set minhash_neardup's oracle builds
+MINHASH_CLUSTERS_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t0 FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN length(t0) < 5 THEN t0 || repeat(' ', 5 - length(t0))
+                  ELSE t0 END AS t FROM raw),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                           i -> substr(t, i, 5))) AS s
+       FROM d),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+mins AS (SELECT src AS doc_id, min(dst) AS mr FROM reach GROUP BY src)
+SELECT doc_id,
+       CASE WHEN mr < doc_id THEN mr ELSE doc_id END AS cluster
+FROM mins
+"""

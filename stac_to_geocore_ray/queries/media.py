@@ -360,3 +360,90 @@ SELECT image_id,
            AS cluster
 FROM mins
 """
+
+
+# caption retrieval window: inside wildfire-burns' extent
+# (fixtures.COLLECTIONS), clipping it so the spatial predicate does
+# real work beyond the caption predicate
+_CAP_KEY = "wildfire"
+_CAP_WIN = (-114.0, 50.0, -111.0, 58.0)     # (w, s, e, n)
+
+
+def caption_spatial_search(sf_dir: str):
+    """Cross-modal retrieval: images whose CAPTION matches a keyword
+    AND whose footprint centroid falls in a query window — the
+    image+caption table's text half joined against its geo half.
+
+    Scale shape: both sides are pruned at the read (captions WITHOUT
+    the image bytes — on the real Lance table that skips ~36 KB/row —
+    and footprints as 2 columns) and both predicates are applied
+    BEFORE the shuffle (Arrow match_substring on captions, vectorized
+    window test on centroids), so the hash join only moves survivors
+    (~1.5% x window fraction).  Neither side is collected: unlike the
+    broadcast semi-join template (doc_dup_ngram_spans), keyword
+    selectivity is content-dependent, so the join stays distributed.
+    """
+    p = _fx(sf_dir)
+    w, s, e, n = _CAP_WIN
+    caps = clean_read_parquet(p["images"], columns=["image_id", "caption"])
+
+    def cap_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring(batch["caption"], _CAP_KEY))
+
+    hits = caps.map_batches(cap_filter, batch_format="pyarrow")
+    items = clean_read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+
+    def window_pts(batch: pa.Table) -> pa.Table:
+        bb = batch["bbox"]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        cx = (m[:, 0] + m[:, 2]) / 2
+        cy = (m[:, 1] + m[:, 3]) / 2
+        keep = (cx >= w) & (cx <= e) & (cy >= s) & (cy <= n)
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({"image_id": ids.take(sel),
+                         "cx": pa.array(cx[keep]), "cy": pa.array(cy[keep])})
+
+    pts = items.map_batches(window_pts, batch_format="pyarrow")
+    # both sides come out of filtering map_batches, which re-emits
+    # empty input blocks as ZERO-COLUMN empties that break the hash
+    # join's key resolution (lesson 28) — materialize + ref-level drop;
+    # an ALL-empty side has no typed block left at all, so short-circuit
+    from ..stages.util import drop_empty_blocks
+    typed_empty = pa.table({"image_id": pa.array([], pa.string()),
+                            "caption": pa.array([], pa.string()),
+                            "cx": pa.array([], pa.float64()),
+                            "cy": pa.array([], pa.float64())})
+    hits, pts = hits.materialize(), pts.materialize()
+    if hits.count() == 0 or pts.count() == 0:
+        return typed_empty
+    joined = drop_empty_blocks(hits).join(
+        drop_empty_blocks(pts),
+        join_type="inner", num_partitions=max(8, _auto()[1]),
+        on=("image_id",)) \
+        .select_columns(["image_id", "caption", "cx", "cy"]).materialize()
+    if joined.count() == 0:
+        # an all-empty Dataset loses its column schema on to_pandas
+        # (NOTES #21) — a legitimately-empty window returns typed Arrow
+        return typed_empty
+    return joined
+
+
+def _caption_spatial_search_sql() -> str:
+    w, s, e, n = _CAP_WIN
+    return f"""
+WITH pts AS (
+  SELECT image_id,
+         (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+hit AS (
+  SELECT image_id, caption FROM read_parquet('{_fx_glob("images")}')
+  WHERE caption LIKE '%{_CAP_KEY}%')
+SELECT h.image_id, h.caption, p.cx, p.cy
+FROM hit h JOIN pts p USING (image_id)
+WHERE p.cx >= {w} AND p.cx <= {e} AND p.cy >= {s} AND p.cy <= {n}
+"""

@@ -689,3 +689,51 @@ def test_doc_contamination_matches_reference(ray_session, tmp_path):
     got = qd.doc_contamination(str(tmp_path)).to_pandas()
     assert {(r.source_a, r.source_b): r.n_shared_texts
             for r in got.itertuples()} == exp
+
+
+def test_minhash_dedup_clusters_matches_bruteforce(ray_session, tmp_path):
+    """Cluster labels from the REDUCED edge set (rep pairs + identical-
+    content stars) equal a brute-force union-find over ALL exact
+    >= 0.5-Jaccard member pairs — connectivity equivalence of the
+    contraction, including hot identical-doc clusters and the
+    empty-text (jaccard 1) cluster."""
+    import pyarrow.parquet as pq
+    from stac_to_geocore_ray import queries as q
+    from stac_to_geocore_ray.stages.dedup import (_shingle_hashes,
+                                                  union_find_components)
+
+    long_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    long_b = long_a.replace("omicron", "omega")
+    docs = []
+    docs += [(10 + i, long_a) for i in range(6)]    # identical cluster X
+    docs += [(20 + i, long_b) for i in range(4)]    # identical cluster Y
+    docs += [(30 + i, f"unrelated text number {i} with words "
+              f"{'x' * (i + 3)} {'y' * (i + 5)} {'z' * (i + 7)}")
+             for i in range(6)]                     # singletons
+    docs += [(60, ""), (61, "")]                    # empty-text cluster
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    def shingles(t):
+        return set(_shingle_hashes(t, 5).tolist())
+
+    ea, eb = [], []
+    for i, (a, ta) in enumerate(docs):
+        for b, tb in docs[i + 1:]:
+            s1, s2 = shingles(ta), shingles(tb)
+            j = 1.0 if not s1 and not s2 \
+                else len(s1 & s2) / max(1, len(s1 | s2))
+            if j >= 0.5:
+                ea.append(a)
+                eb.append(b)
+    exp = union_find_components(ea, eb)
+
+    out = q.minhash_dedup_clusters(str(tmp_path))
+    got = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+    if isinstance(got, pa.Table):
+        got = got.to_pandas()
+    assert {int(r.doc_id): int(r.cluster) for r in got.itertuples()} == exp
+    # X and Y are near each other -> ONE component labeled min(all)
+    assert exp[23] == 10 and exp[15] == 10

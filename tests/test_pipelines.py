@@ -289,3 +289,85 @@ class TestSkewReport:
         rows = [{"k": f"c{i % 50}"} for i in range(1000)]
         rep = key_skew_report(rd.from_items(rows, override_num_blocks=4), "k")
         assert rep["recommended_salt"] == 1
+
+
+class TestZonalStats:
+    def test_matches_duckdb_zonal_join(self, ray_session, sf_small):
+        import duckdb
+        from stac_to_geocore_ray.queries import geo_zonal_stats
+        from stac_to_geocore_ray.sources import fixtures
+        got = geo_zonal_stats("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("zone").reset_index(drop=True)
+        items = fixtures.duckdb_glob(sf_small["stac_items"])
+        coll = sf_small["collections"]
+        ref = duckdb.sql(f"""
+            WITH pts AS (
+              SELECT (bbox[1]+bbox[3])/2 AS cx, (bbox[2]+bbox[4])/2 AS cy,
+                     CAST(round(6371.0088 * 6371.0088
+                          * radians(CASE WHEN bbox[3] >= bbox[1]
+                                         THEN bbox[3] - bbox[1]
+                                         ELSE 360.0 - (bbox[1] - bbox[3]) END)
+                          * (sin(radians(bbox[4])) - sin(radians(bbox[2]))),
+                          3) * 1000 AS BIGINT) AS amk
+              FROM read_parquet('{items}'))
+            SELECT c.collection_id AS zone,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(p.amk) AS BIGINT) AS area_mkm2
+            FROM pts p JOIN read_parquet('{coll}') c
+              ON p.cx >= c.bbox[1] AND p.cx <= c.bbox[3]
+             AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
+            GROUP BY 1 ORDER BY 1
+        """).df().reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.zone.tolist() == ref.zone.tolist()
+        assert got.n_items.tolist() == ref.n_items.tolist()
+        assert got.area_mkm2.tolist() == ref.area_mkm2.tolist()
+        # mean is derived from the two exact integer columns
+        import numpy as np
+        q = got.area_mkm2.to_numpy() / (1e3 * got.n_items.to_numpy())
+        assert np.array_equal(got.mean_km2.to_numpy(),
+                              np.floor(q * 1e6 + 0.5) / 1e6)
+
+
+class TestCaptionSpatialSearch:
+    def test_matches_duckdb_cross_modal_join(self, ray_session, sf_small):
+        import duckdb
+        from stac_to_geocore_ray.queries import caption_spatial_search
+        from stac_to_geocore_ray.queries.media import _CAP_KEY, _CAP_WIN
+        from stac_to_geocore_ray.sources import fixtures
+        out = caption_spatial_search("/root/testdata/sf0.001")
+        got = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+            .sort_values("image_id").reset_index(drop=True)
+        items = fixtures.duckdb_glob(sf_small["stac_items"])
+        images = fixtures.duckdb_glob(sf_small["images"])
+        w, s, e, n = _CAP_WIN
+        ref = duckdb.sql(f"""
+            WITH pts AS (
+              SELECT image_id, (bbox[1]+bbox[3])/2 cx, (bbox[2]+bbox[4])/2 cy
+              FROM read_parquet('{items}')),
+            hit AS (
+              SELECT image_id, caption FROM read_parquet('{images}')
+              WHERE caption LIKE '%{_CAP_KEY}%')
+            SELECT h.image_id, h.caption, p.cx, p.cy
+            FROM hit h JOIN pts p USING (image_id)
+            WHERE p.cx >= {w} AND p.cx <= {e}
+              AND p.cy >= {s} AND p.cy <= {n}
+            ORDER BY 1
+        """).df().reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.image_id.tolist() == ref.image_id.tolist()
+        assert got.caption.tolist() == ref.caption.tolist()
+        assert got.cx.tolist() == ref.cx.tolist()   # identical arithmetic
+        assert got.cy.tolist() == ref.cy.tolist()
+
+    def test_empty_window_returns_typed_table(self, ray_session, sf_small,
+                                              monkeypatch):
+        import pyarrow as pa
+        from stac_to_geocore_ray.queries import media
+        # a window in the Pacific: caption hits exist, spatial hits don't
+        monkeypatch.setattr(media, "_CAP_WIN", (-170.0, 10.0, -160.0, 20.0))
+        out = media.caption_spatial_search("/root/testdata/sf0.001")
+        assert isinstance(out, pa.Table)
+        assert out.num_rows == 0
+        assert out.column_names == ["image_id", "caption", "cx", "cy"]
+        assert out.schema.field("cx").type == pa.float64()
