@@ -154,6 +154,15 @@ def run_bench() -> dict:
         timed("doc_dup_ngram_spans",
               lambda: q.doc_dup_ngram_spans(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
+        # zonal statistics: broadcast-STRtree zone assignment with
+        # in-batch contraction to O(zones) partial rows
+        timed("geo_zonal_stats", lambda: q.geo_zonal_stats(sf_dir).count())
+        # cross-modal caption-keyword x spatial-window retrieval
+        # (pruned reads both sides, filter-before-shuffle hash join)
+        timed("caption_search",
+              lambda: (lambda out: out.num_rows
+                       if hasattr(out, "num_rows") else out.count())(
+                  q.caption_spatial_search(sf_dir)))
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

@@ -1071,28 +1071,10 @@ GROUP BY 1, 2, 3
 """
 
 
-def geo_zonal_stats(sf_dir: str):
-    """Zonal statistics: per catalog polygon (zone), the aggregate of
-    the item-footprint attribute surface it contains — item count,
-    total and mean spherical bbox area of every item whose centroid
-    falls inside the zone (closed boundaries, multi-match: an item
-    under two overlapping zones counts in both).
-
-    The classic raster/vector zonal-stats op the PIP family's pair
-    listings stop short of: the broadcast STRtree supplies the zone
-    assignment and the partials contract IN BATCH to one row per
-    (batch, zone) — O(zones) rows ever shuffle, never O(items).  Areas
-    follow geo_bbox_area's SQL-matched closed form, rounded half-away
-    to milli-km^2 and folded as int64 (the integer-units rule), so
-    partial sums are bit-exact under any batching.
-    """
-    import ray
-    from ..pipelines.flagship import _load_catalog
+def zonal_from_dataset(ds, cat_ref, concurrency=None):
+    """Core of geo_zonal_stats over any bbox Dataset + broadcast
+    catalog ref — shared with tools/scale_grid.py's 20M-bbox probe."""
     from ..stages.pip_join import ZonalStatsJoiner
-    p = _fx(sf_dir)
-    _, cat, _ = _load_catalog(p["collections"])
-    cat_ref = ray.put(cat)
-    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
     R = 6371.0088
 
     def probe_rows(batch: pa.Table) -> pa.Table:
@@ -1113,7 +1095,9 @@ def geo_zonal_stats(sf_dir: str):
 
     partials = ds.map_batches(probe_rows, batch_format="pyarrow") \
         .map_batches(ZonalStatsJoiner, fn_constructor_args=(cat_ref,),
-                     batch_format="pyarrow", concurrency=_auto())
+                     batch_format="pyarrow",
+                     concurrency=concurrency or _auto())
+
     # the partial stream is O(#input blocks x zones) rows (each batch
     # contracted to <= 8 zone rows already), so the fold is ONE
     # repartition into a single worker task — a distributed sort or
@@ -1123,7 +1107,6 @@ def geo_zonal_stats(sf_dir: str):
     # stream is big, insert one tree level (repartition(ncpu) +
     # local combine) before this fold.
     def fold(df) -> pa.Table:
-        import pandas as pd
         g = df.groupby("zone", sort=True, as_index=False) \
               .agg(n_items=("n", "sum"), area_mkm2=("val", "sum"))
         q = g["area_mkm2"].to_numpy().astype(np.float64) \
@@ -1137,6 +1120,30 @@ def geo_zonal_stats(sf_dir: str):
             "mean_km2": pa.array(mean)})
     return partials.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def geo_zonal_stats(sf_dir: str):
+    """Zonal statistics: per catalog polygon (zone), the aggregate of
+    the item-footprint attribute surface it contains — item count,
+    total and mean spherical bbox area of every item whose centroid
+    falls inside the zone (closed boundaries, multi-match: an item
+    under two overlapping zones counts in both).
+
+    The classic raster/vector zonal-stats op the PIP family's pair
+    listings stop short of: the broadcast STRtree supplies the zone
+    assignment and the partials contract IN BATCH to one row per
+    (batch, zone) — O(zones) rows ever shuffle, never O(items).  Areas
+    follow geo_bbox_area's SQL-matched closed form, rounded half-away
+    to milli-km^2 and folded as int64 (the integer-units rule), so
+    partial sums are bit-exact under any batching.
+    """
+    import ray
+    from ..pipelines.flagship import _load_catalog
+    p = _fx(sf_dir)
+    _, cat, _ = _load_catalog(p["collections"])
+    return zonal_from_dataset(clean_read_parquet(p["stac_items"],
+                                                 columns=["bbox"]),
+                              ray.put(cat))
 
 
 def _geo_zonal_stats_sql() -> str:

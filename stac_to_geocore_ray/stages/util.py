@@ -307,16 +307,21 @@ def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
 
     _cols_cache: list = []                    # out_cols are run-invariant
 
-    def take_done(g: pd.DataFrame) -> pd.DataFrame:
+    # emissions route through table_from_pandas: pandas-block returns
+    # embed a dict schema-metadata blob, and every downstream hash
+    # join / sort / union on the result then logs `Failed to hash the
+    # schemas` per reduce task and pays the slow unify path (the same
+    # defect fixed in sorted_combine's repartition/union tail)
+    def take_done(g: pd.DataFrame):
         if not _cols_cache:
             _cols_cache.append(list(kernel(g.iloc[0:0]).columns))
-        return g.loc[~g["deferred"], _cols_cache[0]]
+        return table_from_pandas(g.loc[~g["deferred"], _cols_cache[0]])
 
     def take_deferred(g: pd.DataFrame) -> pd.DataFrame:
         return g.loc[g["deferred"], raw_cols]
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return kernel(g.sort_values(sort_keys))
+    def fold(g: pd.DataFrame):
+        return table_from_pandas(kernel(g.sort_values(sort_keys)))
 
     done = mixed.map_batches(take_done, batch_format="pandas")
     deferred = mixed.map_batches(take_deferred, batch_format="pandas") \

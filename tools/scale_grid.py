@@ -116,11 +116,22 @@ def main() -> None:
     # the partials — measured 15 vs 3-5 s at 20M)
     _meta_read(bdir, columns=["bbox"]).count()
 
+    # zonal stats runs against the sf0.01 fixture's 8-zone catalog
+    # (broadcast once); the synthetic bboxes are global, so zones
+    # capture a Canada-sized fraction of the 20M items
+    from stac_to_geocore_ray.pipelines.flagship import _load_catalog
+    from stac_to_geocore_ray.queries._common import _fx
+    from stac_to_geocore_ray.queries.geo import zonal_from_dataset
+    _, zcat, _ = _load_catalog(_fx("/root/testdata/sf0.01")["collections"])
+    zref = ray.put(zcat)
+
     tracker = PeakTracker()
     tracker.start()
     timings, counts = {}, {}
     for name, core in (("geo_pyramid_rollup", pyramid_from_dataset),
-                       ("geo_focal_mean", focal_from_dataset)):
+                       ("geo_focal_mean", focal_from_dataset),
+                       ("geo_zonal_stats",
+                        lambda ds: zonal_from_dataset(ds, zref))):
         t0 = time.time()
         out = core(_meta_read(bdir, columns=["bbox"]))
         counts[name] = out.count()
@@ -133,6 +144,31 @@ def main() -> None:
     tot = pyr.groupby("z").n_items.sum()
     assert tot.nunique() == 1 and int(tot.iloc[0]) == n, tot
 
+    # zonal invariants at scale: per-zone counts equal a direct
+    # vectorized recount over the zone bboxes (multi-match, closed)
+    zst = zonal_from_dataset(_meta_read(bdir, columns=["bbox"]),
+                             zref).to_pandas().set_index("zone")
+    import pyarrow.parquet as _pq
+    ct = _pq.read_table(_fx("/root/testdata/sf0.01")["collections"],
+                        columns=["collection_id", "bbox"])
+    zb = {i: b for i, b in zip(ct["collection_id"].to_pylist(),
+                               ct["bbox"].to_pylist())}
+    import pyarrow.dataset as _pads
+    got_n = {}
+    for frag in sorted(os.listdir(bdir))[:6]:     # spot-check 3M rows
+        t = _pq.read_table(os.path.join(bdir, frag))
+        m = t["bbox"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, 4)
+        cx, cy = (m[:, 0] + m[:, 2]) / 2, (m[:, 1] + m[:, 3]) / 2
+        for z, (w_, s_, e_, n_) in zb.items():
+            got_n[z] = got_n.get(z, 0) + int(
+                ((cx >= w_) & (cx <= e_) & (cy >= s_) & (cy <= n_)).sum())
+    # spot fragments are a subset: counts must be <= the full answer
+    # and nonzero zones must appear
+    for z, c in got_n.items():
+        if c:
+            assert z in zst.index and int(zst.loc[z].n_items) >= c, (z, c)
+
     print(json.dumps({
         "metric": "grid ops 200x-scale run",
         "n_bboxes": n,
@@ -141,6 +177,7 @@ def main() -> None:
         "queries": timings,
         "rows": counts,
         "level_total_conserved": int(tot.iloc[0]),
+        "zonal_rows": int(len(zst)),
         "peak_driver_rss_gb": round(tracker.peak_rss_gb, 2),
         "peak_object_store_gb": round(tracker.peak_store_gb, 2),
     }))
