@@ -14,7 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import fixtures
-from ..stages.util import clean_read_parquet, table_from_pandas
+from ..stages.util import (clean_read_parquet, small_domain_fold,
+                           table_from_pandas)
 from ._common import ORACLE_SF_DIR, _meta_read, _auto, _t
 
 # ------------------------------------------------------------- documents
@@ -36,16 +37,15 @@ def doc_token_stats(sf_dir: str):
         return table_from_pandas(g, preserve_index=False)
 
     partial = ds.map_batches(stats, batch_format="pyarrow")
-    agg = partial.groupby("lang").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("tokens", alias_name="total_tokens"),
-        Sum("chars", alias_name="total_chars"))
+    # handful of langs: single-task fold (stages/util.small_domain_fold)
+    agg = small_domain_fold(partial, keys=["lang"],
+                            sum_cols=["n_docs", "tokens", "chars"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"lang": batch["lang"],
                          "n_docs": pc.cast(batch["n_docs"], pa.int64()),
-                         "total_tokens": pc.cast(batch["total_tokens"], pa.int64()),
-                         "total_chars": pc.cast(batch["total_chars"], pa.int64())})
+                         "total_tokens": pc.cast(batch["tokens"], pa.int64()),
+                         "total_chars": pc.cast(batch["chars"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -167,7 +167,9 @@ def doc_pack(sf_dir: str):
                 b, bt = b + 1, 0
             bt += int(x)
             bins[i] = b
-        return g.assign(bin_id=bins)
+        # Arrow return (metadata-free): pandas returns embed the dict
+        # schema blob downstream consumers can't hash
+        return table_from_pandas(g.assign(bin_id=bins))
 
     return ds.map_batches(sized, batch_format="pyarrow") \
         .groupby("part").map_groups(pack, batch_format="pandas")
@@ -220,12 +222,13 @@ def doc_sample_hash(sf_dir: str):
         g = df.groupby("lang", sort=False).size().reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
+    # handful of langs: single-task fold (stages/util.small_domain_fold)
+    agg = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                            keys=["lang"], sum_cols=["n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"lang": batch["lang"],
-                         "n_sampled": pc.cast(batch["n_sampled"], pa.int64())})
+                         "n_sampled": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -815,8 +818,8 @@ def langid_accuracy(sf_dir: str):
             n=("hit", "size"), n_correct=("hit", "sum")).reset_index()
         return g
     f = pred.map_batches(flags, batch_format="pandas")
-    return f.groupby("lang").aggregate(Sum("n", alias_name="n"),
-                                       Sum("n_correct", alias_name="n_correct"))
+    # handful of langs: single-task fold (stages/util.small_domain_fold)
+    return small_domain_fold(f, keys=["lang"], sum_cols=["n", "n_correct"])
 
 
 def doc_quality(sf_dir: str):
@@ -859,8 +862,16 @@ def doc_topk_by_lang(sf_dir: str):
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["lang", "rank", "doc_id", "quality_r"]]
 
+    def fold_all(df):
+        out = df.groupby("lang", sort=False, group_keys=False).apply(fold)
+        return table_from_pandas(out.reset_index(drop=True))
+
+    # partials are <= 3 x #langs x #batches rows: one-task fold beats
+    # a map_groups sort-shuffle over a handful of keys (same argument
+    # as stages/util.small_domain_fold, holistic kernel here)
     return scored.map_batches(partial, batch_format="pandas") \
-        .groupby("lang").map_groups(fold, batch_format="pandas")
+        .repartition(1).map_batches(fold_all, batch_format="pandas",
+                                    batch_size=None)
 
 
 def _doc_topk_by_lang_sql() -> str:
@@ -1205,13 +1216,13 @@ def doc_stratified_sample(sf_dir: str):
             .groupby("lang", sort=False).size().reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("lang").aggregate(Sum("n", alias_name="n_sampled"))
+    # handful of langs: single-task fold (stages/util.small_domain_fold)
+    agg = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                            keys=["lang"], sum_cols=["n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"lang": batch["lang"],
-                         "n_sampled": pc.cast(batch["n_sampled"],
-                                              pa.int64())})
+                         "n_sampled": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

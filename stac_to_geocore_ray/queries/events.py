@@ -14,7 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import fixtures
-from ..stages.util import clean_read_parquet, table_from_pandas
+from ..stages.util import (clean_read_parquet, small_domain_fold,
+                           table_from_pandas)
 from ._common import _meta_read, _auto, _cents, _parquet_nrows, _t
 
 # ---------------------------------------------------------------- events
@@ -483,9 +484,10 @@ def events_props_json(sf_dir: str):
         return pa.table({"event_type": g["event_type"],
                          "sum_k": g["k_sum"], "n": g["k_count"]})
 
-    agg = ds.map_batches(parse, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Sum("sum_k", alias_name="sum_k"),
-                                         Sum("n", alias_name="n"))
+    # handful of event types: single-task fold
+    # (stages/util.small_domain_fold)
+    agg = small_domain_fold(ds.map_batches(parse, batch_format="pyarrow"),
+                            keys=["event_type"], sum_cols=["sum_k", "n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"event_type": batch["event_type"],

@@ -14,7 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import fixtures
-from ..stages.util import clean_read_parquet, table_from_pandas
+from ..stages.util import (clean_read_parquet, small_domain_fold,
+                           table_from_pandas)
 from ._common import _meta_read, _auto, _fx, _fx_glob
 
 def tiles_by_collection(sf_dir: str):
@@ -31,12 +32,14 @@ def tiles_by_collection(sf_dir: str):
             .groupby("collection_id", sort=False).size().reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    agg = tiles.map_batches(partial, batch_format="pyarrow") \
-        .groupby("collection_id").aggregate(Sum("n", alias_name="n_tiles"))
+    # 8 collections: single-task fold (stages/util.small_domain_fold)
+    agg = small_domain_fold(
+        tiles.map_batches(partial, batch_format="pyarrow"),
+        keys=["collection_id"], sum_cols=["n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"collection_id": batch["collection_id"],
-                         "n_tiles": pc.cast(batch["n_tiles"], pa.int64())})
+                         "n_tiles": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -72,17 +75,16 @@ def tile_phash_stats(sf_dir: str):
             n=("res", "size"), res_sum=("res", "sum")).reset_index()
         return table_from_pandas(g, preserve_index=False)
 
-    agg = tiles.map_batches(partial, batch_format="pyarrow") \
-        .groupby("collection_id").aggregate(
-            Sum("n", alias_name="n_tiles"),
-            Sum("res_sum", alias_name="phash_residue_sum"))
+    # 8 collections: single-task fold (stages/util.small_domain_fold)
+    agg = small_domain_fold(
+        tiles.map_batches(partial, batch_format="pyarrow"),
+        keys=["collection_id"], sum_cols=["n", "res_sum"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "collection_id": batch["collection_id"],
-            "n_tiles": pc.cast(batch["n_tiles"], pa.int64()),
-            "phash_residue_sum": pc.cast(batch["phash_residue_sum"],
-                                         pa.int64())})
+            "n_tiles": pc.cast(batch["n"], pa.int64()),
+            "phash_residue_sum": pc.cast(batch["res_sum"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -227,11 +229,22 @@ def decode_stats(sf_dir: str):
             "match": pc.cast(batch["phash_match"], pa.int64()),
             "psnr_floor": pc.cast(pc.greater_equal(batch["psnr"], 40.0), pa.int64())})
     flags = ver.map_batches(to_flags, batch_format="pyarrow")
-    return flags.groupby("fmt").aggregate(
-        Count(alias_name="n"),
-        Sum("ok", alias_name="n_decoded"),
-        Sum("match", alias_name="n_phash_match"),
-        Sum("psnr_floor", alias_name="n_psnr_ok"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("fmt", sort=False).agg(
+            n=("ok", "size"), n_decoded=("ok", "sum"),
+            n_phash_match=("match", "sum"),
+            n_psnr_ok=("psnr_floor", "sum")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    # ~3 fmts: per-batch partials + single-task fold — the native
+    # per-row Count/Sum reduce shipped every image's flag row into the
+    # 200-partition sort-aggregate (stages/util.small_domain_fold)
+    return small_domain_fold(
+        flags.map_batches(partial, batch_format="pyarrow"),
+        keys=["fmt"], sum_cols=["n", "n_decoded", "n_phash_match",
+                                "n_psnr_ok"])
 
 
 

@@ -14,7 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import fixtures
-from ..stages.util import clean_read_parquet, table_from_pandas
+from ..stages.util import (clean_read_parquet, small_domain_fold,
+                           table_from_pandas)
 from ._common import _meta_read, _auto, _t
 
 # ------------------------------------------------------------------ tpch
@@ -44,19 +45,19 @@ def q1_pricing_summary(sf_dir: str):
         return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base", alias_name="sum_base_raw"),
-        Sum("sum_disc", alias_name="sum_disc_raw"),
-        Sum("n", alias_name="n"))
+    # 6 distinct (returnflag, linestatus) keys: single-task fold, not
+    # a ~200-partition sort-aggregate (stages/util.small_domain_fold)
+    out = small_domain_fold(partials,
+                            keys=["l_returnflag", "l_linestatus"],
+                            sum_cols=["sum_qty", "sum_base", "sum_disc", "n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "sum_qty": pc.cast(pc.round(batch["sum_qty"]), pa.int64()),
-            "sum_base_price": pc.cast(pc.round(batch["sum_base_raw"]), pa.int64()),
-            "sum_disc_price": pc.cast(pc.round(batch["sum_disc_raw"]), pa.int64()),
+            "sum_base_price": pc.cast(pc.round(batch["sum_base"]), pa.int64()),
+            "sum_disc_price": pc.cast(pc.round(batch["sum_disc"]), pa.int64()),
             "count_order": pc.cast(batch["n"], pa.int64()),
         })
     return out.map_batches(finish, batch_format="pyarrow")
@@ -339,12 +340,14 @@ def q4_order_priority(sf_dir: str):
               .reset_index(name="n")
         return table_from_pandas(g, preserve_index=False)
 
-    agg = survivors.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n_orders"))
+    # 5 distinct priorities: single-task fold (small_domain_fold)
+    agg = small_domain_fold(
+        survivors.map_batches(partial, batch_format="pyarrow"),
+        keys=["o_orderpriority"], sum_cols=["n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"o_orderpriority": batch["o_orderpriority"],
-                         "n_orders": pc.cast(batch["n_orders"], pa.int64())})
+                         "n_orders": pc.cast(batch["n"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -612,16 +615,16 @@ def q12_priority_by_returnflag(sf_dir: str):
               .sum().reset_index()
         return table_from_pandas(g, preserve_index=False)
 
-    agg = joined.map_batches(cond_partial, batch_format="pyarrow") \
-        .groupby("l_returnflag").aggregate(
-            Sum("high", alias_name="high_count"),
-            Sum("low", alias_name="low_count"))
+    # 3 distinct returnflags: single-task fold (small_domain_fold)
+    agg = small_domain_fold(
+        joined.map_batches(cond_partial, batch_format="pyarrow"),
+        keys=["l_returnflag"], sum_cols=["high", "low"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
-            "high_count": pc.cast(batch["high_count"], pa.int64()),
-            "low_count": pc.cast(batch["low_count"], pa.int64())})
+            "high_count": pc.cast(batch["high"], pa.int64()),
+            "low_count": pc.cast(batch["low"], pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

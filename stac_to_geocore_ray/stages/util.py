@@ -150,6 +150,38 @@ def autoscale_pool(requested: int | None = None,
     return (1, requested if requested else default_pool_size(fraction))
 
 
+def small_domain_fold(partials, keys: list[str], sum_cols: list[str]):
+    """Group-SUM over per-batch partials whose distinct-key domain is
+    SMALL (<= a few thousand keys) — the third aggregate regime next
+    to the native ``groupby().aggregate`` (large domains, strong
+    contraction) and ``sorted_combine`` (weak contraction).
+
+    Partials over a tiny domain contract to O(domain) rows per batch,
+    so the global fold is ONE repartition into a single worker task.
+    A native sort-aggregate here shuffles ~200 mostly-empty partitions
+    whose zero-column empty blocks trip the streaming executor's
+    mixed-schema warning (lesson 28) and hand hundreds of empty blocks
+    to every downstream consumer.
+
+    The fold input is O(#input blocks x domain) rows; at a block count
+    where that stops being task-sized, insert one tree level
+    (``repartition(ncpu)`` + local combine) before this.  Returns a
+    ONE-block Dataset with columns ``keys + sum_cols`` (one row per
+    distinct key, key order unspecified).
+    """
+    import pandas as pd
+
+    cols = list(keys) + list(sum_cols)
+
+    def fold(df: pd.DataFrame):
+        g = df[cols].groupby(list(keys), sort=False, dropna=False,
+                             as_index=False).sum()
+        return table_from_pandas(g)
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
 def sorted_combine(ds, keys: list[str], sum_cols: list[str] | None = None,
                    aggs: dict[str, str] | None = None):
     """Distributed group-SUM via sort + in-block vectorized combine +

@@ -443,3 +443,43 @@ class TestDropEmptyBlocks:
         clean = drop_empty_blocks(ds)
         assert clean.count() == 0
         assert clean.schema().names == ["a"]
+
+
+class TestSmallDomainFold:
+    """Third aggregate regime: tiny-key-domain partials fold in one
+    task instead of a mostly-empty sort-shuffle."""
+
+    def test_matches_pandas_groupby(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.util import small_domain_fold
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({
+            "k1": rng.choice(["a", "b", "c"], 500),
+            "k2": rng.randint(0, 2, 500),
+            "x": rng.randint(-100, 100, 500).astype("int64"),
+            "y": rng.uniform(0, 1, 500)})
+        ds = rd.from_pandas(df).repartition(7)    # multi-block partials
+        got = small_domain_fold(ds, keys=["k1", "k2"], sum_cols=["x", "y"]) \
+            .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        exp = df.groupby(["k1", "k2"], as_index=False)[["x", "y"]].sum() \
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+        assert got.k1.tolist() == exp.k1.tolist()
+        assert got.k2.tolist() == exp.k2.tolist()
+        assert got.x.tolist() == exp.x.tolist()
+        assert np.allclose(got.y.to_numpy(), exp.y.to_numpy())
+        # single-block output with a metadata-free (hashable) schema
+        assert got.shape == exp.shape
+        out = small_domain_fold(ds, keys=["k1"], sum_cols=["x"])
+        tbl = next(iter(out.iter_batches(batch_format="pyarrow")))
+        assert not tbl.schema.metadata
+
+    def test_empty_input_keeps_columns(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.util import small_domain_fold
+        df = pd.DataFrame({"k": pd.Series([], dtype=str),
+                           "n": pd.Series([], dtype="int64")})
+        out = small_domain_fold(rd.from_pandas(df), keys=["k"],
+                                sum_cols=["n"]).to_pandas()
+        assert list(out.columns) == ["k", "n"] and len(out) == 0
