@@ -1165,3 +1165,78 @@ FROM pts p JOIN read_parquet('{_fx_glob("collections")}') c
  AND p.cy >= c.bbox[2] AND p.cy <= c.bbox[4]
 GROUP BY 1
 """
+
+
+def geo_zonal_overlap(sf_dir: str):
+    """AREA-WEIGHTED zonal coverage: per catalog zone, how many item
+    footprints OVERLAP it (closed bbox predicate) and what fraction of
+    the zone their intersection rects sum to — the coverage variant of
+    geo_zonal_stats (an item contributes by intersection area, not
+    centroid membership; an item straddling two zones contributes its
+    overlapping part to each).
+
+    Scale shape: identical to geo_zonal_stats — broadcast STRtree
+    rect-probe, per-pair spherical intersection areas rounded
+    half-away to int64 milli-km^2 (bit-exact partial sums), in-batch
+    contraction to O(zones) rows, single-task fold.  Coverage divides
+    by the zone's own area through the SAME closed form + rounding so
+    the ratio's operands are bit-identical to the oracle's.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ..stages.pip_join import ZonalOverlapJoiner
+    from ..stages.util import small_domain_fold
+    p = _fx(sf_dir)
+    ct = pq.read_table(p["collections"], columns=["collection_id", "bbox"])
+    ids = ct["collection_id"].to_pylist()
+    rects = np.asarray(ct["bbox"].to_pylist(), dtype=np.float64)
+    cat_ref = ray.put((ids, rects))
+
+    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+    partials = ds.map_batches(ZonalOverlapJoiner,
+                              fn_constructor_args=(cat_ref,),
+                              batch_format="pyarrow", concurrency=_auto())
+    agg = small_domain_fold(partials, keys=["zone"], sum_cols=["n", "val"])
+
+    R = 6371.0088
+    zw, zs, ze, zn = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    za = (R * R * np.radians(ze - zw)
+          * (np.sin(np.radians(zn)) - np.sin(np.radians(zs))))
+    zone_mkm2 = {i: int(np.floor(a * 1e3 + 0.5)) for i, a in zip(ids, za)}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        z = batch["zone"].to_pylist()
+        n = pc.cast(batch["n"], pa.int64())
+        amk = batch["val"].to_numpy().astype(np.int64)
+        zmk = np.array([zone_mkm2[x] for x in z], dtype=np.int64)
+        q = amk.astype(np.float64) / zmk.astype(np.float64)
+        cov = np.floor(q * 1e6 + 0.5) / 1e6        # half-away, 6 dp
+        return pa.table({"zone": batch["zone"], "n_overlaps": n,
+                         "overlap_mkm2": pa.array(amk),
+                         "coverage_r": pa.array(cov)})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _geo_zonal_overlap_sql() -> str:
+    area = (lambda w, s, e, n:
+            f"""CAST(round(6371.0088 * 6371.0088
+              * radians({e} - {w})
+              * (sin(radians({n})) - sin(radians({s}))), 3) * 1000
+              AS BIGINT)""")
+    return f"""
+WITH pair AS (
+  SELECT c.collection_id AS zone,
+         {area("greatest(i.bbox[1], c.bbox[1])",
+               "greatest(i.bbox[2], c.bbox[2])",
+               "least(i.bbox[3], c.bbox[3])",
+               "least(i.bbox[4], c.bbox[4])")} AS amk,
+         {area("c.bbox[1]", "c.bbox[2]", "c.bbox[3]", "c.bbox[4]")} AS zmk
+  FROM read_parquet('{_fx_glob("stac_items")}') i
+  JOIN read_parquet('{_fx_glob("collections")}') c
+    ON i.bbox[1] <= c.bbox[3] AND i.bbox[3] >= c.bbox[1]
+   AND i.bbox[2] <= c.bbox[4] AND i.bbox[4] >= c.bbox[2])
+SELECT zone, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(amk) AS BIGINT) AS overlap_mkm2,
+       round(CAST(sum(amk) AS DOUBLE) / any_value(zmk), 6) AS coverage_r
+FROM pair GROUP BY 1
+"""

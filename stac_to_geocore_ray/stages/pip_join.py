@@ -235,3 +235,63 @@ class ZonalStatsJoiner(PIPJoiner):
             "n": pa.array(n[keep]),
             "val": pa.array(s[keep]),
         })
+
+
+class ZonalOverlapJoiner:
+    """AREA-WEIGHTED zonal partial stage: for every closed bbox
+    OVERLAP between a probe footprint and a broadcast rect-zone
+    catalog, accumulate the spherical area of the INTERSECTION rect
+    per zone — the coverage-fraction variant of ``ZonalStatsJoiner``
+    (an item contributes by how much of it lies in the zone, not by
+    centroid membership).  Per batch, emits one row per (batch, zone):
+    overlap-pair count + exact int64 milli-km^2 intersection-area sum
+    (half-away rounding per PAIR, so partial sums are bit-exact under
+    any batching — the integer-units rule).
+
+    catalog: (ids, (N, 4) bbox array) tuple or a ray.ObjectRef of one.
+    """
+
+    _R = 6371.0088
+
+    def __init__(self, catalog, bbox_col: str = "bbox",
+                 out_col: str = "zone"):
+        try:
+            import ray
+            if isinstance(catalog, ray.ObjectRef):
+                catalog = ray.get(catalog)
+        except ImportError:
+            pass
+        ids, rects = catalog
+        self.ids = pa.array(ids, pa.string())
+        self.rects = np.asarray(rects, dtype=np.float64)
+        self.tree = STRtree(bboxes=self.rects)     # built once per actor
+        self.bbox_col, self.out_col = bbox_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bb = batch[self.bbox_col]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        m = bb.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        probes, stored = self.tree.query_rects_all(m)
+        pm, zm = m[probes], self.rects[stored]
+        iw = np.maximum(pm[:, 0], zm[:, 0])
+        is_ = np.maximum(pm[:, 1], zm[:, 1])
+        ie = np.minimum(pm[:, 2], zm[:, 2])
+        in_ = np.minimum(pm[:, 3], zm[:, 3])
+        # closed overlap guarantees ie >= iw, in_ >= is_; zero-width
+        # touches contribute a zero-area pair (still counted)
+        R = self._R
+        a = (R * R * np.radians(ie - iw)
+             * (np.sin(np.radians(in_)) - np.sin(np.radians(is_))))
+        amk = np.floor(a * 1e3 + 0.5).astype(np.int64)   # half-away, 3 dp
+        npoly = len(self.ids)
+        n = np.bincount(stored, minlength=npoly).astype(np.int64)
+        s = np.zeros(npoly, dtype=np.int64)
+        np.add.at(s, stored, amk)
+        keep = n > 0
+        return pa.table({
+            self.out_col: self.ids.take(pa.array(np.flatnonzero(keep),
+                                                 pa.int32())),
+            "n": pa.array(n[keep]),
+            "val": pa.array(s[keep]),
+        })
