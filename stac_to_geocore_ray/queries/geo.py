@@ -1184,18 +1184,24 @@ def geo_zonal_overlap(sf_dir: str):
     """
     import ray
     import pyarrow.parquet as pq
-    from ..stages.pip_join import ZonalOverlapJoiner
-    from ..stages.util import small_domain_fold
     p = _fx(sf_dir)
     ct = pq.read_table(p["collections"], columns=["collection_id", "bbox"])
     ids = ct["collection_id"].to_pylist()
     rects = np.asarray(ct["bbox"].to_pylist(), dtype=np.float64)
-    cat_ref = ray.put((ids, rects))
+    return zonal_overlap_from_dataset(
+        clean_read_parquet(p["stac_items"], columns=["bbox"]),
+        ray.put((ids, rects)), ids, rects)
 
-    ds = clean_read_parquet(p["stac_items"], columns=["bbox"])
+
+def zonal_overlap_from_dataset(ds, cat_ref, ids, rects, concurrency=None):
+    """Core of geo_zonal_overlap over any bbox Dataset + broadcast
+    rect catalog — shared with tools/scale_grid.py's 20M-bbox probe."""
+    from ..stages.pip_join import ZonalOverlapJoiner
+    from ..stages.util import small_domain_fold
     partials = ds.map_batches(ZonalOverlapJoiner,
                               fn_constructor_args=(cat_ref,),
-                              batch_format="pyarrow", concurrency=_auto())
+                              batch_format="pyarrow",
+                              concurrency=concurrency or _auto())
     agg = small_domain_fold(partials, keys=["zone"], sum_cols=["n", "val"])
 
     R = 6371.0088

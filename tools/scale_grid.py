@@ -121,9 +121,16 @@ def main() -> None:
     # capture a Canada-sized fraction of the 20M items
     from stac_to_geocore_ray.pipelines.flagship import _load_catalog
     from stac_to_geocore_ray.queries._common import _fx
-    from stac_to_geocore_ray.queries.geo import zonal_from_dataset
+    from stac_to_geocore_ray.queries.geo import (zonal_from_dataset,
+                                                  zonal_overlap_from_dataset)
     _, zcat, _ = _load_catalog(_fx("/root/testdata/sf0.01")["collections"])
     zref = ray.put(zcat)
+    import pyarrow.parquet as _zpq
+    _zt = _zpq.read_table(_fx("/root/testdata/sf0.01")["collections"],
+                          columns=["collection_id", "bbox"])
+    _zids = _zt["collection_id"].to_pylist()
+    _zrects = np.asarray(_zt["bbox"].to_pylist(), dtype=np.float64)
+    _zoref = ray.put((_zids, _zrects))
 
     tracker = PeakTracker()
     tracker.start()
@@ -131,7 +138,10 @@ def main() -> None:
     for name, core in (("geo_pyramid_rollup", pyramid_from_dataset),
                        ("geo_focal_mean", focal_from_dataset),
                        ("geo_zonal_stats",
-                        lambda ds: zonal_from_dataset(ds, zref))):
+                        lambda ds: zonal_from_dataset(ds, zref)),
+                       ("geo_zonal_overlap",
+                        lambda ds: zonal_overlap_from_dataset(
+                            ds, _zoref, _zids, _zrects))):
         t0 = time.time()
         out = core(_meta_read(bdir, columns=["bbox"]))
         counts[name] = out.count()
