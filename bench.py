@@ -154,6 +154,11 @@ def run_bench() -> dict:
         timed("doc_dup_ngram_spans",
               lambda: q.doc_dup_ngram_spans(sf_dir).count()
               if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
+        # per-user time-decayed aggregate (order-dependent closed-form
+        # EWMA through the boundary-key decompose)
+        timed("events_ewma",
+              lambda: q.events_ewma(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
         # zonal statistics: broadcast-STRtree zone assignment with
         # in-batch contraction to O(zones) partial rows
         timed("geo_zonal_stats", lambda: q.geo_zonal_stats(sf_dir).count())

@@ -1480,3 +1480,65 @@ FROM b GROUP BY 2
 UNION ALL
 SELECT 'ALL', 'ALL', count(*), CAST(sum(cents) AS BIGINT) FROM b
 """
+
+
+EWMA_ALPHA = 0.9
+
+
+def events_ewma(sf_dir: str):
+    """Per-user EXPONENTIALLY-WEIGHTED moving average of event value
+    (cents), ordered by (ts, event_id) — the time-decayed aggregate
+    class (feature-store freshness scores, decayed engagement): order-
+    DEPENDENT, so no commutative Ray aggregate applies, but the closed
+    form ewma = (1-a) * sum_i(v_i * a^(N-i)) decomposes per user and
+    vectorizes (weights from a segmented cumcount — no per-user loop).
+
+    Shares keyed_boundary_decompose with the window ops: one sort,
+    interior users resolve in-block, block-straddlers defer to the
+    keyed fold.  The oracle computes the identical closed form with
+    SQL window row numbers + power(); both sides round half-away to
+    6 dp (sum magnitude is bounded by max_cents/(1-a), so float
+    summation-order ulps sit far below the rounding grain).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    a = EWMA_ALPHA
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "ewma_r": pd.Series([], dtype="float64")})
+        g = df.groupby("user_id", sort=False)
+        N = g["value"].transform("size").to_numpy()
+        i = g.cumcount().to_numpy()
+        cents = _cents(df["value"].to_numpy()).astype(np.float64)
+        w = np.power(a, (N - 1 - i).astype(np.float64))
+        s = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "x": cents * w}) \
+            .groupby("user_id", sort=False)["x"].sum()
+        e = (1.0 - a) * s.to_numpy()
+        return pd.DataFrame({
+            "user_id": s.index.to_numpy().astype("int64"),
+            "ewma_r": np.floor(e * 1e6 + 0.5) / 1e6})   # half-away 6dp
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "value"], kernel=kernel)
+
+
+EVENTS_EWMA_SQL = f"""
+WITH r AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events)
+SELECT user_id,
+       round((1 - {EWMA_ALPHA}) * sum(cents * power({EWMA_ALPHA}, cnt - rn)),
+             6) AS ewma_r
+FROM r GROUP BY user_id
+"""

@@ -1041,3 +1041,53 @@ class TestEventsCube:
         assert grand.sum_cents.iloc[0] == fine.sum_cents.sum()
         by_type = df[(df.etype != "ALL") & (df.dow == "ALL")]
         assert by_type.n_events.sum() == grand.n_events.iloc[0]
+
+
+class TestEventsEwma:
+    def test_matches_scalar_reference(self, ray_session, tiny_blocks):
+        """Vectorized segmented EWMA == a per-user scalar recurrence
+        (the textbook iterative form), under forced-tiny blocks so
+        users straddle blocks and exercise the keyed fold."""
+        from stac_to_geocore_ray.queries import events_ewma
+        from stac_to_geocore_ray.queries.events import EWMA_ALPHA
+        got = events_ewma(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        ev["cents"] = _cents(ev.value.to_numpy())
+        a = EWMA_ALPHA
+        rows = []
+        for u, g in ev.groupby("user_id", sort=True):
+            # closed form, scalar: (1-a) * sum(v_i * a^(N-i))
+            v = g.cents.to_numpy().astype(float)
+            e = 0.0
+            for i, x in enumerate(v):
+                e += x * a ** (len(v) - 1 - i)
+            rows.append((u, (1 - a) * e))
+        ref = pd.DataFrame(rows, columns=["user_id", "ewma"])
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        # engine rounds half-away at 6 dp; scalar sum order differs by
+        # ulps only (sum bounded by max_cents/(1-a))
+        assert np.allclose(got.ewma_r.to_numpy(), ref.ewma.to_numpy(),
+                           rtol=0, atol=1e-6)
+
+    def test_recency_weighting(self, ray_session):
+        """The last event dominates: a user whose final event is huge
+        must have a larger EWMA than the same history without it."""
+        from stac_to_geocore_ray.queries import events_ewma
+        from stac_to_geocore_ray.queries.events import EWMA_ALPHA
+        got = events_ewma(SF).to_pandas().set_index("user_id")
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_id", "value"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        u = int(ev.user_id.iloc[0])
+        last_cents = float(_cents(
+            ev[ev.user_id == u].value.to_numpy())[-1])
+        # ewma lies between 0 and max cents; last event carries weight
+        # (1-a) exactly
+        assert 0 <= got.loc[u].ewma_r <= float(
+            _cents(ev[ev.user_id == u].value.to_numpy()).max() + 1)
+        assert got.loc[u].ewma_r >= (1 - EWMA_ALPHA) * last_cents - 1e-6
