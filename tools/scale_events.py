@@ -180,6 +180,7 @@ def main() -> None:
     timed("events_quantile_sketch",
           lambda: q.events_quantile_sketch(out_dir))
     timed("events_cube", lambda: q.events_cube(out_dir))
+    timed("events_ewma", lambda: q.events_ewma(out_dir))
     tracker.stop()
 
     print(json.dumps({
