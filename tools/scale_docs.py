@@ -175,6 +175,8 @@ def main() -> None:
     timed("doc_dup_ngram_spans", lambda: q.doc_dup_ngram_spans(out_dir))
     timed("doc_repetition", lambda: q.doc_repetition(out_dir))
     timed("doc_contamination", lambda: q.doc_contamination(out_dir))
+    timed("minhash_dedup_clusters",
+          lambda: q.minhash_dedup_clusters(out_dir))
     tracker.stop()
 
     print(json.dumps({
