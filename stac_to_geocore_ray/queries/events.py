@@ -1542,3 +1542,104 @@ SELECT user_id,
              6) AS ewma_r
 FROM r GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------- regression
+
+REGR_EPOCH = "2024-01-01"
+
+
+def events_regression(sf_dir: str):
+    """Per-type LEAST-SQUARES REGRESSION of value (cents) on event-time
+    (hours since a fixed epoch) — the grouped-model-fit op class
+    (DuckDB/ANSI ``regr_slope``/``regr_intercept``): one streaming pass
+    of sufficient statistics, no shuffle of raw rows.
+
+    Exactness contract: x (hour index) and y (cents) are int64, so the
+    per-batch sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT
+    integer sums — no float summation order anywhere in the reduction.
+    The closed forms are then evaluated the way the oracle does:
+    numerator and denominator each cast int→double (correctly rounded)
+    and ONE IEEE division, so both sides produce bit-identical doubles
+    before the half-away micro round.  Int64 bound: n·max|x·y| < 2^63
+    (≈2.6e11 rows at this data shape); past that, re-base the epoch per
+    partition or fold the partials through Python ints.
+
+    Scale shape: partials contract to O(#event_types) rows per batch →
+    ``small_domain_fold``; the closed form runs on a one-block table of
+    O(domain) rows.  At 100 TB this is a single pass over events with a
+    tiny fold — no sort, no groupby shuffle.
+    """
+    import pandas as pd
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+    epoch = np.datetime64(REGR_EPOCH)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = ((df.ts.dt.floor("h").to_numpy() - epoch)
+             // np.timedelta64(1, "h")).astype(np.int64)
+        y = _cents(df.value.to_numpy())
+        g = pd.DataFrame({"event_type": df.event_type.to_numpy(),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x}) \
+            .groupby("event_type", sort=False, as_index=False).sum()
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"], sum_cols=["n", "sx", "sy", "sxy", "sxx"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # O(#types) rows: exact Python-int closed form, then the same
+        # int→double casts + one division the SQL performs
+        et, ns, slopes, inters = [], [], [], []
+        for t, n, sx, sy, sxy, sxx in zip(
+                batch["event_type"].to_pylist(), batch["n"].to_pylist(),
+                batch["sx"].to_pylist(), batch["sy"].to_pylist(),
+                batch["sxy"].to_pylist(), batch["sxx"].to_pylist()):
+            den = n * sxx - sx * sx
+            et.append(t)
+            ns.append(n)
+            if den == 0:
+                slopes.append(None)
+                inters.append(None)
+                continue
+            slope = float(n * sxy - sx * sy) / float(den)
+            inter = float(sy * sxx - sx * sxy) / float(den)
+
+            def _micro(v: float):
+                return int(math.copysign(
+                    math.floor(abs(v) * 1e6 + 0.5), v))
+            slopes.append(_micro(slope))
+            inters.append(_micro(inter))
+        return pa.table({"event_type": pa.array(et, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "slope_micro": pa.array(slopes, pa.int64()),
+                         "intercept_micro": pa.array(inters, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_REGRESSION_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '{REGR_EPOCH}',
+                        date_trunc('hour', ts)) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                      AS BIGINT) END AS slope_micro,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                      AS BIGINT) END AS intercept_micro
+FROM s
+"""

@@ -1091,3 +1091,52 @@ class TestEventsEwma:
         assert 0 <= got.loc[u].ewma_r <= float(
             _cents(ev[ev.user_id == u].value.to_numpy()).max() + 1)
         assert got.loc[u].ewma_r >= (1 - EWMA_ALPHA) * last_cents - 1e-6
+
+
+class TestEventsRegression:
+    def test_matches_scalar_least_squares(self, ray_session, tiny_blocks):
+        """Exact-integer sufficient statistics == numpy lstsq per type
+        (to float tolerance), under forced-tiny blocks so partials fold
+        across many blocks."""
+        from stac_to_geocore_ray.queries import events_regression
+        from stac_to_geocore_ray.queries.events import REGR_EPOCH
+        got = events_regression(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        epoch = np.datetime64(REGR_EPOCH)
+        x = ((ev.ts.dt.floor("h").to_numpy() - epoch)
+             // np.timedelta64(1, "h")).astype(np.int64)
+        y = _cents(ev.value.to_numpy())
+        for _, row in got.iterrows():
+            m = (ev.event_type == row.event_type).to_numpy()
+            assert row.n == int(m.sum())
+            slope, inter = np.polyfit(x[m].astype(float),
+                                      y[m].astype(float), 1)
+            assert abs(row.slope_micro / 1e6 - slope) < 1e-4
+            assert abs(row.intercept_micro / 1e6 - inter) < 1e-2
+
+    def test_degenerate_single_hour(self, ray_session):
+        """A type whose events all fall in one hour has zero x-variance:
+        slope/intercept must be NULL, not a crash or a garbage value."""
+        import pyarrow as pa
+        from stac_to_geocore_ray.queries import events_regression
+        import pyarrow.parquet as pq
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            t = pa.table({
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(["2024-01-05 10:01", "2024-01-05 10:59",
+                                    "2024-01-05 10:30"]).values,
+                    pa.timestamp("us")),
+                "user_id": pa.array([1, 2, 3], pa.int64()),
+                "event_type": pa.array(["x"] * 3, pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string())})
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = events_regression(d).to_pandas()
+        assert out.n.iloc[0] == 3
+        assert pd.isna(out.slope_micro.iloc[0])
+        assert pd.isna(out.intercept_micro.iloc[0])
