@@ -2342,3 +2342,106 @@ FROM ps JOIN pt USING (l_partkey)
 WHERE 10 * ps.qty > 4 * pt.tot
 ORDER BY s_suppkey
 """
+
+
+# ------------------------------------------------------- fuzzy name matching
+
+def customer_fuzzy_pairs(sf_dir: str):
+    """EDIT-DISTANCE FUZZY MATCHING: every pair of customers whose
+    names are within Levenshtein distance 1, via FastSS deletion
+    neighborhoods (Bocek et al. 2007, "Fast Similarity Search in Large
+    Dictionaries") — the exact-blocking family of fuzzy dedup, next to
+    the sketch families (MinHash/SimHash/pHash) in ``stages/dedup.py``.
+
+    Shape: each name emits itself plus its L single-deletion variants
+    as bucket keys (lev(a,b)<=1 ⟹ D1(a) ∩ D1(b) != ∅: a substitution
+    at p shares the delete-p variant, an indel shares the shorter
+    string itself).  Bucket population is bounded by the alphabet at
+    the varying position (digits here: <=10), never corpus size, so
+    the sweep is quadratic only inside constant-sized buckets.  The
+    bucket sweep rides ``keyed_boundary_decompose`` (interior variants
+    resolve in-block after one sort; block-straddling variants defer
+    to the keyed fold) with a pandas self-merge per variant run and
+    the vectorized byte-matrix verifier ``stages.dedup.lev1_dist``;
+    cross-bucket repeats (an equal pair shares L+1 buckets) collapse
+    in an output-sized ``sorted_combine`` min-fold.  100-TB shape: the
+    candidate table is (L+1)x the name column — narrow strings, one
+    sort, no all-pairs anywhere.
+
+    Oracle equivalence: lev(a,b)<=1 ⟺ (|a|=|b| ∧ hamming<=1) ∨
+    (||a|-|b||=1 ∧ lev<=1); for equal lengths a single edit must be a
+    substitution, so lev == hamming ∈ {0,1} on every emitted row —
+    the SQL's CASE computes exactly that (mismatches() is DuckDB's
+    hamming; the CASE guards it from unequal-length evaluation).
+    """
+    import ray.data as rd
+    from ..stages.dedup import lev1_dist
+    from ..stages.util import keyed_boundary_decompose, sorted_combine
+    import pandas as pd
+    ds = _meta_read(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    BIG = 1 << 30
+
+    def variants(batch: pa.Table) -> pa.Table:
+        names, keys = batch["c_name"], batch["c_custkey"]
+        lens = pc.utf8_length(names)
+        outs = [pa.table({"variant": names, "k": keys, "s": names})]
+        for i in range(pc.max(lens).as_py() or 0):
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(names, 0, i),
+                pc.utf8_slice_codeunits(names, i + 1, BIG), "")
+            outs.append(pa.table({"variant": var, "k": keys, "s": names})
+                        .filter(pc.greater(lens, i)))
+        return pa.concat_tables(outs)
+
+    cand = ds.map_batches(variants, batch_format="pyarrow")
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame({"a_custkey": pd.Series([], dtype="int64"),
+                             "b_custkey": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64")})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return _empty()
+        # a run of identical chars makes two deletion positions of the
+        # SAME name collide into one variant: drop before pairing
+        df = df.drop_duplicates(["variant", "k"])
+        m = df.merge(df[["variant", "k", "s"]], on="variant")
+        m = m[m.k_x.to_numpy() < m.k_y.to_numpy()]
+        # the same pair can share several variants within this frame
+        m = m.drop_duplicates(["k_x", "k_y"])
+        if len(m) == 0:
+            return _empty()
+        d = lev1_dist(m.s_x.to_numpy(), m.s_y.to_numpy())
+        keep = d >= 0
+        return pd.DataFrame({"a_custkey": m.k_x.to_numpy()[keep],
+                             "b_custkey": m.k_y.to_numpy()[keep],
+                             "dist": d[keep]})
+
+    pairs = keyed_boundary_decompose(
+        cand, sort_keys=["variant", "k"], key_col="variant",
+        raw_cols=["variant", "k", "s"], kernel=kernel)
+    uniq = sorted_combine(pairs, keys=["a_custkey", "b_custkey"],
+                          aggs={"dist": "min"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_custkey": pc.cast(batch["a_custkey"], pa.int64()),
+            "b_custkey": pc.cast(batch["b_custkey"], pa.int64()),
+            "dist": pc.cast(batch["dist"], pa.int64())})
+    return uniq.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTOMER_FUZZY_SQL = """
+SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+       CAST(CASE WHEN length(a.c_name) = length(b.c_name)
+                 THEN mismatches(a.c_name, b.c_name)
+                 ELSE 1 END AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND CASE WHEN length(a.c_name) = length(b.c_name)
+          THEN mismatches(a.c_name, b.c_name)
+          WHEN abs(length(a.c_name) - length(b.c_name)) = 1
+          THEN levenshtein(a.c_name, b.c_name)
+          ELSE 2 END <= 1
+"""

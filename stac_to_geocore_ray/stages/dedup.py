@@ -1425,3 +1425,62 @@ def label_propagation_components(edges_ds, max_rounds: int = 50,
         warnings.warn(msg)
         return labels
     raise RuntimeError(msg)
+
+
+# --------------------------------------------------------- edit distance <=1
+
+def lev1_dist(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """Vectorized Levenshtein<=1 verdict for candidate string pairs:
+    returns 0 (equal), 1, or -1 (distance > 1) per pair.
+
+    Exact inside the <=1 regime it is used for: pairs whose lengths
+    differ by >1 are -1 without inspection; equal lengths reduce to
+    hamming<=1 (a single edit between equal-length strings must be one
+    substitution); lengths off by one reduce to a single-deletion
+    check — first mismatch position k, then longer[k+1:] ==
+    shorter[k:] — all on fixed-width byte matrices (no per-pair
+    Python).  Byte-level semantics: exact for ASCII/NUL-free inputs
+    (the FastSS candidate generator slices codeunits, so candidates
+    are byte-aligned anyway); multi-byte UTF-8 would count bytes, not
+    codepoints.
+    """
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, np.int64)
+    A0 = np.asarray(sa, dtype="S")
+    B0 = np.asarray(sb, dtype="S")
+    W = max(A0.dtype.itemsize, B0.dtype.itemsize, 1)
+    A = np.ascontiguousarray(A0.astype(f"S{W}"))
+    B = np.ascontiguousarray(B0.astype(f"S{W}"))
+    Am = A.view(np.uint8).reshape(n, W)
+    Bm = B.view(np.uint8).reshape(n, W)
+    la = np.char.str_len(A).astype(np.int64)
+    lb = np.char.str_len(B).astype(np.int64)
+    out = np.full(n, -1, dtype=np.int64)
+
+    eqlen = la == lb
+    if eqlen.any():
+        ham = (Am != Bm).sum(1)
+        out[eqlen & (ham == 0)] = 0
+        out[eqlen & (ham == 1)] = 1
+
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        swap = (lb > la)[:, None]
+        Lm = np.where(swap, Bm, Am)
+        Sm = np.where(swap, Am, Bm)
+        ls = np.minimum(la, lb)                    # shorter length <= W-1
+        idx = np.arange(W)[None, :]
+        neq_in = (Lm != Sm) & (idx < ls[:, None])
+        any_mis = neq_in.any(1)
+        k = np.where(any_mis, neq_in.argmax(1), ls)
+        # deletion at k: longer[k+1 : ls+1] must equal shorter[k : ls],
+        # i.e. eq2[:, j] for j in [k, ls) must all hold
+        eq2 = Lm[:, 1:] == Sm[:, :-1]
+        cs = np.cumsum(eq2, 1)
+        rows = np.arange(n)
+        hi = np.where(ls > 0, cs[rows, np.clip(ls - 1, 0, W - 2)], 0)
+        lo = np.where(k > 0, cs[rows, np.clip(k - 1, 0, W - 2)], 0)
+        ok = (hi - lo) == (ls - k)
+        out[d1 & ok] = 1
+    return out

@@ -737,3 +737,72 @@ def test_minhash_dedup_clusters_matches_bruteforce(ray_session, tmp_path):
     assert {int(r.doc_id): int(r.cluster) for r in got.itertuples()} == exp
     # X and Y are near each other -> ONE component labeled min(all)
     assert exp[23] == 10 and exp[15] == 10
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(len^2) DP Levenshtein — scalar oracle for lev1_dist."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+class TestLev1Dist:
+    def test_matches_dp_reference_exhaustive(self):
+        """All pairs over a small alphabet-3 string universe (lengths
+        0..4): lev1_dist must agree with the DP wherever the DP says
+        <=1, and say -1 wherever the DP says >1."""
+        import itertools
+        univ = [""]
+        for L in range(1, 5):
+            univ += ["".join(t) for t in itertools.product("abc", repeat=L)]
+        pairs = [(x, y) for x in univ for y in univ]
+        sa = np.array([p[0] for p in pairs], dtype=object)
+        sb = np.array([p[1] for p in pairs], dtype=object)
+        got = dedup.lev1_dist(sa, sb)
+        ref = np.array([_lev_ref(x, y) for x, y in pairs])
+        assert np.array_equal(got[ref <= 1], ref[ref <= 1])
+        assert (got[ref > 1] == -1).all()
+
+    def test_long_mixed_width_pairs(self):
+        sa = np.array(["Customer#000000120", "Customer#000000120",
+                       "Customer#00000012", "Customer#000000120"],
+                      dtype=object)
+        sb = np.array(["Customer#000000125", "Customer#0000001200",
+                       "Customer#000000120", "Xustomer#000000125"],
+                      dtype=object)
+        assert dedup.lev1_dist(sa, sb).tolist() == [1, 1, 1, -1]
+
+
+class TestCustomerFuzzyPairs:
+    def test_indel_and_substitution_pairs(self, ray_session, tmp_path):
+        """End-to-end FastSS on a corpus with substitutions, an
+        insertion, a deletion, an exact duplicate name and a far-away
+        name — the indel legs the fixed-width customer corpus never
+        exercises."""
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.queries import customer_fuzzy_pairs
+        names = {1: "alpha", 2: "alpho",      # substitution -> dist 1
+                 3: "alph",                   # deletion of 1 -> dist 1
+                 4: "alphas",                 # insertion on 1 -> dist 1
+                 5: "alpha",                  # duplicate of 1 -> dist 0
+                 6: "omega"}                  # no neighbors
+        t = pa.table({"c_custkey": pa.array(list(names), pa.int64()),
+                      "c_name": pa.array(list(names.values()), pa.string()),
+                      "c_nationkey": pa.array([0] * 6, pa.int32()),
+                      "c_acctbal": pa.array([0.0] * 6, pa.float64()),
+                      "c_mktsegment": pa.array(["X"] * 6, pa.string())})
+        pq.write_table(t, tmp_path / "customer.parquet")
+        got = customer_fuzzy_pairs(str(tmp_path)).to_pandas() \
+            .sort_values(["a_custkey", "b_custkey"]).reset_index(drop=True)
+        # brute-force oracle over the corpus
+        keys = sorted(names)
+        want = {(a, b, _lev_ref(names[a], names[b]))
+                for i, a in enumerate(keys) for b in keys[i + 1:]
+                if _lev_ref(names[a], names[b]) <= 1}
+        assert set(map(tuple, got.to_numpy())) == want
