@@ -1140,3 +1140,40 @@ class TestEventsRegression:
         assert out.n.iloc[0] == 3
         assert pd.isna(out.slope_micro.iloc[0])
         assert pd.isna(out.intercept_micro.iloc[0])
+
+
+class TestEventsCompactLatest:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        """Keep-last compaction == pandas sort + drop_duplicates(last),
+        under forced-tiny blocks so groups straddle blocks and exercise
+        the keyed fold."""
+        from stac_to_geocore_ray.queries import events_compact_latest
+        got = events_compact_latest(SF).to_pandas() \
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ref = ev.sort_values(["user_id", "event_type", "ts", "event_id"]) \
+            .drop_duplicates(["user_id", "event_type"], keep="last") \
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True)
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.last_event_id.tolist() == ref.event_id.tolist()
+        assert (got.last_ts.to_numpy().astype("datetime64[us]")
+                == ref.ts.to_numpy().astype("datetime64[us]")).all()
+        assert got.last_cents.tolist() == _cents(
+            ref.value.to_numpy()).tolist()
+
+    def test_one_row_per_group_and_latest_wins(self, ray_session):
+        """Output cardinality == distinct (user, type) pairs; every
+        kept ts is the group max."""
+        from stac_to_geocore_ray.queries import events_compact_latest
+        got = events_compact_latest(SF).to_pandas()
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "ts"])
+        n_groups = ev.groupby(["user_id", "event_type"]).ngroups
+        assert len(got) == n_groups
+        gmax = ev.groupby(["user_id", "event_type"])["ts"].max()
+        merged = got.set_index(["user_id", "event_type"])["last_ts"]
+        assert (merged.sort_index().to_numpy().astype("datetime64[us]")
+                == gmax.sort_index().to_numpy().astype("datetime64[us]")).all()
