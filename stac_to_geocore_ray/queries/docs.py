@@ -1813,3 +1813,99 @@ SELECT doc_id,
        CASE WHEN mr < doc_id THEN mr ELSE doc_id END AS cluster
 FROM mins
 """
+
+
+# --------------------------------------------------- leakage-safe split
+
+SPLIT_TEST_THRESH = 429496729            # floor(0.10 * 2^32)
+
+
+def doc_split_leakfree(sf_dir: str):
+    """LEAKAGE-SAFE train/test SPLIT: assign every document to a split
+    by hashing its exact-duplicate GROUP's representative (min doc_id),
+    so verbatim copies can never straddle train and test — the
+    benchmark-contamination guard every training-data pipeline needs
+    before it ships shards (per-doc hashing leaks: two identical docs
+    with different ids draw independently).  Output: per (lang, split)
+    document and distinct-text counts.
+
+    Pass shape: per-batch (content_hash, lang) partials (n, min doc_id)
+    contract inside the read's map; ONE sort on content_hash via
+    keyed_boundary_decompose lets every group compute its global rep
+    and split in-block (straddlers via the keyed fold); the per-group
+    emission is already (lang, split)-contracted, so the global fold is
+    a small_domain_fold over <= #langs x 2 keys.  No join, no second
+    shuffle — at 100 TB this is exactly the exact-dedup pass plus a
+    five-row fold.
+
+    Cross-engine split parity: the draw is the doc_sample_hash
+    multiplicative hash on the representative id ((rep * 2654435761)
+    mod 2^32 < 0.1 * 2^32) — a pure function of data, so any engine,
+    rerun, or cluster size reproduces the identical split.  uint64
+    wraparound == SQL exact arithmetic while rep < 2^64 / 2654435761
+    (~6.9e9 docs).  64-bit content-hash collisions would surface as an
+    oracle mismatch (none at these scales), same caveat as
+    doc_exact_dedup.
+    """
+    import pandas as pd
+
+    from ..stages.dedup import add_text_hash
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "documents"),
+                    columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hashed = add_text_hash(batch)
+        df = pd.DataFrame({
+            "content_hash": hashed["content_hash"].to_numpy(),
+            "lang": np.asarray(batch["lang"]),
+            "doc_id": batch["doc_id"].to_numpy()})
+        g = df.groupby(["content_hash", "lang"], sort=False,
+                       dropna=False).agg(
+            n=("doc_id", "size"), min_doc=("doc_id", "min")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype="object"),
+                "split": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_texts": pd.Series([], dtype="int64")})
+        # re-combine (hash, lang) partials that met across blocks
+        g = df.groupby(["content_hash", "lang"], sort=False).agg(
+            n=("n", "sum"), min_doc=("min_doc", "min")).reset_index()
+        rep = g.groupby("content_hash", sort=False)["min_doc"] \
+            .transform("min").to_numpy().astype(np.uint64)
+        test = (rep * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            < np.uint64(SPLIT_TEST_THRESH)
+        g["split"] = np.where(test, "test", "train")
+        out = g.groupby(["lang", "split"], sort=False).agg(
+            n_docs=("n", "sum"), n_texts=("n", "size")).reset_index()
+        return out.astype({"n_docs": "int64", "n_texts": "int64"})
+
+    per_block = keyed_boundary_decompose(
+        partials, sort_keys=["content_hash", "lang"],
+        key_col="content_hash",
+        raw_cols=["content_hash", "lang", "n", "min_doc"], kernel=kernel)
+    return small_domain_fold(per_block, keys=["lang", "split"],
+                             sum_cols=["n_docs", "n_texts"])
+
+
+DOC_SPLIT_LEAKFREE_SQL = f"""
+WITH t AS (
+  SELECT text, lang, count(*) AS n
+  FROM documents GROUP BY text, lang),
+r AS (
+  SELECT text, min(doc_id) AS rep
+  FROM documents GROUP BY text)
+SELECT lang,
+       CASE WHEN (r.rep * 2654435761) % 4294967296 < {SPLIT_TEST_THRESH}
+            THEN 'test' ELSE 'train' END AS split,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_texts
+FROM t JOIN r USING (text)
+GROUP BY lang, split
+"""

