@@ -1216,3 +1216,77 @@ class TestDocSplitLeakfree:
         assert got.n_texts.sum() == d.groupby("text").ngroups \
             + 0  # each text counted once per lang it appears in
         assert set(got.split) <= {"train", "test"}
+
+
+class TestDqValidate:
+    def test_matches_pandas_reference(self, ray_session):
+        """Every check count == a pandas reference over the raw
+        parquet; zero-violation checks stay in the report."""
+        from stac_to_geocore_ray.queries import dq_validate
+        got = dq_validate(SF).to_pandas().set_index("check_name")
+
+        cust = pd.read_parquet(f"{SF}/customer.parquet")
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_shipdate"])
+        ev = pd.read_parquet(f"{SF}/events.parquet", columns=["props"])
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["text", "n_chars"])
+        assert got.loc["customer_negative_acctbal", "n_violations"] \
+            == (cust.c_acctbal < 0).sum()
+        assert got.loc["orders_orphan_custkey", "n_violations"] \
+            == (~orders.o_custkey.isin(cust.c_custkey)).sum()
+        assert got.loc["orders_future_date", "n_violations"] \
+            == (orders.o_orderdate > pd.Timestamp("1998-12-31")).sum()
+        orphan_keys = set(li.l_orderkey.unique()) \
+            - set(orders.o_orderkey.unique())
+        assert got.loc["lineitem_orphan_orderkey", "n_violations"] \
+            == len(orphan_keys)
+        m = li.merge(orders[["o_orderkey", "o_orderdate"]],
+                     left_on="l_orderkey", right_on="o_orderkey")
+        assert got.loc["lineitem_ship_before_order", "n_violations"] \
+            == (m.l_shipdate < m.o_orderdate).sum()
+        assert got.loc["events_null_props", "n_violations"] \
+            == ev.props.isna().sum()
+        assert got.loc["docs_nchars_mismatch", "n_violations"] \
+            == (docs.text.str.len() != docs.n_chars).sum()
+
+    def test_detects_planted_violations(self, ray_session, tmp_path):
+        """Plant one violation of each single-table class in a tiny
+        copy of the tables; every planted defect must be counted."""
+        import shutil
+        from stac_to_geocore_ray.queries import dq_validate
+        for t in ["customer", "orders", "lineitem", "events",
+                  "documents", "region", "nation", "supplier", "part",
+                  "embeddings"]:
+            src = f"{SF}/{t}.parquet"
+            if t == "customer":
+                df = pd.read_parquet(src)
+                df.loc[df.index[0], "c_acctbal"] = -1.0
+                df.to_parquet(tmp_path / f"{t}.parquet")
+            elif t == "orders":
+                df = pd.read_parquet(src)
+                # orphan custkey + future date on two distinct rows
+                df.loc[df.index[0], "o_custkey"] = 10 ** 12
+                df.loc[df.index[1], "o_orderdate"] = \
+                    pd.Timestamp("2099-01-01")
+                df.to_parquet(tmp_path / f"{t}.parquet")
+            elif t == "events":
+                df = pd.read_parquet(src)
+                df["props"] = df["props"].astype(object)
+                df.loc[df.index[0], "props"] = None
+                df.to_parquet(tmp_path / f"{t}.parquet")
+            elif t == "documents":
+                df = pd.read_parquet(src)
+                df.loc[df.index[0], "n_chars"] = \
+                    int(df.loc[df.index[0], "n_chars"]) + 1
+                df.to_parquet(tmp_path / f"{t}.parquet")
+            else:
+                shutil.copy(src, tmp_path / f"{t}.parquet")
+        got = dq_validate(str(tmp_path)).to_pandas() \
+            .set_index("check_name")
+        assert got.loc["customer_negative_acctbal", "n_violations"] >= 1
+        assert got.loc["orders_orphan_custkey", "n_violations"] >= 1
+        assert got.loc["orders_future_date", "n_violations"] >= 1
+        assert got.loc["events_null_props", "n_violations"] == 1
+        assert got.loc["docs_nchars_mismatch", "n_violations"] == 1
