@@ -460,3 +460,85 @@ SELECT h.image_id, h.caption, p.cx, p.cy
 FROM hit h JOIN pts p USING (image_id)
 WHERE p.cx >= {w} AND p.cx <= {e} AND p.cy >= {s} AND p.cy <= {n}
 """
+
+
+# ------------------------------------------------- hamming radius search
+
+PHS_NQ = 8          # query count (the NQ lexicographically-first images)
+PHS_RADIUS = 2      # max Hamming distance
+
+
+def _phs_query_ids() -> list[str]:
+    return [f"img-{i:09d}" for i in range(PHS_NQ)]
+
+
+def phash_hamming_search(sf_dir: str):
+    """HAMMING-RADIUS SEARCH over the image corpus: every image within
+    distance <= 2 of each of 8 fixed query pHashes — near-dup lookup as
+    a SEARCH (reverse-image / takedown / provenance queries), where the
+    pairwise family (phash_near_dedup) answers it as a JOIN.
+
+    Scale shape: the query side is broadcast once (ids + uint64
+    hashes); each corpus batch computes the full (n x Q) XOR-popcount
+    matrix with one unpackbits pass — a single streaming read, NO
+    shuffle, output-sized results.  O(N*Q) is the right algorithm while
+    Q is interactive-sized; past that, reuse phash_near_dedup's
+    multi-index band tables (Norouzi MIH): index the corpus once, probe
+    each query's band buckets, confirm exactly — same kernels, bucketed
+    candidate sets.
+
+    The popcount parity with the oracle is exact: numpy uint64 XOR on
+    the int64 bit pattern == DuckDB bit_count(xor(BIGINT)) on two's
+    complement (probed both engines).
+    """
+    import ray
+    import pyarrow.dataset as pads
+
+    p = _fx(sf_dir)
+    qids = _phs_query_ids()
+    qt = pads.dataset(p["images"]).to_table(
+        columns=["image_id", "phash"],
+        filter=pads.field("image_id").isin(qids))
+    order = pc.sort_indices(qt["image_id"])
+    q_ids = np.asarray(qt["image_id"].take(order))
+    q_h = qt["phash"].take(order).to_numpy().astype(np.int64) \
+        .view(np.uint64)
+    ref = ray.put((q_ids, q_h))
+
+    ds = _meta_read(p["images"], columns=["image_id", "phash"])
+
+    def probe(batch: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q_h = (ray.get(_ref)
+                      if isinstance(_ref, ray.ObjectRef) else _ref)
+        h = np.ascontiguousarray(
+            batch["phash"].to_numpy().astype(np.int64)).view(np.uint64)
+        n = len(h)
+        if n == 0 or len(q_h) == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "image_id": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        x = np.ascontiguousarray(h[:, None] ^ q_h[None, :])
+        d = np.unpackbits(x.view(np.uint8), axis=1) \
+            .reshape(n, len(q_h), 8 * 8).sum(axis=2, dtype=np.int64)
+        rows, cols = np.nonzero(d <= PHS_RADIUS)
+        ids = np.asarray(batch["image_id"])
+        return pa.table({
+            "query_id": pa.array(q_ids[cols], pa.string()),
+            "image_id": pa.array(ids[rows], pa.string()),
+            "dist": pa.array(d[rows, cols], pa.int64())})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _phash_hamming_search_sql() -> str:
+    idlist = ", ".join(f"'{i}'" for i in _phs_query_ids())
+    return f"""
+WITH q AS (
+  SELECT image_id AS query_id, phash AS qh
+  FROM read_parquet('{_fx_glob("images")}')
+  WHERE image_id IN ({idlist}))
+SELECT q.query_id, im.image_id,
+       CAST(bit_count(xor(im.phash, q.qh)) AS BIGINT) AS dist
+FROM read_parquet('{_fx_glob("images")}') im, q
+WHERE bit_count(xor(im.phash, q.qh)) <= {PHS_RADIUS}
+"""

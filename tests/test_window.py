@@ -1290,3 +1290,39 @@ class TestDqValidate:
         assert got.loc["orders_future_date", "n_violations"] >= 1
         assert got.loc["events_null_props", "n_violations"] == 1
         assert got.loc["docs_nchars_mismatch", "n_violations"] == 1
+
+
+class TestPhashHammingSearch:
+    def test_matches_bruteforce(self, ray_session):
+        """Search output == a brute-force XOR-popcount scan, including
+        the dist-0 self rows; every planted exact/1-bit dup of a query
+        image must surface."""
+        from stac_to_geocore_ray.queries import phash_hamming_search
+        from stac_to_geocore_ray.queries.media import (
+            PHS_RADIUS, _phs_query_ids)
+        from stac_to_geocore_ray.queries._common import _fx
+        got = phash_hamming_search(SF).to_pandas() \
+            .sort_values(["query_id", "image_id"]).reset_index(drop=True)
+
+        im = pd.read_parquet(_fx(SF)["images"],
+                             columns=["image_id", "phash"])
+        h = im.phash.to_numpy().astype(np.int64).view(np.uint64)
+        qids = [q for q in _phs_query_ids()
+                if q in set(im.image_id)]
+        rows = []
+        qmap = im.set_index("image_id").phash
+        for q in qids:
+            qh = np.uint64(np.int64(qmap[q]).astype(np.uint64))
+            d = np.array([bin(int(x ^ qh)).count("1") for x in h])
+            for i in np.flatnonzero(d <= PHS_RADIUS):
+                rows.append((q, im.image_id.iloc[i], int(d[i])))
+        ref = pd.DataFrame(rows, columns=["query_id", "image_id",
+                                          "dist"]) \
+            .sort_values(["query_id", "image_id"]).reset_index(drop=True)
+        assert got.query_id.tolist() == ref.query_id.tolist()
+        assert got.image_id.tolist() == ref.image_id.tolist()
+        assert got.dist.tolist() == ref.dist.tolist()
+        # self rows present at dist 0
+        selfs = got[(got.query_id == got.image_id)]
+        assert set(selfs.query_id) == set(qids)
+        assert (selfs.dist == 0).all()
