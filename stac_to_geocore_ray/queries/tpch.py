@@ -2445,3 +2445,79 @@ FROM customer a JOIN customer b
           THEN levenshtein(a.c_name, b.c_name)
           ELSE 2 END <= 1
 """
+
+
+# ------------------------------------------------------------- skyline
+
+def skyline_parts(sf_dir: str):
+    """2-D SKYLINE (Pareto front): parts not dominated on (retail price
+    LOW, size HIGH) — the multi-criteria shortlist op (cheapest part at
+    every size level).  A dominates B iff A.price <= B.price,
+    A.size >= B.size, and strictly better on at least one.
+
+    The distributed shape is the classic two-level skyline: every
+    batch computes its LOCAL skyline (a point dominated in a subset is
+    dominated globally, so local filtering is lossless), and the
+    surviving frontier — at most one price level per distinct size,
+    here <= 50 rows — folds through one final skyline pass in a single
+    task.  Contraction is ~|batch| -> ~|distinct sizes|, so at 100 TB
+    the all-to-all moves frontiers, never parts.
+
+    The per-batch kernel is fully vectorized: per-price max size
+    (lexicographic sort + boundary mask), then a running strictly-
+    cheaper max via shifted maximum.accumulate; ties on BOTH dims
+    survive together (equal points do not dominate each other), ties
+    on price alone keep only the max size.  Comparisons only — no
+    float arithmetic — so engine/oracle parity is exact.
+    """
+
+    ds = _meta_read(_t(sf_dir, "part"),
+                    columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return table_from_pandas(df)
+        price = df["p_retailprice"].to_numpy()
+        size = df["p_size"].to_numpy().astype(np.int64)
+        # sort by (price asc, size desc): within a price run the first
+        # row holds the run max size
+        order = np.lexsort((-size, price))
+        p_s, s_s = price[order], size[order]
+        first = np.r_[True, p_s[1:] != p_s[:-1]]
+        run_max = s_s[np.maximum.accumulate(
+            np.where(first, np.arange(len(s_s)), 0))]
+        # max size among STRICTLY cheaper prices: accumulate run maxima
+        # over price levels, shifted one level back
+        lvl = np.cumsum(first) - 1                  # price-level index
+        lvl_max = np.maximum.accumulate(s_s[first])  # per-level prefix max
+        cheaper_max = np.where(lvl > 0, lvl_max[np.maximum(lvl - 1, 0)],
+                               np.iinfo(np.int64).min)
+        keep_sorted = (s_s == run_max) & (s_s > cheaper_max)
+        keep = np.zeros(len(df), dtype=bool)
+        keep[order[keep_sorted]] = True
+        return table_from_pandas(df.loc[keep], preserve_index=False)
+
+    local = ds.map_batches(local_skyline, batch_format="pyarrow")
+    # global pass over the contracted frontier candidates: one task
+    final = local.repartition(1).map_batches(local_skyline,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "p_retailprice": batch["p_retailprice"],
+            "p_size": pc.cast(batch["p_size"], pa.int64())})
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part b
+WHERE NOT EXISTS (
+  SELECT 1 FROM part a
+  WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+    AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))
+"""

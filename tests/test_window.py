@@ -1326,3 +1326,51 @@ class TestPhashHammingSearch:
         selfs = got[(got.query_id == got.image_id)]
         assert set(selfs.query_id) == set(qids)
         assert (selfs.dist == 0).all()
+
+
+class TestSkylineParts:
+    def test_matches_bruteforce(self, ray_session, tiny_blocks):
+        """Two-level skyline == O(n^2) dominance scan, under forced-
+        tiny blocks so the local/global decomposition is exercised."""
+        from stac_to_geocore_ray.queries import skyline_parts
+        got = skyline_parts(SF).to_pandas() \
+            .sort_values("p_partkey").reset_index(drop=True)
+        df = pd.read_parquet(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_retailprice",
+                                      "p_size"])
+        pr = df.p_retailprice.to_numpy()
+        sz = df.p_size.to_numpy()
+        dominated = np.zeros(len(df), dtype=bool)
+        for i in range(len(df)):
+            dom = (pr <= pr[i]) & (sz >= sz[i]) \
+                & ((pr < pr[i]) | (sz > sz[i]))
+            dominated[i] = dom.any()
+        ref = df.loc[~dominated].sort_values("p_partkey") \
+            .reset_index(drop=True)
+        assert got.p_partkey.tolist() == ref.p_partkey.tolist()
+        assert got.p_size.tolist() == ref.p_size.tolist()
+        assert np.allclose(got.p_retailprice, ref.p_retailprice)
+
+    def test_ties_survive_together(self, ray_session):
+        """Synthetic frame: equal (price, size) points both survive;
+        same price with smaller size is dominated."""
+        import pyarrow as pa
+        from stac_to_geocore_ray.queries.tpch import skyline_parts as _  # noqa
+        # exercise the kernel directly
+        import stac_to_geocore_ray.queries.tpch as t
+        batch = pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_retailprice": pa.array([10.0, 10.0, 10.0, 5.0, 20.0]),
+            "p_size": pa.array([7, 7, 3, 2, 9], pa.int32())})
+        # local kernel is nested; drive via the public query on a tmp
+        # parquet instead
+        import tempfile, os
+        import pyarrow.parquet as pq
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(batch, os.path.join(d, "part.parquet"))
+            out = t.skyline_parts(d).to_pandas() \
+                .sort_values("p_partkey")
+        # dominance: 4 (5.0, 2)? dominated by nothing cheaper with
+        # bigger size -> (5.0,2) survives; (10,7) twins survive;
+        # (10,3) dominated by (10,7); (20,9) survives
+        assert out.p_partkey.tolist() == [1, 2, 4, 5]
