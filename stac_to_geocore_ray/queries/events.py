@@ -1704,3 +1704,115 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts DESC, event_id DESC) = 1
 """
+
+
+# ------------------------------------------------------------- anomalies
+
+def events_anomaly_zscore(sf_dir: str):
+    """Per-user Z-SCORE OUTLIER detection (|x - mean_u| > 3 sd_u,
+    population sd), counted per event type — the feature-cleaning /
+    fraud-screen op class: standardize against each entity's own
+    history, flag the tail.
+
+    Two passes, both streaming: (1) per-user exact integer sufficient
+    statistics (n, Σx, Σx²) over cents — per-batch partials fold
+    through ``sorted_combine`` (per-user keys barely contract, the
+    lesson-21 regime); (2) events re-join their user's stats through
+    ONE distributed hash join (fact-fact on user_id — never a
+    broadcast: users scale with the corpus), and the flag fuses into
+    the join's consumer map with per-type counts folding through
+    ``small_domain_fold``.
+
+    Exactness contract: the tail test is the INTEGER inequality
+    (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — both sides integers, no division,
+    no sqrt.  The batch kernel evaluates it in float64 (products can
+    exceed 2^53) and re-checks only rows within a 1e-9 relative band of
+    the boundary with Python arbitrary-precision ints, so the count is
+    exact at any magnitude; the oracle states the same inequality in
+    HUGEINT.  Zero-variance users flag nothing (0 > 0 is false in both
+    engines).
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "event_type", "value"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
+                           "x": _cents(batch["value"].to_numpy())})
+        df["xx"] = df.x * df.x
+        g = df.groupby("user_id", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"),
+            sxx=("xx", "sum")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    stats = sorted_combine(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"n": "sum", "sx": "sum", "sxx": "sum"})
+
+    ev = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "event_type", "value"])
+    # drop_empty_blocks: sorted_combine's boundary fold can emit
+    # zero-column empties at tiny scale; a hash join dies resolving
+    # FieldRef keys on them (lesson 28)
+    from ..stages.util import drop_empty_blocks
+    joined = ev.join(drop_empty_blocks(stats.materialize()),
+                     join_type="inner", num_partitions=8,
+                     on=("user_id",))
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_outliers": pa.array([], pa.int64())})
+        x = _cents(batch["value"].to_numpy()).astype(np.float64)
+        n = batch["n"].to_numpy().astype(np.float64)
+        sx = batch["sx"].to_numpy().astype(np.float64)
+        sxx = batch["sxx"].to_numpy().astype(np.float64)
+        lhs = (n * x - sx) ** 2
+        rhs = 9.0 * (n * sxx - sx * sx)
+        scale = np.maximum(np.maximum(np.abs(lhs), np.abs(rhs)), 1.0)
+        out = lhs > rhs
+        near = np.abs(lhs - rhs) <= 1e-9 * scale
+        if near.any():                       # exact boundary recheck
+            xi = _cents(batch["value"].to_numpy())
+            ni = batch["n"].to_numpy()
+            sxi = batch["sx"].to_numpy()
+            sxxi = batch["sxx"].to_numpy()
+            for i in np.flatnonzero(near):
+                l = (int(ni[i]) * int(xi[i]) - int(sxi[i])) ** 2
+                r = 9 * (int(ni[i]) * int(sxxi[i]) - int(sxi[i]) ** 2)
+                out[i] = l > r
+        # group the WHOLE batch (zero counts included) so a batch with
+        # no outliers still emits typed partial rows — an all-empty
+        # partial stream would reach the fold as a schema-less empty
+        # block (lesson 28) and lose the output schema
+        df = pd.DataFrame({
+            "event_type": np.asarray(batch["event_type"]),
+            "flag": out.astype(np.int64)})
+        g = df.groupby("event_type", sort=False)["flag"].sum() \
+            .reset_index(name="n_outliers")
+        return table_from_pandas(g, preserve_index=False)
+
+    per_batch = joined.map_batches(flag_partial, batch_format="pyarrow")
+    return small_domain_fold(per_batch, keys=["event_type"],
+                             sum_cols=["n_outliers"])
+
+
+EVENTS_ANOMALY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events),
+s AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM c GROUP BY user_id)
+SELECT event_type,
+       sum(CASE WHEN (CAST(n AS HUGEINT) * x - sx)
+                     * (CAST(n AS HUGEINT) * x - sx)
+                > 9 * (CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx)
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM c JOIN s USING (user_id)
+GROUP BY event_type
+"""

@@ -1374,3 +1374,44 @@ class TestSkylineParts:
         # bigger size -> (5.0,2) survives; (10,7) twins survive;
         # (10,3) dominated by (10,7); (20,9) survives
         assert out.p_partkey.tolist() == [1, 2, 4, 5]
+
+
+class TestEventsAnomalyZscore:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        """Integer-inequality outlier counts == a float pandas z-score
+        reference (boundary cases absent at this scale), under forced-
+        tiny blocks so stats partials fold across blocks."""
+        from stac_to_geocore_ray.queries import events_anomaly_zscore
+        got = events_anomaly_zscore(SF).to_pandas() \
+            .set_index("event_type").n_outliers
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "event_type", "value"])
+        ev["x"] = _cents(ev.value.to_numpy())
+        g = ev.groupby("user_id")["x"]
+        mu = g.transform("mean")
+        sd = g.transform(lambda v: v.std(ddof=0))
+        out = (ev.x - mu).abs() > 3 * sd
+        ref = ev.loc[out].groupby("event_type").size()
+        for et in set(ref.index) | set(got.index):
+            assert got.get(et, 0) == ref.get(et, 0), et
+
+    def test_exact_boundary_recheck(self, ray_session, tmp_path):
+        """A planted user whose extreme event sits EXACTLY on the 3-sd
+        boundary must NOT be flagged (strict >): n=10, nine zeros and
+        one value v gives (n*x - sx)^2 == 9*(n*sxx - sx^2) exactly."""
+        import shutil
+        import pyarrow.parquet as pq
+        from stac_to_geocore_ray.queries import events_anomaly_zscore
+        # nine 0-cent events + one at v cents: x=v, sx=v, sxx=v^2
+        # lhs=(10v-v)^2=81v^2, rhs=9(10v^2-v^2)=81v^2 -> equality
+        v = 100
+        df = pd.DataFrame({
+            "event_id": np.arange(10),
+            "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+            "user_id": np.full(10, 7),
+            "event_type": ["edge"] * 10,
+            "value": [0.0] * 9 + [v / 100.0],
+            "props": ["{}"] * 10})
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events_anomaly_zscore(str(tmp_path)).to_pandas()
+        assert got.n_outliers.sum() == 0
