@@ -631,6 +631,26 @@ def golden_kmeans(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": pa.array(ids, pa.int64()),
                      "cluster": pa.array(out, pa.int64())})
 
+def golden_geo_union_area(sf_dir: str) -> pa.Table:
+    """Per-collection exact union area: GLOBAL (untiled) y-compressed
+    slab sweep over the whole collection — independent of the engine's
+    tile decomposition and of its grid kernel; shares only the
+    fixed-point quantizer (parity requires ONE quantization rule)."""
+    from .sources import fixtures
+    from .stages.footprint import quantize_rects, rect_union_area_sweep
+    p = fixtures.paths(sf_dir)
+    df = pq.read_table(p["stac_items"],
+                       columns=["collection_id", "bbox"]).to_pandas()
+    rows = []
+    for cid, g in df.groupby("collection_id", sort=True):
+        bb = np.stack(g.bbox.to_numpy())
+        r = quantize_rects(bb)
+        rows.append((cid, int(rect_union_area_sweep(r))))
+    return pa.table({
+        "collection_id": pa.array([c for c, _ in rows], pa.string()),
+        "union_area_u": pa.array([a for _, a in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -649,6 +669,7 @@ GOLDENS = {
     "ann_ivf": golden_ann_ivf,
     "kmeans_embeddings": golden_kmeans,
     "image_thumbnails": golden_thumbnails,
+    "geo_union_area": golden_geo_union_area,
 }
 
 

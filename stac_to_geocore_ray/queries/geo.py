@@ -1246,3 +1246,108 @@ SELECT zone, CAST(count(*) AS BIGINT) AS n_overlaps,
        round(CAST(sum(amk) AS DOUBLE) / any_value(zmk), 6) AS coverage_r
 FROM pair GROUP BY 1
 """
+
+
+# ------------------------------------------------------------ union area
+
+UNION_TILE_U = 4_000_000          # 4-degree tiles, micro-degree units
+
+
+def geo_union_area(sf_dir: str):
+    """EXACT per-collection UNION-of-footprints area (coverage
+    dissolve): overlapping item bboxes counted ONCE — the polygon-
+    dissolve aggregate every catalog coverage report needs, where
+    geo_bbox_area's per-item sums double-count overlaps.
+
+    Distributed shape: the plane is partitioned into fixed 4-degree
+    tiles; every bbox is CLIPPED to the tiles it touches (vectorized
+    two-level repeat — a bbox costs rows only for tiles it actually
+    overlaps), so per-(collection, tile) groups are spatially local
+    and the union decomposes EXACTLY (tiles are disjoint: union area ==
+    sum of per-tile union areas of the clipped pieces).  Groups ride
+    the shared keyed_boundary_decompose sort; each group computes its
+    exact integer union via coordinate compression (2-D difference
+    grid under UNION_GRID_MAX rects, O(k)-memory slab sweep above —
+    stages/footprint.rect_union_area, the two paths property-tested
+    equal), and per-collection tile sums fold through
+    small_domain_fold.  A denser corpus shrinks the tile constant,
+    not the algorithm (per-tile k bounds both grid memory and sweep
+    time).
+
+    Exactness: coordinates quantize ONCE to int64 micro-degrees
+    (stages/footprint.quantize_rects, shared with the golden); all
+    union arithmetic is integer.  The golden replays a GLOBAL
+    (untiled) y-compressed slab sweep per collection — independent of
+    the tiling and of the grid kernel.  Oracle: golden parquet (DuckDB
+    cannot express union-of-rectangles measure in SQL).
+    """
+    import pandas as pd
+
+    from ..stages.footprint import (bbox_view, quantize_rects,
+                                    rect_union_area)
+    from ..stages.util import keyed_boundary_decompose, small_domain_fold
+    p = _fx(sf_dir)
+    ds = clean_read_parquet(p["stac_items"],
+                            columns=["collection_id", "bbox"])
+    T = UNION_TILE_U
+
+    def clip(batch: pa.Table) -> pa.Table:
+        r = quantize_rects(bbox_view(batch))
+        coll = np.asarray(batch["collection_id"])
+        ok = (r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])
+        r, coll = r[ok], coll[ok]
+        if len(r) == 0:
+            return pa.table({
+                "gkey": pa.array([], pa.string()),
+                "collection_id": pa.array([], pa.string()),
+                "w": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+                "e": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        tx0 = np.floor_divide(r[:, 0], T)
+        ty0 = np.floor_divide(r[:, 1], T)
+        # half-open boxes: a box ending exactly on a tile edge does not
+        # enter the next tile
+        tx1 = np.floor_divide(r[:, 2] - 1, T)
+        ty1 = np.floor_divide(r[:, 3] - 1, T)
+        nx = (tx1 - tx0 + 1)
+        ny = (ty1 - ty0 + 1)
+        total = nx * ny
+        row = np.repeat(np.arange(len(r)), total)
+        k = np.arange(int(total.sum())) - np.repeat(
+            np.r_[0, np.cumsum(total)[:-1]], total)
+        ny_r = ny[row]
+        tx = tx0[row] + k // ny_r
+        ty = ty0[row] + k % ny_r
+        cw = np.maximum(r[row, 0], tx * T)
+        ce = np.minimum(r[row, 2], (tx + 1) * T)
+        cs = np.maximum(r[row, 1], ty * T)
+        cn = np.minimum(r[row, 3], (ty + 1) * T)
+        cid = coll[row]
+        gkey = pd.Series(cid).astype(str) + ":" \
+            + pd.Series(tx).astype(str) + ":" + pd.Series(ty).astype(str)
+        return pa.table({
+            "gkey": pa.array(gkey.to_numpy(), pa.string()),
+            "collection_id": pa.array(cid, pa.string()),
+            "w": pa.array(cw, pa.int64()), "s": pa.array(cs, pa.int64()),
+            "e": pa.array(ce, pa.int64()), "n": pa.array(cn, pa.int64())})
+
+    clipped = ds.map_batches(clip, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "collection_id": pd.Series([], dtype="object"),
+                "union_area_u": pd.Series([], dtype="int64")})
+        rows = []
+        for gk, g in df.groupby("gkey", sort=False):
+            r = g[["w", "s", "e", "n"]].to_numpy()
+            rows.append((g["collection_id"].iloc[0],
+                         rect_union_area(r)))
+        return pd.DataFrame(rows, columns=["collection_id",
+                                           "union_area_u"])
+
+    per_tile = keyed_boundary_decompose(
+        clipped, sort_keys=["gkey"], key_col="gkey",
+        raw_cols=["gkey", "collection_id", "w", "s", "e", "n"],
+        kernel=kernel)
+    return small_domain_fold(per_tile, keys=["collection_id"],
+                             sum_cols=["union_area_u"])

@@ -134,3 +134,97 @@ def _encode_split(batch: pa.Table, *, s2_level: int, hex_res: int,
         out = out.append_column(
             "geometry_wkt", pa.array(make(pw, ps, pe, pn), pa.string()))
     return out
+
+
+# ---------------------------------------------------------- union area
+
+UNION_SCALE = 1_000_000          # micro-degree fixed point
+
+
+def quantize_rects(bb: np.ndarray) -> np.ndarray:
+    """(n,4) float (w,s,e,n) degrees -> int64 micro-degrees, half-up.
+
+    Fixed-point quantization makes 'union area' a single well-defined
+    integer both the engine and the golden compute exactly — no float
+    area arithmetic anywhere.  Boxes with e <= w or n <= s (degenerate
+    or antimeridian-crossing) have zero measure by contract.
+    """
+    return np.floor(np.asarray(bb, dtype=np.float64)
+                    * UNION_SCALE + 0.5).astype(np.int64)
+
+
+def _nonempty(r: np.ndarray) -> np.ndarray:
+    return r[(r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])]
+
+
+def rect_union_area_grid(r: np.ndarray) -> int:
+    """EXACT union area of int rects via coordinate compression + a 2-D
+    difference array (imos method): O(k^2) cells, fully vectorized —
+    the fast path for tile-local groups (k <= ~1.5k keeps the grid
+    under ~40 MB int32)."""
+    r = _nonempty(np.asarray(r, dtype=np.int64))
+    if len(r) == 0:
+        return 0
+    xs = np.unique(np.r_[r[:, 0], r[:, 2]])
+    ys = np.unique(np.r_[r[:, 1], r[:, 3]])
+    ix0 = np.searchsorted(xs, r[:, 0])
+    ix1 = np.searchsorted(xs, r[:, 2])
+    iy0 = np.searchsorted(ys, r[:, 1])
+    iy1 = np.searchsorted(ys, r[:, 3])
+    d = np.zeros((len(xs), len(ys)), dtype=np.int32)
+    np.add.at(d, (ix0, iy0), 1)
+    np.add.at(d, (ix1, iy0), -1)
+    np.add.at(d, (ix0, iy1), -1)
+    np.add.at(d, (ix1, iy1), 1)
+    cnt = d.cumsum(axis=0).cumsum(axis=1)[:-1, :-1]
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    covered = cnt > 0
+    # area = sum over covered cells of dx_i * dy_j, int64 throughout
+    per_row = covered.astype(np.int64) @ dy.astype(np.int64)
+    return int(per_row @ dx.astype(np.int64))
+
+
+def rect_union_area_sweep(r: np.ndarray) -> int:
+    """EXACT union area via an x-slab sweep over a y-compressed
+    difference array: O(k) memory regardless of k (the grid method's
+    k^2 cells), O(k * slabs) time — the dense-group fallback.  Also
+    the algorithmically-independent cross-check for the grid path."""
+    r = _nonempty(np.asarray(r, dtype=np.int64))
+    if len(r) == 0:
+        return 0
+    ys = np.unique(np.r_[r[:, 1], r[:, 3]])
+    dy = np.diff(ys).astype(np.int64)
+    iy0 = np.searchsorted(ys, r[:, 1])
+    iy1 = np.searchsorted(ys, r[:, 3])
+    # events: (x, +1/-1, iy0, iy1)
+    ex = np.r_[r[:, 0], r[:, 2]]
+    ed = np.r_[np.ones(len(r), np.int32), -np.ones(len(r), np.int32)]
+    e0 = np.r_[iy0, iy0]
+    e1 = np.r_[iy1, iy1]
+    order = np.argsort(ex, kind="stable")
+    ex, ed, e0, e1 = ex[order], ed[order], e0[order], e1[order]
+    xs = np.unique(ex)
+    ycnt = np.zeros(len(ys) - 1, dtype=np.int32)
+    area = 0
+    starts = np.searchsorted(ex, xs)
+    stops = np.r_[starts[1:], len(ex)]
+    for i in range(len(xs)):
+        for j in range(starts[i], stops[i]):
+            ycnt[e0[j]:e1[j]] += ed[j]
+        if i + 1 < len(xs):
+            covered = int(dy[ycnt > 0].sum())
+            area += covered * int(xs[i + 1] - xs[i])
+    return area
+
+
+UNION_GRID_MAX = 1500            # grid fast path bound (memory-driven)
+
+
+def rect_union_area(r: np.ndarray) -> int:
+    """Size-dispatched exact union area (grid under UNION_GRID_MAX
+    rects, slab sweep above); both paths are property-tested equal."""
+    r = np.asarray(r, dtype=np.int64)
+    if len(r) <= UNION_GRID_MAX:
+        return rect_union_area_grid(r)
+    return rect_union_area_sweep(r)

@@ -356,3 +356,50 @@ class TestRadiusJoiner:
         ])
         out = j(self._batch(rects, ids=["a", "b", "c"]))
         assert sorted(out["image_id"].to_pylist()) == ["a", "b"]
+
+
+class TestRectUnionArea:
+    def test_grid_equals_sweep_random(self):
+        """Property: the O(k^2)-cell grid and the O(k)-memory sweep
+        compute the same exact union on random overlapping rects."""
+        from stac_to_geocore_ray.stages.footprint import (
+            rect_union_area_grid, rect_union_area_sweep)
+        rng = np.random.RandomState(7)
+        for _ in range(100):
+            k = rng.randint(1, 60)
+            x0 = rng.randint(-1000, 1000, k)
+            y0 = rng.randint(-1000, 1000, k)
+            r = np.stack([x0, y0, x0 + rng.randint(0, 500, k),
+                          y0 + rng.randint(0, 500, k)], 1)
+            assert rect_union_area_grid(r) == rect_union_area_sweep(r)
+
+    def test_known_shapes(self):
+        from stac_to_geocore_ray.stages.footprint import rect_union_area
+        # disjoint
+        assert rect_union_area(np.array([[0, 0, 2, 2],
+                                         [10, 10, 12, 12]])) == 8
+        # fully nested
+        assert rect_union_area(np.array([[0, 0, 10, 10],
+                                         [2, 2, 4, 4]])) == 100
+        # half overlap
+        assert rect_union_area(np.array([[0, 0, 4, 2],
+                                         [2, 0, 6, 2]])) == 12
+        # degenerate / inverted drop out
+        assert rect_union_area(np.array([[5, 5, 5, 9],
+                                         [9, 9, 5, 12]])) == 0
+
+    def test_tile_decomposition_exact(self, ray_session, tiny_blocks):
+        """Engine (tiled, mixed grid/sweep kernels) == golden (global
+        untiled sweep) on the fixture — overlapping boxes straddle the
+        4-degree tile edges by construction."""
+        from stac_to_geocore_ray.queries import geo_union_area
+        from stac_to_geocore_ray.goldens import golden_geo_union_area
+        got = geo_union_area("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("collection_id").reset_index(drop=True)
+        ref = golden_geo_union_area("/root/testdata/sf0.001") \
+            .to_pandas().sort_values("collection_id") \
+            .reset_index(drop=True)
+        assert got.collection_id.tolist() == ref.collection_id.tolist()
+        assert got.union_area_u.tolist() == ref.union_area_u.tolist()
+        # union never exceeds per-item sum, never below max single box
+        assert (got.union_area_u > 0).all()

@@ -19,16 +19,6 @@ def _cents(v):
     return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype("int64")
 
 
-@pytest.fixture()
-def tiny_blocks():
-    import ray.data
-    ctx = ray.data.DataContext.get_current()
-    old = ctx.target_max_block_size
-    ctx.target_max_block_size = 16 * 1024     # ~hundreds of rows/block
-    yield
-    ctx.target_max_block_size = old
-
-
 class TestEventsWindowRank:
     def test_matches_pandas_reference(self, ray_session, tiny_blocks):
         from stac_to_geocore_ray.queries import events_window_rank
