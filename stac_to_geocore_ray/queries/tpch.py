@@ -2521,3 +2521,79 @@ WHERE NOT EXISTS (
   WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
     AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))
 """
+
+
+# ------------------------------------------------------------- baskets
+
+BASKET_MINSUP = 2
+
+
+def market_basket_pairs(sf_dir: str):
+    """FREQUENT-PAIR MINING (association rules / co-purchase graphs):
+    unordered part pairs that appear together in >= 2 distinct orders,
+    with exact support counts.
+
+    Distributed shape: per-batch DISTINCT (order, part) partials
+    contract duplicates early; ONE sort on l_orderkey (the shared
+    keyed_boundary_decompose) makes each basket contiguous, and the
+    in-block kernel emits each basket's pair set via a C-level
+    self-merge (per-basket quadratic is bounded — TPC-H-shaped baskets
+    hold <= ~7 distinct parts; heavy-basket corpora would rep-split a
+    hot basket the way minhash splits its hot clusters before this
+    kernel).  Pair supports then fold through ``sorted_combine``
+    (pair keys barely contract per block — the lesson-21 regime), and
+    the min-support filter prunes to the report.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose, sorted_combine
+    ds = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return table_from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "pa": pd.Series([], dtype="int64"),
+                "pb": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        # re-dedup (order, part) rows that met across partial blocks,
+        # then pair via self-merge per basket
+        g = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="n")
+        out.columns = ["pa", "pb", "n"]
+        return out.astype({"pa": "int64", "pb": "int64", "n": "int64"})
+
+    pairs = keyed_boundary_decompose(
+        partials, sort_keys=["l_orderkey", "l_partkey"],
+        key_col="l_orderkey", raw_cols=["l_orderkey", "l_partkey"],
+        kernel=kernel)
+    counts = sorted_combine(pairs, keys=["pa", "pb"],
+                            aggs={"n": "sum"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n"], BASKET_MINSUP)
+        t = batch.filter(keep)
+        return pa.table({"pa": t["pa"],
+                         "pb": t["pb"],
+                         "support": pc.cast(t["n"], pa.int64())})
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+MARKET_BASKET_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT pa, pb, count(*) AS support
+FROM p GROUP BY pa, pb HAVING count(*) >= {BASKET_MINSUP}
+"""

@@ -1405,3 +1405,26 @@ class TestEventsAnomalyZscore:
         df.to_parquet(tmp_path / "events.parquet")
         got = events_anomaly_zscore(str(tmp_path)).to_pandas()
         assert got.n_outliers.sum() == 0
+
+
+class TestMarketBasketPairs:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        """Pair supports == a pandas merge reference under forced-tiny
+        blocks (baskets straddle blocks, partial dedup must re-fold)."""
+        from stac_to_geocore_ray.queries import market_basket_pairs
+        from stac_to_geocore_ray.queries.tpch import BASKET_MINSUP
+        got = market_basket_pairs(SF).to_pandas() \
+            .sort_values(["pa", "pb"]).reset_index(drop=True)
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        ref = m.groupby(["l_partkey_x", "l_partkey_y"]).size() \
+            .reset_index(name="support")
+        ref = ref[ref.support >= BASKET_MINSUP] \
+            .sort_values(["l_partkey_x", "l_partkey_y"]) \
+            .reset_index(drop=True)
+        assert got.pa.tolist() == ref.l_partkey_x.tolist()
+        assert got.pb.tolist() == ref.l_partkey_y.tolist()
+        assert got.support.tolist() == ref.support.tolist()
