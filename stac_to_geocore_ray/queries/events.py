@@ -1816,3 +1816,91 @@ SELECT event_type,
 FROM c JOIN s USING (user_id)
 GROUP BY event_type
 """
+
+
+# ------------------------------------------------------------- gap fill
+
+def events_dense_hourly(sf_dir: str):
+    """GAP-FILLED hourly series per event type (dense calendar
+    resample): every (type, hour) cell of the observed time span gets
+    a row, zeros included — the densify step every downstream
+    time-series model / chart / anomaly detector needs, where
+    events_hourly only reports hours that happened to contain events.
+
+    Scale shape: per-batch (type, hour) count partials contract to the
+    CALENDAR domain (|types| x |hours| — bounded by wall time, not
+    event count), so the global fold is one ``small_domain_fold``
+    task; the time span comes from the parquet FOOTER statistics (no
+    data scan), and densification is a driver-side grid merge on the
+    output-sized fold result.  At 100 TB nothing but counter rows and
+    footer metadata ever leave the workers.
+    """
+    import glob as _g
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = _t(sf_dir, "events")
+    ds = _meta_read(path, columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        g = df.groupby(["event_type", "hour"], sort=False) \
+            .size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = small_domain_fold(ds.map_batches(partial,
+                                           batch_format="pyarrow"),
+                            keys=["event_type", "hour"], sum_cols=["n"])
+
+    # observed span from footer stats — min/max over row-group column
+    # statistics, zero data read
+    frags = sorted(_g.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    lo = hi = None
+    for f in frags:
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no ts statistics in {f!r} row "
+                                 f"group {rg} — cannot gap-fill "
+                                 "without a span")
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+
+    lo_h = pd.Timestamp(lo).floor("h")
+    hi_h = pd.Timestamp(hi).floor("h")
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        hours = pd.date_range(lo_h, hi_h, freq="h")
+        types = sorted(df.event_type.unique())
+        grid = pd.MultiIndex.from_product(
+            [types, hours], names=["event_type", "hour"]).to_frame(
+            index=False)
+        out = grid.merge(df, on=["event_type", "hour"], how="left")
+        out["n"] = out.n.fillna(0).astype("int64")
+        out["hour"] = out.hour.astype("datetime64[us]")
+        return out
+
+    return agg.map_batches(densify, batch_format="pandas",
+                           batch_size=None)
+
+
+EVENTS_DENSE_HOURLY_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds),
+                                INTERVAL '1 hour')) AS hour),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (SELECT t.event_type, h.hour FROM types t CROSS JOIN hrs h),
+c AS (SELECT event_type, hour, count(*) AS n FROM b GROUP BY 1, 2)
+SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+FROM grid g LEFT JOIN c USING (event_type, hour)
+"""

@@ -1428,3 +1428,28 @@ class TestMarketBasketPairs:
         assert got.pa.tolist() == ref.l_partkey_x.tolist()
         assert got.pb.tolist() == ref.l_partkey_y.tolist()
         assert got.support.tolist() == ref.support.tolist()
+
+
+class TestEventsDenseHourly:
+    def test_matches_pandas_and_conserves(self, ray_session, tiny_blocks):
+        """Dense grid == pandas resample reference; zero-filled cells
+        present; total count conserves the corpus."""
+        from stac_to_geocore_ray.queries import events_dense_hourly
+        got = events_dense_hourly(SF).to_pandas() \
+            .sort_values(["event_type", "hour"]).reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "ts"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        hours = pd.date_range(ev.hour.min(), ev.hour.max(), freq="h")
+        types = sorted(ev.event_type.unique())
+        assert len(got) == len(hours) * len(types)
+        assert got.n.sum() == len(ev)
+        c = ev.groupby(["event_type", "hour"]).size()
+        for _, r in got[got.n > 0].iterrows():
+            assert c.loc[(r.event_type, r.hour)] == r.n
+        # every type covers the full span with no gaps
+        for t in types:
+            sub = got[got.event_type == t]
+            assert len(sub) == len(hours)
+            assert (sub.sort_values("hour").hour.to_numpy()
+                    == hours.to_numpy().astype("datetime64[us]")).all()
