@@ -176,7 +176,9 @@ def rect_union_area_grid(r: np.ndarray) -> int:
     np.add.at(d, (ix1, iy0), -1)
     np.add.at(d, (ix0, iy1), -1)
     np.add.at(d, (ix1, iy1), 1)
-    cnt = d.cumsum(axis=0).cumsum(axis=1)[:-1, :-1]
+    np.cumsum(d, axis=0, out=d)     # in place: fresh large temporaries
+    np.cumsum(d, axis=1, out=d)     # page-fault ~4 s/GB on this host
+    cnt = d[:-1, :-1]
     dx = np.diff(xs)
     dy = np.diff(ys)
     covered = cnt > 0
@@ -218,13 +220,60 @@ def rect_union_area_sweep(r: np.ndarray) -> int:
     return area
 
 
-UNION_GRID_MAX = 1500            # grid fast path bound (memory-driven)
+UNION_GRID_MAX = 512             # grid fast path bound (memory-driven)
+
+
+def _union_adaptive(r: np.ndarray, w: int, s: int, e: int, n: int) -> int:
+    """Exact union area of rects clipped to [w,e) x [s,n) via quadtree
+    splitting: dense regions subdivide until a leaf holds <=
+    UNION_GRID_MAX rects (grid kernel), with TWO pruning rules that
+    make overlap-heavy hotspots cheap — (a) a rect covering the whole
+    region answers immediately (region fully covered), (b) the region
+    first shrinks to the rects' joint bounding box (area outside it is
+    uncovered by definition).  Found by the 2M-bbox probe: a 4-degree
+    tile over a dense AOI holds ~27k rects, where the slab sweep's
+    O(k * slabs) recompute cost 80+ s per group."""
+    if len(r) == 0:
+        return 0
+    if len(r) <= UNION_GRID_MAX:
+        return rect_union_area_grid(r)
+    if bool(((r[:, 0] <= w) & (r[:, 1] <= s)
+             & (r[:, 2] >= e) & (r[:, 3] >= n)).any()):
+        return int(e - w) * int(n - s)
+    w = max(w, int(r[:, 0].min()))
+    s = max(s, int(r[:, 1].min()))
+    e = min(e, int(r[:, 2].max()))
+    n = min(n, int(r[:, 3].max()))
+    if e - w <= 1 or n - s <= 1:         # resolution floor
+        return rect_union_area_sweep(r)
+    xm, ym = (w + e) // 2, (s + n) // 2
+    area = 0
+    for qw, qs, qe, qn in ((w, s, xm, ym), (xm, s, e, ym),
+                           (w, ym, xm, n), (xm, ym, e, n)):
+        m = (r[:, 0] < qe) & (r[:, 2] > qw) \
+            & (r[:, 1] < qn) & (r[:, 3] > qs)
+        rq = r[m]
+        if len(rq) == 0:
+            continue
+        rq = rq.copy()
+        np.clip(rq[:, 0], qw, None, out=rq[:, 0])
+        np.clip(rq[:, 1], qs, None, out=rq[:, 1])
+        np.clip(rq[:, 2], None, qe, out=rq[:, 2])
+        np.clip(rq[:, 3], None, qn, out=rq[:, 3])
+        area += _union_adaptive(rq, qw, qs, qe, qn)
+    return area
 
 
 def rect_union_area(r: np.ndarray) -> int:
-    """Size-dispatched exact union area (grid under UNION_GRID_MAX
-    rects, slab sweep above); both paths are property-tested equal."""
-    r = np.asarray(r, dtype=np.int64)
+    """Size-dispatched exact union area: coordinate-compressed grid
+    under UNION_GRID_MAX rects, adaptive quadtree splitting (with
+    full-cover and bounding-box pruning) above; all paths
+    property-tested equal."""
+    r = _nonempty(np.asarray(r, dtype=np.int64))
+    if len(r) == 0:
+        return 0
     if len(r) <= UNION_GRID_MAX:
         return rect_union_area_grid(r)
-    return rect_union_area_sweep(r)
+    w, s = int(r[:, 0].min()), int(r[:, 1].min())
+    e, n = int(r[:, 2].max()), int(r[:, 3].max())
+    return _union_adaptive(r, w, s, e, n)

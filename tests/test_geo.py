@@ -403,3 +403,31 @@ class TestRectUnionArea:
         assert got.union_area_u.tolist() == ref.union_area_u.tolist()
         # union never exceeds per-item sum, never below max single box
         assert (got.union_area_u > 0).all()
+
+
+class TestUnionAdaptive:
+    def test_adaptive_equals_sweep_dense(self):
+        """Quadtree-split union (full-cover + bbox pruning) == slab
+        sweep on dense overlapping clusters above the grid bound."""
+        from stac_to_geocore_ray.stages.footprint import (
+            rect_union_area, rect_union_area_sweep, UNION_GRID_MAX)
+        rng = np.random.RandomState(11)
+        for _ in range(10):
+            k = rng.randint(UNION_GRID_MAX + 1, 2500)
+            cx = rng.randint(0, 500_000, k)
+            cy = rng.randint(0, 500_000, k)
+            hw = rng.randint(1, 150_000, k)
+            r = np.stack([cx, cy, cx + hw, cy + hw], 1)
+            assert rect_union_area(r) == rect_union_area_sweep(r)
+
+    def test_full_cover_shortcut(self):
+        """One giant rect over thousands of small ones: area == the
+        giant rect, answered without subdividing into it."""
+        from stac_to_geocore_ray.stages.footprint import rect_union_area
+        rng = np.random.RandomState(3)
+        k = 2000
+        x0 = rng.randint(10, 900, k)
+        y0 = rng.randint(10, 900, k)
+        r = np.vstack([np.stack([x0, y0, x0 + 5, y0 + 5], 1),
+                       np.array([[0, 0, 1000, 1000]])])
+        assert rect_union_area(r) == 1000 * 1000

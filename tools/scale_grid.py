@@ -132,6 +132,28 @@ def main() -> None:
     _zrects = np.asarray(_zt["bbox"].to_pylist(), dtype=np.float64)
     _zoref = ray.put((_zids, _zrects))
 
+    # union-area probe input: a deterministic zipf-ish collection
+    # column derived from the bbox bits (c0 holds ~50% of rows — the
+    # fixture's hot-collection shape) layered onto the same bboxes
+    from stac_to_geocore_ray.queries.geo import union_area_from_dataset
+
+    def _with_collections(batch):
+        import pyarrow as _pa
+        m = batch["bbox"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, 4)
+        h = np.floor(m[:, 0] * 1e6 + 0.5).astype(np.int64) \
+            .astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        u = (h >> np.uint64(40)).astype(np.float64) / float(1 << 24)
+        cid = np.where(u < 0.5, 0, 1 + (h % np.uint64(7)).astype(
+            np.int64))
+        labels = np.array([f"c{i}" for i in range(8)], dtype=object)
+        return batch.append_column(
+            "collection_id", _pa.array(labels[cid], _pa.string()))
+
+    def _union_core(ds):
+        return union_area_from_dataset(
+            ds.map_batches(_with_collections, batch_format="pyarrow"))
+
     tracker = PeakTracker()
     tracker.start()
     timings, counts = {}, {}
@@ -141,7 +163,8 @@ def main() -> None:
                         lambda ds: zonal_from_dataset(ds, zref)),
                        ("geo_zonal_overlap",
                         lambda ds: zonal_overlap_from_dataset(
-                            ds, _zoref, _zids, _zrects))):
+                            ds, _zoref, _zids, _zrects)),
+                       ("geo_union_area", _union_core)):
         t0 = time.time()
         out = core(_meta_read(bdir, columns=["bbox"]))
         counts[name] = out.count()
