@@ -1544,6 +1544,80 @@ FROM r GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------- median gap
+
+def events_median_gap(sf_dir: str):
+    """Per-user INTERPOLATED MEDIAN inter-event gap (microseconds) —
+    the continuous-domain holistic aggregate: unlike
+    events_value_quantiles (bounded integer domain, histogram
+    read-off), gaps are unbounded int64 microseconds, so the median
+    needs each user's full gap multiset ORDERED.
+
+    Scale shape: one distributed sort on (user_id, ts, event_id)
+    makes every user a contiguous run; the in-block kernel computes
+    gaps and each interior user's median with ONE lexsort over the
+    block (no per-user loop — segment starts + middle-index
+    arithmetic pick the median pair), and only block-straddling users
+    defer their raw rows to the keyed fold.  Nothing holistic ever
+    funnels through one task, and the shuffle moves only the 3 key
+    columns.
+
+    Exactness: gaps are exact int64 microsecond differences; the
+    interpolated even-count median (a+b)/2.0 is exact in float64 for
+    any |a+b| < 2^53 (gap sums here are bounded by the table's time
+    span, ~1e13 us), so the oracle compare is bit-exact against
+    DuckDB ``median`` (= quantile_cont 0.5) over the same lag-diff.
+    Users with a single event have no gap and emit no row, matching
+    the oracle's ``gap_us IS NOT NULL`` filter.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "median_gap_us": pd.Series([], dtype="float64")})
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = ts[1:] - ts[:-1]
+        same = uid[1:] == uid[:-1]
+        g_uid, g_gap = uid[1:][same], gap[same]
+        if len(g_gap) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "median_gap_us": pd.Series([], dtype="float64")})
+        order = np.lexsort((g_gap, g_uid))
+        u, g = g_uid[order], g_gap[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med = (g[lo] + g[hi]) / 2.0
+        return pd.DataFrame({"user_id": u[starts].astype("int64"),
+                             "median_gap_us": med})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts"], kernel=kernel)
+
+
+EVENTS_MEDIAN_GAP_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS gap_us
+  FROM events)
+SELECT user_id, median(gap_us) AS median_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- regression
 
 REGR_EPOCH = "2024-01-01"
