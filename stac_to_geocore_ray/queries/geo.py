@@ -1379,3 +1379,151 @@ def union_area_from_dataset(ds):
         kernel=kernel)
     return small_domain_fold(per_tile, keys=["collection_id"],
                              sum_cols=["union_area_u"])
+
+
+# ------------------------------------------------------- covering compaction
+
+COMPACT_Z = 9        # finest cell level (512 x 512 grid)
+COMPACT_ZMIN = 5     # promotion ceiling (z5 = 32 x 32 top cells)
+
+
+def _morton_spread(v: "np.ndarray") -> "np.ndarray":
+    """Spread the low 16 bits of each int64 so bit i lands at 2i."""
+    v = v.astype(np.int64)
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
+def _morton_compactbits(v: "np.ndarray") -> "np.ndarray":
+    v = v & 0x5555555555555555
+    v = (v | (v >> 1)) & 0x3333333333333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+    return v
+
+
+def _morton2(ix: "np.ndarray", iy: "np.ndarray") -> "np.ndarray":
+    """Z-order (Morton) interleave: ANY quadtree subtree is a single
+    contiguous code range, which is what makes the one-sort compaction
+    below possible."""
+    return _morton_spread(ix) | (_morton_spread(iy) << np.int64(1))
+
+
+def _unmorton2(m: "np.ndarray"):
+    return _morton_compactbits(m), _morton_compactbits(m >> np.int64(1))
+
+
+def geo_cell_compact(sf_dir: str):
+    """Hierarchical COVERING COMPACTION (the H3 ``compact`` / S2
+    normalization op): the distinct z=9 quadtree cells covered by the
+    catalog's footprint centers, re-expressed as the MINIMAL
+    mixed-resolution cell set — wherever all 4 siblings are covered
+    the parent replaces them, recursively up to z=5.  This is how a
+    cell-indexed catalog stores coverings compactly and how cell
+    joins cut candidate counts.
+
+    Distributed shape: per-batch partials contract facts to distinct
+    MORTON codes at z=9 (bounded by the grid, not the item count);
+    ONE sort on the code then makes every z=5 subtree a contiguous
+    run (Morton ranges ARE subtrees), so the whole 4-level promotion
+    runs in-block per z=5 top cell through keyed_boundary_decompose —
+    interior subtrees compact with run-length sibling counts (no
+    per-cell loop), block-straddling subtrees defer to the keyed
+    fold.  One shuffle of distinct codes total; no level-serial
+    driver loop, no per-level shuffle chain (compare the naive plan:
+    4 chained groupbys).
+
+    The kernel dedups codes itself (complete-key-run guarantee makes
+    per-batch dedup + in-kernel dedup exact), so no global distinct
+    pass is needed before the sort.  Antimeridian-crossing bboxes
+    (w > e) are excluded by contract, same WHERE in the oracle.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    p = _fx(sf_dir)
+    ds = _meta_read(p["stac_items"], columns=["bbox"])
+    shift = np.int64(2 * (COMPACT_Z - COMPACT_ZMIN))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        ix, iy, keep = _grid_ixiy(bb, COMPACT_Z)
+        m = np.unique(_morton2(ix[keep], iy[keep]))
+        return pa.table({"top": m >> shift, "m": m})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"z": pd.Series([], dtype="int64"),
+                              "ix": pd.Series([], dtype="int64"),
+                              "iy": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        cur = np.unique(df["m"].to_numpy())
+        out_z, out_m = [], []
+        z = COMPACT_Z
+        while z > COMPACT_ZMIN and len(cur):
+            par = cur >> np.int64(2)
+            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+            counts = np.diff(np.r_[starts, len(par)])
+            full = counts == 4
+            survivors = cur[np.repeat(~full, counts)]
+            if len(survivors):
+                out_z.append(np.full(len(survivors), z, dtype=np.int64))
+                out_m.append(survivors)
+            cur = par[starts[full]]          # promoted, still sorted+unique
+            z -= 1
+        if len(cur):
+            out_z.append(np.full(len(cur), z, dtype=np.int64))
+            out_m.append(cur)
+        if not out_m:
+            return empty
+        zz = np.concatenate(out_z)
+        mm = np.concatenate(out_m)
+        ix, iy = _unmorton2(mm)
+        return pd.DataFrame({"z": zz, "ix": ix.astype("int64"),
+                             "iy": iy.astype("int64")})
+
+    return keyed_boundary_decompose(
+        cells, sort_keys=["top", "m"], key_col="top",
+        raw_cols=["top", "m"], kernel=kernel)
+
+
+def _geo_cell_compact_sql() -> str:
+    k = float(1 << COMPACT_Z)
+    cmax = (1 << COMPACT_Z) - 1
+    return f"""
+WITH c9 AS (
+  SELECT DISTINCT
+    LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0 * {k})
+          AS BIGINT), {cmax}) AS ix,
+    LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0 * {k})
+          AS BIGINT), {cmax}) AS iy
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3]),
+p8 AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM c9 GROUP BY 1, 2
+       HAVING count(*) = 4),
+p7 AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM p8 GROUP BY 1, 2
+       HAVING count(*) = 4),
+p6 AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM p7 GROUP BY 1, 2
+       HAVING count(*) = 4),
+p5 AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM p6 GROUP BY 1, 2
+       HAVING count(*) = 4)
+SELECT CAST(9 AS BIGINT) AS z, c.ix, c.iy
+FROM c9 c ANTI JOIN p8 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy
+UNION ALL
+SELECT CAST(8 AS BIGINT), c.ix, c.iy
+FROM p8 c ANTI JOIN p7 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy
+UNION ALL
+SELECT CAST(7 AS BIGINT), c.ix, c.iy
+FROM p7 c ANTI JOIN p6 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy
+UNION ALL
+SELECT CAST(6 AS BIGINT), c.ix, c.iy
+FROM p6 c ANTI JOIN p5 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy
+UNION ALL
+SELECT CAST(5 AS BIGINT), ix, iy FROM p5
+"""

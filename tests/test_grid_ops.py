@@ -152,3 +152,62 @@ class TestDocPrepPipeline:
         first = en.groupby("red").doc_id.min()
         assert got.set_index("redacted").doc_id.eq(
             first.loc[got.redacted].to_numpy()).all()
+
+
+class TestCellCompact:
+    """geo_cell_compact invariants: Morton round-trip, minimality, and
+    exact reconstruction of the covered z=9 cell set (the oracle gate
+    additionally pins the full output against a chained-CTE DuckDB
+    compaction)."""
+
+    def test_morton_roundtrip(self):
+        from stac_to_geocore_ray.queries.geo import _morton2, _unmorton2
+        rng = np.random.default_rng(7)
+        ix = rng.integers(0, 512, 4096).astype(np.int64)
+        iy = rng.integers(0, 512, 4096).astype(np.int64)
+        m = _morton2(ix, iy)
+        rx, ry = _unmorton2(m)
+        assert (rx == ix).all() and (ry == iy).all()
+
+    def test_morton_subtree_contiguous(self):
+        """All descendants of any parent form one contiguous Morton
+        range — the property the one-sort decomposition relies on."""
+        from stac_to_geocore_ray.queries.geo import _morton2
+        ix, iy = np.meshgrid(np.arange(512), np.arange(512))
+        m = np.sort(_morton2(ix.ravel().astype(np.int64),
+                             iy.ravel().astype(np.int64)))
+        assert (m == np.arange(512 * 512)).all()
+
+    @pytest.fixture(scope="class")
+    def compacted(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_cell_compact
+        return geo_cell_compact(SF).to_pandas()
+
+    def _expand(self, df):
+        """Expand a mixed-resolution cell set back to z=9 leaves."""
+        from stac_to_geocore_ray.queries.geo import COMPACT_Z
+        leaves = set()
+        for z, ix, iy in df[["z", "ix", "iy"]].itertuples(index=False):
+            k = COMPACT_Z - int(z)
+            for dx in range(1 << k):
+                for dy in range(1 << k):
+                    leaves.add(((int(ix) << k) + dx, (int(iy) << k) + dy))
+        return leaves
+
+    def test_reconstructs_cover_exactly(self, compacted):
+        from stac_to_geocore_ray.queries.geo import COMPACT_Z
+        ix, iy, _ = _cells(COMPACT_Z)
+        truth = set(zip(ix.tolist(), iy.tolist()))
+        assert self._expand(compacted) == truth
+
+    def test_no_duplicate_cells(self, compacted):
+        assert not compacted.duplicated(["z", "ix", "iy"]).any()
+
+    def test_minimal_no_promotable_quad(self, compacted):
+        """Minimality: no 4 sibling cells at the same z > zmin survive
+        (they would have been promoted)."""
+        from stac_to_geocore_ray.queries.geo import COMPACT_ZMIN
+        live = compacted[compacted.z > COMPACT_ZMIN].copy()
+        live["pix"], live["piy"] = live.ix // 2, live.iy // 2
+        sib = live.groupby(["z", "pix", "piy"]).size()
+        assert (sib < 4).all()

@@ -1453,3 +1453,32 @@ class TestEventsDenseHourly:
             assert len(sub) == len(hours)
             assert (sub.sort_values("hour").hour.to_numpy()
                     == hours.to_numpy().astype("datetime64[us]")).all()
+
+
+class TestEventsMedianGap:
+    def test_matches_pandas_reference(self, ray_session):
+        """Interpolated per-user median gap vs a straight pandas
+        groupby-sort reference (the oracle gate pins DuckDB median)."""
+        from stac_to_geocore_ray.queries import events_median_gap
+        got = events_median_gap(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts"]) \
+            .sort_values(["user_id", "ts", "event_id"])
+        ts = ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        uid = ev.user_id.to_numpy()
+        gap = pd.DataFrame({"user_id": uid[1:][uid[1:] == uid[:-1]],
+                            "g": (ts[1:] - ts[:-1])[uid[1:] == uid[:-1]]})
+        ref = gap.groupby("user_id")["g"].median().reset_index(
+            name="median_gap_us")
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert np.array_equal(got.median_gap_us.to_numpy(),
+                              ref.median_gap_us.to_numpy())
+
+    def test_single_event_users_emit_no_row(self, ray_session):
+        from stac_to_geocore_ray.queries import events_median_gap
+        got = events_median_gap(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        multi = ev.user_id.value_counts()
+        assert set(got.user_id) == set(multi[multi >= 2].index)
