@@ -1417,6 +1417,34 @@ def _unmorton2(m: "np.ndarray"):
     return _morton_compactbits(m), _morton_compactbits(m >> np.int64(1))
 
 
+def _compact_codes(cur: "np.ndarray"):
+    """Promote a SORTED UNIQUE array of z=COMPACT_Z Morton codes up
+    through COMPACT_ZMIN (4 full siblings -> parent, recursively).
+    Returns (z, m) arrays — each output cell's level and its Morton
+    code AT ITS OWN LEVEL.  Pure run-length arithmetic, no per-cell
+    loop; the while runs <= COMPACT_Z - COMPACT_ZMIN times."""
+    out_z, out_m = [], []
+    z = COMPACT_Z
+    while z > COMPACT_ZMIN and len(cur):
+        par = cur >> np.int64(2)
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        counts = np.diff(np.r_[starts, len(par)])
+        full = counts == 4
+        survivors = cur[np.repeat(~full, counts)]
+        if len(survivors):
+            out_z.append(np.full(len(survivors), z, dtype=np.int64))
+            out_m.append(survivors)
+        cur = par[starts[full]]              # promoted, still sorted+unique
+        z -= 1
+    if len(cur):
+        out_z.append(np.full(len(cur), z, dtype=np.int64))
+        out_m.append(cur)
+    if not out_m:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(out_z), np.concatenate(out_m)
+
+
 def geo_cell_compact(sf_dir: str):
     """Hierarchical COVERING COMPACTION (the H3 ``compact`` / S2
     normalization op): the distinct z=9 quadtree cells covered by the
@@ -1463,27 +1491,9 @@ def geo_cell_compact(sf_dir: str):
                               "iy": pd.Series([], dtype="int64")})
         if len(df) == 0:
             return empty
-        cur = np.unique(df["m"].to_numpy())
-        out_z, out_m = [], []
-        z = COMPACT_Z
-        while z > COMPACT_ZMIN and len(cur):
-            par = cur >> np.int64(2)
-            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
-            counts = np.diff(np.r_[starts, len(par)])
-            full = counts == 4
-            survivors = cur[np.repeat(~full, counts)]
-            if len(survivors):
-                out_z.append(np.full(len(survivors), z, dtype=np.int64))
-                out_m.append(survivors)
-            cur = par[starts[full]]          # promoted, still sorted+unique
-            z -= 1
-        if len(cur):
-            out_z.append(np.full(len(cur), z, dtype=np.int64))
-            out_m.append(cur)
-        if not out_m:
+        zz, mm = _compact_codes(np.unique(df["m"].to_numpy()))
+        if len(mm) == 0:
             return empty
-        zz = np.concatenate(out_z)
-        mm = np.concatenate(out_m)
         ix, iy = _unmorton2(mm)
         return pd.DataFrame({"z": zz, "ix": ix.astype("int64"),
                              "iy": iy.astype("int64")})
@@ -1526,4 +1536,112 @@ SELECT CAST(6 AS BIGINT), c.ix, c.iy
 FROM p6 c ANTI JOIN p5 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy
 UNION ALL
 SELECT CAST(5 AS BIGINT), ix, iy FROM p5
+"""
+
+
+def geo_covering_semijoin(sf_dir: str):
+    """Region-covering SEMI-JOIN: every item whose z=9 center cell
+    lies inside the UNION of the catalog collections' bbox coverings
+    — the planet-scale cell-index join pattern (S2/H3 region
+    coverings): the region side contracts to a compacted set of
+    Morton INTERVALS, broadcast once, and membership per item is one
+    binary search — no per-polygon predicate, no shuffle, no join.
+
+    Distributed shape: the catalog side (small by nature — region
+    complexity, not item count) enumerates its covering cells, runs
+    the same _compact_codes promotion as geo_cell_compact, converts
+    each mixed-resolution cell to its Morton range [m0, m0 + 4^(9-z))
+    and MERGES adjacent ranges; the broadcast is O(region boundary),
+    bounded no matter how many items stream past it.  Each item batch
+    computes its code and one vectorized searchsorted against the
+    interval starts.  At 10^12 items the plan is unchanged: the
+    covering broadcast is catalog-sized and the scan stays
+    shuffle-free.
+
+    The oracle replays membership in CELL space (integer ranges from
+    the identical floor/clamp formula), so compaction — a pure
+    re-encoding of the same cell set — cancels out exactly.
+    """
+    import pandas as pd
+
+    import ray
+
+    p = _fx(sf_dir)
+    colls = pd.read_parquet(p["collections"], columns=["bbox"])
+    cb = np.stack(colls["bbox"].to_numpy()).astype(np.float64)
+    k = float(1 << COMPACT_Z)
+
+    def cell_of(v, off, span):
+        return np.minimum(np.floor((v + off) / span * k),
+                          k - 1).astype(np.int64)
+
+    ix0, ix1 = cell_of(cb[:, 0], 180.0, 360.0), cell_of(cb[:, 2], 180.0, 360.0)
+    iy0, iy1 = cell_of(cb[:, 1], 90.0, 180.0), cell_of(cb[:, 3], 90.0, 180.0)
+    cells = []
+    for a, b, c, d in zip(ix0, ix1, iy0, iy1):       # per-collection; the
+        gx, gy = np.meshgrid(np.arange(a, b + 1),    # catalog is small by
+                             np.arange(c, d + 1))    # contract
+        cells.append(_morton2(gx.ravel(), gy.ravel()))
+    m9 = np.unique(np.concatenate(cells)) if cells \
+        else np.empty(0, dtype=np.int64)
+    zz, mm = _compact_codes(m9)
+    side = np.int64(1) << (np.int64(2) * (COMPACT_Z - zz))
+    lo = mm << (np.int64(2) * (COMPACT_Z - zz))
+    hi = lo + side                                   # half-open
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    # merge adjacent/overlapping intervals (compaction leaves abutting
+    # ranges wherever siblings promote at different levels)
+    if len(lo):
+        newrun = np.r_[True, lo[1:] > np.maximum.accumulate(hi[:-1])]
+        lo = lo[newrun]
+        hi = np.maximum.reduceat(hi, np.flatnonzero(newrun))
+    ivl_ref = ray.put((lo, hi))
+
+    ds = _meta_read(p["stac_items"], columns=["item_id", "bbox"])
+
+    def member(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        liv = _ray.get(ivl_ref) if isinstance(ivl_ref, _ray.ObjectRef) \
+            else ivl_ref
+        blo, bhi = liv
+        bb = _bbox_matrix(batch)
+        ix, iy, keep = _grid_ixiy(bb, COMPACT_Z)
+        m = _morton2(ix, iy)
+        pos = np.searchsorted(blo, m, side="right") - 1
+        hit = keep & (pos >= 0) & (m < bhi[np.clip(pos, 0, None)])
+        ids = batch["item_id"].filter(pa.array(hit))
+        return pa.table({"item_id": ids})
+
+    return ds.map_batches(member, batch_format="pyarrow")
+
+
+def _geo_covering_semijoin_sql() -> str:
+    k = float(1 << COMPACT_Z)
+    cmax = (1 << COMPACT_Z) - 1
+    return f"""
+WITH pts AS (
+  SELECT item_id,
+    LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0 * {k})
+          AS BIGINT), {cmax}) AS ix,
+    LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0 * {k})
+          AS BIGINT), {cmax}) AS iy
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3]),
+rng AS (
+  SELECT
+    LEAST(CAST(floor((bbox[1] + 180.0) / 360.0 * {k}) AS BIGINT), {cmax})
+      AS ix0,
+    LEAST(CAST(floor((bbox[3] + 180.0) / 360.0 * {k}) AS BIGINT), {cmax})
+      AS ix1,
+    LEAST(CAST(floor((bbox[2] + 90.0) / 180.0 * {k}) AS BIGINT), {cmax})
+      AS iy0,
+    LEAST(CAST(floor((bbox[4] + 90.0) / 180.0 * {k}) AS BIGINT), {cmax})
+      AS iy1
+  FROM read_parquet('{_fx_glob("collections")}'))
+SELECT p.item_id
+FROM pts p
+WHERE EXISTS (SELECT 1 FROM rng r
+              WHERE p.ix BETWEEN r.ix0 AND r.ix1
+                AND p.iy BETWEEN r.iy0 AND r.iy1)
 """

@@ -211,3 +211,41 @@ class TestCellCompact:
         live["pix"], live["piy"] = live.ix // 2, live.iy // 2
         sib = live.groupby(["z", "pix", "piy"]).size()
         assert (sib < 4).all()
+
+
+class TestCoveringSemijoin:
+    def test_compacted_intervals_preserve_membership(self):
+        """Compaction + interval merge is a pure re-encoding: random
+        points test identically against the Morton intervals and the
+        raw rectangle ranges."""
+        from stac_to_geocore_ray.queries.geo import (
+            COMPACT_Z, _compact_codes, _morton2)
+        rng = np.random.default_rng(11)
+        rects = []
+        for _ in range(6):
+            x0, y0 = rng.integers(0, 480, 2)
+            rects.append((x0, x0 + rng.integers(1, 30),
+                          y0, y0 + rng.integers(1, 30)))
+        cells = [
+            _morton2(*[g.ravel().astype(np.int64) for g in
+                       np.meshgrid(np.arange(a, b + 1),
+                                   np.arange(c, d + 1))])
+            for a, b, c, d in rects]
+        zz, mm = _compact_codes(np.unique(np.concatenate(cells)))
+        lo = mm << (np.int64(2) * (COMPACT_Z - zz))
+        hi = lo + (np.int64(1) << (np.int64(2) * (COMPACT_Z - zz)))
+        order = np.argsort(lo)
+        lo, hi = lo[order], hi[order]
+        newrun = np.r_[True, lo[1:] > np.maximum.accumulate(hi[:-1])]
+        lo = lo[newrun]
+        hi = np.maximum.reduceat(hi, np.flatnonzero(newrun))
+
+        px = rng.integers(0, 512, 20000).astype(np.int64)
+        py = rng.integers(0, 512, 20000).astype(np.int64)
+        m = _morton2(px, py)
+        pos = np.searchsorted(lo, m, side="right") - 1
+        got = (pos >= 0) & (m < hi[np.clip(pos, 0, None)])
+        want = np.zeros(len(px), dtype=bool)
+        for a, b, c, d in rects:
+            want |= (px >= a) & (px <= b) & (py >= c) & (py <= d)
+        assert (got == want).all()
