@@ -2528,22 +2528,12 @@ WHERE NOT EXISTS (
 BASKET_MINSUP = 2
 
 
-def market_basket_pairs(sf_dir: str):
-    """FREQUENT-PAIR MINING (association rules / co-purchase graphs):
-    unordered part pairs that appear together in >= 2 distinct orders,
-    with exact support counts.
-
-    Distributed shape: per-batch DISTINCT (order, part) partials
-    contract duplicates early; ONE sort on l_orderkey (the shared
-    keyed_boundary_decompose) makes each basket contiguous, and the
-    in-block kernel emits each basket's pair set via a C-level
-    self-merge (per-basket quadratic is bounded — TPC-H-shaped baskets
-    hold <= ~7 distinct parts; heavy-basket corpora would rep-split a
-    hot basket the way minhash splits its hot clusters before this
-    kernel).  Pair supports then fold through ``sorted_combine``
-    (pair keys barely contract per block — the lesson-21 regime), and
-    the min-support filter prunes to the report.
-    """
+def _basket_pair_counts(sf_dir: str):
+    """Distinct unordered co-order part pairs with exact supports —
+    the shared front half of market_basket_pairs (support filter) and
+    graph_triangles (edge list): per-batch distinct (order, part)
+    partials, one basket sort, C-level per-basket self-merge, pair
+    supports through sorted_combine.  Returns a Dataset(pa, pb, n)."""
     import pandas as pd
 
     from ..stages.util import keyed_boundary_decompose, sorted_combine
@@ -2576,8 +2566,26 @@ def market_basket_pairs(sf_dir: str):
         partials, sort_keys=["l_orderkey", "l_partkey"],
         key_col="l_orderkey", raw_cols=["l_orderkey", "l_partkey"],
         kernel=kernel)
-    counts = sorted_combine(pairs, keys=["pa", "pb"],
-                            aggs={"n": "sum"})
+    return sorted_combine(pairs, keys=["pa", "pb"], aggs={"n": "sum"})
+
+
+def market_basket_pairs(sf_dir: str):
+    """FREQUENT-PAIR MINING (association rules / co-purchase graphs):
+    unordered part pairs that appear together in >= 2 distinct orders,
+    with exact support counts.
+
+    Distributed shape: per-batch DISTINCT (order, part) partials
+    contract duplicates early; ONE sort on l_orderkey (the shared
+    keyed_boundary_decompose) makes each basket contiguous, and the
+    in-block kernel emits each basket's pair set via a C-level
+    self-merge (per-basket quadratic is bounded — TPC-H-shaped baskets
+    hold <= ~7 distinct parts; heavy-basket corpora would rep-split a
+    hot basket the way minhash splits its hot clusters before this
+    kernel).  Pair supports then fold through ``sorted_combine``
+    (pair keys barely contract per block — the lesson-21 regime), and
+    the min-support filter prunes to the report.
+    """
+    counts = _basket_pair_counts(sf_dir)
 
     def finish(batch: pa.Table) -> pa.Table:
         keep = pc.greater_equal(batch["n"], BASKET_MINSUP)
@@ -2596,4 +2604,189 @@ p AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
 SELECT pa, pb, count(*) AS support
 FROM p GROUP BY pa, pb HAVING count(*) >= {BASKET_MINSUP}
+"""
+
+
+# ------------------------------------------------------------ triangles
+
+# past this many edges the packed-edge broadcast stops being polite
+# and the confirm switches to the shuffle cogroup fallback
+TRI_BROADCAST_MAX_EDGES = int(os.environ.get(
+    "GRAFT_TRI_BROADCAST_MAX_EDGES", 20_000_000))
+_TRI_SHIFT = np.int64(1) << np.int64(32)
+
+
+def graph_triangles(sf_dir: str):
+    """Per-node TRIANGLE COUNTS over the co-purchase graph (parts
+    co-ordered in >= 1 basket) — the graph-analytics op class next to
+    the connected-components family (clustering coefficients, cohesion
+    scoring, community features).
+
+    Distributed shape (the MapReduce node-iterator of Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): edges orient from lower (degree, id) to higher,
+    which caps every out-degree at ~sqrt(2E) regardless of hub skew —
+    the hot-node guard.  One sort groups oriented edges by source; the
+    in-block kernel emits each source's out-neighbor pairs through a
+    C-level self-merge and confirms them against the edge set:
+
+    - primary confirm: the packed (min<<32|max) edge array sorts once
+      and broadcasts (bounded by |E|, ~9.6 MB per 1.2M edges); each
+      wedge is one vectorized searchsorted — wedges NEVER materialize
+      beyond batch scope and never shuffle.
+    - fallback past TRI_BROADCAST_MAX_EDGES (or forced via
+      GRAFT_TRI_FORCE_FALLBACK=1, parity-tested): wedges DO emit,
+      union with marker rows for the edges themselves, and one keyed
+      decompose on the packed pair confirms wedge-meets-edge groups —
+      no broadcast anywhere, both sorts bounded by wedge volume
+      <= E^1.5.
+
+    Both paths contract to (node, t) partials in-block and fold
+    through small_domain_fold (the node domain is the parts catalog —
+    output-sized).  The degree table is node-domain-sized, so driver
+    residency is bounded by the catalog, never the edge count.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.util import keyed_boundary_decompose
+
+    edges = _basket_pair_counts(sf_dir).drop_columns(["n"]).materialize()
+
+    # degree table: node-domain-sized fold (parts catalog bound)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": u, "d": c.astype(np.int64)})
+
+    deg_df = small_domain_fold(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["d"]).to_pandas()
+    nodes = deg_df["node"].to_numpy()
+    order = np.argsort(nodes)
+    nodes, deg = nodes[order], deg_df["d"].to_numpy()[order]
+    deg_ref = ray.put((nodes, deg))
+
+    n_edges = edges.count()
+    force_fb = os.environ.get("GRAFT_TRI_FORCE_FALLBACK") == "1"
+    use_broadcast = (n_edges <= TRI_BROADCAST_MAX_EDGES) and not force_fb
+
+    def orient(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        nd, dg = _ray.get(deg_ref) if isinstance(deg_ref, _ray.ObjectRef) \
+            else deg_ref
+        a = batch["pa"].to_numpy()
+        b = batch["pb"].to_numpy()
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        swap = (db < da) | ((db == da) & (b < a))
+        return pa.table({"u": np.where(swap, b, a),
+                         "v": np.where(swap, a, b)})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def node_partial(ids: "np.ndarray") -> pd.DataFrame:
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"node": u.astype("int64"),
+                             "t": c.astype("int64")})
+
+    _tri_empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                               "t": pd.Series([], dtype="int64")})
+
+    def wedge_pairs(df: pd.DataFrame):
+        """All unordered out-neighbor pairs per source (C-level
+        self-merge; per-source quadratic bounded by the orientation)."""
+        m = df.merge(df, on="u")
+        m = m[m.v_x < m.v_y]
+        return (m.u.to_numpy(), m.v_x.to_numpy(), m.v_y.to_numpy())
+
+    if use_broadcast:
+        ed = edges.to_pandas()
+        packed = np.sort(ed.pa.to_numpy() * _TRI_SHIFT + ed.pb.to_numpy())
+        pack_ref = ray.put(packed)
+
+        def confirm_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return _tri_empty
+            import ray as _ray
+            pk = _ray.get(pack_ref) if isinstance(pack_ref, _ray.ObjectRef) \
+                else pack_ref
+            su, sv, sw = wedge_pairs(df)
+            if len(su) == 0:
+                return _tri_empty
+            key = sv * _TRI_SHIFT + sw
+            pos = np.searchsorted(pk, key)
+            hit = (pos < len(pk)) & (pk[np.clip(pos, 0, len(pk) - 1)] == key)
+            if not hit.any():
+                return _tri_empty
+            return node_partial(np.r_[su[hit], sv[hit], sw[hit]])
+
+        tri = keyed_boundary_decompose(
+            oriented, sort_keys=["u", "v"], key_col="u",
+            raw_cols=["u", "v"], kernel=confirm_kernel)
+        return small_domain_fold(tri, keys=["node"], sum_cols=["t"])
+
+    # ---- shuffle-cogroup fallback: no broadcast of the edge set ----
+    def wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vw": pd.Series([], dtype="int64"),
+                                 "src": pd.Series([], dtype="int64")})
+        su, sv, sw = wedge_pairs(df)
+        return pd.DataFrame({"vw": sv * _TRI_SHIFT + sw,
+                             "src": su.astype("int64")})
+
+    wedges = keyed_boundary_decompose(
+        oriented, sort_keys=["u", "v"], key_col="u",
+        raw_cols=["u", "v"], kernel=wedge_kernel)
+
+    def edge_markers(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vw": batch["pa"].to_numpy() * _TRI_SHIFT
+                  + batch["pb"].to_numpy(),
+            "src": np.full(batch.num_rows, -1, dtype=np.int64)})
+
+    both = wedges.union(edges.map_batches(edge_markers,
+                                          batch_format="pyarrow"))
+
+    def confirm_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _tri_empty
+        # per complete vw run: wedges confirm iff the marker is present
+        src = df["src"].to_numpy()
+        vw = df["vw"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, vw[1:] != vw[:-1]])
+        seg = np.cumsum(np.r_[True, vw[1:] != vw[:-1]]) - 1
+        has_edge = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(has_edge, seg, src == -1)
+        keep = has_edge[seg] & (src != -1)
+        if not keep.any():
+            return _tri_empty
+        kv = vw[keep]
+        return node_partial(np.r_[src[keep],
+                                  kv >> np.int64(32),
+                                  kv & np.int64(0xFFFFFFFF)])
+
+    tri = keyed_boundary_decompose(
+        both, sort_keys=["vw", "src"], key_col="vw",
+        raw_cols=["vw", "src"], kernel=confirm_group)
+    return small_domain_fold(tri, keys=["node"], sum_cols=["t"])
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pb
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+SELECT node, CAST(count(*) AS BIGINT) AS t
+FROM (SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+GROUP BY node
 """

@@ -1482,3 +1482,47 @@ class TestEventsMedianGap:
         ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
         multi = ev.user_id.value_counts()
         assert set(got.user_id) == set(multi[multi >= 2].index)
+
+
+class TestGraphTriangles:
+    @staticmethod
+    def _ref(sf):
+        """Brute-force per-node triangle counts on the co-purchase graph."""
+        li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        e = m[m.l_partkey_x < m.l_partkey_y] \
+            .drop_duplicates(["l_partkey_x", "l_partkey_y"])
+        eset = set(zip(e.l_partkey_x, e.l_partkey_y))
+        from collections import Counter, defaultdict
+        adj = defaultdict(set)
+        for a, b in eset:
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = Counter()
+        for a, b in eset:
+            for c in adj[a] & adj[b]:
+                if c > b:                      # a < b < c exactly once
+                    cnt[a] += 1
+                    cnt[b] += 1
+                    cnt[c] += 1
+        return cnt
+
+    def test_broadcast_matches_bruteforce(self, ray_session):
+        from stac_to_geocore_ray.queries import graph_triangles
+        got = graph_triangles(SF).to_pandas()
+        ref = self._ref(SF)
+        assert dict(zip(got.node, got.t)) == dict(ref)
+
+    def test_fallback_parity(self, ray_session, monkeypatch):
+        """The shuffle-cogroup confirm (no broadcast) is bit-identical
+        to the broadcast confirm."""
+        import os
+        from stac_to_geocore_ray.queries import graph_triangles
+        a = graph_triangles(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        monkeypatch.setenv("GRAFT_TRI_FORCE_FALLBACK", "1")
+        b = graph_triangles(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert a.equals(b)
