@@ -2790,3 +2790,114 @@ FROM (SELECT a AS node FROM t
       UNION ALL SELECT c FROM t)
 GROUP BY node
 """
+
+
+# ------------------------------------------------------------- pagerank
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def graph_pagerank(sf_dir: str):
+    """PAGERANK (power iteration, fixed {PR_ITERS} rounds, damping
+    {PR_DAMP}) over the undirected co-purchase graph — the iterative
+    graph-centrality op class beside components and triangles.
+
+    Distributed shape: the RANK VECTOR is node-domain-sized (the
+    parts catalog — output-sized by definition), so each round
+    broadcasts ranks/degrees once and makes ONE streaming pass over
+    the edge list: per-batch partial contribution sums contract
+    in-block to O(nodes) rows, fold through small_domain_fold, and
+    the driver holds only the catalog-bounded vector between rounds.
+    Edges never re-shuffle; rounds = {PR_ITERS} passes, each
+    embarrassingly parallel.  (At graphs whose NODE set outgrows a
+    broadcast, the same loop runs with rank as a Dataset and a hash
+    join per round — the components fallback's shape; the co-purchase
+    node domain here is catalog-bounded by construction.)
+
+    Exactness: every node has degree >= 1 (edge-derived), so there is
+    no dangling mass; engine and oracle run the identical recurrence
+    r' = (1-d)/N + d * sum(r/deg over in-neighbors), and only the
+    FINAL ranks round (half-away, 6 dp).  Rank magnitudes are O(1)
+    and per-node fan-in is bounded by the max degree, so float
+    summation-order ulps (~1e-13) sit far below the rounding grain —
+    the events_ewma contract.
+    """
+    import pandas as pd
+
+    import ray
+
+    edges = _basket_pair_counts(sf_dir).drop_columns(["n"]).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": u, "d": c.astype(np.int64)})
+
+    deg_df = small_domain_fold(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["d"]).to_pandas()
+    nodes = np.sort(deg_df["node"].to_numpy())
+    deg = deg_df.set_index("node")["d"].reindex(nodes).to_numpy() \
+        .astype(np.float64)
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(PR_ITERS):
+        state_ref = ray.put((nodes, rank / deg))
+
+        def contrib(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            import ray as _ray
+            nd, rd = _ray.get(_ref) if isinstance(_ref, _ray.ObjectRef) \
+                else _ref
+            a = np.searchsorted(nd, batch["pa"].to_numpy())
+            b = np.searchsorted(nd, batch["pb"].to_numpy())
+            # undirected: each endpoint receives the other's r/d
+            acc = np.zeros(len(nd))
+            np.add.at(acc, a, rd[b])
+            np.add.at(acc, b, rd[a])
+            nz = np.flatnonzero(acc)
+            return pa.table({"node": nd[nz], "c": acc[nz]})
+
+        got = small_domain_fold(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            keys=["node"], sum_cols=["c"]).to_pandas()
+        acc = got.set_index("node")["c"].reindex(nodes, fill_value=0.0) \
+            .to_numpy()
+        rank = (1.0 - PR_DAMP) / n + PR_DAMP * acc
+
+    out = np.floor(rank * 1e6 + 0.5) / 1e6          # half-away 6dp
+    return pa.table({"node": nodes, "pagerank": out})
+
+
+def _graph_pagerank_sql() -> str:
+    head = """
+WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d0 a JOIN d0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+de AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT s AS node, count(*) AS d FROM de GROUP BY s),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM deg, nn)
+"""
+    body = ""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        body += f""",
+r{i} AS (
+  SELECT de.t AS node,
+         (1.0 - {PR_DAMP}) / any_value(nn.n)
+         + {PR_DAMP} * sum(p.r / deg.d) AS r
+  FROM de
+  JOIN {prev} p ON p.node = de.s
+  JOIN deg ON deg.node = de.s
+  CROSS JOIN nn
+  GROUP BY de.t)
+"""
+        prev = f"r{i}"
+    return head + body + f"""
+SELECT node, round(r, 6) AS pagerank FROM {prev}
+"""

@@ -1526,3 +1526,39 @@ class TestGraphTriangles:
         b = graph_triangles(SF).to_pandas() \
             .sort_values("node").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestGraphPagerank:
+    def test_matches_numpy_power_iteration(self, ray_session):
+        from stac_to_geocore_ray.queries import graph_pagerank
+        from stac_to_geocore_ray.queries.tpch import PR_DAMP, PR_ITERS
+        got = graph_pagerank(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        e = m[m.l_partkey_x < m.l_partkey_y] \
+            .drop_duplicates(["l_partkey_x", "l_partkey_y"])
+        nodes = np.unique(np.r_[e.l_partkey_x.to_numpy(),
+                                e.l_partkey_y.to_numpy()])
+        a = np.searchsorted(nodes, e.l_partkey_x.to_numpy())
+        b = np.searchsorted(nodes, e.l_partkey_y.to_numpy())
+        n = len(nodes)
+        deg = np.bincount(np.r_[a, b], minlength=n).astype(float)
+        r = np.full(n, 1.0 / n)
+        for _ in range(PR_ITERS):
+            rd = r / deg
+            acc = np.zeros(n)
+            np.add.at(acc, a, rd[b])
+            np.add.at(acc, b, rd[a])
+            r = (1 - PR_DAMP) / n + PR_DAMP * acc
+        ref = np.floor(r * 1e6 + 0.5) / 1e6
+        assert got.node.to_numpy().tolist() == nodes.tolist()
+        assert np.allclose(got.pagerank.to_numpy(), ref, rtol=0, atol=0)
+
+    def test_mass_conserved(self, ray_session):
+        from stac_to_geocore_ray.queries import graph_pagerank
+        got = graph_pagerank(SF).to_pandas()
+        assert abs(got.pagerank.sum() - 1.0) < 1e-3
