@@ -1470,11 +1470,17 @@ def geo_cell_compact(sf_dir: str):
     pass is needed before the sort.  Antimeridian-crossing bboxes
     (w > e) are excluded by contract, same WHERE in the oracle.
     """
+    p = _fx(sf_dir)
+    return cell_compact_from_dataset(_meta_read(p["stac_items"],
+                                                columns=["bbox"]))
+
+
+def cell_compact_from_dataset(ds):
+    """Compaction core over any Dataset with a ``bbox`` fixed-list
+    column (shared by the fixture query and the 20M-bbox scale probe)."""
     import pandas as pd
 
     from ..stages.util import keyed_boundary_decompose
-    p = _fx(sf_dir)
-    ds = _meta_read(p["stac_items"], columns=["bbox"])
     shift = np.int64(2 * (COMPACT_Z - COMPACT_ZMIN))
 
     def partial(batch: pa.Table) -> pa.Table:

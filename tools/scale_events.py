@@ -181,6 +181,7 @@ def main() -> None:
           lambda: q.events_quantile_sketch(out_dir))
     timed("events_cube", lambda: q.events_cube(out_dir))
     timed("events_ewma", lambda: q.events_ewma(out_dir))
+    timed("events_median_gap", lambda: q.events_median_gap(out_dir))
     tracker.stop()
 
     print(json.dumps({

@@ -157,6 +157,7 @@ def main() -> None:
     tracker = PeakTracker()
     tracker.start()
     timings, counts = {}, {}
+    from stac_to_geocore_ray.queries.geo import cell_compact_from_dataset
     for name, core in (("geo_pyramid_rollup", pyramid_from_dataset),
                        ("geo_focal_mean", focal_from_dataset),
                        ("geo_zonal_stats",
@@ -164,7 +165,8 @@ def main() -> None:
                        ("geo_zonal_overlap",
                         lambda ds: zonal_overlap_from_dataset(
                             ds, _zoref, _zids, _zrects)),
-                       ("geo_union_area", _union_core)):
+                       ("geo_union_area", _union_core),
+                       ("geo_cell_compact", cell_compact_from_dataset)):
         t0 = time.time()
         out = core(_meta_read(bdir, columns=["bbox"]))
         counts[name] = out.count()
@@ -202,8 +204,30 @@ def main() -> None:
         if c:
             assert z in zst.index and int(zst.loc[z].n_items) >= c, (z, c)
 
+    # compaction invariant at scale: expanding the mixed-resolution
+    # output back to z=9 leaves must reproduce the distinct-cell count
+    # exactly (a DuckDB replay of the identical floor/clamp formula)
+    cc = cell_compact_from_dataset(
+        _meta_read(bdir, columns=["bbox"])).to_pandas()
+    import duckdb as _dk
+    from stac_to_geocore_ray.queries.geo import COMPACT_Z
+    _k = float(1 << COMPACT_Z)
+    _cm = (1 << COMPACT_Z) - 1
+    n_leaves = int((4 ** (COMPACT_Z - cc.z)).sum())
+    n_cells = _dk.sql(f"""
+        SELECT count(*) FROM (SELECT DISTINCT
+          LEAST(CAST(floor(((bbox[1]+bbox[3])/2 + 180.0)/360.0*{_k})
+                AS BIGINT), {_cm}),
+          LEAST(CAST(floor(((bbox[2]+bbox[4])/2 + 90.0)/180.0*{_k})
+                AS BIGINT), {_cm})
+        FROM read_parquet('{bdir}/*.parquet')
+        WHERE bbox[1] <= bbox[3])""").fetchone()[0]
+    assert n_leaves == n_cells, (n_leaves, n_cells)
+
     print(json.dumps({
         "metric": "grid ops 200x-scale run",
+        "compact_rows": int(len(cc)),
+        "compact_leaves_conserved": n_leaves,
         "n_bboxes": n,
         "num_cpus": num_cpus,
         "gen_sec": gen_s,

@@ -57,7 +57,8 @@ RELATIONAL = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q8_market_share", "q9_product_profit",
               "q10_returned_items", "q15_top_supplier",
               "q11_important_parts", "q16_supplier_count",
-              "q20_excess_shippers"]
+              "q20_excess_shippers",
+              "graph_triangles", "graph_pagerank"]
 
 
 def _domains() -> dict:
