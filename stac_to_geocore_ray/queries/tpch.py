@@ -2827,7 +2827,14 @@ def graph_pagerank(sf_dir: str):
 
     import ray
 
-    edges = _basket_pair_counts(sf_dir).drop_columns(["n"]).materialize()
+    # CPU-matched edge blocks: every round's contribution pass emits an
+    # O(nodes) partial PER BLOCK into the single-task fold, so the
+    # sorted_combine tail's ~200 small blocks would cost each of the
+    # PR_ITERS folds 200 x |nodes| input rows (measured 42.8 -> ~15 s
+    # at sf0.1 from this repartition alone)
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    edges = _basket_pair_counts(sf_dir).drop_columns(["n"]) \
+        .repartition(ncpu).materialize()
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
