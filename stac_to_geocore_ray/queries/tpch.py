@@ -2908,3 +2908,98 @@ r{i} AS (
     return head + body + f"""
 SELECT node, round(r, 6) AS pagerank FROM {prev}
 """
+
+
+# ------------------------------------------------------------------ bfs
+
+BFS_MAX_HOPS = 6
+
+
+def graph_bfs_hops(sf_dir: str):
+    """BOUNDED-DEPTH BFS (k-hop neighborhood distance) from the
+    minimum-id node of the co-purchase graph — the iterative
+    FRONTIER-EXPANSION op class beside components (full closure),
+    PageRank (dense fixed rounds) and triangles (one-shot): per round
+    only the newly-reached frontier is active, and the loop stops as
+    soon as a round discovers nothing (or at {BFS_MAX_HOPS} hops, the
+    bound that also caps the oracle's recursive CTE).
+
+    Distributed shape: the node domain is catalog-bounded (same
+    contract as PageRank), so the driver holds the dist vector and
+    each round broadcasts one boolean frontier mask + the sorted node
+    index; one streaming pass over the CPU-matched edge blocks emits
+    per-batch DISTINCT candidate neighbors (contracting in-block to
+    O(nodes)), folded through small_domain_fold.  Edges never
+    re-shuffle; per-round work is |E|/ncpu per task.  At node sets
+    past broadcast size the same loop runs with the frontier as a
+    Dataset and a hash join per round (the components fallback shape).
+
+    Exactness: pure integer BFS — first round that reaches a node IS
+    its min distance; no floats anywhere.
+    """
+    import ray
+
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    edges = _basket_pair_counts(sf_dir).drop_columns(["n"]) \
+        .repartition(ncpu).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.r_[batch["pa"].to_numpy(),
+                              batch["pb"].to_numpy()])
+        return pa.table({"node": ids,
+                         "one": np.ones(len(ids), dtype=np.int64)})
+
+    nodes = np.sort(small_domain_fold(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["one"]).to_pandas()["node"].to_numpy())
+    n = len(nodes)
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[0] = 0                      # source = min node id (nodes sorted)
+    frontier = np.zeros(n, dtype=bool)
+    frontier[0] = True
+
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        state_ref = ray.put((nodes, frontier))
+
+        def reach(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            import ray as _ray
+            nd, fr = _ray.get(_ref) if isinstance(_ref, _ray.ObjectRef) \
+                else _ref
+            a = np.searchsorted(nd, batch["pa"].to_numpy())
+            b = np.searchsorted(nd, batch["pb"].to_numpy())
+            cand = np.unique(np.r_[b[fr[a]], a[fr[b]]])
+            return pa.table({"node": nd[cand],
+                             "one": np.ones(len(cand), dtype=np.int64)})
+
+        got = small_domain_fold(
+            edges.map_batches(reach, batch_format="pyarrow"),
+            keys=["node"], sum_cols=["one"]).to_pandas()
+        cand_rows = np.searchsorted(nodes, got["node"].to_numpy())
+        newly = cand_rows[dist[cand_rows] < 0]
+        if len(newly) == 0:
+            break
+        dist[newly] = hop
+        frontier = np.zeros(n, dtype=bool)
+        frontier[newly] = True
+
+    keep = dist >= 0
+    return pa.table({"node": nodes[keep], "dist": dist[keep]})
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d0 a JOIN d0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+de AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+src AS (SELECT min(pa) AS v FROM e),
+bfs(node, d) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT de.t, b.d + 1
+  FROM bfs b JOIN de ON de.s = b.node
+  WHERE b.d < {BFS_MAX_HOPS})
+SELECT node, min(d) AS dist FROM bfs GROUP BY node
+"""

@@ -1562,3 +1562,53 @@ class TestGraphPagerank:
         from stac_to_geocore_ray.queries import graph_pagerank
         got = graph_pagerank(SF).to_pandas()
         assert abs(got.pagerank.sum() - 1.0) < 1e-3
+
+
+class TestGraphBfsHops:
+    def test_matches_bruteforce_bfs(self, ray_session):
+        """Hop distances from the min node == a collections.deque BFS
+        over the same co-purchase edge set, bounded at BFS_MAX_HOPS."""
+        from stac_to_geocore_ray.queries import graph_bfs_hops
+        from stac_to_geocore_ray.queries.tpch import BFS_MAX_HOPS
+        got = graph_bfs_hops(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        e = m[m.l_partkey_x < m.l_partkey_y] \
+            .drop_duplicates(["l_partkey_x", "l_partkey_y"])
+        from collections import defaultdict, deque
+        adj = defaultdict(set)
+        for a, b in zip(e.l_partkey_x, e.l_partkey_y):
+            adj[a].add(b)
+            adj[b].add(a)
+        src = int(e.l_partkey_x.min())
+        ref = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if ref[u] >= BFS_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in ref:
+                    ref[v] = ref[u] + 1
+                    q.append(v)
+        assert dict(zip(got.node, got.dist)) == ref
+
+    def test_depth_bound_on_path_graph(self, ray_session, tmp_path):
+        """A 10-node path graph reaches exactly BFS_MAX_HOPS nodes past
+        the source; the tail beyond the bound is absent (the contract
+        that also caps the oracle's recursive CTE)."""
+        from stac_to_geocore_ray.queries import graph_bfs_hops
+        from stac_to_geocore_ray.queries.tpch import BFS_MAX_HOPS
+        # order i holds parts {i, i+1}: edges 0-1, 1-2, ..., 8-9
+        df = pd.DataFrame({
+            "l_orderkey": np.repeat(np.arange(9), 2),
+            "l_partkey": np.r_[[[i, i + 1] for i in range(9)]].ravel()})
+        df.to_parquet(tmp_path / "lineitem.parquet")
+        got = graph_bfs_hops(str(tmp_path)).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert got.node.tolist() == list(range(BFS_MAX_HOPS + 1))
+        assert got.dist.tolist() == list(range(BFS_MAX_HOPS + 1))
