@@ -1909,3 +1909,149 @@ SELECT lang,
 FROM t JOIN r USING (text)
 GROUP BY lang, split
 """
+
+
+# ------------------------------------------------------------------ bm25
+
+BM25_TERMS = ("join", "filter", "stream")      # fixed retrieval query
+BM25_TOPK = 10
+# k1 = 1.2 and b = 0.75 as EXACT rationals: the per-term score
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = total_tokens/N multiplies through to the all-integer
+#   (idf * tf * 22 * T) // (10*tf*T + 3*T + 9*dl*N)     T = total tokens
+# so engine and oracle agree bit-for-bit (floor division both sides).
+
+
+def doc_bm25(sf_dir: str):
+    """BM25 RANKED RETRIEVAL: top-{BM25_TOPK} documents for a fixed
+    keyword query — the search-ranking op class beside tf-idf term
+    extraction (per-doc corpus-weighted terms) and caption search
+    (boolean filter): a corpus-statistic pass (df per query term +
+    total token count), then an embarrassingly-parallel scoring pass
+    with per-batch top-k contraction and a single-task global top-k.
+
+    Cross-engine exactness: k1=1.2 / b=0.75 enter as exact rationals
+    and idf is the integer-scaled (N<<10)//df proxy (monotone in the
+    classic log idf; the doc_tfidf_topk contract), so each per-term
+    score is ONE int64 floor division — no floats anywhere.  int64
+    headroom: (N<<10) * tf * 22 * T needs ~2^60 at sf0.1-scale corpora
+    (T ~ 2^22); at corpora past ~2^31 tokens drop the idf shift or
+    route the oracle through HUGEINT.
+
+    Scale shape: pass 1 contracts per batch to |query| rows +
+    one token-count cell (small_domain_fold); pass 2 never shuffles —
+    each batch emits its local top-k, and the global fold reads
+    #blocks x k rows.  PINNED DIVERGENCE (doc_tfidf_topk): pandas
+    str.split() tokenization vs RE2 '\\s+' — identical on the ASCII
+    corpus.
+    """
+    import pandas as pd
+
+    import ray
+    from ._common import _parquet_nrows
+
+    n_docs, _ = _parquet_nrows(_t(sf_dir, "documents"))
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.lower().str.split()
+        long = toks.explode().dropna().reset_index()
+        hit = long[long["text"].isin(terms)].drop_duplicates()
+        dfc = hit["text"].value_counts()
+        df_vals = [int(dfc.get(t, 0)) for t in terms]
+        toks_total = int(toks.str.len().sum())
+        # batch token total rides the FIRST term's row (constant term
+        # list -> no in-band marker; sums fold correctly)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(df_vals, pa.int64()),
+            "toks": pa.array([toks_total] + [0] * (len(terms) - 1),
+                             pa.int64())})
+
+    stats = small_domain_fold(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        keys=["term"], sum_cols=["df", "toks"]).to_pandas()
+    total_toks = int(stats["toks"].sum())
+    dfm = dict(zip(stats["term"], stats["df"].astype(int)))
+    idf = {t: (int(n_docs) << 10) // dfm[t] for t in terms if dfm[t] > 0}
+    state_ref = ray.put((idf, int(n_docs), total_toks))
+
+    class Scorer:
+        def __init__(self, ref):
+            got = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.idf, self.n, self.total = got
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            docs = batch["doc_id"].to_pandas()
+            toks = batch["text"].to_pandas().str.lower().str.split()
+            dl = toks.str.len().fillna(0).to_numpy(dtype="int64")
+            ex = toks.explode().dropna()       # index = batch row position
+            long = pd.DataFrame({"row": ex.index.to_numpy(),
+                                 "token": ex.to_numpy()})
+            long = long[long["token"].isin(self.idf)]
+            if len(long) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64())})
+            tf = long.groupby(["row", "token"], sort=False) \
+                .size().reset_index(name="tf")
+            r = tf["row"].to_numpy()
+            tfv = tf["tf"].to_numpy(dtype="int64")
+            idfv = tf["token"].map(self.idf).to_numpy(dtype="int64")
+            T = np.int64(self.total)
+            num = idfv * tfv * np.int64(22) * T
+            den = np.int64(10) * tfv * T + np.int64(3) * T \
+                + np.int64(9) * dl[r] * np.int64(self.n)
+            per_term = num // den
+            sc = pd.DataFrame({"doc_id": docs.to_numpy()[r],
+                               "score": per_term}) \
+                .groupby("doc_id", sort=False)["score"].sum() \
+                .reset_index()
+            sc = sc.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(BM25_TOPK)
+            sc = sc.astype({"doc_id": "int64", "score": "int64"})
+            return table_from_pandas(sc.reset_index(drop=True),
+                                     preserve_index=False)
+
+    local = ds.map_batches(Scorer, fn_constructor_args=(state_ref,),
+                           batch_format="pyarrow", concurrency=_auto())
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True]) \
+            .head(BM25_TOPK).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return table_from_pandas(df, preserve_index=False)
+
+    return local.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", batch_size=None)
+
+
+DOC_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+n AS (SELECT count(*) AS n FROM documents),
+tot AS (SELECT count(*) AS t FROM tok2),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}),
+df AS (SELECT token AS term, count(DISTINCT doc_id) AS df
+       FROM tok2 JOIN q ON tok2.token = q.term GROUP BY token),
+tf AS (SELECT doc_id, token AS term, count(*) AS tf
+       FROM tok2 JOIN q ON tok2.token = q.term GROUP BY doc_id, token),
+s AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           (((n.n * 1024) // df.df) * tf.tf * 22 * tot.t)
+           // (10 * tf.tf * tot.t + 3 * tot.t + 9 * dl.dl * n.n)
+         ) AS BIGINT) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN tot
+  GROUP BY tf.doc_id),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT doc_id, score, rank FROM r WHERE rank <= {BM25_TOPK}
+"""

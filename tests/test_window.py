@@ -1612,3 +1612,52 @@ class TestGraphBfsHops:
             .sort_values("node").reset_index(drop=True)
         assert got.node.tolist() == list(range(BFS_MAX_HOPS + 1))
         assert got.dist.tolist() == list(range(BFS_MAX_HOPS + 1))
+
+
+class TestDocBm25:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        """Top-k == a straight pandas implementation of the exact
+        rational BM25 (k1=6/5, b=3/4, integer-scaled idf), under
+        forced-tiny blocks so per-batch top-k contraction must re-fold."""
+        from stac_to_geocore_ray.queries import doc_bm25
+        from stac_to_geocore_ray.queries.docs import BM25_TERMS, BM25_TOPK
+        got = doc_bm25(SF).to_pandas()
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        toks = docs.text.str.lower().str.split()
+        dl = toks.str.len().fillna(0).astype(int)
+        n = len(docs)
+        T = int(dl.sum())
+        ex = toks.explode().dropna()
+        long = pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+        long = long[long.token.isin(BM25_TERMS)]
+        df_map = long.drop_duplicates().token.value_counts().to_dict()
+        tf = long.groupby(["row", "token"]).size().reset_index(name="tf")
+        score = {}
+        for r, t, f in zip(tf.row, tf.token, tf.tf):
+            idf = (n << 10) // df_map[t]
+            s = (idf * f * 22 * T) // (10 * f * T + 3 * T
+                                       + 9 * int(dl[r]) * n)
+            d = int(docs.doc_id.iloc[r])
+            score[d] = score.get(d, 0) + s
+        ref = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref = ref[:BM25_TOPK]
+        assert list(zip(got.doc_id, got.score)) == ref
+        assert got["rank"].tolist() == list(range(1, len(ref) + 1))
+
+    def test_null_and_empty_text_rows_are_safe(self, ray_session,
+                                               tmp_path):
+        """Null / empty / no-hit texts neither crash nor shift the
+        row-alignment of scored docs."""
+        from stac_to_geocore_ray.queries import doc_bm25
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, "", "quiet words only",
+                     "join stream join filter"],
+            "lang": ["en"] * 4, "source": ["s"] * 4,
+            "n_chars": [0, 0, 16, 23]})
+        df.to_parquet(tmp_path / "documents.parquet")
+        got = doc_bm25(str(tmp_path)).to_pandas()
+        assert got.doc_id.tolist() == [4]
+        assert (got.score > 0).all()
