@@ -4,6 +4,7 @@
     python -m stac_to_geocore_ray flagship --sf-dir D --out O [--fail-after K]
     python -m stac_to_geocore_ray minhash-pairs --sf-dir D --out O [--ranges N]
     python -m stac_to_geocore_ray phash-clusters --sf-dir D --out O
+    python -m stac_to_geocore_ray ivm-view --sf-dir D --out O [--deltas N]
     python -m stac_to_geocore_ray export-geocore --sf-dir D --out O [--limit N]
     python -m stac_to_geocore_ray export-csv --src TABLE.parquet --out O
 
@@ -60,6 +61,15 @@ def main(argv=None) -> int:
     pc_.add_argument("--out", required=True)
     pc_.add_argument("--no-resume", action="store_true")
     pc_.add_argument("--collect-threshold", type=int, default=500_000)
+
+    iv = sub.add_parser("ivm-view",
+                        help="incrementally maintained hourly view "
+                             "(base + late deltas, checkpointed)")
+    iv.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    iv.add_argument("--out", required=True)
+    iv.add_argument("--no-resume", action="store_true")
+    iv.add_argument("--fail-after", type=int, default=None)
+    iv.add_argument("--deltas", type=int, default=4)
 
     km = sub.add_parser("kmeans",
                         help="checkpointed k-means over the embeddings table")
@@ -120,6 +130,12 @@ def main(argv=None) -> int:
             res = run_phash_clusters_to_parquet(
                 args.sf_dir, args.out, resume=not args.no_resume,
                 collect_threshold=args.collect_threshold)
+        elif args.cmd == "ivm-view":
+            from .pipelines.ivm import run_hourly_view_ivm
+            res = run_hourly_view_ivm(args.sf_dir, args.out,
+                                      resume=not args.no_resume,
+                                      fail_after=args.fail_after,
+                                      n_deltas=args.deltas)
         elif args.cmd == "kmeans":
             from .pipelines.kmeans_run import run_kmeans_to_parquet
             res = run_kmeans_to_parquet(args.sf_dir, args.out,

@@ -1978,3 +1978,23 @@ c AS (SELECT event_type, hour, count(*) AS n FROM b GROUP BY 1, 2)
 SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
 FROM grid g LEFT JOIN c USING (event_type, hour)
 """
+
+
+def events_hourly_ivm(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE: the hourly view maintained as
+    base-plus-late-deltas (pipelines/ivm.py) — the op class the
+    reference's re-harvest-everything loop is missing
+    (stac_to_geocore.py lambda_handler re-uploads every record per
+    run).  The engine path computes the on-time base view ONCE, then
+    applies each late slice by scanning only that slice and merging
+    domain-bounded aggregate deltas; the oracle is the full recompute
+    (plain GROUP BY over all events), so the green row IS the
+    incremental==recompute contract.  The checkpointed variant
+    (CLI ``ivm-view``) writes each post-delta view under the
+    write-then-marker protocol with kill/resume tests."""
+    from ..pipelines.ivm import events_hourly_view_ivm
+    return events_hourly_view_ivm(sf_dir)
+
+
+# full recompute IS the oracle for the incremental path
+EVENTS_HOURLY_IVM_SQL = EVENTS_HOURLY_SQL

@@ -842,3 +842,69 @@ class TestDupgramRunResume:
             .sort_values("doc_id").reset_index(drop=True)
         assert got.doc_id.tolist() == ref.doc_id.tolist()
         assert got.n_dup_windows.tolist() == ref.n_dup_windows.tolist()
+
+
+class TestIvmViewResume:
+    """Incremental view maintenance: base + late deltas must equal the
+    full recompute, and the checkpointed chain must kill/resume to
+    byte-identical views (pipelines/ivm.py)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"] for p, m in ManifestSink(out).completed().items()}
+
+    def test_ivm_equals_full_recompute(self, ray_session):
+        from stac_to_geocore_ray.pipelines.ivm import events_hourly_view_ivm
+        from stac_to_geocore_ray.queries.events import events_hourly
+        got = events_hourly_view_ivm(self.SF, n_deltas=3).to_pandas()
+        ref = events_hourly(self.SF).to_pandas() \
+            .sort_values(["event_type", "hour"]).reset_index(drop=True)
+        ref = ref[list(got.columns)]
+        assert got.n_events.tolist() == ref.n_events.tolist()
+        assert got.sum_cents.tolist() == ref.sum_cents.tolist()
+        assert got.event_type.tolist() == ref.event_type.tolist()
+
+    def test_ivm_kill_resume_byte_identical(self, ray_session, tmp_path):
+        from stac_to_geocore_ray.pipelines.ivm import run_hourly_view_ivm
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        r = run_hourly_view_ivm(self.SF, out1, fail_after=2, n_deltas=3)
+        assert r["stopped_after"] == 2
+        done = set(ManifestSink(out1).completed())
+        assert done == {"base", "delta-0000"}
+        # resume must NOT recompute the base view: poison the base slice
+        import stac_to_geocore_ray.pipelines.ivm as ivm_mod
+        orig = ivm_mod._keep_base
+        ivm_mod._keep_base = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("base view re-ran on resume"))
+        try:
+            r1 = run_hourly_view_ivm(self.SF, out1, n_deltas=3)
+        finally:
+            ivm_mod._keep_base = orig
+        r2 = run_hourly_view_ivm(self.SF, out2, n_deltas=3)
+        assert r1["applied"] == r2["applied"] == 4
+        assert r1["view_rows"] == r2["view_rows"] > 0
+        assert self._checksums(out1) == self._checksums(out2)
+
+    def test_ivm_rejects_changed_delta_layout(self, ray_session, tmp_path):
+        """Resuming under a different n_deltas would re-slice the late
+        rows (cells double-applied or missed) — it must refuse."""
+        from stac_to_geocore_ray.pipelines.ivm import run_hourly_view_ivm
+        out = str(tmp_path / "a")
+        run_hourly_view_ivm(self.SF, out, fail_after=2, n_deltas=3)
+        with pytest.raises(ValueError, match="different slicing"):
+            run_hourly_view_ivm(self.SF, out, n_deltas=5)
+        run_hourly_view_ivm(self.SF, out, n_deltas=3)
+
+    def test_ivm_final_view_equals_query(self, ray_session, tmp_path):
+        """The last checkpointed view == the registered query output."""
+        from stac_to_geocore_ray.pipelines.ivm import run_hourly_view_ivm
+        from stac_to_geocore_ray.queries import events_hourly_ivm
+        from stac_to_geocore_ray.sources import lance_io
+        out = str(tmp_path / "a")
+        run_hourly_view_ivm(self.SF, out, n_deltas=2)
+        final = lance_io.read_shard(
+            f"{out}/part-delta-0001{lance_io.shard_ext()}").to_pandas()
+        ref = events_hourly_ivm(self.SF).to_pandas()
+        assert final.n_events.tolist() == ref.n_events.tolist()
+        assert final.sum_cents.tolist() == ref.sum_cents.tolist()
