@@ -1618,6 +1618,83 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------- twap
+
+
+def events_twap(sf_dir: str):
+    """Per-user TIME-WEIGHTED AVERAGE value (cents) — the
+    interval-weighted aggregate class (TWAP/time-in-state metrics:
+    each observation holds until the next one, so its weight is the
+    microseconds until the user's NEXT event; the last observation has
+    no successor and carries no weight).  Order-dependent like
+    events_ewma, but weighted by the ADJACENT-ROW time delta instead
+    of a decay power, so it needs the lead() pair, not a row number.
+
+    Scale shape: identical to events_median_gap — one distributed sort
+    on (user_id, ts, event_id) makes every user a contiguous run, the
+    in-block kernel takes adjacent diffs with a same-user mask (no
+    per-user loop), and only block-straddling users defer raw rows to
+    the keyed fold.
+
+    Exactness: weights are exact int64 microsecond diffs and values
+    exact int64 cents; the engine folds Σ(cents·Δt) in float64
+    (relative error ≲ n·2⁻⁵³ ≈ 1e-14 for per-user run lengths here)
+    while DuckDB folds exactly in HUGEINT — both ratios land well
+    inside the half-away 6 dp rounding grain.  Users whose weight sum
+    is zero (single event, or all events at one timestamp) emit no
+    row, matching the oracle's HAVING.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "twap_r": pd.Series([], dtype="float64")})
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        cents = _cents(df["value"].to_numpy()).astype(np.float64)
+        same = uid[1:] == uid[:-1]
+        w = (ts[1:] - ts[:-1])[same].astype(np.float64)
+        g_uid, v = uid[:-1][same], cents[:-1][same]
+        if len(w) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "twap_r": pd.Series([], dtype="float64")})
+        s = pd.DataFrame({"u": g_uid, "wv": v * w, "w": w}) \
+            .groupby("u", sort=False).sum()
+        wt = s["w"].to_numpy()
+        keep = wt > 0
+        ratio = s["wv"].to_numpy()[keep] / wt[keep]
+        return pd.DataFrame({
+            "user_id": s.index.to_numpy()[keep].astype("int64"),
+            "twap_r": np.floor(ratio * 1e6 + 0.5) / 1e6})   # half-away 6dp
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "value"], kernel=kernel)
+
+
+EVENTS_TWAP_SQL = """
+WITH r AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS tus,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       round(sum(cents * (nxt - tus)) / CAST(sum(nxt - tus) AS DOUBLE),
+             6) AS twap_r
+FROM r WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING sum(nxt - tus) > 0
+"""
+
+
 # ---------------------------------------------------------------- regression
 
 REGR_EPOCH = "2024-01-01"

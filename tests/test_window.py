@@ -1661,3 +1661,38 @@ class TestDocBm25:
         got = doc_bm25(str(tmp_path)).to_pandas()
         assert got.doc_id.tolist() == [4]
         assert (got.score > 0).all()
+
+
+class TestEventsTwap:
+    def test_matches_pandas_reference(self, ray_session):
+        """Per-user time-weighted average value vs a straight pandas
+        lead-weighted reference (the oracle gate pins DuckDB lead())."""
+        from stac_to_geocore_ray.queries import events_twap
+        got = events_twap(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"]) \
+            .sort_values(["user_id", "ts", "event_id"])
+        ts = ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        uid = ev.user_id.to_numpy()
+        cents = np.floor(ev.value.to_numpy() * 100 + 0.5)
+        same = uid[1:] == uid[:-1]
+        w = (ts[1:] - ts[:-1])[same].astype(np.float64)
+        d = pd.DataFrame({"user_id": uid[:-1][same],
+                          "wv": cents[:-1][same] * w, "w": w})
+        s = d.groupby("user_id").sum()
+        s = s[s.w > 0]
+        ref = np.floor(s.wv.to_numpy() / s.w.to_numpy() * 1e6 + 0.5) / 1e6
+        assert got.user_id.tolist() == s.index.tolist()
+        assert np.array_equal(got.twap_r.to_numpy(), ref)
+
+    def test_zero_weight_users_emit_no_row(self, ray_session):
+        """Single-event users have no lead pair and must emit no row."""
+        from stac_to_geocore_ray.queries import events_twap
+        got = events_twap(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        multi = ev.user_id.value_counts()
+        assert set(got.user_id) <= set(multi[multi >= 2].index)
+        assert len(got) > 0
