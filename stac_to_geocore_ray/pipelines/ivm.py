@@ -83,39 +83,132 @@ def _view_partials(sf_dir: str, keep):
     return _canon_view(folded.to_pandas())
 
 
-def _canon_view(df) -> pa.Table:
-    """Sorted, typed view table — byte-identical across reruns."""
-    import pandas as pd
-
+def _canon_view(df, schema=VIEW_SCHEMA, n_keys: int = 2) -> pa.Table:
+    """Sorted, typed view table — byte-identical across reruns.  The
+    first ``n_keys`` columns of ``schema`` are the grouping keys; the
+    rest are int64 aggregate cells."""
     from ..stages.util import table_from_pandas
-    df = df[list(VIEW_SCHEMA)].astype(
-        {"n_events": "int64", "sum_cents": "int64"})
-    df = df.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    df = df[list(schema)].astype({c: "int64" for c in schema[n_keys:]})
+    df = df.sort_values(list(schema[:n_keys])).reset_index(drop=True)
     return table_from_pandas(df, preserve_index=False)
 
 
-def merge_views(view: pa.Table, delta: pa.Table) -> pa.Table:
+def merge_views(view: pa.Table, delta: pa.Table,
+                schema=VIEW_SCHEMA, n_keys: int = 2) -> pa.Table:
     """view ⊕ delta: cell-wise sum of the two aggregates (driver-side;
     both are view-domain-sized — see module docstring)."""
     import pandas as pd
     both = pd.concat([view.to_pandas(), delta.to_pandas()])
-    g = both.groupby(["event_type", "hour"], sort=False,
+    g = both.groupby(list(schema[:n_keys]), sort=False,
                      dropna=False, as_index=False).sum()
-    return _canon_view(g)
+    return _canon_view(g, schema, n_keys)
 
 
-def _keep_base(batch: pa.Table) -> pa.Table:
-    ids = batch["event_id"].to_numpy(zero_copy_only=False)
-    return batch.filter(pa.array(ids % LATE_MOD != LATE_RESIDUE))
+def _keep_base_on(id_col: str):
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % LATE_MOD != LATE_RESIDUE))
+    return keep
 
 
-def _keep_delta(j: int, n_deltas: int):
+def _keep_delta_on(id_col: str, j: int, n_deltas: int):
     def keep(batch: pa.Table, _j=j, _n=n_deltas) -> pa.Table:
-        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         late = ids % LATE_MOD == LATE_RESIDUE
         mine = (ids // LATE_MOD) % _n == _j
         return batch.filter(pa.array(late & mine))
     return keep
+
+
+_keep_base = _keep_base_on("event_id")
+
+
+def _keep_delta(j: int, n_deltas: int):
+    return _keep_delta_on("event_id", j, n_deltas)
+
+
+JOIN_VIEW_SCHEMA = ("nation", "n_orders", "sum_cents")
+
+
+def _nation_rev_partials(sf_dir: str, keep):
+    """Per-batch (nation, n_orders, sum_cents) contraction over the
+    orders rows ``keep`` selects — the Δ(fact ⋈ dims) leg of the
+    join-view delta rule Δ(A⋈B) = ΔA⋈B for static dims: the delta
+    scans ONLY its orders slice; customer→nation resolves through a
+    broadcast lookup (ray.put once, read per actor).  At dim sizes
+    past worker heap the same partial composes with the engine's
+    native hash join on the slice instead — the slice side is small
+    by construction, so the join never moves the base fact table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..queries._common import _auto, _cents, _meta_read, _t
+    from ..stages.util import small_domain_fold, table_from_pandas
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    n_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_name"].to_pylist()))
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    lut_keys = ck[order]
+    lut_nation = np.array(
+        [n_name[k] for k in
+         cust["c_nationkey"].to_numpy()[order].tolist()], dtype=object)
+    ref = ray.put((lut_keys, lut_nation))
+
+    ds = _meta_read(_t(sf_dir, "orders"),
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Partial:
+        def __init__(self, r):
+            self.keys, self.nation = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            batch = keep(batch)
+            if batch.num_rows == 0:
+                return pa.table({
+                    "nation": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64())})
+            custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            rows = np.searchsorted(self.keys, custkey)
+            if not np.array_equal(self.keys[np.clip(
+                    rows, 0, len(self.keys) - 1)], custkey):
+                raise ValueError("orders reference custkeys missing from "
+                                 "the customer dim — dim snapshot stale")
+            df = pd.DataFrame({
+                "nation": self.nation[rows],
+                "cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False))})
+            g = df.groupby("nation", sort=False).agg(
+                n_orders=("cents", "size"),
+                sum_cents=("cents", "sum")).reset_index()
+            return table_from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(Partial, fn_constructor_args=(ref,),
+                             batch_format="pyarrow", concurrency=_auto())
+    folded = small_domain_fold(partial, keys=["nation"],
+                               sum_cols=["n_orders", "sum_cents"])
+    return _canon_view(folded.to_pandas(), JOIN_VIEW_SCHEMA, n_keys=1)
+
+
+def nation_revenue_view_ivm(sf_dir: str, n_deltas: int = 4) -> pa.Table:
+    """JOIN-VIEW IVM: the per-nation order-revenue view (orders ⋈
+    customer ⋈ nation) maintained under late-arriving ORDERS.  Dims
+    are static, so each delta is Δorders ⋈ dims — the star-schema
+    incremental-maintenance case.  Must equal the full recompute; the
+    registered query's oracle is the plain 3-way-join GROUP BY."""
+    view = _nation_rev_partials(sf_dir, _keep_base_on("o_orderkey"))
+    for j in range(n_deltas):
+        delta = _nation_rev_partials(
+            sf_dir, _keep_delta_on("o_orderkey", j, n_deltas))
+        view = merge_views(view, delta, JOIN_VIEW_SCHEMA, n_keys=1)
+    return view
 
 
 def events_hourly_view_ivm(sf_dir: str, n_deltas: int = 4) -> pa.Table:

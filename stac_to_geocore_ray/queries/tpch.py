@@ -3003,3 +3003,28 @@ bfs(node, d) AS (
   WHERE b.d < {BFS_MAX_HOPS})
 SELECT node, min(d) AS dist FROM bfs GROUP BY node
 """
+
+
+def nation_revenue_ivm(sf_dir: str):
+    """JOIN-VIEW INCREMENTAL MAINTENANCE (pipelines/ivm.py): the
+    per-nation order-revenue view (orders ⋈ customer ⋈ nation)
+    maintained as base-plus-late-deltas under the delta rule
+    Δ(fact ⋈ dims) = Δfact ⋈ dims for static dims — the star-schema
+    IVM case the reference's re-harvest-everything loop is missing.
+    Each delta application scans ONLY its late orders slice; the
+    oracle is the full 3-way-join recompute, so the green row IS the
+    incremental==recompute contract for joins (events_hourly_ivm pins
+    the single-table aggregate case)."""
+    from ..pipelines.ivm import nation_revenue_view_ivm
+    return nation_revenue_view_ivm(sf_dir)
+
+
+# full recompute IS the oracle for the incremental join view
+NATION_REVENUE_IVM_SQL = """
+SELECT n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

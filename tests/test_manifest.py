@@ -908,3 +908,47 @@ class TestIvmViewResume:
         ref = events_hourly_ivm(self.SF).to_pandas()
         assert final.n_events.tolist() == ref.n_events.tolist()
         assert final.sum_cents.tolist() == ref.sum_cents.tolist()
+
+
+class TestJoinViewIvm:
+    """Join-view IVM (Δ(fact ⋈ dims) = Δfact ⋈ dims for static dims):
+    the maintained per-nation revenue view must equal the recompute."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_join_ivm_equals_full_recompute(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        from stac_to_geocore_ray.pipelines.ivm import nation_revenue_view_ivm
+        got = nation_revenue_view_ivm(self.SF, n_deltas=3).to_pandas()
+        o = pd.read_parquet(f"{self.SF}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+        c = pd.read_parquet(f"{self.SF}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+        n = pd.read_parquet(f"{self.SF}/nation.parquet")
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey") \
+             .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        j["cents"] = np.floor(j.o_totalprice.to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        ref = j.groupby("n_name").agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")) \
+            .reset_index().sort_values("n_name")
+        assert got.nation.tolist() == ref.n_name.tolist()
+        assert got.n_orders.tolist() == ref.n_orders.tolist()
+        assert got.sum_cents.tolist() == ref.sum_cents.tolist()
+
+    def test_missing_dim_key_fails_loud(self, ray_session, tmp_path):
+        """A fact row whose custkey is absent from the dim snapshot
+        must raise, not aggregate under a wrong nation."""
+        import shutil
+
+        import pandas as pd
+        import pytest
+        from stac_to_geocore_ray.pipelines.ivm import _keep_base_on, \
+            _nation_rev_partials
+        sf = str(tmp_path / "sf")
+        shutil.copytree(self.SF, sf)
+        c = pd.read_parquet(f"{sf}/customer.parquet")
+        c.iloc[1:].to_parquet(f"{sf}/customer.parquet", index=False)
+        with pytest.raises(Exception, match="dim snapshot stale"):
+            _nation_rev_partials(sf, _keep_base_on("o_orderkey"))
