@@ -168,6 +168,11 @@ def run_bench() -> dict:
               lambda: (lambda out: out.num_rows
                        if hasattr(out, "num_rows") else out.count())(
                   q.caption_spatial_search(sf_dir)))
+        # incremental view maintenance: base view + 4 late-delta
+        # applies, each scanning only its slice (oracle = recompute)
+        timed("events_hourly_ivm",
+              lambda: q.events_hourly_ivm(sf_dir).num_rows
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",

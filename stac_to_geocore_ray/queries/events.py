@@ -646,6 +646,52 @@ def events_type_pivot(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def events_type_unpivot(sf_dir: str):
+    """UNPIVOT (melt) — the wide per-user type matrix back to long
+    (user_id, event_type, n, cents) rows, zero cells dropped: the
+    reshape pair's inverse leg (wide telemetry exports -> long form
+    for grouped analysis).  The melt itself is embarrassingly parallel
+    — a per-batch numpy repeat/stack with no shuffle — so the op's
+    cost IS the pivot's; the oracle is the direct long-form GROUP BY,
+    which pins the whole pivot -> melt round trip as lossless."""
+    wide = events_type_pivot(sf_dir)
+    types = list(PIVOT_TYPES)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = np.stack([batch[f"n_{t}"].to_numpy(zero_copy_only=False)
+                      for t in types], axis=1).ravel()
+        c = np.stack([batch[f"cents_{t}"].to_numpy(zero_copy_only=False)
+                      for t in types], axis=1).ravel()
+        et = np.tile(np.asarray(types, dtype=object), m)
+        keep = n > 0
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, len(types))[keep]),
+            "event_type": pa.array(et[keep], pa.string()),
+            "n": pa.array(n[keep]),
+            "cents": pa.array(c[keep])})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def _events_unpivot_sql() -> str:
+    quoted = ", ".join(f"'{t}'" for t in PIVOT_TYPES)
+    return f"""
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE event_type IN ({quoted})
+GROUP BY user_id, event_type
+"""
+
+
 def _events_pivot_sql() -> str:
     n = ",\n       ".join(
         f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "

@@ -1696,3 +1696,25 @@ class TestEventsTwap:
         multi = ev.user_id.value_counts()
         assert set(got.user_id) <= set(multi[multi >= 2].index)
         assert len(got) > 0
+
+
+class TestEventsTypeUnpivot:
+    def test_round_trip_equals_long_groupby(self, ray_session):
+        """pivot -> melt must equal the direct long-form GROUP BY
+        (zero cells dropped, out-of-domain types excluded)."""
+        from stac_to_geocore_ray.queries import PIVOT_TYPES, \
+            events_type_unpivot
+        got = events_type_unpivot(SF).to_pandas() \
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True)
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "event_type", "value"])
+        ev = ev[ev.event_type.isin(PIVOT_TYPES)].copy()
+        ev["cents"] = np.floor(ev.value.to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        ref = ev.groupby(["user_id", "event_type"]).agg(
+            n=("cents", "size"), cents=("cents", "sum")).reset_index() \
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True)
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n.tolist() == ref.n.tolist()
+        assert got.cents.tolist() == ref.cents.tolist()
