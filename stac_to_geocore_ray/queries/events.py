@@ -2121,3 +2121,57 @@ def events_hourly_ivm(sf_dir: str):
 
 # full recompute IS the oracle for the incremental path
 EVENTS_HOURLY_IVM_SQL = EVENTS_HOURLY_SQL
+
+
+# ------------------------------------------------------- session windows
+
+
+def events_stream_sessions(sf_dir: str):
+    """GAP-based SESSION windows computed by the streaming bucket-actor
+    stage (stages/streaming.py SessionBucket/SessionFeeder) — the
+    data-dependent-boundary window class tumbling/sliding can't
+    express: sessions MERGE when a bridging fragment arrives, so
+    bucket state is per-key disjoint intervals under interval-union
+    algebra, finalized by watermark passage over ``last + gap``.
+
+    Emits one row PER SESSION (user_id, session_start/end, n,
+    sum_cents).  With ``allowed_lateness`` covering the stream's full
+    disorder nothing drops or splits, so the result equals the batch
+    window-function sessionization — exactly what the SQL oracle
+    asserts; the tight-lateness finalize/cut/late policy is
+    unit-tested with controlled feeds (tests/test_streaming)."""
+    from ..stages.streaming import stream_session_windows
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "value"])
+    tbl, late, _malformed = stream_session_windows(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        gap_us=SESSION_GAP_US, lateness_us=1 << 60, n_buckets=4)
+    if late:
+        raise RuntimeError(f"{late} late rows dropped — the batch "
+                           "oracle is only valid under no-drop lateness")
+    return tbl.rename_columns(
+        ["user_id", "session_start", "session_end", "n", "sum_cents"])
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+EVENTS_STREAM_SESSIONS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_sess,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT user_id, ts, cents,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start,
+       max(epoch_us(ts)) AS session_end,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid
+"""

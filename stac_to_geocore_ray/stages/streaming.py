@@ -302,3 +302,219 @@ def stream_tumbling_windows(events_ds, *, key_col: str, ts_col: str,
             f"emitted {emitted} + late {late} "
             f"(+{n_malformed} malformed, excluded from routing)")
     return full, late, n_malformed
+
+
+# ------------------------------------------------------- session windows
+
+
+def _merge_fragments(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized interval-union of session FRAGMENTS (key, start,
+    last, n, cents): fragments of one key chain into one session when
+    the next start is within ``gap_us`` of the running max last.  The
+    same kernel serves the feeder (events -> per-batch fragments have
+    already contracted) and the bucket (open sessions ⊕ new fragments
+    re-merge), because session state is mergeable interval algebra."""
+    df = df.sort_values(["key", "start"], kind="mergesort") \
+        .reset_index(drop=True)
+    cmax = df.groupby("key", sort=False)["last"].cummax()
+    prev_last = cmax.shift(1)
+    new_key = df["key"].ne(df["key"].shift(1))
+    new_sess = (new_key | (df["start"] > prev_last + gap_us)).to_numpy()
+    gid = np.cumsum(new_sess)
+    out = df.groupby(gid, sort=False).agg(
+        key=("key", "first"), start=("start", "first"),
+        last=("last", "max"), n=("n", "sum"), cents=("cents", "sum"))
+    return out.reset_index(drop=True)
+
+
+def _sessions_table(df: pd.DataFrame) -> pa.Table:
+    return pa.table({
+        "key": pa.array(df["key"].to_numpy()),
+        "session_start": pa.array(df["start"].to_numpy(), pa.int64()),
+        "session_end": pa.array(df["last"].to_numpy(), pa.int64()),
+        "n": pa.array(df["n"].to_numpy(), pa.int64()),
+        "sum_cents": pa.array(df["cents"].to_numpy(), pa.int64())})
+
+
+_EMPTY_FRAGS = {"key": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "last": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64")}
+
+
+@ray.remote(num_cpus=0.25)
+class SessionBucket:
+    """One key-hash bucket of GAP-based session windows — the
+    data-dependent-boundary window class tumbling/sliding can't
+    express: sessions MERGE when a bridging fragment arrives, so the
+    state is per-key disjoint intervals, not fixed (key, wstart) cells.
+
+    ``ingest`` takes fragment rows (per-batch contracted runs of one
+    key: start/last/n/cents), is idempotent on ``ingest_id``; a
+    session finalizes once the watermark passes ``last + gap`` (no
+    in-lateness event can extend it).  A fragment wholly behind the
+    watermark is late (dropped + counted); a fragment straddling it is
+    accepted but can no longer bridge into already-finalized sessions
+    — the standard allowed-lateness session cut (Flink semantics).
+    Under no-drop lateness nothing finalizes before the drain and the
+    result equals batch sessionization exactly (the oracle mode)."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.gap_us = gap_us
+        self.lateness_us = lateness_us
+        self.open = pd.DataFrame(_EMPTY_FRAGS)
+        self.ripe: list[pa.Table] = []
+        self.ripe_rows = 0
+        self.watermark = -(1 << 62)
+        self.late = 0
+        self.seen: set[tuple] = set()
+
+    def ingest(self, ingest_id: tuple, keys, starts, lasts,
+               ns, cents, max_ts: int) -> int:
+        if ingest_id in self.seen:            # retried feeder task: skip
+            return self.ripe_rows
+        self.seen.add(ingest_id)
+        frags = pd.DataFrame({"key": keys, "start": starts, "last": lasts,
+                              "n": ns, "cents": cents})
+        is_late = frags["last"].to_numpy() <= self.watermark
+        if is_late.any():
+            self.late += int(frags["n"].to_numpy()[is_late].sum())
+            frags = frags.loc[~is_late]
+        self.open = _merge_fragments(
+            pd.concat([self.open, frags], ignore_index=True), self.gap_us)
+        self.watermark = max(self.watermark,
+                             int(max_ts) - self.lateness_us)
+        ripe = self.open["last"].to_numpy() + self.gap_us <= self.watermark
+        if ripe.any():
+            done = self.open.loc[ripe]
+            self.ripe.append(_sessions_table(done))
+            self.ripe_rows += len(done)
+            self.open = self.open.loc[~ripe].reset_index(drop=True)
+        return self.ripe_rows
+
+    def ripe_sessions(self) -> pa.Table:
+        """Finalized sessions accumulated so far (retained until the
+        final drain — same replay-safe consumption as WindowBucket)."""
+        if not self.ripe:
+            return _sessions_table(pd.DataFrame(_EMPTY_FRAGS))
+        return pa.concat_tables(self.ripe)
+
+    def flush(self) -> pa.Table:
+        """Sessions still open at end-of-stream."""
+        out = _sessions_table(self.open)
+        self.open = pd.DataFrame(_EMPTY_FRAGS)
+        return out
+
+    def late_count(self) -> int:
+        return self.late
+
+
+class SessionFeeder:
+    """map_batches callable: contracts each batch to per-key session
+    FRAGMENTS (runs under the gap within the batch) and routes them to
+    the bucket actors; same dead-letter + content-keyed-idempotency
+    contract as WindowFeeder."""
+
+    def __init__(self, buckets: list, key_col: str, ts_col: str,
+                 value_col: str, gap_us: int):
+        self.buckets = buckets
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.gap_us = gap_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n_routed": pa.array([0], pa.int64()),
+                             "n_malformed": pa.array([0], pa.int64())})
+        df = batch.to_pandas()
+        vals = pd.to_numeric(df[self.value_col], errors="coerce")
+        bad = (df[self.ts_col].isna().to_numpy()
+               | vals.isna().to_numpy()
+               | df[self.key_col].isna().to_numpy())
+        n_bad = int(bad.sum())
+        if n_bad:
+            df, vals = df.loc[~bad], vals.loc[~bad]
+            if len(df) == 0:
+                return pa.table({
+                    "n_routed": pa.array([0], pa.int64()),
+                    "n_malformed": pa.array([n_bad], pa.int64())})
+        order = np.lexsort((df[self.ts_col].to_numpy("datetime64[us]")
+                            .astype("int64"),
+                            df[self.key_col].to_numpy()))
+        keys = df[self.key_col].to_numpy()[order]
+        ts_us = df[self.ts_col].to_numpy("datetime64[us]") \
+            .astype("int64")[order]
+        v = vals.to_numpy(dtype=np.float64)[order]
+        cents0 = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype("int64")
+        new_frag = np.empty(len(keys), dtype=bool)
+        new_frag[0] = True
+        new_frag[1:] = (keys[1:] != keys[:-1]) \
+            | (ts_us[1:] - ts_us[:-1] > self.gap_us)
+        starts = np.flatnonzero(new_frag)
+        ends = np.append(starts[1:], len(keys)) - 1
+        csum = np.concatenate(([0], np.cumsum(cents0)))
+        frag = pd.DataFrame({
+            "key": keys[starts],
+            "start": ts_us[starts], "last": ts_us[ends],
+            "n": (ends - starts + 1).astype("int64"),
+            "cents": csum[ends + 1] - csum[starts]})
+        bucket_of = (pd.util.hash_array(frag["key"].to_numpy())
+                     % len(self.buckets)).astype(np.int64)
+        max_ts = int(ts_us.max())
+        # content fingerprint (same recipe as WindowFeeder._ingest_id)
+        try:
+            tid = ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        if tid is None:
+            tid = f"driver-{id(self)}"
+        iid = (tid, len(keys), int(ts_us[0]), int(ts_us[-1]),
+               int(ts_us.sum()), int(cents0[0]), int(cents0[-1]),
+               int(cents0.sum()))
+        futs = []
+        for b in np.unique(bucket_of):
+            m = (bucket_of == b).to_numpy() \
+                if hasattr(bucket_of, "to_numpy") else bucket_of == b
+            sub = frag.loc[m]
+            futs.append(self.buckets[int(b)].ingest.remote(
+                (*iid, int(b)), sub["key"].to_numpy(),
+                sub["start"].to_numpy(), sub["last"].to_numpy(),
+                sub["n"].to_numpy(), sub["cents"].to_numpy(), max_ts))
+        ray.get(futs)
+        return pa.table({"n_routed": pa.array([len(keys)], pa.int64()),
+                         "n_malformed": pa.array([n_bad], pa.int64())})
+
+
+def stream_session_windows(events_ds, *, key_col: str, ts_col: str,
+                           value_col: str, gap_us: int,
+                           lateness_us: int, n_buckets: int = 4):
+    """Run the stream through session-bucket actors; returns
+    (sessions pyarrow Table, late_count, malformed_count) with the
+    same drain + accounting-identity contract as tumbling windows."""
+    buckets = [SessionBucket.remote(gap_us, lateness_us)
+               for _ in range(n_buckets)]
+    feeder = SessionFeeder(buckets, key_col, ts_col, value_col, gap_us)
+    stats = events_ds.map_batches(feeder, batch_format="pyarrow",
+                                  batch_size=FEEDER_BATCH_ROWS)
+    n_routed, n_malformed = 0, 0
+    for t in stats.iter_batches(batch_format="pyarrow"):
+        n_routed += int(pa.compute.sum(t["n_routed"]).as_py() or 0)
+        n_malformed += int(pa.compute.sum(t["n_malformed"]).as_py() or 0)
+    ripe = ray.get([b.ripe_sessions.remote() for b in buckets])
+    tails = ray.get([b.flush.remote() for b in buckets])
+    late = sum(ray.get([b.late_count.remote() for b in buckets]))
+    for b in buckets:
+        ray.kill(b)
+    # drop zero-row drain tables before the concat: an idle bucket's
+    # empty template is int64-keyed and would type-clash with string
+    # keys (keep one empty if the whole stream was empty/malformed)
+    parts = [t for t in [*ripe, *tails] if t.num_rows] or [tails[0]]
+    full = pa.concat_tables(parts)
+    emitted = int(pa.compute.sum(full["n"]).as_py() or 0)
+    if emitted + late != n_routed:
+        raise RuntimeError(
+            f"session accounting mismatch: routed {n_routed} events but "
+            f"emitted {emitted} + late {late} "
+            f"(+{n_malformed} malformed, excluded from routing)")
+    return full, late, n_malformed

@@ -215,3 +215,74 @@ def test_feeder_replay_same_batch_not_double_counted(ray_session):
     total = sum(tbl["n"].to_pylist())
     assert total == 3                  # counted once, not twice
     ray.kill(buckets[0])
+
+
+def _sess_ingest(bucket, frags, max_ts, *, iid=None):
+    """frags: list of (key, start, last, n, cents) fragment rows."""
+    if iid is None:
+        _SEQ[0] += 1
+        iid = ("sess-test", _SEQ[0], 0)
+    ks = np.array([f[0] for f in frags], dtype=np.int64)
+    st = np.array([f[1] for f in frags], dtype=np.int64)
+    la = np.array([f[2] for f in frags], dtype=np.int64)
+    ns = np.array([f[3] for f in frags], dtype=np.int64)
+    cs = np.array([f[4] for f in frags], dtype=np.int64)
+    return ray.get(bucket.ingest.remote(iid, ks, st, la, ns, cs, max_ts))
+
+
+class TestSessionBucket:
+    def test_watermark_finalizes_and_drops_late(self, ray_session):
+        """gap=10, lateness=0: a session finalizes once the watermark
+        passes last+gap; a wholly-late fragment is counted + dropped."""
+        from stac_to_geocore_ray.stages.streaming import SessionBucket
+        b = SessionBucket.remote(10, 0)
+        _sess_ingest(b, [(1, 0, 0, 1, 5)], max_ts=0)
+        assert ray.get(b.ripe_sessions.remote()).num_rows == 0
+        _sess_ingest(b, [(1, 100, 100, 1, 7)], max_ts=100)
+        ripe = ray.get(b.ripe_sessions.remote()).to_pylist()
+        assert [(r["session_start"], r["n"]) for r in ripe] == [(0, 1)]
+        # fragment wholly behind the watermark: late, never re-bridges
+        _sess_ingest(b, [(1, 5, 5, 2, 9)], max_ts=100)
+        assert ray.get(b.late_count.remote()) == 2
+        tail = ray.get(b.flush.remote()).to_pylist()
+        assert [(r["session_start"], r["session_end"], r["n"])
+                for r in tail] == [(100, 100, 1)]
+
+    def test_bridging_fragment_merges_sessions(self, ray_session):
+        """The session-specific behavior tumbling can't express: a
+        late-arriving middle fragment unions two open intervals."""
+        from stac_to_geocore_ray.stages.streaming import SessionBucket
+        b = SessionBucket.remote(10, 1 << 60)      # no-drop lateness
+        _sess_ingest(b, [(1, 0, 0, 1, 1), (1, 20, 20, 1, 2)], max_ts=20)
+        _sess_ingest(b, [(1, 8, 12, 2, 4)], max_ts=20)
+        out = ray.get(b.flush.remote()).to_pylist()
+        assert [(r["session_start"], r["session_end"], r["n"],
+                 r["sum_cents"]) for r in out] == [(0, 20, 4, 7)]
+
+    def test_retried_ingest_is_idempotent(self, ray_session):
+        from stac_to_geocore_ray.stages.streaming import SessionBucket
+        b = SessionBucket.remote(10, 1 << 60)
+        frags = [(1, 0, 0, 1, 5)]
+        _sess_ingest(b, frags, max_ts=0, iid=("dup", 1))
+        _sess_ingest(b, frags, max_ts=0, iid=("dup", 1))   # replay
+        out = ray.get(b.flush.remote()).to_pylist()
+        assert [(r["n"], r["sum_cents"]) for r in out] == [(1, 5)]
+
+    def test_poison_rows_dead_lettered_and_reconciled(self, ray_session):
+        """A null ts must ride the malformed count, not crash or vanish;
+        the accounting identity holds for the rest."""
+        import pandas as pd
+        import ray.data as rd
+        from stac_to_geocore_ray.stages.streaming import \
+            stream_session_windows
+        df = pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00", pd.NaT,
+                                  "2026-01-01 01:00:00"]),
+            "value": [1.0, 2.0, 3.0]})
+        tbl, late, malformed = stream_session_windows(
+            rd.from_pandas(df), key_col="user_id", ts_col="ts",
+            value_col="value", gap_us=30 * 60 * 1_000_000,
+            lateness_us=1 << 60, n_buckets=2)
+        assert malformed == 1 and late == 0
+        assert int(pa.compute.sum(tbl["n"]).as_py()) == 2
