@@ -580,3 +580,60 @@ ranked AS (
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos_r
 FROM ranked WHERE rank <= 10
 """
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION statistics of the embedding matrix (n, mean,
+    mean-square per coordinate) — the tensor-column columnar reduce
+    (feature whitening / dead-dimension detection): each batch
+    contracts to one (dim, Σx, Σx², n) partial row per coordinate via
+    a single float64 matrix reduction, folded over the 64-dim domain.
+    Mean-square (not variance) is reported so neither side does the
+    cancellation-prone Σx² - (Σx)²/n subtraction; both sides round
+    half-away to 6 dp, far above float summation-order ulps at this
+    magnitude (|x| ≲ 4, n ≈ 1e5 per dim)."""
+    import pandas as pd
+
+    from ..stages.ann import _as_matrix
+    from ..stages.util import small_domain_fold, table_from_pandas
+    ds = _meta_read(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "ss": pa.array((m * m).sum(axis=0)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], dtype=np.int64))})
+
+    folded = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["dim"], sum_cols=["s", "ss", "n"]).to_pandas()
+
+    def _round6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    out = pd.DataFrame({
+        "dim": folded["dim"].astype("int64"),
+        "n": folded["n"].astype("int64"),
+        "mean_r": _round6(folded["s"].to_numpy() / folded["n"].to_numpy()),
+        "meansq_r": _round6(folded["ss"].to_numpy()
+                            / folded["n"].to_numpy())})
+    return table_from_pandas(out.sort_values("dim"), preserve_index=False)
+
+
+EMB_DIM_STATS_SQL = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       round(avg(x), 6) AS mean_r,
+       round(avg(x * x), 6) AS meansq_r
+FROM u GROUP BY dim
+"""

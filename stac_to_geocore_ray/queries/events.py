@@ -2175,3 +2175,61 @@ SELECT user_id,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY user_id, sid
 """
+
+
+# --------------------------------------------------- framed rolling window
+
+ROLL_K = 3   # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def events_rolling_sum(sf_dir: str):
+    """BOUNDED-FRAME window aggregate — per-user rolling cents sum over
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW, ordered by
+    (ts, event_id): the framed-window class (events_window_rank's
+    cum_cents is the UNBOUNDED-preceding frame; a bounded frame needs
+    the trailing edge, computed here as csum[i+1] - csum[j] with
+    j = max(segment_start, i-k) — exact int64, no per-row loop).
+
+    Emits one row per event; rides the shared sorted-stream
+    decomposition (interior users in-block, straddlers to the keyed
+    fold)."""
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "roll_cents": pd.Series([], dtype="int64")})
+        uid = df.user_id.to_numpy()
+        cents = _cents(df.value.to_numpy())
+        idx = np.arange(n)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        j = np.maximum(seg_start, idx - ROLL_K)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(),
+            "user_id": uid,
+            "roll_cents": (csum[idx + 1] - csum[j]).astype("int64")})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "value"], kernel=kernel)
+
+
+EVENTS_ROLLING_SUM_SQL = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ROLL_K} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS roll_cents
+FROM events
+"""

@@ -1718,3 +1718,42 @@ class TestEventsTypeUnpivot:
         assert got.event_type.tolist() == ref.event_type.tolist()
         assert got.n.tolist() == ref.n.tolist()
         assert got.cents.tolist() == ref.cents.tolist()
+
+
+class TestEventsRollingSum:
+    def test_matches_pandas_rolling(self, ray_session):
+        """Bounded-frame rolling sum vs pandas groupby.rolling."""
+        from stac_to_geocore_ray.queries import events_rolling_sum
+        from stac_to_geocore_ray.queries.events import ROLL_K
+        got = events_rolling_sum(SF).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"]) \
+            .sort_values(["user_id", "ts", "event_id"])
+        ev["cents"] = np.floor(ev.value.to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        ref = ev.groupby("user_id", sort=False)["cents"] \
+            .rolling(ROLL_K + 1, min_periods=1).sum() \
+            .reset_index(level=0, drop=True).astype("int64")
+        ev["roll_cents"] = ref
+        ev = ev.sort_values("event_id").reset_index(drop=True)
+        assert got.event_id.tolist() == ev.event_id.tolist()
+        assert got.roll_cents.tolist() == ev.roll_cents.tolist()
+
+
+class TestEmbeddingDimStats:
+    def test_matches_numpy_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import embedding_dim_stats
+        got = embedding_dim_stats(SF).to_pandas()
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["embedding"])
+        m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        def r6(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        assert got.dim.tolist() == list(range(1, m.shape[1] + 1))
+        assert (got.n.to_numpy() == m.shape[0]).all()
+        assert np.allclose(got.mean_r.to_numpy(), r6(m.mean(axis=0)),
+                           atol=2e-6)
+        assert np.allclose(got.meansq_r.to_numpy(),
+                           r6((m * m).mean(axis=0)), atol=2e-6)
