@@ -182,6 +182,10 @@ def main() -> None:
     timed("events_cube", lambda: q.events_cube(out_dir))
     timed("events_ewma", lambda: q.events_ewma(out_dir))
     timed("events_median_gap", lambda: q.events_median_gap(out_dir))
+    timed("events_twap", lambda: q.events_twap(out_dir))
+    timed("events_rolling_sum", lambda: q.events_rolling_sum(out_dir))
+    timed("events_stream_sessions",
+          lambda: q.events_stream_sessions(out_dir))
     tracker.stop()
 
     print(json.dumps({
