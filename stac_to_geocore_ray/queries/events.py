@@ -2233,3 +2233,126 @@ SELECT event_id, user_id,
          AS BIGINT) AS roll_cents
 FROM events
 """
+
+
+# --------------------------------------------------------------- trajectories
+
+# SQL-replayable deterministic positions: lon/lat derived from event_id
+# by modular hashing (pure int64 arithmetic, identical in DuckDB and
+# numpy; products stay < 2^63 for event_id < ~3.4e9 — past that, swap
+# the multiplier for a splitmix-style 32-bit mix).
+_TRAJ_LON = "(event_id * 2654435761) % 3600000 / 10000.0 - 180.0"
+_TRAJ_LAT = "(event_id * 40503) % 1800000 / 10000.0 - 90.0"
+
+
+def events_trajectory(sf_dir: str):
+    """Per-user TRAJECTORY SUMMARY — the track-analytics op class (GPS /
+    AIS / movement logs): each user's event stream, ordered by time, is
+    a polyline over deterministic synthetic positions; the op reports
+    legs, great-circle track length, net displacement (first point to
+    last), and the straightness index displacement/track (1 = beeline,
+    ->0 = wandering).
+
+    Exactness contract: positions are exact int64-derived doubles; each
+    leg's haversine km is rounded HALF-AWAY to int64 0.1-m units
+    (matching the geo_knn_haversine 4-dp parity grain), so the track
+    sum is exact int64 under any batching; the single straightness
+    division + 6-dp round happens once, identically on both sides.
+
+    Scale shape: identical to events_twap — ONE distributed sort on
+    (user_id, ts, event_id) makes every user a contiguous run, the
+    in-block kernel computes adjacent-point haversines with a same-user
+    mask and run-boundary indices (no per-user loop), and only
+    block-straddling users defer raw rows to the keyed fold.  Nothing
+    but O(users) rows leaves the kernel.
+    """
+    import pandas as pd
+
+    from ..stages.knn import haversine_km
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_legs": pd.Series([], dtype="int64"),
+            "track_dmm": pd.Series([], dtype="int64"),
+            "disp_dmm": pd.Series([], dtype="int64"),
+            "straight_r": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        lon = (eid * 2654435761) % 3600000 / 10000.0 - 180.0
+        lat = (eid * 40503) % 1800000 / 10000.0 - 90.0
+        km = haversine_km(lat[:-1], lon[:-1], lat[1:], lon[1:])
+        dmm = np.floor(km * 1e4 + 0.5).astype(np.int64)   # half-away 0.1 m
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        s = pd.DataFrame({"u": uid[:-1][same], "d": dmm[same]}) \
+            .groupby("u", sort=False)["d"].agg(["count", "sum"])
+        # run boundaries: first/last point of each user's contiguous run
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        ends = np.r_[starts[1:] - 1, len(uid) - 1]
+        multi = ends > starts                   # users with >= 2 points
+        st, en = starts[multi], ends[multi]
+        disp = np.floor(haversine_km(lat[st], lon[st], lat[en], lon[en])
+                        * 1e4 + 0.5).astype(np.int64)
+        d = pd.Series(disp, index=uid[st])
+        track = s["sum"].astype("int64")
+        keep = track > 0
+        out = pd.DataFrame({
+            "user_id": s.index.to_numpy()[keep].astype("int64"),
+            "n_legs": s["count"].to_numpy()[keep].astype("int64"),
+            "track_dmm": track.to_numpy()[keep]})
+        disp_al = d.reindex(out["user_id"]).to_numpy().astype("int64")
+        q = disp_al.astype(np.float64) / out["track_dmm"].to_numpy() \
+            .astype(np.float64)
+        out["disp_dmm"] = disp_al
+        out["straight_r"] = np.floor(q * 1e6 + 0.5) / 1e6
+        return out
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts"], kernel=kernel)
+
+
+_TRAJ_HAV = (lambda lat1, lon1, lat2, lon2:
+             f"2 * 6371.0 * asin(sqrt("
+             f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+             f" + cos(radians({lat1})) * cos(radians({lat2}))"
+             f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))")
+
+EVENTS_TRAJECTORY_SQL = f"""
+WITH pos AS (
+  SELECT user_id,
+         {_TRAJ_LON} AS lon, {_TRAJ_LAT} AS lat,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         lead({_TRAJ_LON}) OVER w AS nlon,
+         lead({_TRAJ_LAT}) OVER w AS nlat
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+legs AS (
+  SELECT user_id,
+         CAST(round({_TRAJ_HAV('lat', 'lon', 'nlat', 'nlon')} * 10000)
+              AS BIGINT) AS dmm
+  FROM pos WHERE nlat IS NOT NULL),
+tracks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+         CAST(sum(dmm) AS BIGINT) AS track_dmm
+  FROM legs GROUP BY user_id),
+ends AS (
+  SELECT a.user_id,
+         CAST(round({_TRAJ_HAV('a.lat', 'a.lon', 'b.lat', 'b.lon')} * 10000)
+              AS BIGINT) AS disp_dmm
+  FROM pos a JOIN pos b ON a.user_id = b.user_id
+  WHERE a.rn = 1 AND b.rn = b.cnt AND b.cnt >= 2)
+SELECT t.user_id, t.n_legs, t.track_dmm, e.disp_dmm,
+       round(CAST(e.disp_dmm AS DOUBLE) / CAST(t.track_dmm AS DOUBLE), 6)
+         AS straight_r
+FROM tracks t JOIN ends e ON t.user_id = e.user_id
+WHERE t.track_dmm > 0
+"""

@@ -1651,3 +1651,123 @@ WHERE EXISTS (SELECT 1 FROM rng r
               WHERE p.ix BETWEEN r.ix0 AND r.ix1
                 AND p.iy BETWEEN r.iy0 AND r.iy1)
 """
+
+
+# ----------------------------------------------------- spatial interpolation
+
+IDW_K = 16          # 16 x 16 target grid (256 sample points, whole globe)
+IDW_R2 = 225.0      # neighborhood radius^2 in planar deg^2 (15 deg)
+IDW_EPS = 0.25      # weight smoothing: w = 1 / (eps + d^2)
+
+
+def geo_idw_interpolate(sf_dir: str):
+    """INVERSE-DISTANCE-WEIGHTED interpolation of the item bbox-area
+    surface onto a fixed 16x16 global grid — the spatial-interpolation
+    op class (IDW / kriging-lite: estimate a continuous field at query
+    points from scattered observations).  For each grid sample point,
+    every item centroid within a 15-deg radius contributes its
+    spherical bbox area with weight 1/(0.25 + d^2); the estimate is
+    the weighted mean in km^2.
+
+    Exactness contract: the per-pair weight and weighted value are
+    each rounded HALF-AWAY to integer units (w*1e6 and w*amk, amk the
+    zonal-stats int64 milli-km^2 area), so both folds are exact int64
+    sums under any batching; the single final division and 6-dp round
+    happen once, identically on both sides.  Per-pair products stay
+    < 2^62 up to ~1e8 in-radius observations per grid point — past
+    that, re-scale the weight unit or insert an int128 tree level.
+
+    Scale shape: the grid is a CONSTANT (256 points, broadcast free as
+    a closure constant); each batch computes a (grid x batch) distance
+    matrix and contracts IN BATCH to <= 256 partial rows via
+    ``np.add.at`` — O(grid) rows ever shuffle, never O(items) — then
+    one ``small_domain_fold``.  batch_size bounds the matrix at
+    256 x 8192 doubles (~17 MB).  No shuffle touches the fact table.
+    """
+    p = _fx(sf_dir)
+    return idw_from_dataset(clean_read_parquet(p["stac_items"],
+                                               columns=["bbox"]))
+
+
+def idw_from_dataset(ds):
+    """IDW core over any Dataset with a ``bbox`` fixed-list column
+    (shared with tools/scale_grid.py's 20M-bbox probe)."""
+    from ..stages.util import small_domain_fold
+
+    k = IDW_K
+    gids_all = np.arange(k * k, dtype=np.int64)
+    # identical expression shape to the oracle's grid CTE
+    gx = -180.0 + ((gids_all % k).astype(np.float64) + 0.5) * 22.5
+    gy = -90.0 + ((gids_all // k).astype(np.float64) + 0.5) * 11.25
+    R = 6371.0088
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        w_, s_, e_, n_ = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        cx = (w_ + e_) / 2.0
+        cy = (s_ + n_) / 2.0
+        width = np.where(e_ >= w_, e_ - w_, 360.0 - (w_ - e_))
+        a = (R * R * np.radians(width)
+             * (np.sin(np.radians(n_)) - np.sin(np.radians(s_))))
+        amk = np.floor(a * 1e3 + 0.5)            # int-valued double
+        dx = cx[None, :] - gx[:, None]
+        dy = cy[None, :] - gy[:, None]
+        d2 = dx * dx + dy * dy
+        gi, ci = np.nonzero(d2 < IDW_R2)
+        w = 1.0 / (IDW_EPS + d2[gi, ci])
+        wv = np.floor(w * amk[ci] + 0.5).astype(np.int64)
+        ws = np.floor(w * 1e6 + 0.5).astype(np.int64)
+        sv = np.zeros(k * k, dtype=np.int64)
+        ss = np.zeros(k * k, dtype=np.int64)
+        n = np.zeros(k * k, dtype=np.int64)
+        np.add.at(sv, gi, wv)
+        np.add.at(ss, gi, ws)
+        np.add.at(n, gi, 1)
+        occ = n > 0
+        return pa.table({"gid": pa.array(gids_all[occ]),
+                         "wv": pa.array(sv[occ]), "ws": pa.array(ss[occ]),
+                         "n": pa.array(n[occ])})
+
+    agg = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        keys=["gid"], sum_cols=["wv", "ws", "n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sv = batch["wv"].to_numpy().astype(np.float64)
+        ss = batch["ws"].to_numpy().astype(np.float64)
+        q = sv * 1000.0 / ss
+        return pa.table({"gid": batch["gid"],
+                         "n_src": pc.cast(batch["n"], pa.int64()),
+                         "idw_km2_r": pa.array(np.floor(q * 1e6 + 0.5) / 1e6)})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _geo_idw_interpolate_sql() -> str:
+    return f"""
+WITH grid AS (
+  SELECT i AS gid,
+         -180.0 + (CAST(i % {IDW_K} AS DOUBLE) + 0.5) * 22.5 AS gx,
+         -90.0 + (CAST(i // {IDW_K} AS DOUBLE) + 0.5) * 11.25 AS gy
+  FROM range({IDW_K * IDW_K}) t(i)),
+pts AS (
+  SELECT (bbox[1] + bbox[3]) / 2 AS cx, (bbox[2] + bbox[4]) / 2 AS cy,
+         CAST(round(6371.0088 * 6371.0088
+              * radians(CASE WHEN bbox[3] >= bbox[1] THEN bbox[3] - bbox[1]
+                             ELSE 360.0 - (bbox[1] - bbox[3]) END)
+              * (sin(radians(bbox[4])) - sin(radians(bbox[2]))), 3) * 1000
+              AS BIGINT) AS amk
+  FROM read_parquet('{_fx_glob("stac_items")}')),
+pair AS (
+  SELECT g.gid,
+         1.0 / ({IDW_EPS} + (p.cx - g.gx) * (p.cx - g.gx)
+                + (p.cy - g.gy) * (p.cy - g.gy)) AS w,
+         p.amk
+  FROM pts p JOIN grid g
+    ON (p.cx - g.gx) * (p.cx - g.gx)
+       + (p.cy - g.gy) * (p.cy - g.gy) < {IDW_R2})
+SELECT gid, CAST(count(*) AS BIGINT) AS n_src,
+       round(CAST(sum(CAST(round(w * amk) AS BIGINT)) AS DOUBLE) * 1000.0
+             / CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS DOUBLE),
+             6) AS idw_km2_r
+FROM pair GROUP BY gid
+"""

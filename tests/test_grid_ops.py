@@ -249,3 +249,56 @@ class TestCoveringSemijoin:
         for a, b, c, d in rects:
             want |= (px >= a) & (px <= b) & (py >= c) & (py <= d)
         assert (got == want).all()
+
+
+class TestIDWInterpolate:
+    """Spatial interpolation vs a scalar per-pair reference."""
+
+    def test_matches_brute_force(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_idw_interpolate
+        from stac_to_geocore_ray.queries.geo import IDW_EPS, IDW_K, IDW_R2
+        from stac_to_geocore_ray.sources import fixtures
+        got = geo_idw_interpolate(SF).to_pandas() \
+            .sort_values("gid").reset_index(drop=True)
+
+        bb = np.stack(pd.read_parquet(
+            fixtures.paths(SF)["stac_items"])["bbox"].to_numpy()) \
+            .astype(np.float64)
+        R = 6371.0088
+        rows = []
+        for gid in range(IDW_K * IDW_K):
+            gx = -180.0 + (gid % IDW_K + 0.5) * 22.5
+            gy = -90.0 + (gid // IDW_K + 0.5) * 11.25
+            sv = ss = n = 0
+            for w_, s_, e_, n_ in bb:        # scalar per-pair replay
+                cx, cy = (w_ + e_) / 2.0, (s_ + n_) / 2.0
+                d2 = (cx - gx) * (cx - gx) + (cy - gy) * (cy - gy)
+                if d2 >= IDW_R2:
+                    continue
+                width = e_ - w_ if e_ >= w_ else 360.0 - (w_ - e_)
+                a = (R * R * np.radians(width)
+                     * (np.sin(np.radians(n_)) - np.sin(np.radians(s_))))
+                amk = np.floor(a * 1e3 + 0.5)
+                wgt = 1.0 / (IDW_EPS + d2)
+                sv += int(np.floor(wgt * amk + 0.5))
+                ss += int(np.floor(wgt * 1e6 + 0.5))
+                n += 1
+            if n:
+                est = np.floor(sv * 1000.0 / ss * 1e6 + 0.5) / 1e6
+                rows.append((gid, n, est))
+        ref = pd.DataFrame(rows, columns=["gid", "n_src", "idw_km2_r"])
+        assert len(got) == len(ref)
+        assert (got.gid.to_numpy() == ref.gid.to_numpy()).all()
+        assert (got.n_src.to_numpy() == ref.n_src.to_numpy()).all()
+        assert np.array_equal(got.idw_km2_r.to_numpy(),
+                              ref.idw_km2_r.to_numpy())
+
+    def test_batching_invariant(self, ray_session, tiny_blocks):
+        """Integer-unit partial sums make the result exact under any
+        block/batch decomposition."""
+        from stac_to_geocore_ray.queries import geo_idw_interpolate
+        a = geo_idw_interpolate(SF).to_pandas() \
+            .sort_values("gid").reset_index(drop=True)
+        b = geo_idw_interpolate(SF).to_pandas() \
+            .sort_values("gid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -1757,3 +1757,56 @@ class TestEmbeddingDimStats:
                            atol=2e-6)
         assert np.allclose(got.meansq_r.to_numpy(),
                            r6((m * m).mean(axis=0)), atol=2e-6)
+
+
+class TestEventsTrajectory:
+    """Per-user trajectory summary vs a per-user scalar replay, with
+    tiny blocks so boundary users exercise the keyed fold."""
+
+    def _ref(self):
+        from stac_to_geocore_ray.stages.knn import haversine_km
+        ev = pd.read_parquet(
+            SF + "/events.parquet",
+            columns=["event_id", "user_id", "ts"]) \
+            .sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            eid = g.event_id.to_numpy().astype(np.int64)
+            if len(eid) < 2:
+                continue
+            lon = (eid * 2654435761) % 3600000 / 10000.0 - 180.0
+            lat = (eid * 40503) % 1800000 / 10000.0 - 90.0
+            legs = [int(np.floor(float(haversine_km(
+                lat[i], lon[i], lat[i + 1], lon[i + 1])) * 1e4 + 0.5))
+                for i in range(len(eid) - 1)]
+            track = sum(legs)
+            if track <= 0:
+                continue
+            disp = int(np.floor(float(haversine_km(
+                lat[0], lon[0], lat[-1], lon[-1])) * 1e4 + 0.5))
+            rows.append((uid, len(legs), track, disp,
+                         np.floor(disp / track * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_legs", "track_dmm", "disp_dmm", "straight_r"]) \
+            .sort_values("user_id").reset_index(drop=True)
+
+    def test_matches_scalar_replay(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_trajectory
+        got = events_trajectory(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ref = self._ref()
+        assert len(got) == len(ref)
+        for c in ("user_id", "n_legs", "track_dmm", "disp_dmm"):
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+        assert np.array_equal(got.straight_r.to_numpy(),
+                              ref.straight_r.to_numpy())
+
+    def test_straightness_bounds(self, ray_session):
+        """Geodesic triangle inequality: net displacement never exceeds
+        the track (up to the 0.1-m per-leg rounding grain)."""
+        from stac_to_geocore_ray.queries import events_trajectory
+        df = events_trajectory(SF).to_pandas()
+        slack = df.n_legs.to_numpy() + 1     # one rounding ulp per leg
+        assert (df.disp_dmm.to_numpy()
+                <= df.track_dmm.to_numpy() + slack).all()
+        assert (df.n_legs > 0).all() and (df.track_dmm > 0).all()
