@@ -1771,3 +1771,158 @@ SELECT gid, CAST(count(*) AS BIGINT) AS n_src,
              6) AS idw_km2_r
 FROM pair GROUP BY gid
 """
+
+
+# ------------------------------------------------------------- rasterization
+
+RAST_K = 64          # z=6 raster: 64 x 64 global grid (4,096 cells)
+
+
+def geo_rasterize_coverage(sf_dir: str):
+    """Footprint RASTERIZATION: per z=6 grid cell, how many item bboxes
+    COVER it (closed rect-intersect, whole footprint — not the centroid
+    reduction the density/focal ops use).  The vector->raster burn-in
+    op (coverage counts, mosaics, burn-in masks) that a naive engine
+    writes as a cells-x-items range join.
+
+    Scale shape: each batch scatters its bboxes onto a 2-D DIFFERENCE
+    ARRAY (four np.add.at corner updates per bbox — O(rows), not
+    O(rows x covered cells)) and integrates with two cumsums to a
+    (64, 64) count grid, contracting IN BATCH to <= 4,096 partial rows;
+    one ``small_domain_fold`` finishes.  Counts are exact int64 under
+    any batching.  Antimeridian-wrapping boxes (w > e) are excluded on
+    both sides (the covering_semijoin convention); degenerate s > n
+    boxes cover nothing on either side.
+    """
+    p = _fx(sf_dir)
+    return rasterize_from_dataset(clean_read_parquet(p["stac_items"],
+                                                     columns=["bbox"]))
+
+
+def rasterize_from_dataset(ds):
+    """Rasterize core over any bbox Dataset (shared with the 20M-bbox
+    scale probe in tools/scale_grid.py)."""
+    from ..stages.util import small_domain_fold
+    k = RAST_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        w_, s_, e_, n_ = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        keep = (w_ <= e_) & (s_ <= n_)
+        w_, s_, e_, n_ = w_[keep], s_[keep], e_[keep], n_[keep]
+        kf = float(k)
+        ix0 = np.minimum(np.floor((w_ + 180.0) / 360.0 * kf),
+                         k - 1).astype(np.int64)
+        ix1 = np.minimum(np.floor((e_ + 180.0) / 360.0 * kf),
+                         k - 1).astype(np.int64)
+        iy0 = np.minimum(np.floor((s_ + 90.0) / 180.0 * kf),
+                         k - 1).astype(np.int64)
+        iy1 = np.minimum(np.floor((n_ + 90.0) / 180.0 * kf),
+                         k - 1).astype(np.int64)
+        diff = np.zeros((k + 1, k + 1), dtype=np.int64)
+        np.add.at(diff, (ix0, iy0), 1)
+        np.add.at(diff, (ix1 + 1, iy0), -1)
+        np.add.at(diff, (ix0, iy1 + 1), -1)
+        np.add.at(diff, (ix1 + 1, iy1 + 1), 1)
+        g = diff.cumsum(axis=0).cumsum(axis=1)[:k, :k]
+        ii, jj = np.nonzero(g > 0)
+        return pa.table({"ix": pa.array(ii.astype(np.int64)),
+                         "iy": pa.array(jj.astype(np.int64)),
+                         "n_cover": pa.array(g[ii, jj])})
+
+    return small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        keys=["ix", "iy"], sum_cols=["n_cover"])
+
+
+def _geo_rasterize_coverage_sql() -> str:
+    k, cmax = RAST_K, RAST_K - 1
+    kf = float(RAST_K)
+    return f"""
+WITH rng AS (
+  SELECT
+    LEAST(CAST(floor((bbox[1] + 180.0) / 360.0 * {kf}) AS BIGINT), {cmax})
+      AS ix0,
+    LEAST(CAST(floor((bbox[3] + 180.0) / 360.0 * {kf}) AS BIGINT), {cmax})
+      AS ix1,
+    LEAST(CAST(floor((bbox[2] + 90.0) / 180.0 * {kf}) AS BIGINT), {cmax})
+      AS iy0,
+    LEAST(CAST(floor((bbox[4] + 90.0) / 180.0 * {kf}) AS BIGINT), {cmax})
+      AS iy1
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3] AND bbox[2] <= bbox[4]),
+cells AS (
+  SELECT i % {k} AS ix, i // {k} AS iy FROM range({k * k}) t(i))
+SELECT c.ix, c.iy, CAST(count(*) AS BIGINT) AS n_cover
+FROM cells c JOIN rng r
+  ON c.ix BETWEEN r.ix0 AND r.ix1 AND c.iy BETWEEN r.iy0 AND r.iy1
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------- spatial statistics
+
+def geo_hotspot_zscore(sf_dir: str):
+    """Getis-Ord-style HOTSPOT detection over the z=7 density grid: per
+    occupied cell, the z-score of its Moore-neighborhood mean count
+    against the global per-cell mean/std (empty cells count as zero in
+    the global moments; a missing neighbor contributes 0 through the
+    focal sum) — the spatial-statistics op class (Gi*-style local
+    clustering: z >> 0 marks a hotspot embedded in a dense
+    neighborhood, z < 0 a cold spot).
+
+    Exactness contract: counts and the global moment sums S1 = sum n,
+    S2 = sum n^2 are exact int64; the z expression is evaluated with
+    the identical chain of IEEE double ops on both sides (two int->
+    double divisions by the constant grid size, one sqrt, one final
+    division) and rounded half-away to 6 dp once.
+
+    Scale shape: rides ``focal_from_dataset`` — facts contract in-batch
+    to the <= 4^7-cell grid, the stencil scatters on the CONTRACTED
+    table, and the global moments come from the same grid-bounded
+    table, so the driver never holds more than 16,384 rows.
+    """
+    import pandas as pd
+    p = _fx(sf_dir)
+    occ = focal_from_dataset(_meta_read(p["stac_items"],
+                                        columns=["bbox"])).to_pandas()
+    n = occ["n"].to_numpy().astype(np.int64)
+    s1 = int(n.sum())
+    s2 = int((n * n).sum())
+    G = float((1 << FOCAL_Z) * (1 << FOCAL_Z))
+    mean = s1 / G
+    sd = math.sqrt(s2 / G - mean * mean)
+    z = (occ["nbr_sum"].to_numpy().astype(np.float64) / 9.0 - mean) / sd
+    z_r = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6  # half-away
+    return pa.table({"ix": pa.array(occ["ix"].to_numpy(), pa.int64()),
+                     "iy": pa.array(occ["iy"].to_numpy(), pa.int64()),
+                     "n": pa.array(occ["n"].to_numpy(), pa.int64()),
+                     "gi_z_r": pa.array(z_r)})
+
+
+def _geo_hotspot_zscore_sql() -> str:
+    g = float((1 << FOCAL_Z) * (1 << FOCAL_Z))
+    mean = f"CAST(g.s1 AS DOUBLE) / {g}"
+    return f"""
+WITH c AS (
+  SELECT LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0 * 128.0)
+               AS BIGINT), 127) AS ix,
+         LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0 * 128.0)
+               AS BIGINT), 127) AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3]
+  GROUP BY 1, 2),
+f AS (
+  SELECT a.ix, a.iy, a.n, CAST(sum(b.n) AS BIGINT) AS nbr_sum
+  FROM c a JOIN c b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+  GROUP BY 1, 2, 3),
+g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+  FROM c)
+SELECT f.ix, f.iy, f.n,
+       round((CAST(f.nbr_sum AS DOUBLE) / 9.0 - {mean})
+             / sqrt(CAST(g.s2 AS DOUBLE) / {g} - ({mean}) * ({mean})),
+             6) AS gi_z_r
+FROM f, g
+"""

@@ -302,3 +302,71 @@ class TestIDWInterpolate:
         b = geo_idw_interpolate(SF).to_pandas() \
             .sort_values("gid").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRasterizeCoverage:
+    """Difference-array burn-in vs a per-bbox scatter reference."""
+
+    def test_matches_brute_force(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_rasterize_coverage
+        from stac_to_geocore_ray.queries.geo import RAST_K
+        from stac_to_geocore_ray.sources import fixtures
+        got = geo_rasterize_coverage(SF).to_pandas() \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+
+        bb = np.stack(pd.read_parquet(
+            fixtures.paths(SF)["stac_items"])["bbox"].to_numpy()) \
+            .astype(np.float64)
+        k = RAST_K
+        grid = np.zeros((k, k), dtype=np.int64)
+        for w, s, e, n in bb:
+            if w > e or s > n:
+                continue
+            ix0 = min(int(np.floor((w + 180.0) / 360.0 * k)), k - 1)
+            ix1 = min(int(np.floor((e + 180.0) / 360.0 * k)), k - 1)
+            iy0 = min(int(np.floor((s + 90.0) / 180.0 * k)), k - 1)
+            iy1 = min(int(np.floor((n + 90.0) / 180.0 * k)), k - 1)
+            grid[ix0:ix1 + 1, iy0:iy1 + 1] += 1    # direct scatter
+        ii, jj = np.nonzero(grid > 0)
+        ref = pd.DataFrame({"ix": ii, "iy": jj, "n_cover": grid[ii, jj]}) \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        for c in ("ix", "iy", "n_cover"):
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_batching_invariant(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import geo_rasterize_coverage
+        a = geo_rasterize_coverage(SF).to_pandas() \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+        b = geo_rasterize_coverage(SF).to_pandas() \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_coverage_at_least_centroid_density(self, ray_session):
+        """Every bbox covers the cell holding its centroid, so summed
+        coverage >= number of kept bboxes."""
+        from stac_to_geocore_ray.queries import geo_rasterize_coverage
+        from stac_to_geocore_ray.sources import fixtures
+        df = geo_rasterize_coverage(SF).to_pandas()
+        bb = np.stack(pd.read_parquet(
+            fixtures.paths(SF)["stac_items"])["bbox"].to_numpy())
+        kept = int(((bb[:, 0] <= bb[:, 2]) & (bb[:, 1] <= bb[:, 3])).sum())
+        assert int(df.n_cover.sum()) >= kept
+
+
+class TestHotspotZscore:
+    def test_moments_and_extremes(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_focal_mean, \
+            geo_hotspot_zscore
+        hot = geo_hotspot_zscore(SF).to_pandas()
+        foc = geo_focal_mean(SF).to_pandas()
+        assert len(hot) == len(foc)
+        # z is a strictly increasing function of nbr_sum: the argmax
+        # cell of one is the argmax of the other
+        h = hot.sort_values(["ix", "iy"]).reset_index(drop=True)
+        f = foc.sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert int(h.gi_z_r.idxmax()) == int(f.nbr_sum.idxmax())
+        # global standardization: occupied-cell z-scores need not sum
+        # to zero (empty cells hold the rest of the mass), but every
+        # fully-isolated single-item cell must sit below the global max
+        assert h.gi_z_r.max() > 0
