@@ -2356,3 +2356,194 @@ SELECT t.user_id, t.n_legs, t.track_dmm, e.disp_dmm,
 FROM tracks t JOIN ends e ON t.user_id = e.user_id
 WHERE t.track_dmm > 0
 """
+
+
+# ------------------------------------------- interval union (gaps/islands)
+
+def events_interval_union(sf_dir: str):
+    """INTERVAL UNION / gaps-and-islands — per user, merge overlapping
+    or touching usage intervals ``[ts, ts + cents seconds]`` into
+    islands and report the island count and total covered time: the
+    uptime / coverage / billing-window op class (distinct from
+    sessionize, whose boundaries are GAP-threshold-relative — here
+    each row carries its own explicit extent and islands merge under
+    closed-interval union).
+
+    Exactness: starts/extents are exact int64 microseconds (cents via
+    half-away rounding), so island boundaries and the covered sum are
+    exact integers under any batching.
+
+    Scale shape: rides the shared sorted-stream decomposition — one
+    distributed sort on (user_id, ts, event_id) makes each user a
+    contiguous run; the in-block kernel is a segmented sweep (per-user
+    running max of interval end via C-level grouped cummax; an island
+    breaks where a start exceeds every prior end), contracting to
+    O(users) rows; only block-straddling users defer raw rows to the
+    keyed fold.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_islands": pd.Series([], dtype="int64"),
+                "covered_us": pd.Series([], dtype="int64")})
+        uid = df["user_id"].to_numpy()
+        s = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        e = s + _cents(df["value"].to_numpy()) * 1_000_000
+        # per-user running max of end, shifted: the latest horizon any
+        # PRIOR interval of the same user reaches
+        u = pd.Series(uid)
+        pmax = pd.Series(e).groupby(u, sort=False).cummax() \
+            .groupby(u, sort=False).shift(1)
+        brk = pmax.isna().to_numpy() | (s > pmax.to_numpy())
+        isl = np.cumsum(brk)            # users are contiguous: island
+        g = pd.DataFrame({"u": uid, "i": isl, "s": s, "e": e}) \
+            .groupby("i", sort=False).agg(
+                u=("u", "first"), s0=("s", "first"), e1=("e", "max"))
+        out = g.assign(cov=g["e1"] - g["s0"]) \
+            .groupby("u", sort=False).agg(
+                n_islands=("cov", "size"), covered_us=("cov", "sum"))
+        return pd.DataFrame({
+            "user_id": out.index.to_numpy().astype("int64"),
+            "n_islands": out["n_islands"].to_numpy().astype("int64"),
+            "covered_us": out["covered_us"].to_numpy().astype("int64")})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "value"], kernel=kernel)
+
+
+EVENTS_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax,
+         event_id
+  FROM iv),
+g AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+  FROM m),
+isl AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS iid
+  FROM g),
+per AS (
+  SELECT user_id, iid, max(e) - min(s) AS cov
+  FROM isl GROUP BY user_id, iid)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id
+"""
+
+
+# ------------------------------------------ global max-concurrency (scan)
+
+def events_max_concurrent(sf_dir: str):
+    """GLOBAL MAX CONCURRENCY — the peak number of simultaneously open
+    intervals ``[ts, ts + cents seconds]`` across the whole stream and
+    the earliest instant it is reached: the capacity-planning /
+    concurrent-sessions op, and the repo's DISTRIBUTED PREFIX SCAN
+    exemplar — a GLOBAL (not per-key) running sum, the op class
+    keyed_boundary_decompose cannot express because every row depends
+    on ALL earlier rows, not just its key's.
+
+    Shape (two-phase parallel scan fused to one distributed pass):
+    each interval emits +1 at its start and -1 past its end; ONE
+    distributed sort on (t, dkey) totally orders the boundary stream
+    (starts before ends at equal t — closed-interval semantics
+    matching events_interval_union's touching-merges rule); then
+    ``scan_sorted_blocks`` computes per block (sum, running-max,
+    argmax-t, min/max t) and an O(#blocks) driver fold adds the
+    exclusive-scan carry — the carry enters ADDITIVELY, so each
+    block's running max under carry is ``offset + local_max`` with the
+    same argmax position.  The driver work is #blocks summary tuples;
+    nothing else leaves the cluster.  Block summaries are reordered by
+    each block's min key (bundle iteration is completion-ordered) and
+    range-disjointness is verified from the summaries, failing loud if
+    the sort's range-partition contract ever breaks.
+    """
+    import pandas as pd
+
+    from ..stages.util import scan_sorted_blocks, table_from_pandas
+    ds = _meta_read(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("int64")
+        e = s + _cents(batch["value"].to_numpy(zero_copy_only=False)) \
+            * 1_000_000
+        t = np.concatenate([s, e])
+        dkey = np.concatenate([np.zeros(len(s), dtype=np.int8),
+                               np.ones(len(e), dtype=np.int8)])
+        return pa.table({"t": pa.array(t, pa.int64()),
+                         "dkey": pa.array(dkey, pa.int8())})
+
+    sorted_b = ds.map_batches(boundaries, batch_format="pyarrow") \
+        .sort(["t", "dkey"]).materialize()
+
+    def summarize(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        t = block["t"].to_numpy()
+        k = block["dkey"].to_numpy()
+        delta = np.where(k == 0, 1, -1).astype(np.int64)
+        run = np.cumsum(delta)
+        i = int(np.argmax(run))         # first index achieving the max
+        return (int(t[0]), int(k[0]), int(t[-1]), int(k[-1]),
+                int(run[-1]), int(run[i]), int(t[i]))
+
+    # a sorted Dataset's blocks are DISJOINT key ranges but the bundle
+    # iterator yields them in task-completion order — reorder by each
+    # block's min key, then VERIFY disjointness (adjacent blocks may
+    # touch only on exactly-equal (t, dkey) rows, whose deltas are
+    # identical, so any straddle permutes identical rows and leaves
+    # every prefix value unchanged)
+    sums = sorted((s for s in scan_sorted_blocks(sorted_b, summarize)
+                   if s is not None), key=lambda s: (s[0], s[1]))
+    best_open, best_t, offset, prev_hi = None, None, 0, None
+    for t0, k0, t1, k1, total, lmax, lt in sums:
+        if prev_hi is not None and (t0, k0) < prev_hi:
+            raise RuntimeError(
+                "sorted blocks have overlapping key ranges "
+                f"(block min {(t0, k0)} < previous max {prev_hi})")
+        prev_hi = (t1, k1)
+        cand = offset + lmax
+        if best_open is None or cand > best_open:
+            best_open, best_t = cand, lt
+        offset += total
+    if offset != 0:
+        raise RuntimeError(f"unbalanced interval boundaries ({offset})")
+    return table_from_pandas(pd.DataFrame({
+        "max_open": pd.Series([best_open], dtype="int64"),
+        "at_t_us": pd.Series([best_t], dtype="int64")}))
+
+
+EVENTS_MAX_CONCURRENT_SQL = """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+  FROM events),
+b AS (
+  SELECT s AS t, 0 AS dkey, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS t, 1 AS dkey, -1 AS delta FROM iv),
+r AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, dkey
+                             ROWS UNBOUNDED PRECEDING) AS open
+  FROM b)
+SELECT CAST(open AS BIGINT) AS max_open, t AS at_t_us
+FROM r ORDER BY open DESC, t ASC LIMIT 1
+"""

@@ -391,3 +391,31 @@ def windowed_get(task_fn, args_list, window: int | None = None) -> list:
             results.append(ray.get(ref))
             del in_flight[ref]
     return results
+
+
+def scan_sorted_blocks(ds, block_fn):
+    """Order-preserving per-block map over a SORTED, MATERIALIZED
+    Dataset — the building block for distributed PREFIX SCANS (global
+    running aggregates with cross-block carry), the one sequential-
+    looking op class Ray Data has no native form for.
+
+    A materialized sorted Dataset's blocks are DISJOINT key ranges,
+    but ``iter_internal_ref_bundles`` yields them in task-COMPLETION
+    order (measured), so ``block_fn`` must capture each block's
+    min/max sort key in its summary; the caller reorders summaries by
+    min key, VERIFIES range-disjointness (fail loud), and runs an
+    O(#blocks) driver-side exclusive scan over them — the classic
+    two-phase parallel scan with phase two fused into phase one
+    because the carry enters additively.  Returns ``[block_fn(b) for b
+    in blocks]`` in arbitrary order; empty blocks are passed through
+    (block_fn sees them).
+    """
+    import ray
+    refs = [ref for bundle in ds.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+
+    @ray.remote
+    def _run(block):
+        return block_fn(block)
+
+    return windowed_get(_run, [(r,) for r in refs])

@@ -1810,3 +1810,82 @@ class TestEventsTrajectory:
         assert (df.disp_dmm.to_numpy()
                 <= df.track_dmm.to_numpy() + slack).all()
         assert (df.n_legs > 0).all() and (df.track_dmm > 0).all()
+
+
+class TestEventsIntervalUnion:
+    """Gaps-and-islands interval union vs a per-user scalar sweep."""
+
+    def _ref(self):
+        ev = pd.read_parquet(
+            SF + "/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"])
+        ev["s"] = ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        ev["e"] = ev.s + np.floor(
+            ev.value.to_numpy() * 100 + 0.5).astype("int64") * 1_000_000
+        rows = []
+        for uid, g in ev.sort_values(["s", "event_id"]).groupby("user_id"):
+            islands, cur_s, cur_e = [], None, None
+            for s, e in zip(g.s, g.e):
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        islands.append(cur_e - cur_s)
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            islands.append(cur_e - cur_s)
+            rows.append((uid, len(islands), sum(islands)))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_islands", "covered_us"]) \
+            .sort_values("user_id").reset_index(drop=True)
+
+    def test_matches_scalar_sweep(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_interval_union
+        got = events_interval_union(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ref = self._ref()
+        assert len(got) == len(ref)
+        for c in ("user_id", "n_islands", "covered_us"):
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_bounds(self, ray_session):
+        """Union never exceeds the raw duration sum; islands never
+        exceed the event count."""
+        from stac_to_geocore_ray.queries import events_interval_union
+        got = events_interval_union(SF).to_pandas()
+        ev = pd.read_parquet(SF + "/events.parquet",
+                             columns=["user_id", "value"])
+        ev["dur"] = np.floor(ev.value.to_numpy() * 100 + 0.5) \
+            .astype("int64") * 1_000_000
+        raw = ev.groupby("user_id").agg(
+            n=("dur", "size"), total=("dur", "sum"))
+        j = got.set_index("user_id").join(raw)
+        assert (j.covered_us <= j.total).all()
+        assert (j.n_islands <= j.n).all()
+        assert (j.covered_us > 0).all()
+
+
+class TestEventsMaxConcurrent:
+    def _ref(self):
+        ev = pd.read_parquet(SF + "/events.parquet",
+                             columns=["ts", "value"])
+        s = ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        e = s + np.floor(ev.value.to_numpy() * 100 + 0.5) \
+            .astype("int64") * 1_000_000
+        t = np.concatenate([s, e])
+        dkey = np.concatenate([np.zeros(len(s), np.int8),
+                               np.ones(len(e), np.int8)])
+        order = np.lexsort((dkey, t))
+        run = np.cumsum(np.where(dkey[order] == 0, 1, -1))
+        i = int(np.argmax(run))
+        return int(run[i]), int(t[order][i])
+
+    def test_matches_scalar_sweep(self, ray_session, tiny_blocks):
+        """The distributed prefix scan (per-block summaries + driver
+        carry) equals a single-array sweep — tiny blocks force many
+        carry segments."""
+        from stac_to_geocore_ray.queries import events_max_concurrent
+        got = events_max_concurrent(SF).to_pandas()
+        max_open, at_t = self._ref()
+        assert len(got) == 1
+        assert int(got.max_open.iloc[0]) == max_open
+        assert int(got.at_t_us.iloc[0]) == at_t
