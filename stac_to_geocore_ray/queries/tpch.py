@@ -3028,3 +3028,112 @@ FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------- bloom semi-join
+
+BLOOM_M_BITS = 1 << 20          # 128 KiB — covers ~130k build keys at ~5% FP
+
+
+def bloom_semijoin(sf_dir: str):
+    """BLOOM-PRUNED SEMI-JOIN — revenue of lineitems whose part is a
+    small-size PROMO part, with the big side pruned by a broadcast
+    Bloom filter BEFORE the exact confirm join: the runtime-filter /
+    sideways-information-passing pattern every distributed SQL engine
+    applies and Ray Data has no native form for.
+
+    Shape: (1) the build side's filtered keys fold into one bitmap
+    distributively — per-batch partial bitmaps, a single bitwise-OR
+    fold (OR is commutative/associative: exact under any batching);
+    (2) the bitmap broadcasts once via ``ray.put`` (128 KiB — NOT the
+    key set, which is what makes the pattern scale when the build side
+    has millions of keys; size ``BLOOM_M_BITS`` with build
+    cardinality, stages/bloom.py); (3) the probe side tests two
+    vectorized hash probes per batch and drops non-members at the
+    scan — the all-to-all confirm join then shuffles |matches| + false
+    positives instead of |lineitem|; (4) the confirm is an EXACT
+    distributed hash join, so false positives cost only wasted confirm
+    work, never wrong rows.  Revenue rounds to cents PER ROW (exact
+    int64 sum under any batching); the 3-key returnflag fold is a
+    single-task small_domain_fold.
+    """
+    import ray
+
+    from ..stages.bloom import bloom_or, bloom_partial, bloom_probe_mask
+    from ..stages.util import drop_empty_blocks
+
+    part = _meta_read(_t(sf_dir, "part"),
+                      columns=["p_partkey", "p_type", "p_size"])
+
+    def build_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["p_type"], "PROMO"),
+                       pc.less_equal(batch["p_size"], 10))
+        return pa.table({"p_partkey": batch.filter(keep)["p_partkey"]})
+
+    pkeys = part.map_batches(build_keys, batch_format="pyarrow") \
+        .materialize()            # two consumers: bloom build + confirm
+
+    def bloom_stage(batch: pa.Table) -> pa.Table:
+        return pa.table({"bits": pa.array(
+            [bloom_partial(batch["p_partkey"].to_numpy(), BLOOM_M_BITS)],
+            pa.binary())})
+
+    folded = drop_empty_blocks(pkeys).map_batches(
+        bloom_stage, batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda b: pa.table({"bits": pa.array(
+                [bloom_or(b["bits"].to_pylist())], pa.binary())}),
+            batch_format="pyarrow").take_all()
+    bits_ref = ray.put(folded[0]["bits"])
+
+    li = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount", "l_returnflag"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(bloom_probe_mask(keys, bits, BLOOM_M_BITS)))
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    confirmed = drop_empty_blocks(survivors.materialize()).join(
+        pkeys, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dis = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = ext * (1.0 - dis)
+        cents = (np.sign(rev) * np.floor(np.abs(rev) * 100.0 + 0.5)) \
+            .astype("int64")
+        g = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "revenue_cents": cents}) \
+            .groupby("l_returnflag", sort=False, as_index=False) \
+            .agg(n=("revenue_cents", "size"),
+                 revenue_cents=("revenue_cents", "sum"))
+        return table_from_pandas(g[["l_returnflag", "n",
+                                    "revenue_cents"]],
+                                 preserve_index=False)
+
+    out = small_domain_fold(
+        confirmed.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_returnflag"], sum_cols=["n", "revenue_cents"])
+    return out.map_batches(lambda b: pa.table({
+        "l_returnflag": b["l_returnflag"],
+        "n": pc.cast(b["n"], pa.int64()),
+        "revenue_cents": pc.cast(b["revenue_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+BLOOM_SEMIJOIN_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_type = 'PROMO' AND p_size <= 10)
+GROUP BY l_returnflag
+"""

@@ -532,3 +532,57 @@ class TestSmallDomainFold:
         out = small_domain_fold(rd.from_pandas(df), keys=["k"],
                                 sum_cols=["n"]).to_pandas()
         assert len(out) == 0          # zero-column pass-through, pinned
+
+
+class TestBloom:
+    """stages/bloom.py: distributed Bloom build/probe invariants."""
+
+    def test_no_false_negatives_and_or_fold(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.stages.bloom import (
+            bloom_or, bloom_partial, bloom_probe_mask)
+        m = 1 << 16
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 1 << 40, size=3000)
+        # split into batches, build partials, OR-fold: the fold must
+        # equal a single-shot build (OR is exact under any batching)
+        parts = [bloom_partial(keys[i::7], m) for i in range(7)]
+        bits = bloom_or(parts)
+        assert bits == bloom_partial(keys, m)
+        assert bloom_probe_mask(keys, bits, m).all()
+
+    def test_false_positive_rate_bounded(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.stages.bloom import (
+            bloom_partial, bloom_probe_mask)
+        m = 1 << 20
+        rng = np.random.default_rng(11)
+        members = rng.integers(0, 1 << 40, size=50_000)
+        bits = bloom_partial(members, m)
+        probes = rng.integers(1 << 41, 1 << 42, size=100_000)  # disjoint
+        fp = bloom_probe_mask(probes, bits, m).mean()
+        # n/m = 0.048, k=2 -> theoretical ~0.8%; allow 3x slack
+        assert fp < 0.025, fp
+
+    def test_semijoin_prunes_before_confirm(self, ray_session):
+        """The bloom mask over lineitem keys is a SUPERSET of the true
+        member set and strictly prunes non-members."""
+        import numpy as np
+        import pandas as pd
+
+        from stac_to_geocore_ray.stages.bloom import (
+            bloom_partial, bloom_probe_mask)
+        SF = "/root/testdata/sf0.001"
+        part = pd.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_type", "p_size"])
+        build = part.loc[(part.p_type == "PROMO") & (part.p_size <= 10),
+                         "p_partkey"].to_numpy()
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_partkey"]).l_partkey.to_numpy()
+        bits = bloom_partial(build, 1 << 20)
+        mask = bloom_probe_mask(li, bits, 1 << 20)
+        truth = np.isin(li, build)
+        assert (mask | ~truth).all()          # no false negatives
+        assert mask.sum() < len(li)           # actually pruned
