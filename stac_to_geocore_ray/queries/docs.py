@@ -2055,3 +2055,72 @@ r AS (SELECT doc_id, score,
       FROM s)
 SELECT doc_id, score, rank FROM r WHERE rank <= {BM25_TOPK}
 """
+
+
+def doc_bigrams(sf_dir: str):
+    """BIGRAM VOCABULARY — global top-50 adjacent lowercase token pairs
+    by frequency (ties by pair): the n-gram language-model / phrase-
+    mining counterpart of doc_word_freq's unigram vocabulary.
+
+    Scale shape: per-batch pair counts (explode + shift-and-mask, all
+    C-level; shuffle volume is per-batch DISTINCT pairs — Zipf keeps
+    the contraction strong even though the pair domain is wider than
+    the unigram one), one pair-keyed groupby, per-block top-50
+    partials, <=50 x #blocks driver merge.  Tokenization is the
+    engine-wide whitespace split; the unigram op's PINNED DIVERGENCE
+    note (pandas Unicode split vs RE2 \\s+ — coincident on the ASCII
+    corpus) applies verbatim.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    K = 50
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        if len(s) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        doc = s.index.to_numpy()
+        w = s.to_numpy()
+        same = doc[1:] == doc[:-1]
+        vc = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]}) \
+            .groupby(["w1", "w2"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({"w1": pa.array(vc["w1"], pa.string()),
+                         "w2": pa.array(vc["w2"], pa.string()),
+                         "n": pa.array(vc["n"].to_numpy(), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n"] = df["n"].astype("int64")
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True]).head(K)
+        return table_from_pandas(df[["w1", "w2", "n"]],
+                                 preserve_index=False)
+
+    parts = agg.map_batches(topk_partial, batch_format="pyarrow") \
+        .to_pandas()
+    final = parts.sort_values(["n", "w1", "w2"],
+                              ascending=[False, True, True]).head(K)
+    return table_from_pandas(final.reset_index(drop=True),
+                             preserve_index=False)
+
+
+DOC_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+big AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+  FROM toks WHERE len(t) >= 2)
+SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
+FROM big GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50
+"""

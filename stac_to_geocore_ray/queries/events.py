@@ -2547,3 +2547,87 @@ r AS (
 SELECT CAST(open AS BIGINT) AS max_open, t AS at_t_us
 FROM r ORDER BY open DESC, t ASC LIMIT 1
 """
+
+
+# ------------------------------------------------------- per-key mode
+
+def events_mode_type(sf_dir: str):
+    """PER-USER MODE — each user's most frequent event type (ties to
+    the lexicographically smallest type): the grouped-mode op class,
+    holistic in general but EXACTLY decomposable here by packing
+    (count, inverted type rank) into one int64 and folding MAX — the
+    argmax-by-encoding trick that turns a holistic aggregate into a
+    reassociative one when the tie-break domain is enumerable.
+
+    Shape: per-batch (user, type) counts contract in-batch; one
+    sorted_combine SUM folds them exactly; the per-user argmax is a
+    second sorted_combine MAX over packed ``count * 256 + (255 -
+    type_rank)`` — no shuffle carries more than O(users x types) rows,
+    and the type catalog (tiny domain) is discovered once with a
+    single-task fold and broadcast as a rank dict.
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "event_type"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pandas()}) \
+            .groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    counts = sorted_combine(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["user_id", "event_type"], sum_cols=["n"]).materialize()
+
+    # type catalog: tiny domain, one single-task fold, sorted rank
+    types = sorted(set(counts.map_batches(
+        lambda b: pa.table({"event_type": pc.unique(b["event_type"])}),
+        batch_format="pyarrow").to_pandas()["event_type"]))
+    if len(types) > 255:
+        raise ValueError(f"type domain {len(types)} exceeds the 8-bit "
+                         "pack — widen the encoding")
+    rank = {t: i for i, t in enumerate(types)}
+
+    def pack(batch: pa.Table) -> pa.Table:
+        r = batch["event_type"].to_pandas().map(rank).to_numpy() \
+            .astype("int64")
+        n = batch["n"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "user_id": batch["user_id"],
+            "packed": pa.array(n * 256 + (255 - r), pa.int64())})
+
+    best = sorted_combine(
+        counts.map_batches(pack, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"packed": "max"})
+
+    inv = pa.array(types, pa.string())
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "mode_type": pc.take(inv, pa.array(255 - (p % 256),
+                                               pa.int64())),
+            "n_mode": pa.array(p // 256, pa.int64())})
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
+EVENTS_MODE_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM c)
+SELECT user_id, event_type AS mode_type, n AS n_mode
+FROM r WHERE rk = 1
+"""

@@ -1889,3 +1889,37 @@ class TestEventsMaxConcurrent:
         assert len(got) == 1
         assert int(got.max_open.iloc[0]) == max_open
         assert int(got.at_t_us.iloc[0]) == at_t
+
+
+class TestDocBigrams:
+    def test_matches_scalar_count(self, ray_session, tiny_blocks):
+        from collections import Counter
+
+        from stac_to_geocore_ray.queries import doc_bigrams
+        got = doc_bigrams(SF).to_pandas()
+        docs = pd.read_parquet(SF + "/documents.parquet",
+                               columns=["text"])
+        c = Counter()
+        for t in docs.text:
+            toks = t.lower().split()
+            c.update(zip(toks, toks[1:]))
+        ref = sorted(((-n, w1, w2) for (w1, w2), n in c.items()))[:50]
+        assert [(-n, w1, w2) for w1, w2, n in
+                got[["w1", "w2", "n"]].itertuples(index=False)] == ref
+
+
+class TestEventsModeType:
+    def test_matches_pandas_mode(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_mode_type
+        got = events_mode_type(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ev = pd.read_parquet(SF + "/events.parquet",
+                             columns=["user_id", "event_type"])
+        c = ev.groupby(["user_id", "event_type"]).size() \
+            .reset_index(name="n") \
+            .sort_values(["user_id", "n", "event_type"],
+                         ascending=[True, False, True])
+        ref = c.groupby("user_id", sort=True).first().reset_index()
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.mode_type.tolist() == ref.event_type.tolist()
+        assert got.n_mode.tolist() == ref.n.tolist()
