@@ -651,6 +651,56 @@ def golden_geo_union_area(sf_dir: str) -> pa.Table:
         "union_area_u": pa.array([a for _, a in rows], pa.int64())})
 
 
+def golden_geo_convex_hull(sf_dir: str) -> pa.Table:
+    """Scalar per-collection convex hull over EVERY quantized bbox
+    corner: textbook Andrew chain on (x, y) tuples with exact integer
+    cross products — no pruning, none of geo/hull.py's code — plus a
+    plain-int shoelace.  Strict-turn convention (collinear edge points
+    are not vertices), matching the engine's pinned contract."""
+    from .sources import fixtures
+    from .stages.footprint import quantize_rects
+    p = fixtures.paths(sf_dir)
+    df = pq.read_table(p["stac_items"],
+                       columns=["collection_id", "bbox"]).to_pandas()
+    rows = []
+    for cid, g in df.groupby("collection_id", sort=True):
+        r = quantize_rects(np.stack(g.bbox.to_numpy()))
+        pts = set()
+        for w, s, e, n in r.tolist():
+            pts.update([(w, s), (e, s), (w, n), (e, n)])
+        pts = sorted(pts)
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            def half(seq):
+                out = []
+                for q in seq:
+                    while len(out) >= 2:
+                        a, b = out[-2], out[-1]
+                        if ((b[0] - a[0]) * (q[1] - a[1])
+                                - (b[1] - a[1]) * (q[0] - a[0])) <= 0:
+                            out.pop()
+                        else:
+                            break
+                    out.append(q)
+                return out
+            lo, hi = half(pts), half(pts[::-1])
+            hull = lo[:-1] + hi[:-1]
+            if len(hull) < 2:
+                hull = [pts[0], pts[-1]]
+        area2 = 0
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % len(hull)]
+                area2 += x1 * y2 - x2 * y1
+        rows.append((cid, len(hull), area2))
+    return pa.table({
+        "collection_id": pa.array([c for c, _, _ in rows], pa.string()),
+        "hull_nv": pa.array([n for _, n, _ in rows], pa.int64()),
+        "hull_area2": pa.array([a for _, _, a in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -670,6 +720,7 @@ GOLDENS = {
     "kmeans_embeddings": golden_kmeans,
     "image_thumbnails": golden_thumbnails,
     "geo_union_area": golden_geo_union_area,
+    "geo_convex_hull": golden_geo_convex_hull,
 }
 
 

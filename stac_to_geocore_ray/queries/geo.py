@@ -1926,3 +1926,74 @@ SELECT f.ix, f.iy, f.n,
              6) AS gi_z_r
 FROM f, g
 """
+
+
+def geo_convex_hull(sf_dir: str):
+    """Per-collection CONVEX HULL of footprint corners — the coverage-
+    extent summary (minimal bounding polygon) of each catalog
+    collection: vertex count and exact doubled shoelace area in
+    micro-degree² fixed point.
+
+    Distributed shape: hull(A ∪ B) == hull(hull(A) ∪ hull(B)), so each
+    batch contracts EXACTLY to its per-collection local hull vertices —
+    a vectorized Akl–Toussaint octagon prune (comparisons only) drops
+    the interior before the O(survivors) monotone chain — and the
+    global fold runs a final chain per collection over O(#batches ×
+    hull size) candidates.  Nothing quadratic, nothing float: corners
+    quantize ONCE to int64 micro-degrees (the quantize_rects grain
+    shared with the union-area golden) and every orientation test is
+    an exact integer cross product, so the vertex set and area admit
+    exactly one correct answer under ANY batching (geo/hull.py pins
+    the strict-turn convention: collinear edge points are not
+    vertices).
+
+    Oracle: golden parquet — an independent straight-line scalar chain
+    over every corner, no pruning, no shared hull code (DuckDB cannot
+    express convex hulls without a spatial extension).
+    """
+    import pandas as pd
+
+    from ..geo.hull import akl_toussaint_mask, convex_hull_int, shoelace2
+    from ..stages.footprint import quantize_rects
+    from ..stages.util import table_from_pandas
+    p = _fx(sf_dir)
+    ds = clean_read_parquet(p["stac_items"],
+                            columns=["collection_id", "bbox"])
+
+    def corners(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"collection_id": pa.array([], pa.string()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        cid = batch["collection_id"].to_pandas().to_numpy()
+        r = quantize_rects(np.stack(
+            batch["bbox"].to_numpy(zero_copy_only=False)))
+        w, s, e, n = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        x = np.concatenate([w, e, w, e])
+        y = np.concatenate([s, s, n, n])
+        c = np.tile(cid, 4)
+        keep_c, keep_x, keep_y = [], [], []
+        for u in pd.unique(c):
+            m = c == u
+            xu, yu = x[m], y[m]
+            at = akl_toussaint_mask(xu, yu)
+            hull = convex_hull_int(xu[at], yu[at])
+            keep_c.append(np.repeat(u, len(hull)))
+            keep_x.append(hull[:, 0])
+            keep_y.append(hull[:, 1])
+        return pa.table({
+            "collection_id": pa.array(np.concatenate(keep_c), pa.string()),
+            "x": pa.array(np.concatenate(keep_x), pa.int64()),
+            "y": pa.array(np.concatenate(keep_y), pa.int64())})
+
+    cands = ds.map_batches(corners, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hull = convex_hull_int(g["x"].to_numpy(), g["y"].to_numpy())
+        return pd.DataFrame({
+            "collection_id": [g["collection_id"].iloc[0]],
+            "hull_nv": pd.Series([len(hull)], dtype="int64"),
+            "hull_area2": pd.Series([shoelace2(hull)], dtype="int64")})
+
+    return cands.groupby("collection_id").map_groups(
+        lambda g: table_from_pandas(fold(g)), batch_format="pandas")

@@ -431,3 +431,69 @@ class TestUnionAdaptive:
         r = np.vstack([np.stack([x0, y0, x0 + 5, y0 + 5], 1),
                        np.array([[0, 0, 1000, 1000]])])
         assert rect_union_area(r) == 1000 * 1000
+
+
+class TestConvexHull:
+    """geo/hull.py: exact integer hull + Akl-Toussaint prune."""
+
+    def test_prune_is_exact_and_hull_contains_all(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.geo.hull import (
+            akl_toussaint_mask, convex_hull_int, shoelace2)
+        rng = np.random.default_rng(3)
+        for trial in range(200):
+            n = int(rng.integers(1, 80))
+            lo, hi = (-1000, 1000) if trial % 3 else (-5, 5)
+            x = rng.integers(lo, hi, n)
+            y = rng.integers(lo, hi, n)
+            if trial % 7 == 0:
+                y = 2 * x + 3                      # collinear family
+            at = akl_toussaint_mask(x, y)
+            h1 = convex_hull_int(x, y)
+            h2 = convex_hull_int(x[at], y[at])
+            assert np.array_equal(h1, h2)          # prune never loses
+            if len(h1) >= 3:
+                assert shoelace2(h1) > 0
+                hx = h1[:, 0].tolist() + [int(h1[0, 0])]
+                hy = h1[:, 1].tolist() + [int(h1[0, 1])]
+                for px, py in zip(x.tolist(), y.tolist()):
+                    assert all(
+                        (hx[i + 1] - hx[i]) * (py - hy[i])
+                        - (hy[i + 1] - hy[i]) * (px - hx[i]) >= 0
+                        for i in range(len(h1)))
+
+    def test_hull_of_hulls_contraction(self):
+        """hull(A ∪ B) == hull(hull(A) ∪ hull(B)) — the law the
+        per-batch combiner relies on."""
+        import numpy as np
+
+        from stac_to_geocore_ray.geo.hull import convex_hull_int
+        rng = np.random.default_rng(9)
+        for _ in range(100):
+            xa = rng.integers(-500, 500, 40)
+            ya = rng.integers(-500, 500, 40)
+            xb = rng.integers(-300, 800, 40)
+            yb = rng.integers(-300, 800, 40)
+            full = convex_hull_int(np.r_[xa, xb], np.r_[ya, yb])
+            ha = convex_hull_int(xa, ya)
+            hb = convex_hull_int(xb, yb)
+            two = convex_hull_int(np.r_[ha[:, 0], hb[:, 0]],
+                                  np.r_[ha[:, 1], hb[:, 1]])
+            assert np.array_equal(full, two)
+
+    def test_degenerate_shapes(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.geo.hull import (
+            akl_toussaint_mask, convex_hull_int, shoelace2)
+        # single point
+        h = convex_hull_int(np.array([5]), np.array([7]))
+        assert h.tolist() == [[5, 7]] and shoelace2(h) == 0
+        assert akl_toussaint_mask(np.array([5]), np.array([7])).all()
+        # duplicate points
+        h = convex_hull_int(np.array([1, 1, 1]), np.array([2, 2, 2]))
+        assert h.tolist() == [[1, 2]] * 1
+        # collinear
+        h = convex_hull_int(np.array([0, 5, 10]), np.array([0, 5, 10]))
+        assert h.tolist() == [[0, 0], [10, 10]] and shoelace2(h) == 0
