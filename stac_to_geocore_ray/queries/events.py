@@ -2631,3 +2631,81 @@ r AS (
 SELECT user_id, event_type AS mode_type, n AS n_mode
 FROM r WHERE rk = 1
 """
+
+
+# ------------------------------------------------- last-touch attribution
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000       # 7-day lookback
+
+
+def events_attribution(sf_dir: str):
+    """LAST-TOUCH ATTRIBUTION — per user, how many purchases have a
+    click strictly earlier in the stream and within a 7-day lookback:
+    the marketing-attribution op class, a WINDOWED CONDITIONAL AS-OF
+    inside one stream (each purchase looks back to the latest
+    same-user click), which neither a plain as-of join (two streams)
+    nor a frame window (unconditional) expresses.
+
+    Kernel: per-user running CONDITIONAL max — mask click timestamps,
+    grouped cummax, shift by one row — then a window test per
+    purchase; all C-level pandas, contracting to O(users) rows.
+    Rides the shared sorted-stream decomposition (interior users
+    in-block, straddlers to the keyed fold).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "n_attributed": pd.Series([], dtype="int64")})
+        uid = pd.Series(df["user_id"].to_numpy())
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        is_click = (df["event_type"] == "click").to_numpy()
+        is_buy = (df["event_type"] == "purchase").to_numpy()
+        click_ts = pd.Series(np.where(is_click, t, np.nan))
+        # cummax leaves NaN AT NaN positions (it only skips them in
+        # the running max) — grouped ffill carries the max across
+        # non-click rows before the one-row shift
+        last_click = click_ts.groupby(uid, sort=False).cummax() \
+            .groupby(uid, sort=False).ffill() \
+            .groupby(uid, sort=False).shift(1).to_numpy()
+        attributed = is_buy & ~np.isnan(last_click) \
+            & (t - last_click <= ATTRIB_WINDOW_US)
+        out = pd.DataFrame({"u": uid, "b": is_buy, "a": attributed}) \
+            .groupby("u", sort=False).agg(
+                n_purchases=("b", "sum"), n_attributed=("a", "sum"))
+        out = out[out["n_purchases"] > 0]
+        return pd.DataFrame({
+            "user_id": out.index.to_numpy().astype("int64"),
+            "n_purchases": out["n_purchases"].to_numpy().astype("int64"),
+            "n_attributed": out["n_attributed"].to_numpy()
+            .astype("int64")})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "event_type"],
+        kernel=kernel)
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(*) FILTER (last_click IS NOT NULL
+                             AND t - last_click <= {ATTRIB_WINDOW_US})
+            AS BIGINT) AS n_attributed
+FROM s WHERE event_type = 'purchase'
+GROUP BY user_id
+"""

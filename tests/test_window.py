@@ -1923,3 +1923,34 @@ class TestEventsModeType:
         assert got.user_id.tolist() == ref.user_id.tolist()
         assert got.mode_type.tolist() == ref.event_type.tolist()
         assert got.n_mode.tolist() == ref.n.tolist()
+
+
+class TestEventsAttribution:
+    def test_matches_scalar_lookback(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_attribution
+        from stac_to_geocore_ray.queries.events import ATTRIB_WINDOW_US
+        got = events_attribution(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ev = pd.read_parquet(
+            SF + "/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"]) \
+            .sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            t = g.ts.to_numpy().astype("datetime64[us]").astype("int64")
+            ty = g.event_type.to_numpy()
+            nb = na = 0
+            for i in range(len(g)):
+                if ty[i] != "purchase":
+                    continue
+                nb += 1
+                clicks = [t[j] for j in range(i) if ty[j] == "click"]
+                if clicks and t[i] - max(clicks) <= ATTRIB_WINDOW_US:
+                    na += 1
+            if nb:
+                rows.append((uid, nb, na))
+        ref = pd.DataFrame(rows, columns=[
+            "user_id", "n_purchases", "n_attributed"])
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.n_purchases.tolist() == ref.n_purchases.tolist()
+        assert got.n_attributed.tolist() == ref.n_attributed.tolist()
