@@ -701,6 +701,59 @@ def golden_geo_convex_hull(sf_dir: str) -> pa.Table:
         "hull_area2": pa.array([a for _, _, a in rows], pa.int64())})
 
 
+def golden_geo_polygonize(sf_dir: str) -> pa.Table:
+    """Scalar raster->vector replay: burn every bbox into a DENSE 64x64
+    grid cell-by-cell (plain loops — not the difference-array trick),
+    then BFS flood-fill 4-connected regions; none of the engine's
+    union-find or searchsorted code."""
+    from collections import deque
+
+    from .sources import fixtures
+    p = fixtures.paths(sf_dir)
+    df = pq.read_table(p["stac_items"], columns=["bbox"]).to_pandas()
+    k = 64
+    grid = [[0] * k for _ in range(k)]
+    for bb in df.bbox:
+        w, s, e, n = (float(v) for v in bb)
+        if w > e or s > n:
+            continue
+        ix0 = min(int((w + 180.0) / 360.0 * k), k - 1)
+        ix1 = min(int((e + 180.0) / 360.0 * k), k - 1)
+        iy0 = min(int((s + 90.0) / 180.0 * k), k - 1)
+        iy1 = min(int((n + 90.0) / 180.0 * k), k - 1)
+        for i in range(ix0, ix1 + 1):
+            for j in range(iy0, iy1 + 1):
+                grid[i][j] += 1
+    seen = [[False] * k for _ in range(k)]
+    rows = []
+    for i in range(k):
+        for j in range(k):
+            if grid[i][j] <= 0 or seen[i][j]:
+                continue
+            q, cells = deque([(i, j)]), []
+            seen[i][j] = True
+            while q:
+                a, b = q.popleft()
+                cells.append((a, b))
+                for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    na, nb = a + da, b + db
+                    if 0 <= na < k and 0 <= nb < k \
+                            and grid[na][nb] > 0 and not seen[na][nb]:
+                        seen[na][nb] = True
+                        q.append((na, nb))
+            rows.append((
+                min(a * k + b for a, b in cells), len(cells),
+                min(a for a, _ in cells), max(a for a, _ in cells),
+                min(b for _, b in cells), max(b for _, b in cells),
+                sum(grid[a][b] for a, b in cells)))
+    rows.sort()
+    cols = list(zip(*rows)) if rows else [[]] * 7
+    names = ["region_id", "n_cells", "ix_min", "ix_max",
+             "iy_min", "iy_max", "cover_sum"]
+    return pa.table({nm: pa.array(list(c), pa.int64())
+                     for nm, c in zip(names, cols)})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -721,6 +774,7 @@ GOLDENS = {
     "image_thumbnails": golden_thumbnails,
     "geo_union_area": golden_geo_union_area,
     "geo_convex_hull": golden_geo_convex_hull,
+    "geo_polygonize": golden_geo_polygonize,
 }
 
 

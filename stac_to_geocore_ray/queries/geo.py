@@ -1997,3 +1997,52 @@ def geo_convex_hull(sf_dir: str):
 
     return cands.groupby("collection_id").map_groups(
         lambda g: table_from_pandas(fold(g)), batch_format="pandas")
+
+
+def geo_polygonize(sf_dir: str):
+    """RASTER -> VECTOR (polygonize): connected coverage REGIONS of the
+    z=6 rasterized footprint mosaic — per 4-connected component of
+    covered cells, a canonical region id (min cell code), cell count,
+    bounding cell rectangle and total coverage weight.  The inverse of
+    geo_rasterize_coverage; together they close the north rule's
+    raster<->vector pair (mask vectorization, coverage dissolve to
+    region outlines).
+
+    Scale shape: the heavy side is the rasterization, which contracts
+    each batch to <= k^2 difference-array rows and folds exactly
+    (small_domain_fold); the component pass then runs ONCE on the
+    folded O(k^2)-cell mask — bounded by the RASTER RESOLUTION, not
+    the input size, so it is deliberately a single task (union-find
+    with path halving over occupied cells, vectorized searchsorted
+    neighbor lookup — stages/footprint.polygonize_cells).  A finer
+    grid tiles the mask and merges labels across tile edges (the
+    label-propagation machinery the dedup clusters already use); at
+    z=6 that would be pure overhead.
+
+    Oracle: golden parquet — an independent scalar BFS flood fill over
+    a dense replayed grid.
+    """
+    from ..stages.footprint import polygonize_cells
+    from ..stages.util import table_from_pandas
+    p = _fx(sf_dir)
+    grid = rasterize_from_dataset(clean_read_parquet(p["stac_items"],
+                                                     columns=["bbox"]))
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        out = polygonize_cells(
+            batch["ix"].to_numpy(zero_copy_only=False),
+            batch["iy"].to_numpy(zero_copy_only=False),
+            batch["n_cover"].to_numpy(zero_copy_only=False), RAST_K)
+        return pa.table({
+            "region_id": pa.array(out[:, 0], pa.int64()),
+            "n_cells": pa.array(out[:, 1], pa.int64()),
+            "ix_min": pa.array(out[:, 2], pa.int64()),
+            "ix_max": pa.array(out[:, 3], pa.int64()),
+            "iy_min": pa.array(out[:, 4], pa.int64()),
+            "iy_max": pa.array(out[:, 5], pa.int64()),
+            "cover_sum": pa.array(out[:, 6], pa.int64())})
+
+    # the fold output is ONE block (small_domain_fold contract), so
+    # batch_size=None hands the whole mask to a single vectorize task
+    return grid.map_batches(vectorize, batch_format="pyarrow",
+                            batch_size=None)

@@ -277,3 +277,67 @@ def rect_union_area(r: np.ndarray) -> int:
     w, s = int(r[:, 0].min()), int(r[:, 1].min())
     e, n = int(r[:, 2].max()), int(r[:, 3].max())
     return _union_adaptive(r, w, s, e, n)
+
+
+def polygonize_cells(ix: np.ndarray, iy: np.ndarray, val: np.ndarray,
+                     k: int) -> "np.ndarray":
+    """RASTER -> VECTOR: 4-connected components over a sparse cell set.
+
+    Input: occupied cells (ix, iy) with positive values on a k x k
+    grid; output: one row per connected region as an (r, 7) int64
+    array — [region_id (min ix*k+iy in the region — a canonical,
+    batching-independent label), n_cells, ix_min, ix_max, iy_min,
+    iy_max, val_sum] sorted by region_id.
+
+    Union-find with path halving + union by size over the OCCUPIED
+    cells only (never the full grid): each cell unions with its west
+    and south neighbors found via one searchsorted over the
+    lex-sorted cell codes — O(m α(m)) for m occupied cells,
+    vectorized neighbor lookup, a single tight find loop.
+    """
+    m = len(ix)
+    if m == 0:
+        return np.empty((0, 7), dtype=np.int64)
+    code = ix.astype(np.int64) * k + iy.astype(np.int64)
+    order = np.argsort(code)
+    code, ix, iy, val = code[order], ix[order], iy[order], val[order]
+    parent = np.arange(m, dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]      # path halving
+            a = parent[a]
+        return a
+
+    # neighbor pairs: west (code - k, valid when ix > 0) and
+    # south (code - 1, valid when iy > 0)
+    for delta, valid in ((k, ix > 0), (1, iy > 0)):
+        target = code - delta
+        pos = np.searchsorted(code, target)
+        hit = valid & (pos < m)
+        hit[hit] &= code[pos[hit]] == target[hit]
+        for a, b in zip(np.flatnonzero(hit), pos[np.flatnonzero(hit)]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(int(i)) for i in range(m)), np.int64, m)
+    uniq, inv = np.unique(roots, return_inverse=True)
+    out = np.zeros((len(uniq), 7), dtype=np.int64)
+    out[:, 0] = code[uniq]                    # min code: roots carry the
+    out[:, 1] = np.bincount(inv)              # smallest index by union rule
+    mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, inv, ix)
+    out[:, 2] = mins
+    maxs = np.zeros(len(uniq), np.int64)
+    np.maximum.at(maxs, inv, ix)
+    out[:, 3] = maxs
+    mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, inv, iy)
+    out[:, 4] = mins
+    maxs = np.zeros(len(uniq), np.int64)
+    np.maximum.at(maxs, inv, iy)
+    out[:, 5] = maxs
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, val)
+    out[:, 6] = sums
+    return out

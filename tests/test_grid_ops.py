@@ -370,3 +370,59 @@ class TestHotspotZscore:
         # to zero (empty cells hold the rest of the mass), but every
         # fully-isolated single-item cell must sit below the global max
         assert h.gi_z_r.max() > 0
+
+
+class TestPolygonize:
+    """stages/footprint.polygonize_cells vs a scalar flood fill."""
+
+    def test_matches_bfs_on_random_masks(self):
+        from collections import deque
+
+        import numpy as np
+
+        from stac_to_geocore_ray.stages.footprint import polygonize_cells
+        rng = np.random.default_rng(17)
+        for density in (0.05, 0.3, 0.7, 1.0):
+            k = 32
+            mask = rng.random((k, k)) < density
+            val = rng.integers(1, 9, (k, k))
+            ix, iy = np.nonzero(mask)
+            out = polygonize_cells(ix.astype(np.int64),
+                                   iy.astype(np.int64),
+                                   val[ix, iy].astype(np.int64), k)
+            # scalar reference
+            seen = np.zeros((k, k), bool)
+            rows = []
+            for i, j in zip(ix, iy):
+                if seen[i, j]:
+                    continue
+                q, cells = deque([(i, j)]), []
+                seen[i, j] = True
+                while q:
+                    a, b = q.popleft()
+                    cells.append((a, b))
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        na, nb = a + da, b + db
+                        if 0 <= na < k and 0 <= nb < k \
+                                and mask[na, nb] and not seen[na, nb]:
+                            seen[na, nb] = True
+                            q.append((na, nb))
+                rows.append([
+                    min(a * k + b for a, b in cells), len(cells),
+                    min(a for a, _ in cells), max(a for a, _ in cells),
+                    min(b for _, b in cells), max(b for _, b in cells),
+                    sum(int(val[a, b]) for a, b in cells)])
+            rows.sort()
+            assert out.tolist() == rows, density
+
+    def test_empty_and_singletons(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.stages.footprint import polygonize_cells
+        assert polygonize_cells(np.array([], np.int64),
+                                np.array([], np.int64),
+                                np.array([], np.int64), 8).shape == (0, 7)
+        out = polygonize_cells(np.array([0, 7]), np.array([0, 7]),
+                               np.array([5, 6]), 8)
+        assert out.tolist() == [[0, 1, 0, 0, 0, 0, 5],
+                                [63, 1, 7, 7, 7, 7, 6]]

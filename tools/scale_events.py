@@ -186,6 +186,12 @@ def main() -> None:
     timed("events_rolling_sum", lambda: q.events_rolling_sum(out_dir))
     timed("events_stream_sessions",
           lambda: q.events_stream_sessions(out_dir))
+    timed("events_interval_union",
+          lambda: q.events_interval_union(out_dir))
+    timed("events_max_concurrent",
+          lambda: q.events_max_concurrent(out_dir))
+    timed("events_mode_type", lambda: q.events_mode_type(out_dir))
+    timed("events_attribution", lambda: q.events_attribution(out_dir))
     tracker.stop()
 
     print(json.dumps({
