@@ -2062,55 +2062,93 @@ def doc_bigrams(sf_dir: str):
     by frequency (ties by pair): the n-gram language-model / phrase-
     mining counterpart of doc_word_freq's unigram vocabulary.
 
-    Scale shape: per-batch pair counts (explode + shift-and-mask, all
-    C-level; shuffle volume is per-batch DISTINCT pairs — Zipf keeps
-    the contraction strong even though the pair domain is wider than
-    the unigram one), one pair-keyed groupby, per-block top-50
-    partials, <=50 x #blocks driver merge.  Tokenization is the
-    engine-wide whitespace split; the unigram op's PINNED DIVERGENCE
-    note (pandas Unicode split vs RE2 \\s+ — coincident on the ASCII
-    corpus) applies verbatim.
+    Scale shape — the measured one, not the obvious one: unlike
+    unigrams, adjacent-pair counts BARELY CONTRACT per batch (at 1M
+    docs most bigrams are near-unique within a batch), so the naive
+    pair-string groupby shuffles ~10^8 string rows into Ray's per-row
+    aggregate reduce (measured 214-248 s at 1M docs).  Instead:
+    (1) ONE cheap pass discovers the word vocabulary (distinct-token
+    partials contract enormously — Zipf), sorted so code order ==
+    lexicographic order, broadcast once via ray.put;
+    (2) each batch maps tokens to vocab codes with a C-level hash
+    get_indexer and pairs them as a single int64 ``id1 * V + id2``;
+    (3) the weakly-contracted (pair_code, n) partials fold through
+    sorted_combine — an int64 sort + in-block combine, the engine's
+    weak-contraction aggregate regime — 214 s -> ~8 s at 1M docs;
+    (4) per-block top-50 partials + a <=50 x #blocks driver merge,
+    decoding strings only for the 50 winners.
+    An open-web corpus whose vocabulary itself cannot broadcast would
+    fall back to sorted_combine on the raw pair strings (same shape,
+    string sort).  Tokenization is the engine-wide whitespace split;
+    the unigram op's PINNED DIVERGENCE note (pandas Unicode split vs
+    RE2 \\s+ — coincident on the ASCII corpus) applies verbatim.
     """
     import pandas as pd
+    import ray
 
     from ray.data.aggregate import Sum
+
+    from ..stages.util import sorted_combine
     K = 50
     ds = _meta_read(_t(sf_dir, "documents"), columns=["text"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        return pa.table({"token": pa.array(pd.unique(s.to_numpy()),
+                                           pa.string()),
+                         "one": pa.array(np.ones(s.nunique(), np.int64))})
+
+    vocab_df = ds.map_batches(distinct_tokens, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("one", alias_name="n")) \
+        .to_pandas()
+    vocab = np.sort(vocab_df["token"].to_numpy())
+    v = np.int64(len(vocab))
+    vocab_ref = ray.put(pd.Index(vocab))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        idx = ray.get(vocab_ref) \
+            if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
         s = batch["text"].to_pandas().str.lower().str.split() \
             .explode().dropna()
         if len(s) < 2:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
+            return pa.table({"pair": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         doc = s.index.to_numpy()
-        w = s.to_numpy()
+        codes = idx.get_indexer(s.to_numpy())
+        if (codes < 0).any():
+            raise ValueError("doc_bigrams: token absent from the "
+                             "broadcast vocabulary — the two read "
+                             "passes diverged")
         same = doc[1:] == doc[:-1]
-        vc = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]}) \
-            .groupby(["w1", "w2"], sort=False).size() \
-            .reset_index(name="n")
-        return pa.table({"w1": pa.array(vc["w1"], pa.string()),
-                         "w2": pa.array(vc["w2"], pa.string()),
-                         "n": pa.array(vc["n"].to_numpy(), pa.int64())})
+        pair = codes[:-1].astype(np.int64) * v + codes[1:]
+        pc_, cnt = np.unique(pair[same], return_counts=True)
+        return pa.table({"pair": pa.array(pc_, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+    agg = sorted_combine(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        keys=["pair"], sum_cols=["n"])
 
+    # pair-code order == (w1, w2) lexicographic order because the
+    # vocabulary is sorted — the tie-break needs no strings
     def topk_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["n"] = df["n"].astype("int64")
-        df = df.sort_values(["n", "w1", "w2"],
-                            ascending=[False, True, True]).head(K)
-        return table_from_pandas(df[["w1", "w2", "n"]],
+        df = df.sort_values(["n", "pair"],
+                            ascending=[False, True]).head(K)
+        return table_from_pandas(df[["pair", "n"]],
                                  preserve_index=False)
 
     parts = agg.map_batches(topk_partial, batch_format="pyarrow") \
         .to_pandas()
-    final = parts.sort_values(["n", "w1", "w2"],
-                              ascending=[False, True, True]).head(K)
-    return table_from_pandas(final.reset_index(drop=True),
-                             preserve_index=False)
+    final = parts.sort_values(["n", "pair"],
+                              ascending=[False, True]).head(K) \
+        .reset_index(drop=True)
+    codes = final["pair"].to_numpy()
+    out = pd.DataFrame({"w1": vocab[codes // v], "w2": vocab[codes % v],
+                        "n": final["n"]})
+    return table_from_pandas(out, preserve_index=False)
 
 
 DOC_BIGRAMS_SQL = r"""

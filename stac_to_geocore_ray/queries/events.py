@@ -2709,3 +2709,98 @@ SELECT user_id,
 FROM s WHERE event_type = 'purchase'
 GROUP BY user_id
 """
+
+
+# ----------------------------------------------------- full outer join
+
+def events_outer_join_days(sf_dir: str):
+    """FULL OUTER JOIN at derived-table scale — per (user, day), click
+    activity joined against purchase activity with BOTH dangling sides
+    kept, contracted to a per-user engagement profile (days with
+    clicks only / purchases only / both): the outer-join op class the
+    registry's inner / anti / as-of joins don't exercise, on keys wide
+    enough (user x day) that the join is a genuine distributed
+    hash-shuffle, not a broadcast.
+
+    Shape: each side pre-aggregates to (user, day) through
+    sorted_combine BEFORE the join (join input is active-days-sized,
+    not event-sized); Ray's hash full_outer join keeps dangling rows
+    with nulls, which the profile kernel converts to presence flags;
+    the per-user fold is one more sorted_combine.
+    """
+    import pandas as pd
+
+    from ..stages.util import drop_empty_blocks, sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_type"])
+
+    def day_partial(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["event_type"], kind)
+            b = batch.filter(keep)
+            day = pc.cast(pc.floor(pc.divide(
+                pc.cast(b["ts"], pa.int64()), 86_400_000_000)),
+                pa.int64())
+            g = pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "day": day.to_numpy(zero_copy_only=False)}) \
+                .groupby(["user_id", "day"], sort=False) \
+                .size().reset_index(name=f"n_{kind}")
+            g[f"n_{kind}"] = g[f"n_{kind}"].astype("int64")
+            return table_from_pandas(g, preserve_index=False)
+        return fn
+
+    clicks = sorted_combine(
+        ds.map_batches(day_partial("click"), batch_format="pyarrow"),
+        keys=["user_id", "day"], sum_cols=["n_click"]).materialize()
+    buys = sorted_combine(
+        ds.map_batches(day_partial("purchase"), batch_format="pyarrow"),
+        keys=["user_id", "day"], sum_cols=["n_purchase"]).materialize()
+
+    joined = drop_empty_blocks(clicks).join(
+        drop_empty_blocks(buys), join_type="full_outer",
+        num_partitions=8, on=("user_id", "day"),
+        left_suffix="_l", right_suffix="_r")
+
+    def profile(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        has_c = df["n_click"].notna().to_numpy()
+        has_b = df["n_purchase"].notna().to_numpy()
+        # dangling rows carry the key from whichever side exists
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype("int64"),
+            "d_click_only": (has_c & ~has_b).astype("int64"),
+            "d_buy_only": (~has_c & has_b).astype("int64"),
+            "d_both": (has_c & has_b).astype("int64")}) \
+            .groupby("user_id", sort=False, as_index=False).sum()
+        return table_from_pandas(g, preserve_index=False)
+
+    return sorted_combine(
+        joined.map_batches(profile, batch_format="pyarrow"),
+        keys=["user_id"],
+        sum_cols=["d_click_only", "d_buy_only", "d_both"])
+
+
+EVENTS_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+           AS day, count(*) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+b AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+           AS day, count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(c.user_id, b.user_id) AS user_id,
+         c.n AS nc, b.n AS nb
+  FROM c FULL OUTER JOIN b
+    ON c.user_id = b.user_id AND c.day = b.day)
+SELECT user_id,
+       CAST(count(*) FILTER (nc IS NOT NULL AND nb IS NULL) AS BIGINT)
+         AS d_click_only,
+       CAST(count(*) FILTER (nc IS NULL AND nb IS NOT NULL) AS BIGINT)
+         AS d_buy_only,
+       CAST(count(*) FILTER (nc IS NOT NULL AND nb IS NOT NULL) AS BIGINT)
+         AS d_both
+FROM j GROUP BY user_id
+"""

@@ -1951,14 +1951,19 @@ def geo_convex_hull(sf_dir: str):
     over every corner, no pruning, no shared hull code (DuckDB cannot
     express convex hulls without a spatial extension).
     """
+    p = _fx(sf_dir)
+    return convex_hull_from_dataset(clean_read_parquet(
+        p["stac_items"], columns=["collection_id", "bbox"]))
+
+
+def convex_hull_from_dataset(ds):
+    """Convex-hull core over any (collection_id, bbox) Dataset
+    (shared with the 20M-bbox scale probe in tools/scale_grid.py)."""
     import pandas as pd
 
     from ..geo.hull import akl_toussaint_mask, convex_hull_int, shoelace2
     from ..stages.footprint import quantize_rects
     from ..stages.util import table_from_pandas
-    p = _fx(sf_dir)
-    ds = clean_read_parquet(p["stac_items"],
-                            columns=["collection_id", "bbox"])
 
     def corners(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2022,11 +2027,16 @@ def geo_polygonize(sf_dir: str):
     Oracle: golden parquet — an independent scalar BFS flood fill over
     a dense replayed grid.
     """
-    from ..stages.footprint import polygonize_cells
-    from ..stages.util import table_from_pandas
     p = _fx(sf_dir)
-    grid = rasterize_from_dataset(clean_read_parquet(p["stac_items"],
-                                                     columns=["bbox"]))
+    return polygonize_from_dataset(clean_read_parquet(
+        p["stac_items"], columns=["bbox"]))
+
+
+def polygonize_from_dataset(ds):
+    """Polygonize core over any bbox Dataset (shared with the 20M-bbox
+    scale probe in tools/scale_grid.py)."""
+    from ..stages.footprint import polygonize_cells
+    grid = rasterize_from_dataset(ds)
 
     def vectorize(batch: pa.Table) -> pa.Table:
         out = polygonize_cells(

@@ -1954,3 +1954,33 @@ class TestEventsAttribution:
         assert got.user_id.tolist() == ref.user_id.tolist()
         assert got.n_purchases.tolist() == ref.n_purchases.tolist()
         assert got.n_attributed.tolist() == ref.n_attributed.tolist()
+
+
+class TestEventsOuterJoinDays:
+    def test_matches_pandas_outer(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_outer_join_days
+        got = events_outer_join_days(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        ev = pd.read_parquet(SF + "/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        ev["day"] = ev.ts.to_numpy().astype("datetime64[us]") \
+            .astype("int64") // 86_400_000_000
+        c = ev[ev.event_type == "click"].groupby(
+            ["user_id", "day"]).size().rename("nc")
+        b = ev[ev.event_type == "purchase"].groupby(
+            ["user_id", "day"]).size().rename("nb")
+        j = pd.concat([c, b], axis=1)          # outer on the MultiIndex
+        ref = pd.DataFrame({
+            "uid": j.index.get_level_values(0),
+            "co": (j.nc.notna() & j.nb.isna()).astype("int64"),
+            "bo": (j.nc.isna() & j.nb.notna()).astype("int64"),
+            "bb": (j.nc.notna() & j.nb.notna()).astype("int64")}) \
+            .reset_index(drop=True) \
+            .groupby("uid", as_index=False).sum() \
+            .rename(columns={"uid": "user_id"})
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.d_click_only.tolist() == ref.co.tolist()
+        assert got.d_buy_only.tolist() == ref.bo.tolist()
+        assert got.d_both.tolist() == ref.bb.tolist()
+        # both dangling sides genuinely occur in the fixture
+        assert got.d_click_only.sum() > 0 and got.d_buy_only.sum() > 0

@@ -171,6 +171,7 @@ def main() -> None:
     timed("doc_pack", lambda: q.doc_pack(out_dir))
     timed("doc_chunk", lambda: q.doc_chunk(out_dir))
     timed("doc_word_freq", lambda: q.doc_word_freq(out_dir))
+    timed("doc_bigrams", lambda: q.doc_bigrams(out_dir))
     timed("doc_tfidf_topk", lambda: q.doc_tfidf_topk(out_dir))
     timed("doc_dup_ngram_spans", lambda: q.doc_dup_ngram_spans(out_dir))
     timed("doc_repetition", lambda: q.doc_repetition(out_dir))

@@ -192,6 +192,8 @@ def main() -> None:
           lambda: q.events_max_concurrent(out_dir))
     timed("events_mode_type", lambda: q.events_mode_type(out_dir))
     timed("events_attribution", lambda: q.events_attribution(out_dir))
+    timed("events_outer_join_days",
+          lambda: q.events_outer_join_days(out_dir))
     tracker.stop()
 
     print(json.dumps({

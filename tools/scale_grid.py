@@ -157,7 +157,14 @@ def main() -> None:
     tracker = PeakTracker()
     tracker.start()
     timings, counts = {}, {}
-    from stac_to_geocore_ray.queries.geo import cell_compact_from_dataset
+    from stac_to_geocore_ray.queries.geo import (
+        cell_compact_from_dataset, convex_hull_from_dataset,
+        polygonize_from_dataset, rasterize_from_dataset)
+
+    def _hull_core(ds):
+        return convex_hull_from_dataset(
+            ds.map_batches(_with_collections, batch_format="pyarrow"))
+
     for name, core in (("geo_pyramid_rollup", pyramid_from_dataset),
                        ("geo_focal_mean", focal_from_dataset),
                        ("geo_zonal_stats",
@@ -166,7 +173,10 @@ def main() -> None:
                         lambda ds: zonal_overlap_from_dataset(
                             ds, _zoref, _zids, _zrects)),
                        ("geo_union_area", _union_core),
-                       ("geo_cell_compact", cell_compact_from_dataset)):
+                       ("geo_cell_compact", cell_compact_from_dataset),
+                       ("geo_rasterize_coverage", rasterize_from_dataset),
+                       ("geo_polygonize", polygonize_from_dataset),
+                       ("geo_convex_hull", _hull_core)):
         t0 = time.time()
         out = core(_meta_read(bdir, columns=["bbox"]))
         counts[name] = out.count()

@@ -58,7 +58,9 @@ RELATIONAL = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q10_returned_items", "q15_top_supplier",
               "q11_important_parts", "q16_supplier_count",
               "q20_excess_shippers",
-              "graph_triangles", "graph_pagerank"]
+              "graph_triangles", "graph_pagerank",
+              "bloom_semijoin", "skyline_parts",
+              "market_basket_pairs", "customer_fuzzy_pairs"]
 
 
 def _domains() -> dict:
