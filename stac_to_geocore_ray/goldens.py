@@ -754,6 +754,51 @@ def golden_geo_polygonize(sf_dir: str) -> pa.Table:
                      for nm, c in zip(names, cols)})
 
 
+def golden_embedding_pq(sf_dir: str) -> pa.Table:
+    """Single-process product-quantization replay (queries/embeddings
+    embedding_pq spec: smallest-vec_id seeds, PQ_QUANT-quantized
+    per-subspace centroid updates, shared distance reduction,
+    lowest-code tie-break) — plain loops, none of the engine's
+    partial-fold plumbing."""
+    from .queries.embeddings import PQ_ITERS, PQ_K, PQ_M, PQ_QUANT
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    d = mat.shape[1]
+    sub = d // PQ_M
+
+    def assign_one(x, cents):
+        best, bestd = 0, None
+        for j, c in enumerate(cents):
+            dd = ((x - c) ** 2).sum()
+            if bestd is None or dd < bestd:
+                best, bestd = j, dd
+        return best
+
+    codes = {}
+    for m in range(PQ_M):
+        xs = mat[:, m * sub:(m + 1) * sub]
+        cents = [xs[j].copy() for j in range(PQ_K)]
+        for _ in range(PQ_ITERS):
+            members = {j: [] for j in range(PQ_K)}
+            for i in range(len(ids)):
+                members[assign_one(xs[i], cents)].append(i)
+            for j in range(PQ_K):
+                if members[j]:
+                    s = np.zeros(sub)
+                    for i in members[j]:
+                        s = s + xs[i]
+                    cents[j] = np.round(s / len(members[j]), PQ_QUANT)
+        codes[m] = [assign_one(xs[i], cents) for i in range(len(ids))]
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for m in range(PQ_M):
+        cols[f"c{m}"] = pa.array(codes[m], pa.int64())
+    return pa.table(cols)
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -775,6 +820,7 @@ GOLDENS = {
     "geo_union_area": golden_geo_union_area,
     "geo_convex_hull": golden_geo_convex_hull,
     "geo_polygonize": golden_geo_polygonize,
+    "embedding_pq": golden_embedding_pq,
 }
 
 

