@@ -799,6 +799,60 @@ def golden_embedding_pq(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def golden_geo_simplify(sf_dir: str) -> pa.Table:
+    """Recursive scalar Douglas-Peucker replay over each user's
+    ordered track (queries/events.geo_simplify_dp spec: exact int
+    cross^2 vs eps^2*chord^2, split at max |cross| with smallest-index
+    ties, degenerate-chord point-distance fallback) — plain recursion,
+    none of geo/simplify.py's stack/vectorized code."""
+    import sys
+
+    from .queries.events import SIMPLIFY_EPS_U
+    df = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    eps2 = SIMPLIFY_EPS_U * SIMPLIFY_EPS_U
+    rows = []
+    sys.setrecursionlimit(200000)
+    for uid, g in df.groupby("user_id", sort=True):
+        eid = [int(v) for v in g.event_id]
+        xs = [(e * 2654435761) % 3600000 * 100 - 180_000_000
+              for e in eid]
+        ys = [(e * 40503) % 1800000 * 100 - 90_000_000 for e in eid]
+        n = len(eid)
+        keep = [False] * n
+        keep[0] = True
+        keep[-1] = True
+
+        def rec(i, j):
+            if j <= i + 1:
+                return
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            best_k, best_val = -1, -1
+            for k in range(i + 1, j):
+                if dx == 0 and dy == 0:
+                    v = (xs[k] - xs[i]) ** 2 + (ys[k] - ys[i]) ** 2
+                else:
+                    v = abs(dx * (ys[k] - ys[i]) - dy * (xs[k] - xs[i]))
+                if v > best_val:
+                    best_k, best_val = k, v
+            split = (best_val > eps2) if (dx == 0 and dy == 0) else \
+                (best_val ** 2 > eps2 * (dx * dx + dy * dy))
+            if split:
+                keep[best_k] = True
+                rec(i, best_k)
+                rec(best_k, j)
+
+        rec(0, n - 1)
+        rows.append((int(uid), n, sum(keep),
+                     sum(e for e, k in zip(eid, keep) if k)))
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_points": pa.array([r[1] for r in rows], pa.int64()),
+        "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+        "kept_eid_sum": pa.array([r[3] for r in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -821,6 +875,7 @@ GOLDENS = {
     "geo_convex_hull": golden_geo_convex_hull,
     "geo_polygonize": golden_geo_polygonize,
     "embedding_pq": golden_embedding_pq,
+    "geo_simplify_dp": golden_geo_simplify,
 }
 
 

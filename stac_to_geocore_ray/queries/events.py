@@ -2804,3 +2804,61 @@ SELECT user_id,
          AS d_both
 FROM j GROUP BY user_id
 """
+
+
+# --------------------------------------------- trajectory simplification
+
+SIMPLIFY_EPS_U = 20_000_000          # 20-degree DP tolerance, micro-deg
+
+
+def geo_simplify_dp(sf_dir: str):
+    """TRAJECTORY GENERALIZATION — per-user Douglas–Peucker polyline
+    simplification over the deterministic event positions (the
+    events_trajectory tracks, in exact int64 micro-degrees): kept-
+    point count and a kept-event-id checksum per user.  The map-
+    generalization / GPS-compression op class; the keep set is
+    exactly defined because every DP decision is an integer
+    comparison (geo/simplify.py pins split/tie/degenerate rules).
+
+    Scale shape: a HOLISTIC per-key op (like events_median_gap) — one
+    distributed sort makes each user contiguous, the in-block kernel
+    runs the stack-DP per complete user run (vectorized per-segment
+    distance passes; only the argmax candidate pays a big-int exact
+    compare), straddling users defer to the keyed fold.  A single
+    hot user parallelizes no further than its own DP — bounded by its
+    point count, the op's intrinsic sequential depth.
+
+    Oracle: golden parquet — an independent recursive scalar DP.
+    """
+    import pandas as pd
+
+    from ..geo.simplify import dp_keep_mask
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_points": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "kept_eid_sum": pd.Series([], dtype="int64")})
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        x = (eid * 2654435761) % 3600000 * 100 - 180_000_000
+        y = (eid * 40503) % 1800000 * 100 - 90_000_000
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        ends = np.r_[starts[1:], len(uid)]
+        rows = []
+        for s, e in zip(starts, ends):
+            keep = dp_keep_mask(x[s:e], y[s:e], SIMPLIFY_EPS_U)
+            rows.append((uid[s], e - s, int(keep.sum()),
+                         int(eid[s:e][keep].sum())))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_points", "n_kept", "kept_eid_sum"]) \
+            .astype("int64")
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts"], kernel=kernel)

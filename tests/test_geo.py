@@ -497,3 +497,86 @@ class TestConvexHull:
         # collinear
         h = convex_hull_int(np.array([0, 5, 10]), np.array([0, 5, 10]))
         assert h.tolist() == [[0, 0], [10, 10]] and shoelace2(h) == 0
+
+
+class TestDouglasPeucker:
+    """geo/simplify.py: exact integer DP keep-mask."""
+
+    @staticmethod
+    def _dp_ref(xs, ys, eps):
+        """Independent recursive scalar DP (same pinned conventions:
+        split at max |cross| with smallest-index ties, degenerate-chord
+        point-distance fallback, endpoints kept)."""
+        n = len(xs)
+        keep = [False] * n
+        if n == 0:
+            return keep
+        keep[0] = keep[-1] = True
+        if n <= 2:
+            return keep
+        eps2 = eps * eps
+
+        def rec(i, j):
+            if j <= i + 1:
+                return
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            bk, bv = -1, -1
+            for k in range(i + 1, j):
+                if dx == 0 and dy == 0:
+                    v = (xs[k] - xs[i]) ** 2 + (ys[k] - ys[i]) ** 2
+                else:
+                    v = abs(dx * (ys[k] - ys[i]) - dy * (xs[k] - xs[i]))
+                if v > bv:
+                    bk, bv = k, v
+            split = (bv > eps2) if (dx == 0 and dy == 0) else \
+                (bv * bv > eps2 * (dx * dx + dy * dy))
+            if split:
+                keep[bk] = True
+                rec(i, bk)
+                rec(bk, j)
+
+        rec(0, n - 1)
+        return keep
+
+    def test_matches_recursive_reference(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.geo.simplify import dp_keep_mask
+        rng = np.random.default_rng(11)
+        for trial in range(300):
+            n = int(rng.integers(0, 60))
+            lo, hi = (-1000, 1000) if trial % 3 else (-4, 4)
+            x = rng.integers(lo, hi, n).astype(np.int64)
+            y = rng.integers(lo, hi, n).astype(np.int64)
+            if trial % 5 == 0 and n >= 2:
+                x[-1], y[-1] = x[0], y[0]        # closed loop
+            eps = int(rng.integers(0, 50))
+            got = dp_keep_mask(x, y, eps)
+            ref = self._dp_ref([int(v) for v in x],
+                               [int(v) for v in y], eps)
+            assert got.tolist() == ref, (trial, n, eps)
+
+    def test_edge_cases(self):
+        import numpy as np
+
+        from stac_to_geocore_ray.geo.simplify import dp_keep_mask
+        a = np.array([], dtype=np.int64)
+        assert dp_keep_mask(a, a, 5).tolist() == []
+        one = np.array([3], dtype=np.int64)
+        assert dp_keep_mask(one, one, 5).tolist() == [True]
+        # exactly collinear interior points all drop at eps 0... no:
+        # eps=0 keeps any point with |cross| > 0; collinear cross == 0
+        x = np.arange(10, dtype=np.int64)
+        y = 2 * x + 7
+        m = dp_keep_mask(x, y, 0)
+        assert m.tolist() == [True] + [False] * 8 + [True]
+        # zigzag at eps 0: everything kept
+        x = np.arange(8, dtype=np.int64)
+        y = np.array([0, 9, 1, 8, 0, 9, 1, 8], dtype=np.int64)
+        assert dp_keep_mask(x, y, 0).all()
+        # huge micro-degree coordinates: no int64 overflow in the
+        # vectorized cross (exact compare is big-int)
+        x = np.array([-180_000_000, 0, 180_000_000], dtype=np.int64)
+        y = np.array([-90_000_000, 90_000_000, -90_000_000],
+                     dtype=np.int64)
+        assert dp_keep_mask(x, y, 1_000).all()
