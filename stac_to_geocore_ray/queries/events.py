@@ -2862,3 +2862,79 @@ def geo_simplify_dp(sf_dir: str):
     return keyed_boundary_decompose(
         ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
         raw_cols=["event_id", "user_id", "ts"], kernel=kernel)
+
+
+# --------------------------------------------- Markov transition matrix
+
+def events_type_transitions(sf_dir: str):
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over event types: for every
+    consecutive (prev_type -> event_type) pair within a user's
+    (ts, event_id)-ordered stream, the global transition count and the
+    row-normalized probability — the behavioral-model / next-action
+    estimation op (the matrix behind events_user_paths' raw sequences).
+
+    Scale shape: pairs are a SEQUENTIAL per-key view (each pair needs
+    its predecessor row), so the pair extraction rides
+    keyed_boundary_decompose — interior users resolve in-block with one
+    vectorized shift, straddling users defer to the keyed fold.  Each
+    block's kernel output is already a (prev, type) partial count
+    (domain = |types|^2, tiny), so the global combine is one
+    small_domain_fold and the row normalization runs on the
+    output-sized matrix.  Nothing grows with user cardinality.
+
+    Oracle: lag() OVER (PARTITION BY user ORDER BY ts, event_id) +
+    a windowed row-sum; probability division is one float64 op on
+    exact integer counts on both sides, rounded half-away to 6 dp
+    (embedding_dim_stats' convention).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=object),
+                "event_type": pd.Series([], dtype=object),
+                "n_trans": pd.Series([], dtype="int64")})
+        uid = df["user_id"].to_numpy()
+        typ = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]          # pair stays within one user
+        out = pd.DataFrame({"prev_type": typ[:-1][same],
+                            "event_type": typ[1:][same]})
+        g = out.groupby(["prev_type", "event_type"], sort=False,
+                        as_index=False).size()
+        return g.rename(columns={"size": "n_trans"}).astype(
+            {"n_trans": "int64"})
+
+    partials = keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["user_id", "ts", "event_id", "event_type"],
+        kernel=kernel)
+    m = small_domain_fold(partials, keys=["prev_type", "event_type"],
+                          sum_cols=["n_trans"]).to_pandas()
+    row_tot = m.groupby("prev_type")["n_trans"].transform("sum")
+    p = m["n_trans"].to_numpy() / row_tot.to_numpy()
+    m["p_r"] = np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5) / 1e6
+    m["n_trans"] = m["n_trans"].astype("int64")
+    return table_from_pandas(
+        m.sort_values(["prev_type", "event_type"]), preserve_index=False)
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type, count(*) AS n_trans
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, event_type, n_trans,
+       round(n_trans * 1.0
+             / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p_r
+FROM c
+"""

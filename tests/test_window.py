@@ -2002,3 +2002,38 @@ class TestEmbeddingPQ:
         # compression actually uses the codebook: more than one code
         # per subspace on real data
         assert sum(got[f"c{m}"].nunique() > 1 for m in range(PQ_M)) >= 3
+
+
+class TestEventsTypeTransitions:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_type_transitions
+        got = events_type_transitions(SF).to_pandas() \
+            .sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        prev = ev.groupby("user_id")["event_type"].shift(1)
+        ref = pd.DataFrame({"prev_type": prev,
+                            "event_type": ev["event_type"]}) \
+            .dropna().groupby(["prev_type", "event_type"],
+                              as_index=False).size() \
+            .rename(columns={"size": "n_trans"})
+        tot = ref.groupby("prev_type")["n_trans"].transform("sum")
+        p = ref["n_trans"].to_numpy() / tot.to_numpy()
+        ref["p_r"] = np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5) / 1e6
+        ref = ref.sort_values(["prev_type", "event_type"]) \
+            .reset_index(drop=True)
+
+        assert got.prev_type.tolist() == ref.prev_type.tolist()
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n_trans.tolist() == ref.n_trans.tolist()
+        assert got.p_r.tolist() == ref.p_r.tolist()
+        # probabilities row-normalize exactly
+        s = got.groupby("prev_type")["p_r"].sum()
+        assert ((s - 1.0).abs() < 1e-4).all()
+        # pairs never cross users: total transitions = n - n_users
+        n = len(ev)
+        nu = ev.user_id.nunique()
+        assert got.n_trans.sum() == n - nu
