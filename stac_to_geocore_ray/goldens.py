@@ -853,6 +853,64 @@ def golden_geo_simplify(sf_dir: str) -> pa.Table:
         "kept_eid_sum": pa.array([r[3] for r in rows], pa.int64())})
 
 
+def golden_embedding_pca(sf_dir: str) -> pa.Table:
+    """Scalar replay of queries/embeddings.embedding_pca: per-element
+    half-away quantization to micro-units, Python-bigint moment
+    accumulation row by row (upper triangle), the identical exact-int
+    covariance formula, np.linalg.eigh (the documented shared library
+    call on a bit-identical input), the same sign-pin + component
+    quantization, and per-row Python-int projections.  Every output
+    is an exact integer, so the comparison is hash-exact."""
+    import math
+
+    from .queries.embeddings import PCA_NCOMP, PCA_SCALE
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+
+    def q(x: float) -> int:
+        if x == 0.0:
+            return 0
+        s_ = 1.0 if x > 0 else -1.0
+        return int(s_ * math.floor(abs(x) * PCA_SCALE + 0.5))
+
+    xi = [[q(float(x)) for x in row] for row in vecs]
+    n = len(xi)
+    d = len(xi[0])
+    S = [0] * d
+    G = [[0] * d for _ in range(d)]
+    for row in xi:
+        for a in range(d):
+            S[a] += row[a]
+            ra = row[a]
+            Ga = G[a]
+            for b in range(a, d):
+                Ga[b] += ra * row[b]
+    for a in range(d):
+        for b in range(a):
+            G[a][b] = G[b][a]
+    C = np.empty((d, d), dtype=np.float64)
+    denom = float(n) * float(n) * float(PCA_SCALE) ** 2
+    for a in range(d):
+        for b in range(d):
+            C[a, b] = float(n * G[a][b] - S[a] * S[b]) / denom
+    w, v = np.linalg.eigh(C)
+    comps = []
+    for k in range(1, PCA_NCOMP + 1):
+        vec = [float(x) for x in v[:, -k]]
+        top = max(range(d), key=lambda i: (abs(vec[i]), -i))
+        if vec[top] < 0:
+            vec = [-x for x in vec]
+        comps.append([q(x) for x in vec])
+    p1 = [sum(r[a] * comps[0][a] for a in range(d)) for r in xi]
+    p2 = [sum(r[a] * comps[1][a] for a in range(d)) for r in xi]
+    return pa.table({
+        "vec_id": pa.array([int(i) for i in ids], pa.int64()),
+        "p1": pa.array(p1, pa.int64()),
+        "p2": pa.array(p2, pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -876,6 +934,7 @@ GOLDENS = {
     "geo_polygonize": golden_geo_polygonize,
     "embedding_pq": golden_embedding_pq,
     "geo_simplify_dp": golden_geo_simplify,
+    "embedding_pca": golden_embedding_pca,
 }
 
 

@@ -745,3 +745,126 @@ def _kmeans_seed_k(ds, k: int) -> "np.ndarray":
     seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
     seeds = seeds.sort_values("vec_id").head(k)
     return np.asarray(seeds["embedding"].tolist(), dtype=np.float64)
+
+
+# ------------------------------------------------------ distributed PCA
+
+PCA_SCALE = 1_000_000   # input quantization (micro-units); see headroom note
+PCA_NCOMP = 2
+
+
+def _half_away_int(m: "np.ndarray", scale: int) -> "np.ndarray":
+    """sign(x) * floor(|x|*scale + 0.5) — the repo's half-away rounding
+    convention, elementwise-identical between the engine's vectorized
+    form and the golden's scalar replay (same IEEE ops per element)."""
+    return (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(np.int64)
+
+
+def embedding_pca(sf_dir: str):
+    """DISTRIBUTED PCA — project every embedding onto the top-2
+    principal components of the corpus covariance: the dimensionality-
+    reduction / visualization / whitening op behind embedding-space
+    maps and drift dashboards.
+
+    Scale shape: two streaming passes.  Pass 1 contracts each batch to
+    an EXACT-INTEGER moment partial — n, first moments Σx_i, and the
+    full second-moment matrix Σx_i·x_j (int64 matmul on inputs
+    quantized to PCA_SCALE; never BLAS, so no thread-order float
+    nondeterminism) — folded over the tiny fixed (d + d²+1)-key domain
+    by small_domain_fold.  The driver builds the 64x64 covariance from
+    the exact integer sums (n·G_ij - S_i·S_j in Python bigints, one
+    float64 division each), eigendecomposes it (LAPACK, output-sized),
+    sign-pins each component (coordinate of largest |v|, first on
+    ties, made positive) and quantizes it to integer micro-units.
+    Pass 2 projects every vector by an int64 matmul against the
+    broadcast component matrix — per-vector outputs are EXACT integers,
+    so the oracle comparison is hash-exact with no float tolerance.
+
+    Integer headroom: the int64 fold is overflow-free while
+    n·(PCA_SCALE·max|x|)² < 2^63 — asserted per batch (|x| ≤ 2) and at
+    the driver (n ≤ 2.3M at scale 1e6).  At larger corpus sizes drop
+    PCA_SCALE (1e4 ⇒ n ≤ 2.3e10 — 23 B vectors — at 4-decimal input
+    quantization, far inside float32 embedding precision); the knob
+    trades input decimals for headroom, never exactness of the fold.
+
+    Oracle: golden parquet — an independent scalar replay (Python-int
+    moment accumulation row by row, same covariance formula, same
+    sign-pin/quantization conventions).  Both sides call
+    np.linalg.eigh on the BIT-IDENTICAL exact-derived covariance (the
+    shared library call is the documented common dependency, like IEEE
+    float semantics; everything distributed — quantize, fold,
+    projection — is independently replayed).
+    """
+    import ray
+
+    from ..stages.ann import _as_matrix
+    from ..stages.util import small_domain_fold
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"]).astype(np.float64)
+        if m.shape[0] == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        xi = _half_away_int(m, PCA_SCALE)
+        if np.abs(xi).max() > 2 * PCA_SCALE:
+            raise ValueError("embedding_pca: |x| > 2 breaks the "
+                             "documented int64 fold headroom; lower "
+                             "PCA_SCALE")
+        d = xi.shape[1]
+        g = xi.T @ xi                      # exact int64, non-BLAS
+        ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                             np.arange(d, dtype=np.int64), indexing="ij")
+        return pa.table({
+            "i": pa.array(np.r_[np.int64(-1), np.arange(d, dtype=np.int64),
+                                ii.ravel()]),
+            "j": pa.array(np.r_[np.int64(-1),
+                                np.full(d, -1, dtype=np.int64), jj.ravel()]),
+            "s": pa.array(np.r_[np.int64(m.shape[0]),
+                                xi.sum(axis=0), g.ravel()])})
+
+    folded = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"], sum_cols=["s"]).to_pandas()
+    n = int(folded.loc[(folded.i == -1) & (folded.j == -1), "s"].iloc[0])
+    if n > (1 << 63) // (2 * PCA_SCALE) ** 2:
+        raise ValueError("embedding_pca: corpus too large for exact "
+                         "int64 fold at PCA_SCALE=1e6; lower PCA_SCALE")
+    fm = folded[(folded.i >= 0) & (folded.j == -1)].sort_values("i")
+    d = len(fm)
+    S = [int(v) for v in fm["s"]]
+    G = np.zeros((d, d), dtype=object)
+    sm = folded[(folded.i >= 0) & (folded.j >= 0)]
+    G[sm["i"].to_numpy(), sm["j"].to_numpy()] = \
+        [int(v) for v in sm["s"]]
+    C = np.empty((d, d), dtype=np.float64)
+    denom = float(n) * float(n) * float(PCA_SCALE) ** 2
+    for a in range(d):
+        for b in range(d):
+            C[a, b] = float(n * G[a, b] - S[a] * S[b]) / denom
+    w, v = np.linalg.eigh(C)
+    comps = []
+    for k in range(1, PCA_NCOMP + 1):
+        vec = v[:, -k].copy()
+        top = int(np.argmax(np.abs(vec)))   # ties -> first index
+        if vec[top] < 0:
+            vec = -vec
+        comps.append(_half_away_int(vec, PCA_SCALE))
+    V = np.stack(comps, axis=1)             # (d, ncomp) int64
+    vref = ray.put(V)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"]).astype(np.float64)
+        Vb = ray.get(vref)
+        if m.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64())})
+        p = _half_away_int(m, PCA_SCALE) @ Vb    # exact int64
+        return pa.table({"vec_id": batch["vec_id"],
+                         "p1": pa.array(p[:, 0]),
+                         "p2": pa.array(p[:, 1])})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2037,3 +2037,49 @@ class TestEventsTypeTransitions:
         n = len(ev)
         nu = ev.user_id.nunique()
         assert got.n_trans.sum() == n - nu
+
+
+class TestEmbeddingPCA:
+    def test_exact_vs_single_pass_reference(self, ray_session, tiny_blocks):
+        """Independent single-pass int64 moment computation (no fold,
+        one einsum) -> same exact covariance -> same eigh -> projections
+        must match the engine's distributed two-pass result EXACTLY
+        (tiny blocks force a real multi-block fold)."""
+        from stac_to_geocore_ray.queries import embedding_pca
+        from stac_to_geocore_ray.queries.embeddings import PCA_SCALE
+        got = embedding_pca(SF).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        m = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+        xi = (np.sign(m) * np.floor(np.abs(m) * PCA_SCALE + 0.5)) \
+            .astype(np.int64)
+        n, d = xi.shape
+        S = xi.sum(axis=0)
+        G = np.einsum("ni,nj->ij", xi, xi)
+        C = (float(n) * G - np.outer(S, S).astype(np.float64)) \
+            / (float(n) * float(n) * float(PCA_SCALE) ** 2)
+        w, v = np.linalg.eigh(C)
+        comps = []
+        for k in (1, 2):
+            vec = v[:, -k].copy()
+            top = int(np.argmax(np.abs(vec)))
+            if vec[top] < 0:
+                vec = -vec
+            comps.append((np.sign(vec) * np.floor(
+                np.abs(vec) * PCA_SCALE + 0.5)).astype(np.int64))
+        V = np.stack(comps, axis=1)
+        proj = xi @ V
+        ref = pd.DataFrame({"vec_id": emb.vec_id.to_numpy(),
+                            "p1": proj[:, 0], "p2": proj[:, 1]}) \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert got.vec_id.tolist() == ref.vec_id.tolist()
+        assert got.p1.tolist() == ref.p1.tolist()
+        assert got.p2.tolist() == ref.p2.tolist()
+        # PCA invariants: top component dominates, projections decorrelated
+        p1 = got.p1.to_numpy(dtype=np.float64)
+        p2 = got.p2.to_numpy(dtype=np.float64)
+        assert p1.var() >= p2.var() > 0
+        r = np.corrcoef(p1, p2)[0, 1]
+        assert abs(r) < 0.02
