@@ -911,6 +911,85 @@ def golden_embedding_pca(sf_dir: str) -> pa.Table:
         "p2": pa.array(p2, pa.int64())})
 
 
+def golden_geo_dbscan(sf_dir: str) -> pa.Table:
+    """Independent DBSCAN replay (queries/geo.geo_dbscan semantics:
+    closed integer eps-neighborhood on doubled-micro-degree centroids,
+    core = count incl self >= min_pts, cluster = min core pid of the
+    eps-component, border = min core neighbor's label, noise -1).
+    Neighbor search is a PLANE SWEEP (sort by x, windowed scan) — no
+    grid, no cells, no buckets — plus a scalar union-find."""
+    import math
+
+    from .queries.geo import DBSCAN_EPS_U, DBSCAN_MIN_PTS
+    from .sources import fixtures
+    fx = fixtures.paths(sf_dir)
+    t = pq.read_table(fx["stac_items"], columns=["image_id", "bbox"])
+    pid = np.array([int(s[4:]) for s in t["image_id"].to_pylist()],
+                   dtype=np.int64)
+    bb = np.stack(t["bbox"].to_numpy(zero_copy_only=False))
+    q = np.floor(bb * 1_000_000 + 0.5).astype(np.int64)
+    px = q[:, 0] + q[:, 2]
+    py = q[:, 1] + q[:, 3]
+    n = len(pid)
+    order = np.argsort(px, kind="stable")
+    px_s, py_s, pid_s = px[order], py[order], pid[order]
+    eps = np.int64(DBSCAN_EPS_U)
+    eps2 = int(eps) * int(eps)
+    nbrs = [[] for _ in range(n)]          # indices into the SORTED arrays
+    lo = 0
+    for i in range(n):
+        while px_s[i] - px_s[lo] > eps:
+            lo += 1
+        w = slice(lo, i)
+        dx = px_s[w] - px_s[i]
+        dy = py_s[w] - py_s[i]
+        hits = np.flatnonzero(dx * dx + dy * dy <= eps2) + lo
+        for j in hits:
+            nbrs[i].append(int(j))
+            nbrs[int(j)].append(i)
+    count = np.array([len(v) + 1 for v in nbrs])      # self included
+    is_core = count >= DBSCAN_MIN_PTS
+    # scalar union-find over core-core eps edges
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for i in range(n):
+        if not is_core[i]:
+            continue
+        for j in nbrs[i]:
+            if j > i or not is_core[j]:
+                continue
+            a, b = find(int(pid_s[i])), find(int(pid_s[j]))
+            if a != b:
+                lo_, hi_ = (a, b) if a < b else (b, a)
+                parent[hi_] = lo_
+    role = []
+    label = []
+    for i in range(n):
+        if is_core[i]:
+            role.append("core")
+            label.append(find(int(pid_s[i])))
+        else:
+            cl = [find(int(pid_s[j])) for j in nbrs[i] if is_core[j]]
+            if cl:
+                role.append("border")
+                label.append(min(cl))
+            else:
+                role.append("noise")
+                label.append(-1)
+    return pa.table({
+        "pid": pa.array([int(v) for v in pid_s], pa.int64()),
+        "role": pa.array(role, pa.string()),
+        "cluster": pa.array(label, pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -935,6 +1014,7 @@ GOLDENS = {
     "embedding_pq": golden_embedding_pq,
     "geo_simplify_dp": golden_geo_simplify,
     "embedding_pca": golden_embedding_pca,
+    "geo_dbscan": golden_geo_dbscan,
 }
 
 

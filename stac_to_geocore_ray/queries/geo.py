@@ -2056,3 +2056,56 @@ def polygonize_from_dataset(ds):
     # batch_size=None hands the whole mask to a single vectorize task
     return grid.map_batches(vectorize, batch_format="pyarrow",
                             batch_size=None)
+
+
+# --------------------------------------------------------- grid DBSCAN
+
+DBSCAN_EPS_U = 600_000      # 0.3 deg in DOUBLED micro-degrees
+DBSCAN_MIN_PTS = 4
+
+
+def geo_dbscan(sf_dir: str):
+    """DENSITY-BASED SPATIAL CLUSTERING (DBSCAN, Ester et al. 1996)
+    over item footprint centroids: per item its role (core / border /
+    noise) and cluster id (min core item of its component, -1 noise) —
+    the acquisition-density segmentation op (imaging campaigns, urban
+    vs remote coverage, hotspot extraction).
+
+    Coordinates are exact integers: each bbox quantizes once to
+    micro-degrees (quantize_rects, shared grain) and the centroid is
+    kept DOUBLED (qw+qe, qs+qn) so no halving ever loses a bit; eps
+    lives in the same doubled space and every neighborhood test is an
+    integer d^2 <= eps^2.  The full pinned semantics (closed
+    neighborhood, min-core-pid labels, deterministic border
+    assignment) live in stages/dbscan.py.
+
+    Scale shape: cell-grid replicate (9x, 24 B/row) -> one shuffle by
+    cell-hash bucket -> vectorized in-group sweep; degrees and border
+    labels ride sorted_combine; components through the standard
+    driver-UF / distributed size switch.  Nothing all-pairs; the dense
+    -cell caveat and its contraction fix are documented in the stage.
+
+    Oracle: golden parquet — an independent plane-sweep neighbor
+    search (sort by x, windowed scan; no grid, no buckets) + scalar
+    union-find, replaying the same pinned conventions.
+    """
+    from ..stages.dbscan import dbscan
+    from ..stages.footprint import quantize_rects
+    p = _fx(sf_dir)
+    ds = clean_read_parquet(p["stac_items"], columns=["image_id", "bbox"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.int64()),
+                             "py": pa.array([], pa.int64())})
+        pid = np.array([int(s[4:]) for s in
+                        batch["image_id"].to_pylist()], dtype=np.int64)
+        r = quantize_rects(np.stack(
+            batch["bbox"].to_numpy(zero_copy_only=False)))
+        return pa.table({"pid": pa.array(pid),
+                         "px": pa.array(r[:, 0] + r[:, 2]),
+                         "py": pa.array(r[:, 1] + r[:, 3])})
+
+    pts = ds.map_batches(to_points, batch_format="pyarrow")
+    return dbscan(pts, DBSCAN_EPS_U, DBSCAN_MIN_PTS)

@@ -1111,9 +1111,21 @@ def label_propagation_broadcast(edges_ds, nodes: np.ndarray | None = None,
             lab = ray.get(lab_ref)
             ia = batch["ia"].to_numpy()
             ib = batch["ib"].to_numpy()
-            m = np.minimum(lab[ia], lab[ib])
-            idx = np.concatenate([ia, ib])
-            val = np.concatenate([m, m])
+            la = lab[ia]
+            lb = lab[ib]
+            m = np.minimum(la, lb)
+            # message BOTH the endpoints and their current ROOTS
+            # (labels are fully path-compressed between rounds, so a
+            # label IS a root): endpoint-only messaging merges
+            # fragments one boundary hop per round — diameter-bound on
+            # path-shaped components (near-percolation DBSCAN graphs) —
+            # while root hooking makes every fragment adopt a
+            # neighboring fragment's min each round, the Boruvka
+            # halving that keeps rounds O(log n) on ANY topology.
+            # Monotone min-lattice: same fixpoint, checkpoints stay
+            # interchangeable.
+            idx = np.concatenate([ia, ib, la, lb])
+            val = np.concatenate([m, m, m, m])
             order = np.argsort(idx, kind="stable")
             idx, val = idx[order], val[order]
             starts = np.concatenate(

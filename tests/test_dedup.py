@@ -806,3 +806,21 @@ class TestCustomerFuzzyPairs:
                 for i, a in enumerate(keys) for b in keys[i + 1:]
                 if _lev_ref(names[a], names[b]) <= 1}
         assert set(map(tuple, got.to_numpy())) == want
+
+
+def test_broadcast_components_long_path_halving(ray_session):
+    """Regression for the round-5 root-hooking fix: a LONG PATH with
+    shuffled node ids (the near-percolation DBSCAN topology) must
+    converge Boruvka-style — endpoint-only messaging merged fragments
+    one boundary hop per round and blew the 64-round cap on exactly
+    this shape at sf0.1 (diameter-bound), while root hooking keeps
+    rounds O(log n)."""
+    import numpy as np
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(5000).astype(int)
+    edges = [{"a": int(ids[i]), "b": int(ids[i + 1])}
+             for i in range(len(ids) - 1)]
+    ds = rd.from_items(edges, override_num_blocks=8)
+    got = dedup.label_propagation_broadcast(ds, max_rounds=24).to_pandas()
+    assert set(got.label) == {0} and len(got) == 5000
