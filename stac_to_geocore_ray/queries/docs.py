@@ -2162,3 +2162,149 @@ big AS (
 SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
 FROM big GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50
 """
+
+
+# ---------------------------------------------- bigram LM cross-entropy
+
+def doc_lm_score(sf_dir: str):
+    """N-GRAM LANGUAGE-MODEL SCORING — per-document cross-entropy
+    (bits/bigram) under an add-one-smoothed BIGRAM model trained on
+    the corpus itself: the CCNet/Wenzek-style LM quality signal a
+    filtering pipeline thresholds on (H = -(1/m) Σ log2 P(w_i|w_{i-1}),
+    P = (c(w1,w2)+1)/(c(w1·)+V)).  Docs with no bigram (<2 tokens) are
+    excluded on both sides.
+
+    Scale shape: TRAIN is doc_bigrams' measured pattern verbatim —
+    sorted-vocab broadcast, int64 pair codes, sorted_combine over the
+    weakly-contracting (pair, n) partials; context counts c(w1·) and
+    the per-DISTINCT-pair log-probability table derive on the driver
+    from the output-sized model (|distinct bigrams| entries, ≤ V²).
+    SCORE is one more pass over the texts: C-level get_indexer token
+    codes, one searchsorted into the broadcast logp table per batch,
+    per-doc segment sums via reduceat — no per-row Python.  An
+    open-web-scale vocabulary that cannot broadcast would shard the
+    model by w1-hash and score in a cogrouped join (documented plug
+    point; same shape as doc_bigrams' fallback note).
+
+    Oracle: full SQL — DuckDB trains the same model with parallel
+    slice unnests and joins it back per bigram; both sides round the
+    final bits/bigram to 4 dp (per-term log2 ulps and summation order
+    differ far below that grain).  Tokenization is the engine-wide
+    lower+whitespace split; doc_word_freq's PINNED DIVERGENCE note
+    (pandas Unicode vs RE2 \\s+, coincident on the ASCII corpus)
+    applies verbatim.
+    """
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        return pa.table({"token": pa.array(pd.unique(s.to_numpy()),
+                                           pa.string()),
+                         "one": pa.array(np.ones(s.nunique(), np.int64))})
+
+    vocab_df = ds.map_batches(distinct_tokens, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("one", alias_name="n")) \
+        .to_pandas()
+    vocab = np.sort(vocab_df["token"].to_numpy())
+    v = np.int64(len(vocab))
+    vocab_ref = ray.put(pd.Index(vocab))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        idx = ray.get(vocab_ref) \
+            if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        if len(s) < 2:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        doc = s.index.to_numpy()
+        codes = idx.get_indexer(s.to_numpy())
+        same = doc[1:] == doc[:-1]
+        pair = codes[:-1].astype(np.int64) * v + codes[1:]
+        pc_, cnt = np.unique(pair[same], return_counts=True)
+        return pa.table({"pair": pa.array(pc_, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    model = sorted_combine(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        keys=["pair"], sum_cols=["n"]).to_pandas()
+    pair_keys = model["pair"].to_numpy(dtype=np.int64)
+    order = np.argsort(pair_keys)
+    pair_keys = pair_keys[order]
+    pair_n = model["n"].to_numpy(dtype=np.int64)[order]
+    # context counts c(w1*) from the model itself (add-one denominator)
+    w1 = pair_keys // v
+    ctx = np.zeros(int(v), dtype=np.int64)
+    np.add.at(ctx, w1, pair_n)
+    logp = np.log2((pair_n + 1.0) / (ctx[w1] + float(v)))
+    model_ref = ray.put((pd.Index(vocab), pair_keys, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idx, keys, lp = ray.get(model_ref) \
+            if isinstance(model_ref, ray.ObjectRef) else model_ref
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "h_r": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        t = batch["text"].to_pandas()
+        dids = batch["doc_id"].to_numpy()
+        s = t.str.lower().str.split().explode().dropna()
+        if len(s) < 2:
+            return empty
+        row = s.index.to_numpy()
+        codes = idx.get_indexer(s.to_numpy()).astype(np.int64)
+        same = row[1:] == row[:-1]
+        prow = row[:-1][same]
+        pkey = codes[:-1][same] * np.int64(len(idx)) + codes[1:][same]
+        k = np.searchsorted(keys, pkey)
+        if len(keys) == 0 or not np.array_equal(keys[np.clip(
+                k, 0, len(keys) - 1)], pkey):
+            raise ValueError("doc_lm_score: bigram absent from the "
+                             "trained model — the two passes diverged")
+        vals = -lp[k]
+        starts = np.r_[0, np.flatnonzero(prow[1:] != prow[:-1]) + 1]
+        rows_out = prow[starts]
+        m = np.diff(np.r_[starts, len(prow)])
+        hsum = np.add.reduceat(vals, starts)
+        h = hsum / m
+        h_r = np.sign(h) * np.floor(np.abs(h) * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "doc_id": pa.array(dids[rows_out].astype(np.int64)),
+            "n_bigrams": pa.array(m.astype(np.int64)),
+            "h_r": pa.array(h_r, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOC_LM_SCORE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(l[1:len(l) - 1]) AS w1,
+         unnest(l[2:len(l)]) AS w2
+  FROM d WHERE len(l) >= 2),
+cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(l) AS w FROM d)),
+scored AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(-log2((cnt.c + 1.0) / (ctx.cw + vocab.v))) AS hsum
+  FROM bg
+  JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+  GROUP BY bg.doc_id)
+SELECT doc_id, n_bigrams, round(hsum / n_bigrams, 4) AS h_r FROM scored
+"""

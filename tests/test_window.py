@@ -2083,3 +2083,43 @@ class TestEmbeddingPCA:
         assert p1.var() >= p2.var() > 0
         r = np.corrcoef(p1, p2)[0, 1]
         assert abs(r) < 0.02
+
+
+class TestDocLMScore:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import doc_lm_score
+        got = doc_lm_score(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        toks = {int(r.doc_id): str(r.text).lower().split()
+                for r in docs.itertuples() if r.text is not None}
+        from collections import Counter
+        cnt = Counter()
+        vocab = set()
+        for t in toks.values():
+            vocab.update(t)
+            cnt.update(zip(t[:-1], t[1:]))
+        ctx = Counter()
+        for (w1, _), c in cnt.items():
+            ctx[w1] += c
+        V = len(vocab)
+        rows = []
+        for did, t in sorted(toks.items()):
+            if len(t) < 2:
+                continue
+            m = len(t) - 1
+            hsum = -sum(np.log2((cnt[(a, b)] + 1.0) / (ctx[a] + V))
+                        for a, b in zip(t[:-1], t[1:]))
+            h = hsum / m
+            rows.append((did, m,
+                         np.sign(h) * np.floor(abs(h) * 1e4 + 0.5) / 1e4))
+        ref = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "h_r"])
+        assert got.doc_id.tolist() == ref.doc_id.tolist()
+        assert got.n_bigrams.tolist() == ref.n_bigrams.tolist()
+        assert np.allclose(got.h_r, ref.h_r, rtol=0, atol=1e-4 + 1e-9)
+        # LM sanity: every doc's bits/bigram is positive and below
+        # the add-one uniform ceiling log2(V + max ctx)
+        assert (got.h_r > 0).all()
+        assert (got.h_r < np.log2(V + max(ctx.values()))).all()
