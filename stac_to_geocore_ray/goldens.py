@@ -990,6 +990,35 @@ def golden_geo_dbscan(sf_dir: str) -> pa.Table:
         "cluster": pa.array(label, pa.int64())})
 
 
+def golden_video_scene_cuts(sf_dir: str) -> pa.Table:
+    """Scalar replay of video_scene_cuts DETECTION: same planted-scene
+    GVID construction (queries/media._scene_videos — the fixture spec,
+    shared by declaration), then per-frame SCALAR fi.phash + Python-int
+    popcount cut decisions — independent of the batched _PhashAccum
+    path and the keyed_boundary_decompose kernel."""
+    from .codecs import fakeimg as fi
+    from .queries.media import SCENE_CUT_HAMMING, _scene_videos
+    from .stages.multimodal import decode_video
+    M = (1 << 64) - 1
+    rows = []
+    for item in _scene_videos(sf_dir):
+        phs, idxs = [], []
+        for idx, arr in decode_video(item["bytes"], 1):
+            phs.append(fi.phash(arr))
+            idxs.append(idx)
+        cuts = []
+        for k in range(1, len(phs)):
+            x = (phs[k] & M) ^ (phs[k - 1] & M)
+            if bin(x).count("1") >= SCENE_CUT_HAMMING:
+                cuts.append(idxs[k])
+        rows.append((item["video_id"], len(phs), len(cuts), sum(cuts)))
+    return pa.table({
+        "video_id": pa.array([r[0] for r in rows], pa.string()),
+        "n_frames": pa.array([r[1] for r in rows], pa.int64()),
+        "n_cuts": pa.array([r[2] for r in rows], pa.int64()),
+        "cut_idx_sum": pa.array([r[3] for r in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1015,6 +1044,7 @@ GOLDENS = {
     "geo_simplify_dp": golden_geo_simplify,
     "embedding_pca": golden_embedding_pca,
     "geo_dbscan": golden_geo_dbscan,
+    "video_scene_cuts": golden_video_scene_cuts,
 }
 
 

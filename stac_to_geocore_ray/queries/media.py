@@ -542,3 +542,107 @@ SELECT q.query_id, im.image_id,
 FROM read_parquet('{_fx_glob("images")}') im, q
 WHERE bit_count(xor(im.phash, q.qh)) <= {PHS_RADIUS}
 """
+
+
+# ------------------------------------------------------ scene detection
+
+SCENE_CUT_HAMMING = 10     # pHash Hamming >= this between consecutive
+                           # frames = a scene cut (jitter moves 0-2 bits,
+                           # an image change ~30 — integer margin, exact)
+SCENE_N_VIDEOS = 12
+SCENE_LEN = 3              # frames per scene (same image, +0/+1/+2 jitter)
+SCENE_COUNT = 3            # scenes per video
+
+
+def _scene_videos(sf_dir: str) -> list[dict]:
+    """Deterministic GVID containers with PLANTED scene structure:
+    SCENE_COUNT scenes of SCENE_LEN frames each; within a scene the
+    same fixture image at +0/+1/+2 brightness (clipped uint8), across
+    scenes a different image — so the true cut set is exactly
+    {SCENE_LEN, 2*SCENE_LEN, ...}.  Shared construction spec between
+    the query and the golden (both call this; the golden's DETECTION
+    is the independent scalar part)."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+
+    from ..codecs import fakeimg as fi
+    from ..stages.multimodal import encode_video
+    p = _fx(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    imgs = pq.read_table(shard0, columns=["bytes"]).column("bytes") \
+        .to_pylist()
+    vids = []
+    for v in range(SCENE_N_VIDEOS):
+        frames = []
+        for s in range(SCENE_COUNT):
+            base = fi.decode(imgs[v * SCENE_COUNT + s])
+            for j in range(SCENE_LEN):
+                frames.append(np.clip(base.astype(np.int16) + j,
+                                      0, 255).astype(np.uint8))
+        vids.append({"video_id": f"vid-{v:04d}",
+                     "bytes": encode_video(frames)})
+    return vids
+
+
+def video_scene_cuts(sf_dir: str):
+    """VIDEO SCENE-CUT DETECTION — per video the frame count, the
+    number of scene boundaries (consecutive-frame pHash Hamming >=
+    SCENE_CUT_HAMMING) and the cut-index checksum: the temporal
+    segmentation op behind scene-based clip extraction / shot
+    sampling in a video training-data pipeline.
+
+    Scale shape: frame decode + batched pHash IS the existing
+    FrameSampler actor-pool stage (stride 1 — every frame; pixels
+    never leave the stage, only 28 B/frame of stats); the cut decision
+    is a SEQUENTIAL per-video view over those rows, so it rides
+    keyed_boundary_decompose on (video_id, frame_index) like every
+    other ordered per-key op — a video's frames may span blocks, a
+    hot video defers to the keyed fold.  All decisions are integer
+    Hamming comparisons (exact; the planted jitter moves 0-2 bits vs
+    ~30 for an image change).
+
+    Oracle: golden parquet — same construction spec, scalar fi.phash
+    per frame + scalar popcount detection (independent of the batched
+    _PhashAccum path AND of the decompose kernel).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampler
+    from ..stages.util import keyed_boundary_decompose
+    ds = rd.from_items(_scene_videos(sf_dir))
+    frames = ds.map_batches(FrameSampler, fn_constructor_args=(1,),
+                            batch_format="pyarrow", concurrency=_auto()) \
+        .select_columns(["video_id", "frame_index", "frame_phash"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "video_id": pd.Series([], dtype=object),
+                "n_frames": pd.Series([], dtype="int64"),
+                "n_cuts": pd.Series([], dtype="int64"),
+                "cut_idx_sum": pd.Series([], dtype="int64")})
+        from ..codecs.fakeimg import hamming64
+        vid = df["video_id"].to_numpy()
+        idx = df["frame_index"].to_numpy().astype(np.int64)
+        ph = df["frame_phash"].to_numpy().astype(np.int64)
+        same = vid[1:] == vid[:-1]
+        d = hamming64(ph[1:], ph[:-1])
+        cut = same & (d >= SCENE_CUT_HAMMING)
+        starts = np.r_[0, np.flatnonzero(~same) + 1]
+        ends = np.r_[starts[1:], len(vid)]
+        rows = []
+        for s, e in zip(starts, ends):
+            c = cut[s:e - 1] if e - s > 1 else np.zeros(0, dtype=bool)
+            rows.append((vid[s], e - s, int(c.sum()),
+                         int(idx[s + 1:e][c].sum())))
+        out = pd.DataFrame(rows, columns=["video_id", "n_frames",
+                                          "n_cuts", "cut_idx_sum"])
+        return out.astype({"n_frames": "int64", "n_cuts": "int64",
+                           "cut_idx_sum": "int64"})
+
+    return keyed_boundary_decompose(
+        frames, sort_keys=["video_id", "frame_index"],
+        key_col="video_id",
+        raw_cols=["video_id", "frame_index", "frame_phash"],
+        kernel=kernel)

@@ -87,3 +87,21 @@ def test_audio_stage_in_ray_pipeline(ray_session):
                          concurrency=(1, 2)).to_pandas()
     assert len(out) == 6
     assert out.clip_id.nunique() == 6
+
+
+class TestVideoSceneCuts:
+    def test_planted_scene_structure(self, ray_session, tiny_blocks):
+        """The construction plants exactly SCENE_COUNT scenes of
+        SCENE_LEN frames: every video must report n_cuts ==
+        SCENE_COUNT-1 at exactly the scene starts (jitter inside a
+        scene must never trip the Hamming threshold)."""
+        from stac_to_geocore_ray.queries import video_scene_cuts
+        from stac_to_geocore_ray.queries.media import (
+            SCENE_COUNT, SCENE_LEN, SCENE_N_VIDEOS)
+        got = video_scene_cuts("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("video_id").reset_index(drop=True)
+        assert len(got) == SCENE_N_VIDEOS
+        assert (got.n_frames == SCENE_COUNT * SCENE_LEN).all()
+        assert (got.n_cuts == SCENE_COUNT - 1).all()
+        expect_sum = sum(s * SCENE_LEN for s in range(1, SCENE_COUNT))
+        assert (got.cut_idx_sum == expect_sum).all()
