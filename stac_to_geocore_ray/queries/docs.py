@@ -2308,3 +2308,90 @@ scored AS (
   GROUP BY bg.doc_id)
 SELECT doc_id, n_bigrams, round(hsum / n_bigrams, 4) AS h_r FROM scored
 """
+
+
+# ------------------------------------- weighted sampling (Efraimidis-S.)
+
+WSAMPLE_K = 100
+
+
+def doc_weighted_sample(sf_dir: str):
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    exponential keys): the K documents with the smallest
+    -ln(u)/w, u a per-doc deterministic uniform from the engine-wide
+    multiplicative hash (doc_sample_hash's Knuth constant), w = the
+    doc's whitespace token count — the quality-weighted subset draw a
+    curation pipeline uses where uniform sampling would under-select
+    long/high-weight documents.
+
+    The E-S key makes the weighted draw a PURE FUNCTION of the id set
+    (like doc_sample_hash: no RNG state, no coordination, identical
+    on any cluster size): per batch the keys are one vectorized
+    expression and a partial top-K (argpartition); the driver merges
+    #blocks x K candidate rows.  No shuffle, no sort of the corpus.
+
+    Oracle: full SQL — the identical hash/ln expression with ORDER BY
+    (key, doc_id) LIMIT K; rank and the key's 6-dp rounding are both
+    emitted so a float-ulp reorder at the boundary would be caught,
+    not hidden (ties broken by doc_id on both sides).  Empty docs
+    (w = 0) are excluded on both sides.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        w = batch["text"].to_pandas().str.lower().str.split() \
+            .str.len().fillna(0).to_numpy(dtype=np.int64)
+        keep = w >= 1
+        ids, w = ids[keep], w[keep]
+        if len(ids) == 0:
+            return empty
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 1.0) / float((1 << 32) + 1)
+        key = -np.log(u) / w
+        if len(ids) > WSAMPLE_K:
+            top = np.argpartition(key, WSAMPLE_K)[:WSAMPLE_K]
+            ids, w, key = ids[top], w[top], key[top]
+        return pa.table({"doc_id": pa.array(ids),
+                         "w": pa.array(w),
+                         "key": pa.array(key)})
+
+    cand = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    cand = cand.sort_values(["key", "doc_id"]).head(WSAMPLE_K) \
+        .reset_index(drop=True)
+    out = pd.DataFrame({
+        "rank": np.arange(1, len(cand) + 1, dtype=np.int64),
+        "doc_id": cand["doc_id"].astype("int64"),
+        "w": cand["w"].astype("int64"),
+        "key_r": np.floor(cand["key"].to_numpy() * 1e6 + 0.5) / 1e6})
+    return table_from_pandas(out, preserve_index=False)
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'), x -> x <> '')) AS w
+  FROM documents),
+keyed AS (
+  SELECT doc_id, w,
+         -ln(((doc_id * 2654435761) % 4294967296 + 1.0) / 4294967297.0)
+           / w AS key
+  FROM d WHERE w >= 1),
+top AS (
+  SELECT doc_id, w, key,
+         row_number() OVER (ORDER BY key, doc_id) AS rank
+  FROM keyed)
+SELECT rank, doc_id, w, round(key, 6) AS key_r
+FROM top WHERE rank <= {WSAMPLE_K}
+"""

@@ -2123,3 +2123,30 @@ class TestDocLMScore:
         # the add-one uniform ceiling log2(V + max ctx)
         assert (got.h_r > 0).all()
         assert (got.h_r < np.log2(V + max(ctx.values()))).all()
+
+
+class TestDocWeightedSample:
+    def test_matches_reference_and_weighting_bias(self, ray_session,
+                                                  tiny_blocks):
+        from stac_to_geocore_ray.queries import doc_weighted_sample
+        from stac_to_geocore_ray.queries.docs import WSAMPLE_K
+        got = doc_weighted_sample(SF).to_pandas()
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        w = docs.text.fillna("").str.lower().str.split().str.len() \
+            .to_numpy(dtype=np.int64)
+        ids = docs.doc_id.to_numpy(dtype=np.int64)
+        keep = w >= 1
+        ids, w = ids[keep], w[keep]
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        key = -np.log((h.astype(np.float64) + 1.0)
+                      / float((1 << 32) + 1)) / w
+        order = np.lexsort((ids, key))[:WSAMPLE_K]
+        assert got.doc_id.tolist() == ids[order].tolist()
+        assert got.w.tolist() == w[order].tolist()
+        assert got["rank"].tolist() == list(range(1, len(order) + 1))
+        # E-S property: the weighted sample is biased toward heavy
+        # docs — sample mean weight beats the corpus mean
+        assert got.w.mean() > w.mean()
