@@ -780,12 +780,16 @@ def embedding_pca(sf_dir: str):
     broadcast component matrix — per-vector outputs are EXACT integers,
     so the oracle comparison is hash-exact with no float tolerance.
 
-    Integer headroom: the int64 fold is overflow-free while
-    n·(PCA_SCALE·max|x|)² < 2^63 — asserted per batch (|x| ≤ 2) and at
-    the driver (n ≤ 2.3M at scale 1e6).  At larger corpus sizes drop
-    PCA_SCALE (1e4 ⇒ n ≤ 2.3e10 — 23 B vectors — at 4-decimal input
-    quantization, far inside float32 embedding precision); the knob
-    trades input decimals for headroom, never exactness of the fold.
+    Integer headroom (two-word fold): each batch partial is exact in
+    one int64 word for batch_n·(PCA_SCALE·max|x|)² < 2^63 — batch size
+    is pinned to 4096 and |x| ≤ 40 asserted, leaving 4x margin — and
+    the GLOBAL fold is made exact at ANY corpus size by splitting each
+    partial into (hi = s >> 31, lo = s - (hi << 31)) words summed
+    independently (lo < 2^31 and |hi| ≤ 1.2e8 per partial, so both
+    word-sums stay inside int64 past 10^10 batches ≈ 10^13 vectors);
+    the driver reconstructs Σ = (Σhi << 31) + Σlo in Python bigints.
+    No precision knob, no corpus-size ceiling, still one streaming
+    pass.
 
     Oracle: golden parquet — an independent scalar replay (Python-int
     moment accumulation row by row, same covariance formula, same
@@ -807,31 +811,33 @@ def embedding_pca(sf_dir: str):
         if m.shape[0] == 0:
             return pa.table({"i": pa.array([], pa.int64()),
                              "j": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64())})
+                             "s_hi": pa.array([], pa.int64()),
+                             "s_lo": pa.array([], pa.int64())})
         xi = _half_away_int(m, PCA_SCALE)
-        if np.abs(xi).max() > 2 * PCA_SCALE:
-            raise ValueError("embedding_pca: |x| > 2 breaks the "
-                             "documented int64 fold headroom; lower "
-                             "PCA_SCALE")
+        if np.abs(xi).max() > 40 * PCA_SCALE or m.shape[0] > 4096:
+            raise ValueError("embedding_pca: per-batch exact-int bound "
+                             "(|x| <= 40, batch <= 4096) violated")
         d = xi.shape[1]
         g = xi.T @ xi                      # exact int64, non-BLAS
         ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
                              np.arange(d, dtype=np.int64), indexing="ij")
+        s = np.r_[np.int64(m.shape[0]), xi.sum(axis=0), g.ravel()]
+        hi = s >> np.int64(31)             # arithmetic shift == floor div
+        lo = s - (hi << np.int64(31))      # in [0, 2^31)
         return pa.table({
             "i": pa.array(np.r_[np.int64(-1), np.arange(d, dtype=np.int64),
                                 ii.ravel()]),
             "j": pa.array(np.r_[np.int64(-1),
                                 np.full(d, -1, dtype=np.int64), jj.ravel()]),
-            "s": pa.array(np.r_[np.int64(m.shape[0]),
-                                xi.sum(axis=0), g.ravel()])})
+            "s_hi": pa.array(hi), "s_lo": pa.array(lo)})
 
     folded = small_domain_fold(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        keys=["i", "j"], sum_cols=["s"]).to_pandas()
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        keys=["i", "j"], sum_cols=["s_hi", "s_lo"]).to_pandas()
+    # exact two-word reconstruction (Python bigints, output-sized)
+    folded["s"] = [(int(h) << 31) + int(lo)
+                   for h, lo in zip(folded["s_hi"], folded["s_lo"])]
     n = int(folded.loc[(folded.i == -1) & (folded.j == -1), "s"].iloc[0])
-    if n > (1 << 63) // (2 * PCA_SCALE) ** 2:
-        raise ValueError("embedding_pca: corpus too large for exact "
-                         "int64 fold at PCA_SCALE=1e6; lower PCA_SCALE")
     fm = folded[(folded.i >= 0) & (folded.j == -1)].sort_values("i")
     d = len(fm)
     S = [int(v) for v in fm["s"]]

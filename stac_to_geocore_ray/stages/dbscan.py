@@ -154,7 +154,14 @@ def dbscan(points_ds, eps_u: int, min_pts: int,
         .groupby("bucket") \
         .map_groups(lambda g: eps_pairs_in_bucket(g, eps_u),
                     batch_format="pandas") \
+        .repartition(N_BUCKETS) \
         .materialize()                   # consumed 3x (deg, edges, border)
+    # the repartition does double duty: it coalesces the sort's empty
+    # partitions (their schema-less blocks would otherwise propagate
+    # "different schema ." warnings through every downstream consumer
+    # of the materialized pairs — Ray skips the UDF on zero-row blocks,
+    # so a typed-empty return in the consumer cannot fix them), and it
+    # right-sizes the 16 B/row pair blocks for the three consumers
 
     # degrees (self excluded): one row per endpoint, sorted-combine sum
     def endpoints(batch: pa.Table) -> pa.Table:

@@ -32,12 +32,15 @@ class PeakTracker(threading.Thread):
         super().__init__(daemon=True)
         self.peak_rss_gb = 0.0
         self.peak_store_gb = 0.0
-        self._stop = threading.Event()
+        # NOT named _stop: threading.Thread uses self._stop() internally
+        # (join() calls it once the thread exits — shadowing it with an
+        # Event raises "'Event' object is not callable" at join time)
+        self._halt = threading.Event()
 
     def run(self):
         import ray
         total = ray.cluster_resources().get("object_store_memory", 0.0)
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             try:
                 with open("/proc/self/status") as f:
                     for line in f:
@@ -50,10 +53,10 @@ class PeakTracker(threading.Thread):
                 self.peak_store_gb = max(self.peak_store_gb, used)
             except Exception:
                 pass
-            self._stop.wait(0.5)
+            self._halt.wait(0.5)
 
     def stop(self):
-        self._stop.set()
+        self._halt.set()
 
 
 def result_rows(out) -> int:
