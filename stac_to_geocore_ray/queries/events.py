@@ -2938,3 +2938,97 @@ SELECT prev_type, event_type, n_trans,
              / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p_r
 FROM c
 """
+
+
+# ------------------------------------------- two-sample KS drift test
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+def events_ks_drift(sf_dir: str):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST between the value
+    distributions of two event types (click vs purchase): the
+    distribution-shift monitor a pipeline runs between cohorts,
+    releases, or time slices.  D = max_x |F_a(x) - F_b(x)| over the
+    integer-cents domain — reported as the EXACT integer numerator
+    max |ca·n2 - cb·n1| (plus its argmax, smallest cents on ties) so
+    the comparison is hash-exact, with the rounded float D alongside.
+
+    Scale shape: the same bounded-cents-domain contraction as
+    events_value_quantiles — per batch one np.unique histogram partial
+    per side, sorted_combine over the ≤49k-value domain, and the CDF
+    scan runs on the output-sized folded histogram (driver, one pass).
+    Integer safety: ca·n2 ≤ n1·n2 < 2^63 for corpora to ~3e9 events
+    per side.
+
+    Oracle: full SQL — the same exact cross-multiplied numerator via
+    a window cumulative sum; float d_r rounds to 6 dp on both sides
+    (one division of exact ints each).
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        rows = {"cents": [], "na": [], "nb": []}
+        ca = _cents(v[et == KS_TYPE_A])
+        cb = _cents(v[et == KS_TYPE_B])
+        ua, na = np.unique(ca, return_counts=True)
+        ub, nb = np.unique(cb, return_counts=True)
+        u = np.union1d(ua, ub)
+        fa = np.zeros(len(u), dtype=np.int64)
+        fb = np.zeros(len(u), dtype=np.int64)
+        fa[np.searchsorted(u, ua)] = na
+        fb[np.searchsorted(u, ub)] = nb
+        return pa.table({"cents": pa.array(u),
+                         "na": pa.array(fa), "nb": pa.array(fb)})
+
+    h = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                       keys=["cents"], sum_cols=["na", "nb"]).to_pandas()
+    h = h.sort_values("cents").reset_index(drop=True)
+    n1 = int(h["na"].sum())
+    n2 = int(h["nb"].sum())
+    ca = h["na"].to_numpy(dtype=np.int64).cumsum()
+    cb = h["nb"].to_numpy(dtype=np.int64).cumsum()
+    dnum = np.abs(ca * n2 - cb * n1)
+    k = int(np.argmax(dnum))              # ties -> smallest cents
+    d = float(dnum[k]) / (float(n1) * float(n2))
+    d_r = float(np.floor(d * 1e6 + 0.5) / 1e6)
+    out = pd.DataFrame({"n1": [n1], "n2": [n2],
+                        "d_num": [int(dnum[k])],
+                        "at_cents": [int(h["cents"].iloc[k])],
+                        "d_r": [d_r]})
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_KS_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')),
+h AS (
+  SELECT cents,
+         sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS nb
+  FROM v GROUP BY cents),
+tot AS (SELECT sum(na) AS n1, sum(nb) AS n2 FROM h),
+c AS (
+  SELECT cents,
+         sum(na) OVER (ORDER BY cents) AS ca,
+         sum(nb) OVER (ORDER BY cents) AS cb
+  FROM h),
+d AS (
+  SELECT cents, abs(ca * tot.n2 - cb * tot.n1) AS dnum, tot.n1, tot.n2
+  FROM c CROSS JOIN tot),
+r AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(dnum AS BIGINT) AS d_num, cents AS at_cents,
+         round(dnum * 1.0 / (n1 * n2), 6) AS d_r,
+         row_number() OVER (ORDER BY dnum DESC, cents ASC) AS rn
+  FROM d)
+SELECT n1, n2, d_num, at_cents, d_r FROM r WHERE rn = 1
+"""

@@ -2150,3 +2150,30 @@ class TestDocWeightedSample:
         # E-S property: the weighted sample is biased toward heavy
         # docs — sample mean weight beats the corpus mean
         assert got.w.mean() > w.mean()
+
+
+class TestEventsKSDrift:
+    def test_matches_scipy_style_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_ks_drift
+        from stac_to_geocore_ray.queries.events import KS_TYPE_A, KS_TYPE_B
+        got = events_ks_drift(SF).to_pandas()
+        assert len(got) == 1
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "value"])
+        ca = np.sort(_cents(ev.loc[ev.event_type == KS_TYPE_A, "value"]))
+        cb = np.sort(_cents(ev.loc[ev.event_type == KS_TYPE_B, "value"]))
+        n1, n2 = len(ca), len(cb)
+        # reference: evaluate both ECDFs at every observed point
+        xs = np.unique(np.r_[ca, cb])
+        fa = np.searchsorted(ca, xs, side="right")
+        fb = np.searchsorted(cb, xs, side="right")
+        dnum = np.abs(fa * n2 - fb * n1)
+        k = int(np.argmax(dnum))
+        assert got.n1.iloc[0] == n1 and got.n2.iloc[0] == n2
+        assert got.d_num.iloc[0] == dnum[k]
+        assert got.at_cents.iloc[0] == xs[k]
+        d = dnum[k] / (n1 * n2)
+        assert abs(got.d_r.iloc[0] - np.floor(d * 1e6 + 0.5) / 1e6) < 1e-12
+        # D statistic is a genuine probability distance
+        assert 0 <= got.d_r.iloc[0] <= 1
