@@ -3032,3 +3032,84 @@ r AS (
   FROM d)
 SELECT n1, n2, d_num, at_cents, d_r FROM r WHERE rn = 1
 """
+
+
+# --------------------------------------------- CUSUM changepoint scan
+
+def events_changepoint(sf_dir: str):
+    """OFFLINE CHANGEPOINT DETECTION — per event type, the hour where
+    the cumulative cents series deviates most from its linear trend
+    (max-CUSUM split point: k* = argmax_k |S_k·n - k·S_n| over the
+    hourly sum series): the regime-shift locator behind release / drift
+    forensics, the time-axis sibling of events_ks_drift's
+    distribution-axis test.
+
+    All arithmetic is exact int64 (hourly cents sums; |S_k·n| ≤
+    total_cents · n_hours < 2^63 far past 20M events), the argmax ties
+    to the EARLIEST hour, so the split admits one well-defined answer.
+
+    Scale shape: the hourly pre-aggregation contracts per batch to the
+    tiny (type, hour) domain (≤ |types| · span-hours keys) and folds in
+    one small_domain_fold task; the CUSUM scan runs on the output-sized
+    folded series.  Nothing grows with the event count.
+
+    Oracle: full SQL — window cumulative sums over the same hourly
+    aggregate, the same cross-multiplied deviation, row_number to pick
+    the earliest max.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hour": pa.array([], pa.timestamp("us")),
+                             "cents": pa.array([], pa.int64())})
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h = h.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    rows = []
+    for et, g in h.groupby("event_type", sort=True):
+        s = g["cents"].to_numpy(dtype=np.int64).cumsum()
+        n = len(s)
+        k = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(s * n - k * s[-1])
+        i = int(np.argmax(dev))           # ties -> earliest hour
+        rows.append((et, n, g["hour"].iloc[i], int(dev[i])))
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                      "split_hour", "dev_num"]) \
+        .astype({"n_hours": "int64", "dev_num": "int64"})
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, hour,
+         sum(cents) OVER (PARTITION BY event_type ORDER BY hour) AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS k,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cents) OVER (PARTITION BY event_type) AS sn
+  FROM h),
+d AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_hours, hour AS split_hour,
+         CAST(abs(s * n - k * sn) AS BIGINT) AS dev_num,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s * n - k * sn) DESC,
+                                     hour ASC) AS rn
+  FROM c)
+SELECT event_type, n_hours, split_hour, dev_num FROM d WHERE rn = 1
+"""

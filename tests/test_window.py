@@ -2177,3 +2177,39 @@ class TestEventsKSDrift:
         assert abs(got.d_r.iloc[0] - np.floor(d * 1e6 + 0.5) / 1e6) < 1e-12
         # D statistic is a genuine probability distance
         assert 0 <= got.d_r.iloc[0] <= 1
+
+
+class TestEventsChangepoint:
+    def test_matches_pandas_reference_and_planted_shift(self, ray_session,
+                                                        tiny_blocks):
+        from stac_to_geocore_ray.queries import events_changepoint
+        got = events_changepoint(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        rows = []
+        for et, g in ev.groupby("event_type", sort=True):
+            hh = g.groupby("hour", sort=True)["cents"].sum()
+            s = hh.to_numpy(dtype=np.int64).cumsum()
+            n = len(s)
+            k = np.arange(1, n + 1, dtype=np.int64)
+            dev = np.abs(s * n - k * s[-1])
+            i = int(np.argmax(dev))
+            rows.append((et, n, hh.index[i], int(dev[i])))
+        ref = pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                          "split_hour", "dev_num"])
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n_hours.tolist() == ref.n_hours.tolist()
+        assert got.split_hour.tolist() == ref.split_hour.tolist()
+        assert got.dev_num.tolist() == ref.dev_num.tolist()
+        # a synthetic step change is located exactly
+        hours = pd.date_range("2026-01-01", periods=100, freq="h")
+        vals = np.r_[np.full(60, 10.0), np.full(40, 20.0)]
+        df = pd.DataFrame({"ts": hours, "event_type": "x", "value": vals})
+        s = _cents(vals).cumsum()
+        k = np.arange(1, 101)
+        i = int(np.argmax(np.abs(s * 100 - k * s[-1])))
+        assert i == 59          # deviation peaks at the last pre-shift hour
