@@ -2071,19 +2071,21 @@ def events_dense_hourly(sf_dir: str):
     lo_h = pd.Timestamp(lo).floor("h")
     hi_h = pd.Timestamp(hi).floor("h")
 
-    def densify(df: pd.DataFrame) -> pd.DataFrame:
-        hours = pd.date_range(lo_h, hi_h, freq="h")
-        types = sorted(df.event_type.unique())
-        grid = pd.MultiIndex.from_product(
-            [types, hours], names=["event_type", "hour"]).to_frame(
-            index=False)
-        out = grid.merge(df, on=["event_type", "hour"], how="left")
-        out["n"] = out.n.fillna(0).astype("int64")
-        out["hour"] = out.hour.astype("datetime64[us]")
-        return out
-
-    return agg.map_batches(densify, batch_format="pandas",
-                           batch_size=None)
+    # driver-side grid merge on the OUTPUT-SIZED fold result — NOT a
+    # map over the fold dataset: the fold's "one block" is split by
+    # dynamic block splitting whenever it exceeds target_max_block_size
+    # (forced-tiny-blocks found densify running once per split, 5x
+    # duplicating the grid)
+    df = agg.to_pandas()
+    hours = pd.date_range(lo_h, hi_h, freq="h")
+    types = sorted(df.event_type.unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(
+        index=False)
+    out = grid.merge(df, on=["event_type", "hour"], how="left")
+    out["n"] = out.n.fillna(0).astype("int64")
+    out["hour"] = out.hour.astype("datetime64[us]")
+    return table_from_pandas(out, preserve_index=False)
 
 
 EVENTS_DENSE_HOURLY_SQL = """

@@ -2052,10 +2052,14 @@ def polygonize_from_dataset(ds):
             "iy_max": pa.array(out[:, 5], pa.int64()),
             "cover_sum": pa.array(out[:, 6], pa.int64())})
 
-    # the fold output is ONE block (small_domain_fold contract), so
-    # batch_size=None hands the whole mask to a single vectorize task
-    return grid.map_batches(vectorize, batch_format="pyarrow",
-                            batch_size=None)
+    # the fold output is ONE block (small_domain_fold contract) — but
+    # dynamic block splitting may cut an over-target-size fold block
+    # (forced-tiny-blocks caught events_dense_hourly's grid being
+    # consumed per split), so pin it back to one block before handing
+    # the whole mask to a single vectorize task
+    return grid.repartition(1).map_batches(vectorize,
+                                           batch_format="pyarrow",
+                                           batch_size=None)
 
 
 # --------------------------------------------------------- grid DBSCAN
