@@ -3115,3 +3115,99 @@ d AS (
   FROM c)
 SELECT event_type, n_hours, split_hour, dev_num FROM d WHERE rn = 1
 """
+
+
+# ------------------------------------------ per-hour percentile bands
+
+def events_hourly_quantiles(sf_dir: str):
+    """PER-WINDOW EXACT PERCENTILES — p50 / p95 value (cents) per hour
+    across the stream: the latency-band / SLO-percentile op class
+    (global exact quantiles exist as events_value_quantiles; this is
+    the GROUPED variant, one exact quantile pair per time window).
+    percentile_disc semantics pinned as: the element at ascending rank
+    ceil(q*n) (1-indexed), q*n evaluated in float64 on BOTH sides (the
+    float is always < the exact product, so the ceil agrees with exact
+    arithmetic for every representable q).
+
+    Scale shape: (hour, cents) count partials BARELY contract (lesson
+    21's weak-contraction regime — hours x cents ~ 35M keys), so they
+    fold through sorted_combine (sort + in-block combine + <=2-rows-
+    per-block boundary fold); the quantile pick is then a SEQUENTIAL
+    per-hour view over the sorted histogram, riding
+    keyed_boundary_decompose — cumsum per complete hour run in-block,
+    straddling hours defer to the keyed fold.  Nothing funnels the
+    raw stream; the driver sees only output-sized rows.
+
+    Oracle: full SQL — row_number per hour + a rank filter (no
+    quantile_* function, so the discrete semantics are pinned
+    explicitly and identically on both sides).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose, sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table({"hour": pa.array([], pa.timestamp("us")),
+                             "cents": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["hour", "cents"], sort=False) \
+            .size().reset_index(name="cnt")
+        return table_from_pandas(g, preserve_index=False)
+
+    hist = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["hour", "cents"], sum_cols=["cnt"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "hour": pd.Series([], dtype="datetime64[us]"),
+                "n": pd.Series([], dtype="int64"),
+                "p50_cents": pd.Series([], dtype="int64"),
+                "p95_cents": pd.Series([], dtype="int64")})
+        hr = df["hour"].to_numpy()
+        cents = df["cents"].to_numpy().astype(np.int64)
+        cnt = df["cnt"].to_numpy().astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(hr[1:] != hr[:-1]) + 1]
+        ends = np.r_[starts[1:], len(hr)]
+        rows = []
+        for s, e in zip(starts, ends):
+            c = cnt[s:e].cumsum()
+            n = int(c[-1])
+            r50 = np.ceil(0.5 * n)
+            r95 = np.ceil(0.95 * n)
+            p50 = cents[s + int(np.searchsorted(c, r50))]
+            p95 = cents[s + int(np.searchsorted(c, r95))]
+            rows.append((hr[s], n, int(p50), int(p95)))
+        out = pd.DataFrame(rows, columns=["hour", "n",
+                                          "p50_cents", "p95_cents"])
+        out["hour"] = out["hour"].astype("datetime64[us]")
+        return out.astype({"n": "int64", "p50_cents": "int64",
+                           "p95_cents": "int64"})
+
+    return keyed_boundary_decompose(
+        hist, sort_keys=["hour", "cents"], key_col="hour",
+        raw_cols=["hour", "cents", "cnt"], kernel=kernel)
+
+
+EVENTS_HOURLY_QUANTILES_SQL = """
+WITH v AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT hour, cents,
+         row_number() OVER (PARTITION BY hour ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY hour) AS n
+  FROM v)
+SELECT hour, CAST(max(n) AS BIGINT) AS n,
+       min(cents) FILTER (WHERE rk = CAST(ceil(0.5 * n) AS BIGINT))
+         AS p50_cents,
+       min(cents) FILTER (WHERE rk = CAST(ceil(0.95 * n) AS BIGINT))
+         AS p95_cents
+FROM r GROUP BY hour
+"""

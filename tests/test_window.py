@@ -2213,3 +2213,29 @@ class TestEventsChangepoint:
         k = np.arange(1, 101)
         i = int(np.argmax(np.abs(s * 100 - k * s[-1])))
         assert i == 59          # deviation peaks at the last pre-shift hour
+
+
+class TestEventsHourlyQuantiles:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_hourly_quantiles
+        got = events_hourly_quantiles(SF).to_pandas() \
+            .sort_values("hour").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        rows = []
+        for hr, g in ev.groupby("hour", sort=True):
+            c = np.sort(g.cents.to_numpy())
+            n = len(c)
+            rows.append((hr, n,
+                         int(c[int(np.ceil(0.5 * n)) - 1]),
+                         int(c[int(np.ceil(0.95 * n)) - 1])))
+        ref = pd.DataFrame(rows, columns=["hour", "n",
+                                          "p50_cents", "p95_cents"])
+        assert got.hour.tolist() == ref.hour.tolist()
+        assert got.n.tolist() == ref.n.tolist()
+        assert got.p50_cents.tolist() == ref.p50_cents.tolist()
+        assert got.p95_cents.tolist() == ref.p95_cents.tolist()
+        assert (got.p95_cents >= got.p50_cents).all()
