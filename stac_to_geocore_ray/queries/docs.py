@@ -289,7 +289,8 @@ def _shingle_hashes_for_verify(text: str):
 
 def _jaccard_verify_pairs(cand_ds, docs_ds, feat_fn, id_type,
                           threshold: float = 0.5,
-                          empty_empty: str = "one"):
+                          empty_empty: str = "one",
+                          score: str = "jaccard"):
     """Exact-Jaccard verification of candidate pairs, corpus streamed.
 
     ``feat_fn(text)`` returns an int64 feature array (hashed shingles /
@@ -367,7 +368,10 @@ def _jaccard_verify_pairs(cand_ds, docs_ds, feat_fn, id_type,
                 j = 1.0
             else:
                 inter = len(np.intersect1d(s1, s2, assume_unique=True))
-                j = inter / max(1, len(s1) + len(s2) - inter)
+                # "containment": |A n B| / |A| (asymmetric, the
+                # quote/fragment direction); default symmetric jaccard
+                j = inter / max(1, len(s1)) if score == "containment" \
+                    else inter / max(1, len(s1) + len(s2) - inter)
             if j >= threshold:
                 # half-AWAY rounding to match DuckDB's round(): python
                 # round()/np.round are half-to-even, and exact-half
@@ -2394,4 +2398,237 @@ top AS (
   FROM keyed)
 SELECT rank, doc_id, w, round(key, 6) AS key_r
 FROM top WHERE rank <= {WSAMPLE_K}
+"""
+
+
+# ----------------------------------- asymmetric containment join
+
+CONT_THRESHOLD = 0.9
+
+
+def doc_containment(sf_dir: str):
+    """ASYMMETRIC CONTAINMENT JOIN — every ordered pair (a, b) where
+    doc a's distinct 5-char shingle set is ≥ 90% contained in a
+    STRICTLY LARGER doc b's set (C(a→b) = |S_a∩S_b|/|S_a| ≥ 0.9,
+    |S_a| < |S_b|): the quote / fragment / subset-document detector
+    Jaccard dedup structurally misses (a 100-shingle doc fully inside
+    a 10,000-shingle doc has J ≈ 0.01).  The sixth dedup family
+    (exact, pHash-banded, MinHash-LSH, SimHash, n-gram Jaccard, and
+    now prefix-filtered containment).
+
+    Candidate generation is a PREFIX FILTER with an exact pigeonhole
+    guarantee (PPJoin's core idea): if C ≥ 0.9 then fewer than
+    0.1·|S_a| of a's shingles are missing from b, so ANY fixed
+    ⌊|S_a|/10⌋+1 of them must hit b — we pick the GLOBALLY RAREST
+    (smallest document frequency, gram as tie-break), so each anchor's
+    inverted list — and hence the candidate volume Σ_a Σ_anchors df —
+    stays small while recall for C ≥ 0.9 is exactly 1 by pigeonhole,
+    the same argument family as the pHash band bound.
+
+    Scale shape: identical-text docs contract to REPS first (min
+    doc_id per text hash — containment is a pure function of the
+    shingle set, and equal sets are excluded by the strict |S_a|<|S_b|,
+    so rep-level answers expand exactly); one sorted_combine builds
+    the global gram document-frequency table (broadcast here;
+    df-join per doc is the documented >broadcast-size path); the
+    anchor×index pairs form in bucketed gram groups like every other
+    banded family; exact verification streams the corpus through the
+    flat-LUT broadcast verifier shared with the Jaccard path.
+
+    Oracle: full SQL — the plain inverted-index self-join over gram
+    strings (hash-vs-string equivalence: the 5-byte base-257
+    polynomial is injective, so hashed grams ARE grams).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import _shingle_hashes
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # --- rep contraction: min doc_id per normalized text hash
+    def th_partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"].to_pandas().fillna("").str.lower()
+        th = pd.util.hash_array(t.to_numpy(dtype=object)).view(np.int64)
+        return pa.table({"th": pa.array(th),
+                         "doc_id": pa.array(batch["doc_id"].to_numpy()
+                                            .astype(np.int64))})
+
+    reps = sorted_combine(ds.map_batches(th_partial,
+                                         batch_format="pyarrow"),
+                          keys=["th"], aggs={"doc_id": "min"}).to_pandas()
+    rep_ids = np.sort(reps["doc_id"].to_numpy(dtype=np.int64))
+    rep_ref = ray.put(rep_ids)
+
+    # --- global gram document frequencies (over reps)
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        rid = ray.get(rep_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        k = np.minimum(np.searchsorted(rid, ids), len(rid) - 1) \
+            if len(rid) else np.zeros(len(ids), dtype=np.int64)
+        keep = np.flatnonzero((len(rid) > 0) & (rid[k] == ids))
+        texts = batch["text"].take(pa.array(keep)).to_pylist()
+        out_g, out_n = [], []
+        for t in texts:
+            u = np.unique(_shingle_hashes(t or "").view(np.int64))
+            out_g.append(u)
+            out_n.append(np.ones(len(u), dtype=np.int64))
+        if not out_g:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        return pa.table({"g": pa.array(np.concatenate(out_g)),
+                         "df": pa.array(np.concatenate(out_n))})
+
+    dft = sorted_combine(ds.map_batches(gram_partial,
+                                        batch_format="pyarrow"),
+                         keys=["g"], sum_cols=["df"]).to_pandas()
+    df_g = dft["g"].to_numpy(dtype=np.int64)
+    order = np.argsort(df_g)
+    df_ref = ray.put((df_g[order],
+                      dft["df"].to_numpy(dtype=np.int64)[order]))
+
+    # --- anchor + index rows (reps only), bucketed by gram hash
+    def rows(batch: pa.Table) -> pa.Table:
+        rid = ray.get(rep_ref)
+        gk, gdf = ray.get(df_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        k = np.minimum(np.searchsorted(rid, ids), len(rid) - 1) \
+            if len(rid) else np.zeros(len(ids), dtype=np.int64)
+        keep = np.flatnonzero((len(rid) > 0) & (rid[k] == ids))
+        texts = batch["text"].take(pa.array(keep)).to_pylist()
+        og, od, on, oa = [], [], [], []
+        for d, t in zip(ids[keep], texts):
+            u = np.unique(_shingle_hashes(t or "").view(np.int64))
+            na = len(u)
+            t_anch = na // 10 + 1
+            dfs = gdf[np.searchsorted(gk, u)]
+            pick = np.lexsort((u, dfs))[:t_anch]   # rarest, gram tie
+            anch = np.zeros(na, dtype=bool)
+            anch[pick] = True
+            og.append(u)
+            od.append(np.full(na, d, dtype=np.int64))
+            on.append(np.full(na, na, dtype=np.int64))
+            oa.append(anch)
+        if not og:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "anchor": pa.array([], pa.bool_()),
+                             "bucket": pa.array([], pa.int32())})
+        g = np.concatenate(og)
+        x = g.view(np.uint64).copy()
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        return pa.table({"g": pa.array(g),
+                         "doc": pa.array(np.concatenate(od)),
+                         "n": pa.array(np.concatenate(on)),
+                         "anchor": pa.array(np.concatenate(oa)),
+                         "bucket": pa.array((x & np.uint64(63))
+                                            .astype(np.int32))})
+
+    def cand_in_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if len(grp) < 2:
+            return empty
+        g = grp["g"].to_numpy()
+        o = np.argsort(g, kind="stable")
+        g = g[o]
+        doc = grp["doc"].to_numpy()[o]
+        n = grp["n"].to_numpy()[o]
+        anch = grp["anchor"].to_numpy()[o]
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        ends = np.r_[starts[1:], len(g)]
+        counts = ends - starts
+        seg = np.repeat(np.arange(len(counts)), counts)
+        ai = np.flatnonzero(anch)
+        if len(ai) == 0:
+            return empty
+        c_of = counts[seg[ai]]
+        I = np.repeat(ai, c_of)
+        offs = np.arange(c_of.sum()) - np.repeat(
+            np.r_[0, np.cumsum(c_of)[:-1]], c_of)
+        J = np.repeat(starts[seg[ai]], c_of) + offs
+        keep = n[I] < n[J]              # strict-smaller prune + self-drop
+        out = pd.DataFrame({"a": doc[I][keep], "b": doc[J][keep]})
+        return out.drop_duplicates(ignore_index=True)
+
+    cand = ds.map_batches(rows, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(cand_in_bucket, batch_format="pandas") \
+        .repartition(8).materialize()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cont_r": pa.array([], pa.float64())})
+    if cand.count() == 0:
+        return empty
+    # cross-bucket duplicates (a pair can share several anchor grams)
+    cand = rd.from_arrow(pa.Table.from_pandas(
+        cand.to_pandas().drop_duplicates(ignore_index=True),
+        preserve_index=False))
+
+    verified = _jaccard_verify_pairs(
+        cand, ds, lambda t: _shingle_hashes(t or "").view(np.int64),
+        pa.int64(), threshold=CONT_THRESHOLD, empty_empty="skip",
+        score="containment")
+    vt = pa.concat_tables(verified.iter_batches(batch_format="pyarrow"))
+    if vt.num_rows == 0:
+        return empty
+    vp = vt.to_pandas().rename(columns={"jaccard": "cont_r"})
+
+    # --- expand rep pairs to member pairs: collect members ONLY for
+    # matched text-hashes (candidate-sized collect, contamination-style)
+    need = np.unique(np.r_[vp["a"].to_numpy(), vp["b"].to_numpy()])
+    need_th = reps.loc[reps["doc_id"].isin(need)]
+    th_ref = ray.put(np.sort(need_th["th"].to_numpy(dtype=np.int64)))
+
+    def members(batch: pa.Table) -> pa.Table:
+        nth = ray.get(th_ref)
+        t = batch["text"].to_pandas().fillna("").str.lower()
+        th = pd.util.hash_array(t.to_numpy(dtype=object)).view(np.int64)
+        k = np.minimum(np.searchsorted(nth, th), len(nth) - 1) \
+            if len(nth) else np.zeros(len(th), dtype=np.int64)
+        hit = (len(nth) > 0) & (nth[k] == th)
+        return pa.table({
+            "th": pa.array(th[hit]),
+            "doc_id": pa.array(batch["doc_id"].to_numpy()
+                               .astype(np.int64)[hit])})
+
+    mem = pa.concat_tables(
+        ds.map_batches(members, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    rep_of = dict(zip(need_th["doc_id"], need_th["th"]))
+    by_th = mem.groupby("th")["doc_id"].apply(list).to_dict()
+    oa, ob, oc = [], [], []
+    for a, b, c in zip(vp["a"], vp["b"], vp["cont_r"]):
+        for ma in by_th[rep_of[int(a)]]:
+            for mb in by_th[rep_of[int(b)]]:
+                oa.append(int(ma)); ob.append(int(mb)); oc.append(c)
+    return pa.table({"a": pa.array(oa, pa.int64()),
+                     "b": pa.array(ob, pa.int64()),
+                     "cont_r": pa.array(oc, pa.float64())})
+
+
+DOC_CONTAINMENT_SQL = """
+WITH raw AS (SELECT doc_id, lower(coalesce(text, '')) AS t0 FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN length(t0) < 5 THEN t0 || repeat(' ', 5 - length(t0))
+                  ELSE t0 END AS t FROM raw),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                           i -> substr(t, i, 5))) AS s
+       FROM d),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id <> y.doc_id
+          GROUP BY 1, 2),
+c AS (SELECT a, b, CAST(ni AS DOUBLE) / sa.n AS cont
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE sa.n < sb.n)
+SELECT a, b, round(cont, 4) AS cont_r FROM c WHERE cont >= 0.9
 """

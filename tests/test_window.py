@@ -2239,3 +2239,42 @@ class TestEventsHourlyQuantiles:
         assert got.p50_cents.tolist() == ref.p50_cents.tolist()
         assert got.p95_cents.tolist() == ref.p95_cents.tolist()
         assert (got.p95_cents >= got.p50_cents).all()
+
+
+class TestDocContainment:
+    def test_pigeonhole_recall_and_reference(self, ray_session,
+                                             tiny_blocks):
+        """Brute-force scalar reference over every ordered doc pair;
+        the prefix-filtered engine must find the identical set — the
+        pigeonhole anchor bound (rarest floor(n/10)+1 shingles) is an
+        EXACT recall guarantee, not a heuristic."""
+        from stac_to_geocore_ray.queries import doc_containment
+        from stac_to_geocore_ray.queries.docs import CONT_THRESHOLD
+        from stac_to_geocore_ray.stages.dedup import _shingle_hashes
+        got = doc_containment(SF).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        sets = {int(r.doc_id):
+                np.unique(_shingle_hashes(
+                    (r.text or "")).view(np.int64))
+                for r in docs.itertuples()}
+        rows = []
+        ids = sorted(sets)
+        for a in ids:
+            for b in ids:
+                sa, sb = sets[a], sets[b]
+                if a == b or len(sa) >= len(sb):
+                    continue
+                ni = len(np.intersect1d(sa, sb, assume_unique=True))
+                c = ni / max(1, len(sa))
+                if c >= CONT_THRESHOLD:
+                    rows.append((a, b,
+                                 np.floor(c * 1e4 + 0.5) / 1e4))
+        ref = pd.DataFrame(rows, columns=["a", "b", "cont_r"]) \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(ref) > 0                    # fixture has real signal
+        assert got.a.tolist() == ref.a.tolist()
+        assert got.b.tolist() == ref.b.tolist()
+        assert got.cont_r.tolist() == ref.cont_r.tolist()
