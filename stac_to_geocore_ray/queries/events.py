@@ -3211,3 +3211,98 @@ SELECT hour, CAST(max(n) AS BIGINT) AS n,
          AS p95_cents
 FROM r GROUP BY hour
 """
+
+
+# ------------------------------------------------ OD flow matrix
+
+OD_CELL_U = 10_000_000       # 10-degree grid over micro-degree positions
+
+
+def events_od_matrix(sf_dir: str):
+    """ORIGIN-DESTINATION FLOW MATRIX — for every (user, day), the
+    grid cell of the day's FIRST event position and of its LAST (by
+    ts, event_id), counted into an O-D matrix: the mobility /
+    trip-table aggregation (where journeys start and end) over the
+    deterministic event positions shared with events_trajectory /
+    geo_simplify_dp.
+
+    Scale shape: first/last-of-ordered-run is a SEQUENTIAL per-key
+    view, so it rides keyed_boundary_decompose on a composite
+    (user, day) key — one shared distributed sort, endpoints resolved
+    in-block per complete run, straddling user-days defer to the keyed
+    fold; the per-run output is ONE (o_cell, d_cell) row, and the
+    matrix fold is a small_domain_fold over the ≤ (36·18)² cell-pair
+    domain.  Positions and cells are exact integer arithmetic.
+
+    Oracle: full SQL — the same position formula (pure int ops),
+    row_number asc/desc per (user, day), grid floor division
+    (DuckDB's // on BIGINT floors like numpy), count per cell pair.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df.ts.dt.floor("D")
+        ud = df.user_id.to_numpy().astype(np.int64) * np.int64(1 << 20) \
+            + (day.astype("int64").to_numpy() // 86_400_000_000) % (1 << 20)
+        out = pa.table({
+            "ud": pa.array(ud),
+            "user_id": pa.array(df.user_id.to_numpy().astype(np.int64)),
+            "ts": pa.array(df.ts.astype("datetime64[us]")),
+            "event_id": pa.array(df.event_id.to_numpy().astype(np.int64))})
+        return out
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_cell": pd.Series([], dtype="int64"),
+                "d_cell": pd.Series([], dtype="int64"),
+                "n_trips": pd.Series([], dtype="int64")})
+        ud = df["ud"].to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        # positions kept NON-NEGATIVE before the grid division:
+        # DuckDB's integer // truncates toward zero while numpy floors,
+        # so a negative numerator would diverge between the two sides
+        x = (eid * 2654435761) % 3600000 * 100
+        y = (eid * 40503) % 1800000 * 100
+        cell = (x // OD_CELL_U) * 18 + (y // OD_CELL_U)
+        starts = np.r_[0, np.flatnonzero(ud[1:] != ud[:-1]) + 1]
+        ends = np.r_[starts[1:], len(ud)] - 1
+        g = pd.DataFrame({"o_cell": cell[starts], "d_cell": cell[ends]}) \
+            .groupby(["o_cell", "d_cell"], sort=False) \
+            .size().reset_index(name="n_trips")
+        return g.astype({"o_cell": "int64", "d_cell": "int64",
+                         "n_trips": "int64"})
+
+    partials = keyed_boundary_decompose(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        sort_keys=["ud", "ts", "event_id"], key_col="ud",
+        raw_cols=["ud", "user_id", "ts", "event_id"], kernel=kernel)
+    return small_domain_fold(partials, keys=["o_cell", "d_cell"],
+                             sum_cols=["n_trips"])
+
+
+EVENTS_OD_SQL = f"""
+WITH p AS (
+  SELECT user_id, date_trunc('day', ts) AS d, ts, event_id,
+         ((event_id * 2654435761) % 3600000 * 100) // {OD_CELL_U} AS cx,
+         ((event_id * 40503) % 1800000 * 100) // {OD_CELL_U} AS cy
+  FROM events),
+r AS (
+  SELECT user_id, d, cx * 18 + cy AS cell,
+         row_number() OVER (PARTITION BY user_id, d
+                            ORDER BY ts, event_id) AS rk_a,
+         row_number() OVER (PARTITION BY user_id, d
+                            ORDER BY ts DESC, event_id DESC) AS rk_d
+  FROM p),
+o AS (SELECT user_id, d, cell AS o_cell FROM r WHERE rk_a = 1),
+t AS (SELECT user_id, d, cell AS d_cell FROM r WHERE rk_d = 1)
+SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
+       count(*) AS n_trips
+FROM o JOIN t USING (user_id, d)
+GROUP BY o_cell, d_cell
+"""

@@ -2278,3 +2278,30 @@ class TestDocContainment:
         assert got.a.tolist() == ref.a.tolist()
         assert got.b.tolist() == ref.b.tolist()
         assert got.cont_r.tolist() == ref.cont_r.tolist()
+
+
+class TestEventsODMatrix:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_od_matrix
+        from stac_to_geocore_ray.queries.events import OD_CELL_U
+        got = events_od_matrix(SF).to_pandas() \
+            .sort_values(["o_cell", "d_cell"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_id"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        ev["day"] = ev.ts.dt.floor("D")
+        eid = ev.event_id.to_numpy().astype(np.int64)
+        x = (eid * 2654435761) % 3600000 * 100
+        y = (eid * 40503) % 1800000 * 100
+        ev["cell"] = (x // OD_CELL_U) * 18 + (y // OD_CELL_U)
+        g = ev.groupby(["user_id", "day"])["cell"]
+        ref = pd.DataFrame({"o_cell": g.first(), "d_cell": g.last()}) \
+            .groupby(["o_cell", "d_cell"]).size().reset_index(
+            name="n_trips") \
+            .sort_values(["o_cell", "d_cell"]).reset_index(drop=True)
+        assert got.o_cell.tolist() == ref.o_cell.tolist()
+        assert got.d_cell.tolist() == ref.d_cell.tolist()
+        assert got.n_trips.tolist() == ref.n_trips.tolist()
+        # total trips = number of distinct user-days
+        assert got.n_trips.sum() == len(g.first())
