@@ -2406,6 +2406,29 @@ FROM top WHERE rank <= {WSAMPLE_K}
 CONT_THRESHOLD = 0.9
 
 
+def _n_anchors(na: int) -> int:
+    """Anchor count T per doc.  Pigeonhole: a C >= 0.9 pair misses at
+    most floor(na/10) of a's grams, so it shares >= T - floor(na/10)
+    anchors; candidate recall needs T > floor(na/10).  T = floor+1
+    (shared >= 1).  Raising T tightens the shared-count filter but
+    grows every anchor group's cross product — measured NET LOSS on
+    the near-dup-clustered 1M corpus (2T blew the candidate stream
+    past the object store), so T stays minimal."""
+    return na // 10 + 1
+
+
+def _df_of(gk: "np.ndarray", gdf: "np.ndarray", u: "np.ndarray"):
+    """Sampled-df lookup; grams outside the sampled table count as 0
+    (rarest) — anchor choice stays deterministic via the gram
+    tie-break."""
+    if len(gk) == 0:
+        return np.zeros(len(u), dtype=np.int64)
+    k = np.minimum(np.searchsorted(gk, u), len(gk) - 1)
+    out = gdf[k].copy()
+    out[gk[k] != u] = 0
+    return out
+
+
 def doc_containment(sf_dir: str):
     """ASYMMETRIC CONTAINMENT JOIN — every ordered pair (a, b) where
     doc a's distinct 5-char shingle set is ≥ 90% contained in a
@@ -2461,13 +2484,19 @@ def doc_containment(sf_dir: str):
     rep_ids = np.sort(reps["doc_id"].to_numpy(dtype=np.int64))
     rep_ref = ray.put(rep_ids)
 
-    # --- global gram document frequencies (over reps)
+    # --- gram document frequencies over a DETERMINISTIC 1/8 hash
+    # sample of the reps: rarity only ORDERS the anchor choice (any
+    # fixed floor(n/10)+1 subset keeps the pigeonhole recall exact),
+    # so a sampled df is a pure constant-factor cut — the exact global
+    # df fold was the 1M-doc run's dominant cost (a ~200M-row sort)
     def gram_partial(batch: pa.Table) -> pa.Table:
         rid = ray.get(rep_ref)
         ids = batch["doc_id"].to_numpy().astype(np.int64)
         k = np.minimum(np.searchsorted(rid, ids), len(rid) - 1) \
             if len(rid) else np.zeros(len(ids), dtype=np.int64)
-        keep = np.flatnonzero((len(rid) > 0) & (rid[k] == ids))
+        samp = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(8) == 0
+        keep = np.flatnonzero((len(rid) > 0) & (rid[k] == ids) & samp)
         texts = batch["text"].take(pa.array(keep)).to_pylist()
         out_g, out_n = [], []
         for t in texts:
@@ -2488,10 +2517,42 @@ def doc_containment(sf_dir: str):
     df_ref = ray.put((df_g[order],
                       dft["df"].to_numpy(dtype=np.int64)[order]))
 
+    # --- global ANCHOR-GRAM set: a pair (a, b) can only surface on a
+    # gram that is one of a's anchors, so index rows for any other
+    # gram are dead weight — at 1M docs the unfiltered full inverted
+    # index spilled ~40 GB through the bucket shuffle; filtering index
+    # rows to the anchor set cuts the exchange to anchor-list volume.
+    # Recall is untouched (anchors(a) ⊆ A by construction).
+    def anchor_partial(batch: pa.Table) -> pa.Table:
+        rid = ray.get(rep_ref)
+        gk, gdf = ray.get(df_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        k = np.minimum(np.searchsorted(rid, ids), len(rid) - 1) \
+            if len(rid) else np.zeros(len(ids), dtype=np.int64)
+        keep = np.flatnonzero((len(rid) > 0) & (rid[k] == ids))
+        texts = batch["text"].take(pa.array(keep)).to_pylist()
+        out = []
+        for t in texts:
+            u = np.unique(_shingle_hashes(t or "").view(np.int64))
+            dfs = _df_of(gk, gdf, u)
+            out.append(u[np.lexsort((u, dfs))[:_n_anchors(len(u))]])
+        if not out:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        ag = np.unique(np.concatenate(out))
+        return pa.table({"g": pa.array(ag),
+                         "one": pa.array(np.ones(len(ag), np.int64))})
+
+    aset = sorted_combine(ds.map_batches(anchor_partial,
+                                         batch_format="pyarrow"),
+                          keys=["g"], sum_cols=["one"]).to_pandas()
+    aset_ref = ray.put(np.sort(aset["g"].to_numpy(dtype=np.int64)))
+
     # --- anchor + index rows (reps only), bucketed by gram hash
     def rows(batch: pa.Table) -> pa.Table:
         rid = ray.get(rep_ref)
         gk, gdf = ray.get(df_ref)
+        aglob = ray.get(aset_ref)
         ids = batch["doc_id"].to_numpy().astype(np.int64)
         k = np.minimum(np.searchsorted(rid, ids), len(rid) - 1) \
             if len(rid) else np.zeros(len(ids), dtype=np.int64)
@@ -2501,15 +2562,20 @@ def doc_containment(sf_dir: str):
         for d, t in zip(ids[keep], texts):
             u = np.unique(_shingle_hashes(t or "").view(np.int64))
             na = len(u)
-            t_anch = na // 10 + 1
-            dfs = gdf[np.searchsorted(gk, u)]
+            t_anch = _n_anchors(na)
+            dfs = _df_of(gk, gdf, u)
             pick = np.lexsort((u, dfs))[:t_anch]   # rarest, gram tie
             anch = np.zeros(na, dtype=bool)
             anch[pick] = True
-            og.append(u)
-            od.append(np.full(na, d, dtype=np.int64))
-            on.append(np.full(na, na, dtype=np.int64))
-            oa.append(anch)
+            # index rows only for globally-anchored grams (see aset)
+            ka = np.minimum(np.searchsorted(aglob, u), len(aglob) - 1) \
+                if len(aglob) else np.zeros(na, dtype=np.int64)
+            in_a = (len(aglob) > 0) & (aglob[ka] == u)
+            sel = np.flatnonzero(in_a | anch)
+            og.append(u[sel])
+            od.append(np.full(len(sel), d, dtype=np.int64))
+            on.append(np.full(len(sel), na, dtype=np.int64))
+            oa.append(anch[sel])
         if not og:
             return pa.table({"g": pa.array([], pa.int64()),
                              "doc": pa.array([], pa.int64()),
@@ -2528,9 +2594,12 @@ def doc_containment(sf_dir: str):
                          "bucket": pa.array((x & np.uint64(63))
                                             .astype(np.int32))})
 
-    def cand_in_bucket(grp: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64")})
+    def cand_in_bucket(grp: pd.DataFrame) -> pa.Table:
+        from ..stages.util import table_from_pandas as _tfp
+        empty = _tfp(pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "na": pd.Series([], dtype="int64")}))
         if len(grp) < 2:
             return empty
         g = grp["g"].to_numpy()
@@ -2552,22 +2621,41 @@ def doc_containment(sf_dir: str):
             np.r_[0, np.cumsum(c_of)[:-1]], c_of)
         J = np.repeat(starts[seg[ai]], c_of) + offs
         keep = n[I] < n[J]              # strict-smaller prune + self-drop
-        out = pd.DataFrame({"a": doc[I][keep], "b": doc[J][keep]})
-        return out.drop_duplicates(ignore_index=True)
+        from ..stages.util import table_from_pandas as _tfp
+        out = pd.DataFrame({"a": doc[I][keep], "b": doc[J][keep],
+                            "na": n[I][keep]})
+        return _tfp(out.drop_duplicates(ignore_index=True))
 
-    cand = ds.map_batches(rows, batch_format="pyarrow") \
+    raw_cand = ds.map_batches(rows, batch_format="pyarrow") \
         .groupby("bucket") \
-        .map_groups(cand_in_bucket, batch_format="pandas") \
-        .repartition(8).materialize()
+        .map_groups(cand_in_bucket, batch_format="pandas")
+    # cross-bucket duplicates (a pair can surface from several anchor
+    # grams): DISTRIBUTED exact dedup via sorted_combine — the first
+    # 1M-doc run collected the raw pair stream to the driver for a
+    # pandas drop_duplicates and spilled the object store
+    def one_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    def anchor_count_filter(batch: pa.Table) -> pa.Table:
+        cnt = batch["one"].to_numpy()
+        na = batch["na"].to_numpy()
+        # sound shared-anchor bound: T - floor(na/10) (= 1 at minimal T)
+        need = np.array([_n_anchors(int(x)) for x in na]) - na // 10
+        keep = cnt >= need
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep))})
+
+    cand = sorted_combine(raw_cand.map_batches(one_col,
+                                               batch_format="pyarrow"),
+                          keys=["a", "b", "na"], sum_cols=["one"]) \
+        .map_batches(anchor_count_filter, batch_format="pyarrow") \
+        .materialize()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "cont_r": pa.array([], pa.float64())})
     if cand.count() == 0:
         return empty
-    # cross-bucket duplicates (a pair can share several anchor grams)
-    cand = rd.from_arrow(pa.Table.from_pandas(
-        cand.to_pandas().drop_duplicates(ignore_index=True),
-        preserve_index=False))
 
     verified = _jaccard_verify_pairs(
         cand, ds, lambda t: _shingle_hashes(t or "").view(np.int64),

@@ -89,10 +89,16 @@ def main() -> None:
         timed("events_type_transitions",
               lambda: q.events_type_transitions(EVENTS))
         timed("geo_simplify_dp", lambda: q.geo_simplify_dp(EVENTS))
+        timed("events_ks_drift", lambda: q.events_ks_drift(EVENTS))
+        timed("events_changepoint", lambda: q.events_changepoint(EVENTS))
+        timed("events_hourly_quantiles",
+              lambda: q.events_hourly_quantiles(EVENTS))
+        timed("events_od_matrix", lambda: q.events_od_matrix(EVENTS))
     if os.path.exists(os.path.join(DOCS, "documents.parquet")):
         timed("doc_lm_score", lambda: q.doc_lm_score(DOCS))
         timed("doc_weighted_sample",
               lambda: q.doc_weighted_sample(DOCS))
+        timed("doc_containment", lambda: q.doc_containment(DOCS))
     if os.path.exists(os.path.join(EMB, "embeddings.parquet")):
         timed("embedding_pca", lambda: q.embedding_pca(EMB))
     if only is None or "dbscan_2m" in only:
