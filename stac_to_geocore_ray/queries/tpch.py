@@ -3137,3 +3137,82 @@ WHERE l_partkey IN (SELECT p_partkey FROM part
                     WHERE p_type = 'PROMO' AND p_size <= 10)
 GROUP BY l_returnflag
 """
+
+
+# ------------------------------------------------ revenue concentration
+
+def revenue_gini(sf_dir: str):
+    """REVENUE CONCENTRATION — the exact Gini coefficient of
+    per-customer order revenue (one row: n customers, the integer
+    Gini numerator Σ(2i-n-1)·x_(i) over the revenue-ascending,
+    custkey-tie-broken order, the denominator n·Σx, and the rounded
+    coefficient): the inequality / concentration statistic behind
+    whale-detection and revenue-risk dashboards.
+
+    Scale shape: the per-customer fold is a strong contraction
+    (orders -> customer cardinality) through the native groupby; the
+    rank scan then runs on the OUTPUT-SIZED per-customer table on the
+    driver (customers are dimension-sized next to the fact stream —
+    the same finish every output-sized aggregate here uses).  For a
+    customer domain too big to collect, the documented alternative is
+    the bounded-domain histogram form (Gini from value counts via one
+    sorted_combine + cumulative sums — exact whenever revenue is
+    integer cents), which never materializes per-customer rows.
+
+    Both numerator and denominator are exact int64 (|num| <=
+    n·Σx ~ 1.5e4 · 2.3e10 cents at sf0.1 — far inside 2^63), so the
+    comparison is hash-exact; gini_r is the one float, rounded 6 dp
+    from the same two exact ints on both sides.
+
+    Oracle: full SQL — row_number window over the same ordering, the
+    same integer sums.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _meta_read(_t(sf_dir, "orders"),
+                    columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy()
+        c = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": pa.array(c)})
+
+    per_cust = ds.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="rev")) \
+        .to_pandas()
+    per_cust = per_cust.sort_values(["rev", "o_custkey"]) \
+        .reset_index(drop=True)
+    x = per_cust["rev"].to_numpy(dtype=np.int64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * x).sum())
+    den = int(n) * int(x.sum())
+    g = num / den if den else 0.0
+    out = pd.DataFrame({
+        "n_customers": [n],
+        "gini_num": [num],
+        "gini_den": [den],
+        "gini_r": [float(np.floor(g * 1e6 + 0.5) / 1e6)]})
+    return table_from_pandas(out, preserve_index=False)
+
+
+REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM rev)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum((2 * i - n - 1) * rev) AS BIGINT) AS gini_num,
+       CAST(max(n) * sum(rev) AS BIGINT) AS gini_den,
+       round(sum((2 * i - n - 1) * rev) * 1.0 / (max(n) * sum(rev)), 6)
+         AS gini_r
+FROM r
+"""

@@ -2305,3 +2305,32 @@ class TestEventsODMatrix:
         assert got.n_trips.tolist() == ref.n_trips.tolist()
         # total trips = number of distinct user-days
         assert got.n_trips.sum() == len(g.first())
+
+
+class TestRevenueGini:
+    def test_matches_reference_and_bounds(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import revenue_gini
+        got = revenue_gini(SF).to_pandas()
+        assert len(got) == 1
+
+        o = pd.read_parquet(f"{SF}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+        o["cents"] = _cents(o.o_totalprice.to_numpy())
+        rev = o.groupby("o_custkey")["cents"].sum() \
+            .reset_index().sort_values(["cents", "o_custkey"])
+        x = rev.cents.to_numpy(dtype=np.int64)
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        den = int(n) * int(x.sum())
+        assert got.n_customers.iloc[0] == n
+        assert got.gini_num.iloc[0] == num
+        assert got.gini_den.iloc[0] == den
+        g = got.gini_r.iloc[0]
+        assert 0 <= g < 1
+        # equal-revenue and single-whale sanity on the closed form
+        xe = np.full(10, 7, dtype=np.int64)
+        ie = np.arange(1, 11)
+        assert ((2 * ie - 11) * xe).sum() == 0          # perfect equality
+        xw = np.r_[np.zeros(9, dtype=np.int64), 100]
+        assert ((2 * ie - 11) * xw).sum() / (10 * 100) == 0.9
