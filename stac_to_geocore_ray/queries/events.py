@@ -3306,3 +3306,81 @@ SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
 FROM o JOIN t USING (user_id, d)
 GROUP BY o_cell, d_cell
 """
+
+
+# ------------------------------------------- user-distribution entropy
+
+def events_type_entropy(sf_dir: str):
+    """SHANNON ENTROPY of each event type's USER distribution (bits):
+    how concentrated a type's activity is across users — the
+    bot/abuse/diversity signal (a type driven by one scripted user
+    scores near 0; an organic type nears log2(active users)).
+    H_t = log2(N_t) - (Σ_u c·log2 c)/N_t from exact integer counts.
+
+    Scale shape: the (user, type) count fold rides sorted_combine
+    (user x type cardinality — the weak-contraction regime); the
+    per-type reduction then contracts each output block to |types|
+    partial rows (Σc exact int64, Σ c·log2 c float64) folded by
+    small_domain_fold, and the closed form runs on the output-sized
+    type table.  The one float is the log sum — identical multiset of
+    per-(user,type) terms on both sides, summed in different orders
+    (~1e-12 relative), rounded to 6 dp.
+
+    Oracle: full SQL — identical two-level aggregate with log2.
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g = df.groupby(["event_type", "user_id"], sort=False) \
+            .size().reset_index(name="c")
+        return table_from_pandas(g, preserve_index=False)
+
+    cnt = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                         keys=["event_type", "user_id"], sum_cols=["c"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        c = df["c"].to_numpy(dtype=np.float64)
+        df["s"] = c * np.log2(c)
+        g = df.groupby("event_type", sort=False).agg(
+            n=("c", "sum"), s=("s", "sum")).reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    t = small_domain_fold(cnt.map_batches(type_partial,
+                                          batch_format="pyarrow"),
+                          keys=["event_type"], sum_cols=["n", "s"]) \
+        .to_pandas()
+    n = t["n"].to_numpy(dtype=np.float64)
+    h = np.log2(n) - t["s"].to_numpy() / n
+    out = pd.DataFrame({
+        "event_type": t["event_type"],
+        "n_events": t["n"].astype("int64"),
+        "entropy_r": np.floor(h * 1e6 + 0.5) / 1e6}) \
+        .sort_values("event_type")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, sum(c) AS n, sum(c * log2(c)) AS s
+  FROM c GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       round(log2(n) - s / n, 6) AS entropy_r
+FROM t
+"""

@@ -2334,3 +2334,30 @@ class TestRevenueGini:
         assert ((2 * ie - 11) * xe).sum() == 0          # perfect equality
         xw = np.r_[np.zeros(9, dtype=np.int64), 100]
         assert ((2 * ie - 11) * xw).sum() / (10 * 100) == 0.9
+
+
+class TestEventsTypeEntropy:
+    def test_matches_reference_and_bounds(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_type_entropy
+        got = events_type_entropy(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+        rows = []
+        for et, g in ev.groupby("event_type", sort=True):
+            c = g.groupby("user_id").size().to_numpy(dtype=np.float64)
+            n = c.sum()
+            h = np.log2(n) - (c * np.log2(c)).sum() / n
+            rows.append((et, int(n), np.floor(h * 1e6 + 0.5) / 1e6))
+        ref = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                          "entropy_r"])
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n_events.tolist() == ref.n_events.tolist()
+        assert np.allclose(got.entropy_r, ref.entropy_r,
+                           rtol=0, atol=2e-6)
+        # 0 <= H <= log2(distinct users of the type)
+        for et, g in ev.groupby("event_type", sort=True):
+            hmax = np.log2(g.user_id.nunique())
+            h = float(got.loc[got.event_type == et, "entropy_r"].iloc[0])
+            assert -1e-9 <= h <= hmax + 1e-9
