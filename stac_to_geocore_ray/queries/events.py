@@ -3384,3 +3384,199 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
        round(log2(n) - s / n, 6) AS entropy_r
 FROM t
 """
+
+
+# ------------------------------------------- SCD2 validity intervals
+
+def events_scd2(sf_dir: str):
+    """SLOWLY-CHANGING-DIMENSION TYPE-2 history build: collapse each
+    user's ordered event stream into runs of equal ``event_type`` and
+    emit one VALIDITY INTERVAL per run — ``valid_from`` = first ts of
+    the run, ``valid_to`` = first ts of the NEXT run (NULL while
+    current), plus the per-user run number and run row count.  This is
+    the temporal-snapshot construction every warehouse does to turn a
+    change stream into a point-in-time dimension (the reference's
+    harvest diffing in /root/reference/stac-to-geocore/ keeps only the
+    latest state; SCD2 is its history-preserving generalization), and
+    it is a SEQUENTIAL per-key view no Ray Data aggregate expresses.
+
+    Scale shape: rides keyed_boundary_decompose — one distributed sort
+    on (user_id, ts, event_id), interior users collapse to runs with a
+    single vectorized change-point scan (no per-user loop: run starts
+    are one shift-compare, run numbers one cumsum, valid_to one roll),
+    block-straddling users defer raw rows to the keyed fold.  Output
+    is run-count-sized and stays distributed.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=object),
+                "valid_from": pd.Series([], dtype="datetime64[us]"),
+                "valid_to": pd.Series([], dtype="datetime64[us]"),
+                "run_rows": pd.Series([], dtype="int64")})
+        uid = df.user_id.to_numpy().astype(np.int64)
+        ts = df.ts.to_numpy("datetime64[us]")
+        et = df.event_type.to_numpy()
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= et[1:] != et[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n]                # exclusive run ends
+        # run number per user: global run ordinal minus the ordinal of
+        # the user's first run (runs inherit the sorted user order)
+        run_ord = np.arange(len(starts), dtype=np.int64)
+        user_first = np.maximum.accumulate(
+            np.where(new_user[starts], run_ord, -1))
+        rn = run_ord - user_first + 1
+        # valid_to = next run's first ts, NULL when the next run is
+        # another user's (or there is none)
+        valid_to = np.empty(len(starts), dtype="datetime64[us]")
+        valid_to[:-1] = ts[starts[1:]]
+        valid_to[-1] = np.datetime64("NaT")
+        same_user = np.r_[uid[starts[1:]] == uid[starts[:-1]], False]
+        valid_to[~same_user] = np.datetime64("NaT")
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "rn": rn,
+            "event_type": et[starts],
+            "valid_from": ts[starts],
+            "valid_to": valid_to,
+            "run_rows": (ends - starts).astype("int64")})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["user_id", "ts", "event_id", "event_type"],
+        kernel=kernel)
+
+
+EVENTS_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS pt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS rn
+  FROM o),
+r AS (
+  SELECT user_id, CAST(rn AS BIGINT) AS rn, event_type,
+         min(ts) AS valid_from, count(*) AS run_rows
+  FROM m GROUP BY user_id, rn, event_type)
+SELECT user_id, rn, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY rn)
+             AS valid_to,
+       run_rows
+FROM r
+"""
+
+
+# --------------------------------------- windowed stream-stream join
+
+WINDOW_JOIN_US = 7 * 86_400_000_000       # 7 days, microseconds
+
+
+def events_window_join(sf_dir: str):
+    """WINDOWED STREAM-STREAM JOIN (many-to-many): every 'signup'
+    event pairs with EVERY 'purchase' by the same user inside the next
+    7 days (``b.ts in [a.ts, a.ts + 7d)``) — the click/impression-
+    attribution join class.  Distinct from events_asof_join (nearest
+    single match) and events_attribution (last-touch conditional):
+    this one emits the full match SET per left row, the output Ray
+    Data's equi-join cannot produce without a blow-up-and-filter
+    cross join per user.
+
+    Scale shape: both streams co-partition on the SAME
+    (user_id, ts, event_id) sort, so one keyed_boundary_decompose pass
+    resolves the join — inside a block the kernel computes, for every
+    left row, its [lo, hi) slice of the right stream with two
+    vectorized MERGE RANKS (lexsort of the concatenated streams; no
+    composite-integer key, so no overflow at any user-id/timestamp
+    magnitude), then materializes pairs with repeat + ranges
+    arithmetic.  Per-pair cost is O(1) after the two merges; a hot
+    user parallelizes through the keyed fold like every kbd op.
+    Output volume is the true match count (the oracle's own size).
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    LEFT, RIGHT = "signup", "purchase"
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "a_id": pd.Series([], dtype="int64"),
+                "b_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64")})
+        uid = df.user_id.to_numpy().astype(np.int64)
+        ts = df.ts.to_numpy("datetime64[us]").astype(np.int64)
+        eid = df.event_id.to_numpy().astype(np.int64)
+        et = df.event_type.to_numpy()
+        a = np.flatnonzero(et == LEFT)
+        b = np.flatnonzero(et == RIGHT)
+        if len(a) == 0 or len(b) == 0:
+            return kernel(df.iloc[0:0])
+
+        def merge_rank(a_ts: np.ndarray) -> np.ndarray:
+            """For each left row, #right rows with key strictly before
+            (user, a_ts) with left-first tie order — i.e. searchsorted
+            'left' of (uid_a, a_ts) into the (uid_b, ts_b) stream."""
+            u_all = np.r_[uid[b], uid[a]]
+            t_all = np.r_[ts[b], a_ts]
+            flag = np.r_[np.ones(len(b), dtype=np.int8),
+                         np.zeros(len(a), dtype=np.int8)]
+            order = np.lexsort((flag, t_all, u_all))
+            is_b = order < len(b)
+            before = np.cumsum(is_b) - is_b      # exclusive prefix of b's
+            ranks = np.empty(len(a), dtype=np.int64)
+            ranks[order[~is_b] - len(b)] = before[~is_b]
+            return ranks
+
+        lo = merge_rank(ts[a])
+        hi = merge_rank(ts[a] + WINDOW_JOIN_US)
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return kernel(df.iloc[0:0])
+        a_rep = np.repeat(np.arange(len(a)), cnt)
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        b_pos = np.arange(total) - off + np.repeat(lo, cnt)
+        ai = a[a_rep]
+        bi = b[b_pos]
+        return pd.DataFrame({
+            "user_id": uid[ai],
+            "a_id": eid[ai],
+            "b_id": eid[bi],
+            "gap_us": ts[bi] - ts[ai]})
+
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["user_id", "ts", "event_id", "event_type"],
+        kernel=kernel)
+
+
+EVENTS_WINDOW_JOIN_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+       CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 7 DAY
+"""

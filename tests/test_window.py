@@ -2361,3 +2361,67 @@ class TestEventsTypeEntropy:
             hmax = np.log2(g.user_id.nunique())
             h = float(got.loc[got.event_type == et, "entropy_r"].iloc[0])
             assert -1e-9 <= h <= hmax + 1e-9
+
+
+class TestEventsSCD2:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_scd2
+        got = events_scd2(SF).to_pandas() \
+            .sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            run_id = (g.event_type != g.event_type.shift()).cumsum()
+            runs = g.groupby(run_id).agg(
+                event_type=("event_type", "first"),
+                valid_from=("ts", "first"),
+                run_rows=("ts", "size")).reset_index(drop=True)
+            runs["user_id"] = uid
+            runs["rn"] = np.arange(1, len(runs) + 1)
+            runs["valid_to"] = runs.valid_from.shift(-1)
+            rows.append(runs)
+        ref = pd.concat(rows, ignore_index=True) \
+            .sort_values(["user_id", "rn"]).reset_index(drop=True)
+        assert got.user_id.tolist() == ref.user_id.tolist()
+        assert got.rn.tolist() == ref.rn.tolist()
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.valid_from.tolist() == ref.valid_from.tolist()
+        assert got.run_rows.tolist() == ref.run_rows.tolist()
+        gv = pd.to_datetime(got.valid_to)
+        rv = pd.to_datetime(ref.valid_to)
+        assert gv.isna().tolist() == rv.isna().tolist()
+        assert gv.dropna().tolist() == rv.dropna().tolist()
+        # every user's last run (and only that one) is open-ended
+        assert int(gv.isna().sum()) == got.user_id.nunique()
+
+
+class TestEventsWindowJoin:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_window_join
+        from stac_to_geocore_ray.queries.events import WINDOW_JOIN_US
+        got = events_window_join(SF).to_pandas() \
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+        a = ev[ev.event_type == "signup"]
+        b = ev[ev.event_type == "purchase"]
+        m = a.merge(b, on="user_id", suffixes=("_a", "_b"))
+        gap = (m.ts_b.astype("int64") - m.ts_a.astype("int64"))
+        m = m[(gap >= 0) & (gap < WINDOW_JOIN_US)]
+        ref = pd.DataFrame({
+            "a_id": m.event_id_a.to_numpy(),
+            "b_id": m.event_id_b.to_numpy(),
+            "gap_us": (m.ts_b.astype("int64")
+                       - m.ts_a.astype("int64")).to_numpy()}) \
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        assert len(got) == len(ref) > 0
+        assert got.a_id.tolist() == ref.a_id.tolist()
+        assert got.b_id.tolist() == ref.b_id.tolist()
+        assert got.gap_us.tolist() == ref.gap_us.tolist()
