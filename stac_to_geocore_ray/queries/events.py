@@ -3580,3 +3580,225 @@ FROM events a JOIN events b
  AND b.ts >= a.ts
  AND b.ts < a.ts + INTERVAL 7 DAY
 """
+
+
+# --------------------------------------- linear-interpolation gap fill
+
+def events_gap_fill(sf_dir: str):
+    """TIME-SERIES GAP FILL with LINEAR INTERPOLATION: per event type,
+    the hourly cent-sum series over the type's observed [min, max]
+    hour span, with unobserved interior hours filled by linear
+    interpolation between the nearest observed neighbours — the
+    resample-and-interpolate op every sensor/metric pipeline needs
+    (events_dense_hourly zero-fills; this is the value-imputing
+    variant).  Results are EXACT integer rationals: an interpolated
+    hour h between observed hours (ph, pv) and (nh, nv) reports
+    ``fill_num = pv*(nh-h) + nv*(h-ph)`` over ``fill_den = nh-ph`` —
+    no float division on either side of the oracle.
+
+    Scale shape: the distributed pass is one partial hourly aggregate
+    (strong contraction to the <= |types| x |hours| domain) folded by
+    small_domain_fold; the grid densification + neighbour search run
+    driver-side on the OUTPUT-SIZED series (the lesson-44 rule: grid
+    expansion of a one-block fold must not ride map_batches, where
+    block splitting would duplicate it) with vectorized searchsorted
+    neighbour lookup per type.  At 100 TB the aggregate still
+    contracts to the same few-thousand-row series; only the span of
+    hours, not the event count, grows the driver's work.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.value.to_numpy())
+        df["hi"] = df.ts.astype("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        g = df.groupby(["event_type", "hi"], sort=False,
+                       as_index=False)["cents"].sum()
+        return table_from_pandas(g, preserve_index=False)
+
+    hourly = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "hi"], sum_cols=["cents"]).to_pandas() \
+        .sort_values(["event_type", "hi"]).reset_index(drop=True)
+
+    out = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        hi = g.hi.to_numpy(dtype=np.int64)
+        cv = g.cents.to_numpy(dtype=np.int64)
+        grid = np.arange(hi[0], hi[-1] + 1, dtype=np.int64)
+        # index of the nearest observed hour at-or-before each grid
+        # hour ('right'-1) and at-or-after ('left'); observed hours
+        # resolve to themselves on both sides
+        p = np.searchsorted(hi, grid, side="right") - 1
+        q = np.searchsorted(hi, grid, side="left")
+        observed = hi[p] == grid
+        num = np.where(observed, cv[p],
+                       cv[p] * (hi[q] - grid) + cv[q] * (grid - hi[p]))
+        den = np.where(observed, 1, hi[q] - hi[p])
+        out.append(pd.DataFrame({
+            "event_type": et,
+            "hour": (grid * 3_600_000_000).astype("datetime64[us]"),
+            "fill_num": num.astype("int64"),
+            "fill_den": den.astype("int64"),
+            "filled": ~observed}))
+    res = pd.concat(out, ignore_index=True)
+    return table_from_pandas(res, preserve_index=False)
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+      FROM h GROUP BY 1),
+g AS (
+  SELECT b.event_type,
+         unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS hour
+  FROM b),
+j AS (
+  SELECT g.event_type, g.hour, h.cents,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01', g.hour)
+              AS BIGINT) AS hi
+  FROM g LEFT JOIN h ON g.event_type = h.event_type
+                    AND g.hour = h.hour),
+f AS (
+  SELECT event_type, hour, cents, hi,
+         last_value(CASE WHEN cents IS NOT NULL THEN hi END
+                    IGNORE NULLS) OVER w AS ph,
+         last_value(cents IGNORE NULLS) OVER w AS pv,
+         first_value(CASE WHEN cents IS NOT NULL THEN hi END
+                     IGNORE NULLS) OVER v AS nh,
+         first_value(cents IGNORE NULLS) OVER v AS nv
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING),
+         v AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, hour,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+            ELSE pv * (nh - hi) + nv * (hi - ph) END AS BIGINT)
+           AS fill_num,
+       CAST(CASE WHEN cents IS NOT NULL THEN 1
+            ELSE nh - ph END AS BIGINT) AS fill_den,
+       (cents IS NULL) AS filled
+FROM f
+"""
+
+
+# ----------------------------------- global equi-depth bucketing (ntile)
+
+NTILE_K = 16
+
+
+def events_ntile(sf_dir: str):
+    """GLOBAL NTILE — equi-depth bucketing of the whole stream by
+    (cents, event_id) into NTILE_K buckets, reporting each bucket's
+    row count and [lo, hi] cent bounds: the RANGE-PARTITIONER /
+    equi-depth-histogram primitive (how a distributed sort picks
+    splits, how an optimizer builds depth histograms).  SQL ntile
+    semantics exactly: the first n % k buckets hold floor(n/k)+1 rows.
+
+    Scale shape: the same two-phase Blelloch machinery as
+    events_global_scan — ONE distributed sort on the total order
+    (cents, event_id), materialized once; an up-sweep emits one
+    (first-key, row-count) summary per block (driver work O(#blocks));
+    the down-sweep turns each block's exclusive offset into global
+    0-based ranks, applies the closed-form ntile bucket formula
+    vectorized, and contracts the block to <= k partial
+    (bucket, n, lo, hi) rows read off segment boundaries of the
+    already-sorted block.  The final fold is k x #blocks rows on the
+    driver.  No per-row data ever funnels anywhere.
+    """
+    import pandas as pd
+
+    import ray
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "value"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "cents": pa.array(cents)})
+
+    snap = ds.map_batches(add_cents, batch_format="pyarrow") \
+        .sort(["cents", "event_id"]).materialize()
+
+    def up_sweep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c0": pa.array([], pa.int64()),
+                             "e0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "c0": pa.array([int(batch["cents"][0].as_py())], pa.int64()),
+            "e0": pa.array([int(batch["event_id"][0].as_py())], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    summ = snap.map_batches(up_sweep, batch_format="pyarrow",
+                            batch_size=None).to_pandas() \
+        .sort_values(["c0", "e0"]).reset_index(drop=True)
+    if len(summ) and summ[["c0", "e0"]].drop_duplicates().shape[0] \
+            != len(summ):
+        raise RuntimeError("duplicate block first-keys in ntile "
+                           "up-sweep — (cents, event_id) is not a "
+                           "total order")
+    n_total = int(summ.n.sum())
+    offs = np.concatenate([[0], np.cumsum(summ.n.to_numpy())[:-1]]) \
+        if len(summ) else np.zeros(0, dtype=np.int64)
+    off_map = {(int(c), int(e)): int(o)
+               for c, e, o in zip(summ.c0, summ.e0, offs)}
+    off_ref = ray.put(off_map)
+
+    big = n_total // NTILE_K + 1
+    nbig = n_total % NTILE_K
+    small = max(1, n_total // NTILE_K)
+
+    def down_sweep(batch: pa.Table, _ref=off_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "lo_cents": pa.array([], pa.int64()),
+                             "hi_cents": pa.array([], pa.int64())})
+        off_map = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        cents = batch["cents"].to_numpy()
+        key = (int(cents[0]), int(batch["event_id"][0].as_py()))
+        if key not in off_map:
+            raise RuntimeError(f"ntile down-sweep block first-key {key} "
+                               "unknown to the up-sweep — batching drift")
+        r0 = off_map[key] + np.arange(batch.num_rows, dtype=np.int64)
+        cut = nbig * big
+        bucket = np.where(r0 < cut, r0 // big,
+                          nbig + (r0 - cut) // small) + 1
+        starts = np.r_[0, np.flatnonzero(bucket[1:] != bucket[:-1]) + 1]
+        ends = np.r_[starts[1:], len(bucket)]
+        return pa.table({
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "n_rows": pa.array((ends - starts).astype(np.int64)),
+            "lo_cents": pa.array(cents[starts].astype(np.int64)),
+            "hi_cents": pa.array(cents[ends - 1].astype(np.int64))})
+
+    parts = snap.map_batches(down_sweep, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    res = parts.groupby("bucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"), lo_cents=("lo_cents", "min"),
+        hi_cents=("hi_cents", "max")).astype("int64")
+    return table_from_pandas(res, preserve_index=False)
+
+
+EVENTS_NTILE_SQL = f"""
+WITH t AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         ntile({NTILE_K}) OVER (
+             ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             AS bucket
+  FROM events)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM t GROUP BY bucket
+"""

@@ -2425,3 +2425,73 @@ class TestEventsWindowJoin:
         assert got.a_id.tolist() == ref.a_id.tolist()
         assert got.b_id.tolist() == ref.b_id.tolist()
         assert got.gap_us.tolist() == ref.gap_us.tolist()
+
+
+class TestEventsGapFill:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_gap_fill
+        got = events_gap_fill(SF).to_pandas() \
+            .sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["cents"] = _cents(ev.value.to_numpy())
+        ev["hi"] = ev.ts.astype("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        rows = []
+        for et, g in ev.groupby("event_type"):
+            s = g.groupby("hi")["cents"].sum()
+            for h in range(int(s.index.min()), int(s.index.max()) + 1):
+                if h in s.index:
+                    rows.append((et, h, int(s[h]), 1, False))
+                else:
+                    ph = max(i for i in s.index if i < h)
+                    nh = min(i for i in s.index if i > h)
+                    num = int(s[ph]) * (nh - h) + int(s[nh]) * (h - ph)
+                    rows.append((et, h, num, nh - ph, True))
+        ref = pd.DataFrame(rows, columns=["event_type", "hi", "fill_num",
+                                          "fill_den", "filled"])
+        ref["hour"] = (ref.hi * 3_600_000_000).astype("datetime64[us]")
+        ref = ref.sort_values(["event_type", "hour"]) \
+            .reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.hour.tolist() == ref.hour.tolist()
+        assert got.fill_num.tolist() == ref.fill_num.tolist()
+        assert got.fill_den.tolist() == ref.fill_den.tolist()
+        assert got.filled.tolist() == ref.filled.tolist()
+        assert got.filled.any()          # fixture has interior gaps
+        # observed rows are exact sums with denominator 1
+        assert (got.loc[~got.filled, "fill_den"] == 1).all()
+
+
+class TestEventsNtile:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_ntile
+        from stac_to_geocore_ray.queries.events import NTILE_K
+        got = events_ntile(SF).to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "value"])
+        ev["cents"] = _cents(ev.value.to_numpy())
+        ev = ev.sort_values(["cents", "event_id"]).reset_index(drop=True)
+        n = len(ev)
+        big, nbig = n // NTILE_K + 1, n % NTILE_K
+        r0 = np.arange(n)
+        cut = nbig * big
+        b = np.where(r0 < cut, r0 // big,
+                     nbig + (r0 - cut) // max(1, n // NTILE_K)) + 1
+        ev["bucket"] = b
+        ref = ev.groupby("bucket", as_index=False).agg(
+            n_rows=("cents", "size"), lo_cents=("cents", "min"),
+            hi_cents=("cents", "max"))
+        assert got.bucket.tolist() == ref.bucket.tolist()
+        assert got.n_rows.tolist() == ref.n_rows.tolist()
+        assert got.lo_cents.tolist() == ref.lo_cents.tolist()
+        assert got.hi_cents.tolist() == ref.hi_cents.tolist()
+        # equi-depth: bucket sizes differ by at most one, larger first
+        sizes = got.n_rows.to_numpy()
+        assert sizes.max() - sizes.min() <= 1
+        assert (np.diff(sizes) <= 0).all() or sizes.max() == sizes.min()
+        assert sizes.sum() == n
