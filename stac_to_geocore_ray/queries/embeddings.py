@@ -874,3 +874,108 @@ def embedding_pca(sf_dir: str):
                          "p2": pa.array(p[:, 1])})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------ kNN graph (MIPS)
+
+KNN_GRAPH_K = 5
+KNN_GRAPH_SCALE = 10_000
+KNN_NODE_MOD = 10          # node side = vec_id % 10 == 0
+
+
+def embedding_knn_graph(sf_dir: str):
+    """k-NEAREST-NEIGHBOUR GRAPH construction by maximum inner
+    product (MIPS): for every node vector (vec_id % 10 == 0, the
+    deterministic node sample that keeps the quadratic oracle
+    tractable), its top-5 neighbours from the FULL corpus excluding
+    itself, ranked by the QUANTIZED inner product — embeddings are
+    half-away-rounded to 1e-4 grid integers on both sides, so every
+    dot product is an exact int64 (products < 2^32, 64-dim sums
+    < 2^53: the float64 BLAS matmul over integer-valued operands is
+    EXACT regardless of summation order) and the ranking has no float
+    tie hazard (tiebreak dst asc).  This is the graph-build stage
+    under kNN-graph dedup/diversity/clustering pipelines — distinct
+    from ann_topk (3 fixed queries) in that the query side IS the
+    corpus.
+
+    Scale shape: corpus quantized once driver-side (n x 64 x 8 B;
+    30 MB at 1M x 64 after the documented EMB_BROADCAST_MAX_BYTES
+    fallback seam) and broadcast via ray.put; the node stream maps in
+    batches — one exact BLAS matmul per batch against the broadcast
+    matrix, per-row top-k via argpartition + lexsort, emitting k rows
+    per node.  No shuffle anywhere; output is k x |nodes|.  The
+    IVF-bucketed variant (ann_ivf) is the documented sub-quadratic
+    path when the corpus outgrows the broadcast.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import _as_matrix
+    tbl = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    q = _half_away_int(_as_matrix(tbl["embedding"]).astype(np.float64),
+                       KNN_GRAPH_SCALE)
+    order = np.argsort(ids)
+    corpus_ref = ray.put((ids[order], q[order].astype(np.float64)))
+
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+
+    def topk(batch: pa.Table, _ref=corpus_ref) -> pa.Table:
+        cid, cmat = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) \
+            else _ref
+        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = vid % KNN_NODE_MOD == 0
+        if not keep.any():
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "dot_q": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        vid = vid[keep]
+        m = _half_away_int(
+            _as_matrix(batch["embedding"])[keep].astype(np.float64),
+            KNN_GRAPH_SCALE).astype(np.float64)
+        dots = (m @ cmat.T)                   # exact: integer-valued f64
+        # exclude self by sending it below any real dot
+        self_col = np.searchsorted(cid, vid)
+        rows = np.arange(len(vid))
+        hit = cid[np.clip(self_col, 0, len(cid) - 1)] == vid
+        dots[rows[hit], self_col[hit]] = -np.inf
+        k = KNN_GRAPH_K
+        part = np.argpartition(-dots, k - 1, axis=1)[:, :k]
+        pdots = np.take_along_axis(dots, part, axis=1)
+        pids = cid[part]
+        ord2 = np.lexsort((pids, -pdots), axis=1)
+        dst = np.take_along_axis(pids, ord2, axis=1)
+        dq = np.take_along_axis(pdots, ord2, axis=1)
+        return pa.table({
+            "src": pa.array(np.repeat(vid, k), pa.int64()),
+            "dst": pa.array(dst.ravel(), pa.int64()),
+            "dot_q": pa.array(dq.ravel().astype(np.int64)),
+            "rank": pa.array(np.tile(np.arange(1, k + 1), len(vid)),
+                             pa.int64())})
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+KNN_GRAPH_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {KNN_GRAPH_SCALE})
+                                  AS BIGINT)) AS v
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {KNN_NODE_MOD} = 0),
+r AS (
+  SELECT src, dst, dot_q,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY dot_q DESC, dst) AS rank
+  FROM p)
+SELECT src, dst, dot_q, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_GRAPH_K}
+"""

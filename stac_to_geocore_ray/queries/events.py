@@ -3802,3 +3802,93 @@ SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
        min(cents) AS lo_cents, max(cents) AS hi_cents
 FROM t GROUP BY bucket
 """
+
+
+# --------------------------------------- type-pair user-set overlap
+
+def events_type_overlap(sf_dir: str):
+    """SET-OVERLAP statistics between event types: for every pair of
+    types sharing at least one user, the sizes of each type's distinct
+    user set, their intersection and union — the Jaccard co-occurrence
+    matrix (audience-overlap / co-engagement analysis) as exact
+    integer set algebra (jaccard = n_inter / n_union is left to the
+    reader as a ratio of the two reported integers).
+
+    Scale shape: rides keyed_boundary_decompose on (user_id,
+    event_type) — after the sort each user is one contiguous run whose
+    distinct types are a single change-point scan; each user
+    contributes its <= |types|^2/2 type pairs (plus |types| diagonal
+    rows feeding the per-type set sizes) through a fully vectorized
+    segment pair expansion (repeat + ranges arithmetic, no per-user
+    loop), contracted per block before a small_domain_fold over the
+    <= |types|^2 pair domain.  The user-set sizes are never
+    materialized as sets anywhere — only counted.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["user_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        u = df.user_id.to_numpy().astype(np.int64)
+        t = df.event_type.to_numpy()
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        du, dt = u[new], t[new]               # distinct (user, type)
+        m = len(du)
+        seg_new = np.empty(m, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = du[1:] != du[:-1]
+        seg_id = np.cumsum(seg_new) - 1
+        seg_end = np.r_[np.flatnonzero(seg_new)[1:], m]  # per segment
+        rem = seg_end[seg_id] - np.arange(m) - 1
+        tot = int(rem.sum())
+        a_idx = np.repeat(np.arange(m), rem)
+        k = np.arange(tot) - np.repeat(np.cumsum(rem) - rem, rem)
+        b_idx = a_idx + 1 + k
+        # types sorted within a user's run => type_a < type_b already
+        pairs = pd.DataFrame({
+            "type_a": np.r_[dt[a_idx], dt],
+            "type_b": np.r_[dt[b_idx], dt]})   # diagonal = set sizes
+        return pairs.groupby(["type_a", "type_b"], sort=False) \
+            .size().reset_index(name="n").astype({"n": "int64"})
+
+    fold = small_domain_fold(
+        keyed_boundary_decompose(
+            ds, sort_keys=["user_id", "event_type"], key_col="user_id",
+            raw_cols=["user_id", "event_type"], kernel=kernel),
+        keys=["type_a", "type_b"], sum_cols=["n"]).to_pandas()
+    sizes = fold[fold.type_a == fold.type_b] \
+        .set_index("type_a")["n"].to_dict()
+    cross = fold[fold.type_a != fold.type_b].copy()
+    cross["n_a"] = cross.type_a.map(sizes).astype("int64")
+    cross["n_b"] = cross.type_b.map(sizes).astype("int64")
+    cross["n_inter"] = cross.n.astype("int64")
+    cross["n_union"] = (cross.n_a + cross.n_b - cross.n_inter) \
+        .astype("int64")
+    out = cross[["type_a", "type_b", "n_a", "n_b", "n_inter",
+                 "n_union"]].sort_values(["type_a", "type_b"])
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_TYPE_OVERLAP_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_inter
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b,
+       n_inter, ca.n + cb.n - n_inter AS n_union
+FROM p JOIN c ca ON ca.event_type = type_a
+       JOIN c cb ON cb.event_type = type_b
+"""

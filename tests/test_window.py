@@ -2495,3 +2495,60 @@ class TestEventsNtile:
         assert sizes.max() - sizes.min() <= 1
         assert (np.diff(sizes) <= 0).all() or sizes.max() == sizes.min()
         assert sizes.sum() == n
+
+
+class TestEventsTypeOverlap:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_type_overlap
+        got = events_type_overlap(SF).to_pandas() \
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "event_type"])
+        sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+        rows = []
+        ts = sorted(sets)
+        for i, a in enumerate(ts):
+            for b in ts[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    rows.append((a, b, len(sets[a]), len(sets[b]),
+                                 inter, len(sets[a] | sets[b])))
+        ref = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a",
+                                          "n_b", "n_inter", "n_union"])
+        for c in ref.columns:
+            assert got[c].tolist() == ref[c].tolist(), c
+        # set identity: |A ∪ B| = |A| + |B| - |A ∩ B| and bounds
+        assert (got.n_inter <= got[["n_a", "n_b"]].min(axis=1)).all()
+        assert (got.n_union >= got[["n_a", "n_b"]].max(axis=1)).all()
+
+
+class TestEmbeddingKnnGraph:
+    def test_matches_bruteforce_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import embedding_knn_graph
+        from stac_to_geocore_ray.queries.embeddings import (
+            KNN_GRAPH_K, KNN_GRAPH_SCALE, KNN_NODE_MOD, _half_away_int)
+        got = embedding_knn_graph(SF).to_pandas() \
+            .sort_values(["src", "rank"]).reset_index(drop=True)
+
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        ids = emb.vec_id.to_numpy().astype(np.int64)
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        q = _half_away_int(mat, KNN_GRAPH_SCALE)
+        rows = []
+        for i in np.flatnonzero(ids % KNN_NODE_MOD == 0):
+            dots = q @ q[i]
+            cand = sorted(
+                ((int(-dots[j]), int(ids[j])) for j in range(len(ids))
+                 if ids[j] != ids[i]))[:KNN_GRAPH_K]
+            for rk, (nd, vid) in enumerate(cand, 1):
+                rows.append((int(ids[i]), vid, -nd, rk))
+        ref = pd.DataFrame(rows, columns=["src", "dst", "dot_q", "rank"]) \
+            .sort_values(["src", "rank"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        for c in ref.columns:
+            assert got[c].tolist() == ref[c].tolist(), c
+        # every node emits exactly k ranked neighbours, none itself
+        assert (got.groupby("src").size() == KNN_GRAPH_K).all()
+        assert (got.src != got.dst).all()
