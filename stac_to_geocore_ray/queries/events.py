@@ -3892,3 +3892,89 @@ SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b,
 FROM p JOIN c ca ON ca.event_type = type_a
        JOIN c cb ON cb.event_type = type_b
 """
+
+
+# ----------------------------------------- median absolute deviation
+
+def events_mad(sf_dir: str):
+    """EXACT MEDIAN ABSOLUTE DEVIATION per event type — the robust
+    dispersion statistic (median of |x - median(x)|) behind outlier
+    fences that survive heavy tails where stddev does not.  MAD is
+    DOUBLY holistic (a median of a median-centred multiset), normally
+    two full passes; over the bounded integer-cents domain the
+    deviation histogram is a PURE FUNCTION of the value histogram
+    (regroup counts by |cents - med|), so one histogram shuffle
+    answers both levels with zero approximation.
+
+    Scale shape: identical to events_value_quantiles — per-batch
+    (type, cents) count partials, sorted_combine over the ≤ |types| ×
+    |domain| key space (bounded by the VALUE DOMAIN, not the event
+    count), then a one-task read-off that computes med + MAD from the
+    folded histogram.  Nothing grows with the event count.
+
+    Quantile convention: DuckDB quantile_disc — 0-based index
+    ceil(q*n) - 1 of the sorted multiset (parity pinned by
+    events_value_quantiles and events_hourly_quantiles).
+
+    Oracle: full SQL — quantile_disc for the median, a join back to
+    the values for the deviation median.
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "cents"], sort=False) \
+            .size().reset_index(name="n")
+        return table_from_pandas(g, preserve_index=False)
+
+    hist = sorted_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "cents"], sum_cols=["n"])
+
+    def _disc(vals: "np.ndarray", cnt: "np.ndarray", q: float) -> int:
+        # quantile_disc over a sorted histogram: 0-based rank
+        # ceil(q*n)-1, found by one searchsorted on the cumsum
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        return int(vals[np.searchsorted(cum, r, side="right")])
+
+    def mad(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, g in df.sort_values(["event_type", "cents"]) \
+                      .groupby("event_type", sort=False):
+            vals = g.cents.to_numpy(dtype=np.int64)
+            cnt = g.n.to_numpy(dtype=np.int64)
+            med = _disc(vals, cnt, 0.5)
+            # deviation histogram straight from the value histogram:
+            # regroup counts by |cents - med| (no second data pass)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            du, inv = np.unique(dev[order], return_inverse=True)
+            dc = np.zeros(len(du), dtype=np.int64)
+            np.add.at(dc, inv, cnt[order])
+            out.append((t, int(cnt.sum()), med, _disc(du, dc, 0.5)))
+        return pd.DataFrame(out, columns=["event_type", "n",
+                                          "med_cents", "mad_cents"])
+
+    # one-task read-off: hist is output-sized by the op's contract
+    return hist.repartition(1).map_batches(mad, batch_format="pandas")
+
+
+EVENTS_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_cents
+  FROM v GROUP BY event_type)
+SELECT v.event_type, m.n, m.med_cents,
+       CAST(quantile_disc(abs(v.cents - m.med_cents), 0.5) AS BIGINT)
+           AS mad_cents
+FROM v JOIN m USING (event_type)
+GROUP BY v.event_type, m.n, m.med_cents
+"""

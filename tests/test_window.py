@@ -2552,3 +2552,43 @@ class TestEmbeddingKnnGraph:
         # every node emits exactly k ranked neighbours, none itself
         assert (got.groupby("src").size() == KNN_GRAPH_K).all()
         assert (got.src != got.dst).all()
+
+
+class TestEventsMAD:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_mad
+        got = events_mad(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "value"])
+        ev["cents"] = _cents(ev.value.to_numpy())
+
+        def disc(a, q):                      # quantile_disc on a multiset
+            a = np.sort(np.asarray(a, dtype=np.int64))
+            return int(a[min(max(int(np.ceil(q * len(a))) - 1, 0),
+                             len(a) - 1)])
+
+        rows = []
+        for et, g in ev.groupby("event_type", sort=True):
+            c = g.cents.to_numpy(dtype=np.int64)
+            med = disc(c, 0.5)
+            rows.append((et, len(c), med, disc(np.abs(c - med), 0.5)))
+        ref = pd.DataFrame(rows, columns=["event_type", "n",
+                                          "med_cents", "mad_cents"])
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.n.tolist() == ref.n.tolist()
+        assert got.med_cents.tolist() == ref.med_cents.tolist()
+        assert got.mad_cents.tolist() == ref.mad_cents.tolist()
+        # robust dispersion is positive on the synthetic value mix
+        assert (got.mad_cents > 0).all()
+
+    def test_even_odd_and_ties(self, ray_session):
+        # even-count multiset: quantile_disc(0.5) takes the LOWER middle
+        from stac_to_geocore_ray.queries.events import EVENTS_MAD_SQL  # noqa: F401
+        vals = np.array([1, 3, 5, 7], dtype=np.int64)
+        c = np.sort(vals)
+        r = int(np.ceil(0.5 * len(c))) - 1
+        assert c[r] == 3                      # lower middle
+        dev = np.sort(np.abs(vals - 3))       # [0, 2, 2, 4]
+        assert dev[int(np.ceil(0.5 * 4)) - 1] == 2
