@@ -3978,3 +3978,110 @@ SELECT v.event_type, m.n, m.med_cents,
 FROM v JOIN m USING (event_type)
 GROUP BY v.event_type, m.n, m.med_cents
 """
+
+
+# ------------------------------------- type-pair series correlation
+
+def events_type_corr(sf_dir: str):
+    """PAIRWISE PEARSON CORRELATION MATRIX between the per-type hourly
+    revenue series — the metric-correlation scan behind dashboards and
+    root-cause tooling ("which signals move together?").  Series are
+    aligned on the DENSE global hour spine (absent hours contribute 0,
+    so anti-correlated activity windows read as such instead of being
+    silently dropped by an inner join on observed hours).
+
+    Scale shape: the only distributed pass is the hourly contraction —
+    per-batch (type, hour, cents) partials into one small_domain_fold
+    (≤ |types| × span-hours keys, independent of event count); the
+    T×T pair sweep runs on the output-sized folded grid.  All
+    sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) accumulate as exact
+    PYTHON INTS driver-side (n·Sxy overflows int64 past ~2e19, i.e.
+    well inside a 100-TB year of events), and both sides convert the
+    same exact integers to float64 in the same expression order, so
+    the rounded r hashes identically against DuckDB's HUGEINT path.
+
+    Oracle: full SQL — dense hour spine via generate_series, HUGEINT
+    sufficient statistics, identical float expression.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h0, h1 = h.hour.min(), h.hour.max()
+    import pandas as pd
+    spine = pd.date_range(h0, h1, freq="h")
+    types = sorted(h.event_type.unique())
+    # dense T×H int64 grid (0 for absent hours)
+    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    t_ix = {t: i for i, t in enumerate(types)}
+    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
+    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
+        h.cents.to_numpy(dtype=np.int64)
+
+    n = len(spine)
+    # exact Python-int sufficient statistics (int64 matmul would
+    # overflow past ~2e19 at year-of-events scale)
+    series = [[int(v) for v in grid[i]] for i in range(len(types))]
+    sums = [sum(s) for s in series]
+    sq = [sum(v * v for v in s) for s in series]
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            sxy = sum(a * b for a, b in zip(series[i], series[j]))
+            num = n * sxy - sums[i] * sums[j]
+            da = float(n * sq[i] - sums[i] * sums[i])
+            db = float(n * sq[j] - sums[j] * sums[j])
+            den = math.sqrt(da) * math.sqrt(db)
+            r = float(num) / den if den != 0.0 else float("nan")
+            r_r = float(np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6) \
+                if den != 0.0 else None
+            rows.append((types[i], types[j], n, r_r))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b",
+                                      "n_hours", "r_r"])
+    out["n_hours"] = out.n_hours.astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_TYPE_CORR_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+  SELECT t.event_type, hrs.hour,
+         CAST(coalesce(h.cents, 0) AS HUGEINT) AS c
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN h ON h.event_type = t.event_type AND h.hour = hrs.hour),
+s AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(a.c) AS sx, sum(b.c) AS sy, sum(a.c * b.c) AS sxy,
+         sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+  FROM grid a JOIN grid b
+    ON a.hour = b.hour AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+       END AS r_r
+FROM s
+"""

@@ -2592,3 +2592,53 @@ class TestEventsMAD:
         assert c[r] == 3                      # lower middle
         dev = np.sort(np.abs(vals - 3))       # [0, 2, 2, 4]
         assert dev[int(np.ceil(0.5 * 4)) - 1] == 2
+
+
+class TestEventsTypeCorr:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_type_corr
+        got = events_type_corr(SF).to_pandas() \
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        h = ev.groupby(["event_type", "hour"])["cents"].sum()
+        spine = pd.date_range(ev.hour.min(), ev.hour.max(), freq="h")
+        types = sorted(ev.event_type.unique())
+        mat = pd.DataFrame(0, index=types, columns=spine, dtype="int64")
+        for (t, hr), c in h.items():
+            mat.loc[t, hr] = c
+        rows = []
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                x = mat.loc[a].to_numpy(dtype=np.float64)
+                y = mat.loc[b].to_numpy(dtype=np.float64)
+                r = np.corrcoef(x, y)[0, 1]
+                rows.append((a, b, len(spine), r))
+        ref = pd.DataFrame(rows, columns=["type_a", "type_b",
+                                          "n_hours", "r"])
+        assert got.type_a.tolist() == ref.type_a.tolist()
+        assert got.type_b.tolist() == ref.type_b.tolist()
+        assert got.n_hours.tolist() == ref.n_hours.tolist()
+        # engine r (exact-int statistics) vs numpy corrcoef: same
+        # quantity, different float paths — agree to ~1e-9
+        assert np.allclose(got.r_r.to_numpy(), ref.r.to_numpy(),
+                           rtol=0, atol=1e-6)
+        assert (got.r_r.abs() <= 1.0).all()
+
+    def test_planted_correlation_signs(self, ray_session):
+        # perfectly correlated / anti-correlated synthetic series
+        x = [1, 2, 3, 4, 5]
+        y_pos = [2, 4, 6, 8, 10]
+        y_neg = [10, 8, 6, 4, 2]
+        n = 5
+        for y, want in ((y_pos, 1.0), (y_neg, -1.0)):
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+            assert abs(num / den - want) < 1e-12
