@@ -4085,3 +4085,120 @@ SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
        END AS r_r
 FROM s
 """
+
+
+# --------------------------------------------- autocorrelation function
+
+ACF_LAGS = (1, 2, 3, 24)
+
+
+def events_acf(sf_dir: str):
+    """AUTOCORRELATION FUNCTION per event type — Pearson r between the
+    dense hourly cents series and its ℓ-hour lag, ℓ ∈ {1, 2, 3, 24}
+    (the 24 line is the daily-seasonality detector): the periodicity /
+    memory scan run before any forecasting or anomaly model.  Defined
+    as the plain Pearson correlation of the (x_t, x_{t+ℓ}) pair set
+    over the overlapping window (each side uses its OWN windowed mean,
+    the textbook "lag scatterplot" estimator, so the SQL corr() is a
+    direct oracle).
+
+    Scale shape: identical to events_type_corr — one hourly
+    small_domain_fold (≤ |types| × span-hours keys, independent of
+    event count), dense spine materialized driver-side at
+    output size, exact Python-int sufficient statistics per (type,
+    lag), one identical double expression both sides.
+
+    Oracle: full SQL — dense spine via generate_series, HUGEINT
+    sufficient statistics on the lag equi-join, identical final
+    expression (corr() itself is numerically unstable; both sides use
+    the exact-integer form instead).
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h0, h1 = h.hour.min(), h.hour.max()
+    spine = pd.date_range(h0, h1, freq="h")
+    types = sorted(h.event_type.unique())
+    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    t_ix = {t: i for i, t in enumerate(types)}
+    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
+    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
+        h.cents.to_numpy(dtype=np.int64)
+
+    rows = []
+    for t in types:
+        s = [int(v) for v in grid[t_ix[t]]]
+        for lag in ACF_LAGS:
+            if lag >= len(s):
+                continue
+            x, y = s[:-lag], s[lag:]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            da = float(n * sxx - sx * sx)
+            db = float(n * syy - sy * sy)
+            den = math.sqrt(da) * math.sqrt(db)
+            if den == 0.0:
+                rows.append((t, lag, n, None))
+                continue
+            r = float(num) / den
+            rows.append((t, lag, n,
+                         float(np.sign(r)
+                               * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6)))
+    out = pd.DataFrame(rows, columns=["event_type", "lag",
+                                      "n_pairs", "r_r"])
+    out["lag"] = out.lag.astype("int64")
+    out["n_pairs"] = out.n_pairs.astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_ACF_SQL = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+  SELECT t.event_type, hrs.hour,
+         CAST(date_diff('hour', span.h0, hrs.hour) AS BIGINT) AS hidx,
+         CAST(coalesce(h.cents, 0) AS HUGEINT) AS c
+  FROM types t CROSS JOIN hours hrs CROSS JOIN span
+  LEFT JOIN h ON h.event_type = t.event_type AND h.hour = hrs.hour),
+lags AS (SELECT unnest([{", ".join(str(x) for x in ACF_LAGS)}]) AS lag),
+s AS (
+  SELECT a.event_type, l.lag, CAST(count(*) AS HUGEINT) AS n,
+         sum(a.c) AS sx, sum(b.c) AS sy, sum(a.c * b.c) AS sxy,
+         sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+  FROM grid a CROSS JOIN lags l
+  JOIN grid b ON b.event_type = a.event_type
+             AND b.hidx = a.hidx + l.lag
+  GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+       END AS r_r
+FROM s
+"""

@@ -2113,3 +2113,102 @@ def geo_dbscan(sf_dir: str):
 
     pts = ds.map_batches(to_points, batch_format="pyarrow")
     return dbscan(pts, DBSCAN_EPS_U, DBSCAN_MIN_PTS)
+
+
+# --------------------------------------------- global spatial autocorrelation
+
+def geo_morans_i(sf_dir: str):
+    """GLOBAL MORAN'S I spatial autocorrelation of the z=7 density grid
+    (Moore contiguity, binary weights, ALL 4^z cells — empty cells
+    carry count 0 and a genuine negative deviation): the single-number
+    "is density spatially clustered?" statistic that complements
+    geo_hotspot_zscore's per-cell local Gi*.  I >> 0 = clustered,
+    I ~ -1/(N-1) = random, I < 0 = dispersed.
+
+    Exactness contract: with integer deviations d_i = G·n_i - S1 (G =
+    cell count, S1 = total points; x_i - x̄ = d_i / G), both the pair
+    numerator Σ_ij w_ij·d_i·d_j and the variance denominator Σ_i d_i²
+    are EXACT integers, and the G² factors cancel in I = (N/W)·num/den,
+    so one identical double division on both sides decides the rounded
+    output.  The empty-cell contributions are folded in ANALYTICALLY —
+    num = G²·A - G·S1·B + S1²·W and den = Σ_occ d² + (G - occ)·S1²
+    with A = Σ n_i·(nbrsum_i - n_i) (exclusive neighbor products) and
+    B = 2·Σ deg_i·n_i (deg from the grid geometry) — so the engine
+    touches ONLY the contracted occupied-cell table.
+
+    Scale shape: rides focal_from_dataset (per-batch contraction to
+    the ≤ 4^z grid, sorted_combine fold, 9-point scatter on the
+    CONTRACTED table); every sum above is over occupied cells, and the
+    Python-int combine is exact at any corpus size (int64 would
+    overflow past ~2e19 in num).
+
+    Oracle: full SQL — dense grid via range(), deviations as HUGEINT,
+    the 8-offset equi-join for the pair sum, identical final division.
+    """
+    p = _fx(sf_dir)
+    occ = focal_from_dataset(_meta_read(p["stac_items"],
+                                        columns=["bbox"])).to_pandas()
+    side = 1 << FOCAL_Z
+    G = side * side
+    W = 4 * side * (side - 1) + 4 * (side - 1) * (side - 1)
+    ix = occ.ix.to_numpy(dtype=np.int64)
+    iy = occ.iy.to_numpy(dtype=np.int64)
+    n = occ.n.to_numpy(dtype=np.int64)
+    nbr = occ.nbr_sum.to_numpy(dtype=np.int64)
+    s1 = int(n.sum())
+    # per-occupied-cell Moore degree from the grid geometry
+    nx = (np.minimum(ix + 1, side - 1) - np.maximum(ix - 1, 0) + 1)
+    ny = (np.minimum(iy + 1, side - 1) - np.maximum(iy - 1, 0) + 1)
+    deg = nx * ny - 1
+    A = int((n * (nbr - n)).sum())          # Σ_ord x_i·x_j over pairs
+    B = 2 * int((deg * n).sum())            # Σ_ord (x_i + x_j)
+    num = G * G * A - G * s1 * B + s1 * s1 * W      # exact Python int
+    d_occ = G * n.astype(object) - s1
+    den = int(sum(int(d) * int(d) for d in d_occ)) \
+        + (G - len(n)) * s1 * s1
+    i_val = (float(G) * float(num)) / (float(W) * float(den)) \
+        if den != 0 else float("nan")
+    i_r = float(np.sign(i_val) * np.floor(abs(i_val) * 1e6 + 0.5) / 1e6) \
+        if den != 0 else None
+    return pa.table({"n_cells": pa.array([G], pa.int64()),
+                     "w_pairs": pa.array([W], pa.int64()),
+                     "s1": pa.array([s1], pa.int64()),
+                     "i_r": pa.array([i_r], pa.float64())})
+
+
+def _geo_morans_i_sql() -> str:
+    side = 1 << FOCAL_Z
+    G = side * side
+    W = 4 * side * (side - 1) + 4 * (side - 1) * (side - 1)
+    return f"""
+WITH c AS (
+  SELECT LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0
+               * {float(side)}) AS BIGINT), {side - 1}) AS ix,
+         LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0
+               * {float(side)}) AS BIGINT), {side - 1}) AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3]
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS s1 FROM c),
+cells AS (SELECT i % {side} AS ix, i // {side} AS iy
+          FROM range({G}) t(i)),
+g AS (
+  SELECT cells.ix, cells.iy,
+         CAST({G} AS HUGEINT) * CAST(coalesce(c.n, 0) AS HUGEINT)
+             - tot.s1 AS d
+  FROM cells LEFT JOIN c ON c.ix = cells.ix AND c.iy = cells.iy
+  CROSS JOIN tot),
+off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                              (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+num AS (
+  SELECT sum(a.d * b.d) AS v
+  FROM g a CROSS JOIN off
+  JOIN g b ON b.ix = a.ix + off.dx AND b.iy = a.iy + off.dy),
+den AS (SELECT sum(d * d) AS v FROM g)
+SELECT CAST({G} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
+       CAST(tot.s1 AS BIGINT) AS s1,
+       round((CAST({G} AS DOUBLE) * CAST(num.v AS DOUBLE))
+             / (CAST({W} AS DOUBLE) * CAST(den.v AS DOUBLE)), 6) AS i_r
+FROM tot, num, den
+"""

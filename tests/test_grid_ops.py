@@ -426,3 +426,90 @@ class TestPolygonize:
                                np.array([5, 6]), 8)
         assert out.tolist() == [[0, 1, 0, 0, 0, 0, 5],
                                 [63, 1, 7, 7, 7, 7, 6]]
+
+
+class TestMoransI:
+    def test_matches_dense_brute_force(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_morans_i
+        from stac_to_geocore_ray.queries.geo import FOCAL_Z, \
+            focal_from_dataset
+        from stac_to_geocore_ray.queries._common import _fx, _meta_read
+        got = geo_morans_i(SF).to_pandas()
+        assert len(got) == 1
+
+        occ = focal_from_dataset(_meta_read(
+            _fx(SF)["stac_items"], columns=["bbox"])).to_pandas()
+        side = 1 << FOCAL_Z
+        G = side * side
+        W = 4 * side * (side - 1) + 4 * (side - 1) ** 2
+        grid = np.zeros((side, side), dtype=object)
+        grid[occ.ix.to_numpy(), occ.iy.to_numpy()] = \
+            occ.n.to_numpy(dtype=np.int64)
+        s1 = int(occ.n.sum())
+        d = G * grid - s1
+        num = den = 0
+        ii, jj = np.nonzero(np.ones((side, side)))
+        # brute pair sum restricted to cells adjacent to an occupied
+        # cell would miss empty-empty pairs; do the full analytic check
+        # on a SMALL planted grid instead and check anchors here
+        assert got.n_cells.iloc[0] == G
+        assert got.w_pairs.iloc[0] == W
+        assert got.s1.iloc[0] == s1
+        assert -1.5 <= got.i_r.iloc[0] <= 1.0001
+
+    def test_planted_grids(self):
+        # analytic formulas vs brute force on tiny planted grids
+        side = 6
+        G = side * side
+        W = 4 * side * (side - 1) + 4 * (side - 1) ** 2
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            grid = rng.integers(0, 5, (side, side)).astype(np.int64)
+            s1 = int(grid.sum())
+            d = (G * grid.astype(object) - s1)
+            num_b = den_b = 0
+            for i in range(side):
+                for j in range(side):
+                    den_b += int(d[i, j]) ** 2
+                    for dx in (-1, 0, 1):
+                        for dy in (-1, 0, 1):
+                            if dx == 0 and dy == 0:
+                                continue
+                            a, b = i + dx, j + dy
+                            if 0 <= a < side and 0 <= b < side:
+                                num_b += int(d[i, j]) * int(d[a, b])
+            # analytic (the engine's occupied-cell-only formulas)
+            ix, iy = np.nonzero(grid)
+            n = grid[ix, iy]
+            nbr = np.zeros(len(ix), dtype=np.int64)
+            for t, (i, j) in enumerate(zip(ix, iy)):
+                nbr[t] = grid[max(i - 1, 0):i + 2,
+                              max(j - 1, 0):j + 2].sum()
+            nx = (np.minimum(ix + 1, side - 1)
+                  - np.maximum(ix - 1, 0) + 1)
+            ny = (np.minimum(iy + 1, side - 1)
+                  - np.maximum(iy - 1, 0) + 1)
+            deg = nx * ny - 1
+            A = int((n * (nbr - n)).sum())
+            B = 2 * int((deg * n).sum())
+            num_a = G * G * A - G * s1 * B + s1 * s1 * W
+            den_a = int(sum(int(G * v - s1) ** 2 for v in n)) \
+                + (G - len(n)) * s1 * s1
+            assert num_a == num_b, trial
+            assert den_a == den_b, trial
+        # perfect checkerboard is maximally dispersed: I < 0
+        cb = np.indices((side, side)).sum(axis=0) % 2
+        s1 = int(cb.sum())
+        d = (G * cb.astype(object) - s1)
+        num = den = 0
+        for i in range(side):
+            for j in range(side):
+                den += int(d[i, j]) ** 2
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        a, b = i + dx, j + dy
+                        if 0 <= a < side and 0 <= b < side:
+                            num += int(d[i, j]) * int(d[a, b])
+        assert (G * num) / (W * den) < 0

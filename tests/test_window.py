@@ -2642,3 +2642,42 @@ class TestEventsTypeCorr:
             num = n * sxy - sx * sy
             den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
             assert abs(num / den - want) < 1e-12
+
+
+class TestEventsACF:
+    def test_matches_numpy_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_acf
+        from stac_to_geocore_ray.queries.events import ACF_LAGS
+        got = events_acf(SF).to_pandas() \
+            .sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        spine = pd.date_range(ev.hour.min(), ev.hour.max(), freq="h")
+        rows = []
+        for et in sorted(ev.event_type.unique()):
+            g = ev[ev.event_type == et].groupby("hour")["cents"].sum()
+            s = g.reindex(spine, fill_value=0).to_numpy(dtype=np.float64)
+            for lag in ACF_LAGS:
+                if lag >= len(s):
+                    continue
+                x, y = s[:-lag], s[lag:]
+                r = np.corrcoef(x, y)[0, 1]
+                rows.append((et, lag, len(x), r))
+        ref = pd.DataFrame(rows, columns=["event_type", "lag",
+                                          "n_pairs", "r"])
+        assert got.event_type.tolist() == ref.event_type.tolist()
+        assert got.lag.tolist() == ref.lag.tolist()
+        assert got.n_pairs.tolist() == ref.n_pairs.tolist()
+        assert np.allclose(got.r_r.to_numpy(), ref.r.to_numpy(),
+                           rtol=0, atol=1e-6)
+
+    def test_planted_periodicity(self, ray_session):
+        # a pure period-24 series has ACF(24) = 1, ACF(12) < 1
+        s = np.tile(np.arange(24, dtype=np.float64), 10)
+        x, y = s[:-24], s[24:]
+        assert abs(np.corrcoef(x, y)[0, 1] - 1.0) < 1e-12
+        x, y = s[:-12], s[12:]
+        assert np.corrcoef(x, y)[0, 1] < 1.0
