@@ -2681,3 +2681,45 @@ class TestEventsACF:
         assert abs(np.corrcoef(x, y)[0, 1] - 1.0) < 1e-12
         x, y = s[:-12], s[12:]
         assert np.corrcoef(x, y)[0, 1] < 1.0
+
+
+class TestGraphLinkPredict:
+    def test_matches_networkx_style_reference(self, ray_session,
+                                              tiny_blocks):
+        from stac_to_geocore_ray.queries import graph_link_predict
+        from stac_to_geocore_ray.queries.tpch import LP_K
+        got = graph_link_predict(SF).to_pandas() \
+            .sort_values(["pa", "pb"]).reset_index(drop=True)
+        assert len(got) == LP_K * (LP_K - 1) // 2
+
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        edges = set(map(tuple, m[["l_partkey_x", "l_partkey_y"]]
+                        .drop_duplicates().to_numpy()))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {n: len(s) for n, s in adj.items()}
+        top = sorted(deg, key=lambda n: (-deg[n], n))[:LP_K]
+        rows = []
+        for i, u in enumerate(sorted(top)):
+            for v in sorted(top)[i + 1:]:
+                common = adj[u] & adj[v]
+                aa = sum(int(np.floor(1e9 / np.log(deg[w]) + 0.5))
+                         for w in common)
+                rows.append((u, v, deg[u], deg[v], len(common), aa,
+                             deg[u] + deg[v] - len(common),
+                             int((min(u, v), max(u, v)) in edges)))
+        ref = pd.DataFrame(rows, columns=got.columns.tolist()) \
+            .sort_values(["pa", "pb"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), ref.astype("int64"))
+        # the hub pairs share neighbors: some pair must overlap
+        assert got.cn.max() > 0
+        # AA is monotone with CN when all centers have equal degree;
+        # in general cn=0 must force aa_fp=0
+        assert (got.loc[got.cn == 0, "aa_fp"] == 0).all()
