@@ -2720,3 +2720,150 @@ c AS (SELECT a, b, CAST(ni AS DOUBLE) / sa.n AS cont
       WHERE sa.n < sb.n)
 SELECT a, b, round(cont, 4) AS cont_r FROM c WHERE cont >= 0.9
 """
+
+
+# ----------------------------------------------- PMI collocations
+
+PMI_MIN_SUP = 5
+PMI_K = 50
+
+
+def doc_pmi_collocations(sf_dir: str):
+    """COLLOCATION MINING — the top-50 adjacent token pairs by
+    POINTWISE MUTUAL INFORMATION (support ≥ 5): phrases whose parts
+    co-occur far more than their unigram frequencies predict
+    ("machine learning", not "of the") — the phrase-vocabulary /
+    tokenizer-merge-candidate op that raw bigram frequency
+    (doc_bigrams) cannot express because it ranks stopword pairs
+    first.  PMI = ln(p(xy) / (p(x)·p(y))) with p(xy) = c_xy/N_bi,
+    p(x) = c_x/N_uni.
+
+    Determinism contract: PMI is a float of exact integer counts, so
+    both sides evaluate the IDENTICAL expression tree
+    ln(((c_xy·N_uni)·N_uni) / ((N_bi·c_x)·c_y)) in float64 and rank
+    by the fixed-point floor(1e6·PMI + 0.5) with (w1, w2) ties —
+    hash-exact against DuckDB.
+
+    Scale shape: doc_bigrams' measured pattern verbatim — ONE
+    unigram-count pass builds the sorted vocabulary + term counts
+    (Zipf contraction; broadcast once), each batch emits int64
+    ``id1·V + id2`` pair-code count partials, sorted_combine folds
+    the weakly-contracting pair table (the 214→8 s lesson), then the
+    support filter + fixed-point PMI run DISTRIBUTED per block with
+    the vocab-sized count array broadcast, per-block top-50 partials
+    and a ≤50·#blocks driver merge.  The two scalars (N_uni, N_bi)
+    come from the vocab fold and one count over the materialized
+    contracted pair table.
+    """
+    import pandas as pd
+    import ray
+
+    from ..stages.util import sorted_combine
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        u, c = np.unique(s.to_numpy(), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    vocab_df = sorted_combine(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        keys=["token"], sum_cols=["n"]).to_pandas()
+    order = np.argsort(vocab_df["token"].to_numpy())
+    vocab = vocab_df["token"].to_numpy()[order]
+    ucnt = vocab_df["n"].to_numpy(dtype=np.int64)[order]
+    n_uni = int(ucnt.sum())
+    v = np.int64(len(vocab))
+    vocab_ref = ray.put((pd.Index(vocab), ucnt))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        idx, _ = ray.get(vocab_ref) \
+            if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        s = batch["text"].to_pandas().str.lower().str.split() \
+            .explode().dropna()
+        if len(s) < 2:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        doc = s.index.to_numpy()
+        codes = idx.get_indexer(s.to_numpy())
+        if (codes < 0).any():
+            raise ValueError("doc_pmi_collocations: token absent from "
+                             "the broadcast vocabulary — the two read "
+                             "passes diverged")
+        same = doc[1:] == doc[:-1]
+        pair = codes[:-1].astype(np.int64) * v + codes[1:]
+        pcode, cnt = np.unique(pair[same], return_counts=True)
+        return pa.table({"pair": pa.array(pcode, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = sorted_combine(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        keys=["pair"], sum_cols=["n"]).materialize()   # contracted view,
+    # consumed twice (N_bi scalar + the PMI pass) — lesson 26
+    n_bi = int(agg.sum("n"))
+
+    def pmi_topk(batch: pa.Table) -> pa.Table:
+        _, uc = ray.get(vocab_ref) \
+            if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        df = batch.to_pandas()
+        df = df[df["n"].astype("int64") >= PMI_MIN_SUP]
+        if len(df) == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi_fp": pa.array([], pa.int64())})
+        code = df["pair"].to_numpy(dtype=np.int64)
+        cxy = df["n"].to_numpy(dtype=np.int64).astype(np.float64)
+        cx = uc[code // v].astype(np.float64)
+        cy = uc[code % v].astype(np.float64)
+        # identical expression tree both sides:
+        # ln(((cxy*nu)*nu) / ((nb*cx)*cy))
+        val = np.log(((cxy * float(n_uni)) * float(n_uni))
+                     / ((float(n_bi) * cx) * cy))
+        fp = np.floor(val * 1e6 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"pair": code, "n": df["n"].astype("int64")
+                            .to_numpy(), "pmi_fp": fp})
+        out = out.sort_values(["pmi_fp", "pair"],
+                              ascending=[False, True]).head(PMI_K)
+        return table_from_pandas(out, preserve_index=False)
+
+    parts = agg.map_batches(pmi_topk, batch_format="pyarrow").to_pandas()
+    final = parts.sort_values(["pmi_fp", "pair"],
+                              ascending=[False, True]).head(PMI_K) \
+        .reset_index(drop=True)
+    code = final["pair"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({"w1": vocab[code // v], "w2": vocab[code % v],
+                        "n": final["n"].astype("int64"),
+                        "pmi_fp": final["pmi_fp"].astype("int64")})
+    return table_from_pandas(out, preserve_index=False)
+
+
+DOC_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uc),
+big AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+  FROM toks WHERE len(t) >= 2),
+bc AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM big GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(n) AS BIGINT) AS n_bi FROM bc),
+f AS (
+  SELECT w1, w2, bc.n,
+         CAST(floor(ln(((CAST(bc.n AS DOUBLE) * n_uni) * n_uni)
+                       / ((CAST(n_bi AS DOUBLE) * cx.n) * cy.n))
+                    * 1000000.0 + 0.5) AS BIGINT) AS pmi_fp
+  FROM bc
+  JOIN uc cx ON cx.w = bc.w1
+  JOIN uc cy ON cy.w = bc.w2
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE bc.n >= {PMI_MIN_SUP})
+SELECT w1, w2, n, pmi_fp
+FROM f ORDER BY pmi_fp DESC, w1, w2 LIMIT {PMI_K}
+"""

@@ -2723,3 +2723,43 @@ class TestGraphLinkPredict:
         # AA is monotone with CN when all centers have equal degree;
         # in general cn=0 must force aa_fp=0
         assert (got.loc[got.cn == 0, "aa_fp"] == 0).all()
+
+
+class TestDocPMICollocations:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from collections import Counter
+
+        from stac_to_geocore_ray.queries import doc_pmi_collocations
+        from stac_to_geocore_ray.queries.docs import PMI_K, PMI_MIN_SUP
+        got = doc_pmi_collocations(SF).to_pandas()
+        assert len(got) <= PMI_K
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["text"])
+        uni, bi = Counter(), Counter()
+        for t in docs.text.dropna():
+            toks = t.lower().split()
+            uni.update(toks)
+            bi.update(zip(toks[:-1], toks[1:]))
+        n_uni = sum(uni.values())
+        n_bi = sum(bi.values())
+        rows = []
+        for (w1, w2), c in bi.items():
+            if c < PMI_MIN_SUP:
+                continue
+            val = np.log(((float(c) * n_uni) * n_uni)
+                         / ((float(n_bi) * uni[w1]) * uni[w2]))
+            rows.append((w1, w2, c,
+                         int(np.floor(val * 1e6 + 0.5))))
+        ref = pd.DataFrame(rows, columns=["w1", "w2", "n", "pmi_fp"]) \
+            .sort_values(["pmi_fp", "w1", "w2"],
+                         ascending=[False, True, True]).head(PMI_K) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64", "pmi_fp": "int64"}), ref.astype(
+                {"n": "int64", "pmi_fp": "int64"}))
+        # PMI separates collocations from stopword pairs: the top
+        # PMI pair must NOT be the top raw-frequency pair unless the
+        # corpus is degenerate; at minimum every reported pair meets
+        # the support floor
+        assert (got.n >= PMI_MIN_SUP).all()
