@@ -2867,3 +2867,88 @@ f AS (
 SELECT w1, w2, n, pmi_fp
 FROM f ORDER BY pmi_fp DESC, w1, w2 LIMIT {PMI_K}
 """
+
+
+# ----------------------------------------------- inverted index build
+
+IDX_POSTINGS_CAP = 100
+
+
+def doc_inverted_index(sf_dir: str):
+    """INVERTED-INDEX BUILD — per term, the document-frequency count
+    and the doc_id-ordered comma-joined POSTING LIST capped at the
+    first 100 doc_ids (real indexes shard unbounded postings; the cap
+    keeps every output row bounded at ANY corpus size while df stays
+    the exact full count): the search-index / retrieval-build op
+    class — term-major where doc_bm25 is query-major.
+
+    Scale shape: per batch, the token explode dedups to DISTINCT
+    (term, doc_id) pairs (a doc lives in exactly one batch, so
+    per-batch distinct IS global distinct); one
+    keyed_boundary_decompose sort on (term, doc_id) makes each term a
+    contiguous ordered run — interior terms count + head their
+    postings in-block, straddlers defer raw pairs to the keyed fold.
+    Output stays DISTRIBUTED (vocabulary-sized rows, capped posting
+    strings).  Ordering needs no re-sort: runs arrive
+    (term, doc_id)-sorted.
+
+    Oracle: full SQL — list_distinct unnest, a row_number window for
+    the postings cap, string_agg ORDER BY doc_id.
+    """
+    import pandas as pd
+
+    from ..stages.util import keyed_boundary_decompose
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df.set_index("doc_id")["text"].str.lower().str.split() \
+            .explode().dropna()
+        p = pd.DataFrame({"term": s.to_numpy(),
+                          "doc_id": s.index.to_numpy()}) \
+            .drop_duplicates()
+        p["doc_id"] = p.doc_id.astype("int64")
+        return table_from_pandas(p, preserve_index=False)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype=object)})
+        # sorted (term, doc_id) runs; the keyed fold re-sorts its
+        # group by the sort keys, so the head-100 join is always the
+        # doc_id-ascending prefix
+        g = df.sort_values(["term", "doc_id"]) \
+            .groupby("term", sort=False)
+        out = g.agg(
+            df=("doc_id", "size"),
+            postings=("doc_id",
+                      lambda x: ",".join(map(str,
+                                             x[:IDX_POSTINGS_CAP])))) \
+            .reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return keyed_boundary_decompose(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        sort_keys=["term", "doc_id"], key_col="term",
+        raw_cols=["term", "doc_id"], kernel=kernel)
+
+
+DOC_INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             x -> x <> ''))) AS term
+  FROM documents),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           FILTER (rn <= {IDX_POSTINGS_CAP}) AS postings
+FROM r GROUP BY term
+"""

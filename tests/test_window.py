@@ -2763,3 +2763,31 @@ class TestDocPMICollocations:
         # corpus is degenerate; at minimum every reported pair meets
         # the support floor
         assert (got.n >= PMI_MIN_SUP).all()
+
+
+class TestDocInvertedIndex:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import doc_inverted_index
+        from stac_to_geocore_ray.queries.docs import IDX_POSTINGS_CAP
+        got = doc_inverted_index(SF).to_pandas() \
+            .sort_values("term").reset_index(drop=True)
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        inv = {}
+        for did, t in zip(docs.doc_id, docs.text):
+            if not isinstance(t, str):
+                continue
+            for w in set(t.lower().split()):
+                inv.setdefault(w, []).append(int(did))
+        rows = [(w, len(ids),
+                 ",".join(map(str, sorted(ids)[:IDX_POSTINGS_CAP])))
+                for w, ids in inv.items()]
+        ref = pd.DataFrame(rows, columns=["term", "df", "postings"]) \
+            .sort_values("term").reset_index(drop=True)
+        assert got.term.tolist() == ref.term.tolist()
+        assert got["df"].tolist() == ref["df"].tolist()
+        assert got.postings.tolist() == ref.postings.tolist()
+        # caps bind: no posting string exceeds the cap
+        assert got.postings.str.split(",").str.len() \
+            .le(IDX_POSTINGS_CAP).all()
