@@ -1019,6 +1019,61 @@ def golden_video_scene_cuts(sf_dir: str) -> pa.Table:
         "cut_idx_sum": pa.array([r[3] for r in rows], pa.int64())})
 
 
+
+
+def golden_audio_segments(sf_dir: str) -> pa.Table:
+    """Scalar state-machine replay of audio_segments: same planted
+    clips (queries/media._activity_clips — shared construction spec),
+    then per-frame SCALAR Python-int energy + an explicit run/merge/
+    drop state machine — independent of the vectorized mask-diff path
+    in stages/multimodal.AudioSegmenter."""
+    from .queries.media import (AUD_FRAME, AUD_MIN_GAP, AUD_MIN_LEN,
+                                AUD_THR, _activity_clips)
+    from .stages.multimodal import decode_audio
+    rows = []
+    for item in _activity_clips(sf_dir):
+        _, pcm = decode_audio(item["bytes"])
+        nf = len(pcm) // AUD_FRAME
+        energy = []
+        for f in range(nf):
+            e = 0
+            for v in pcm[f * AUD_FRAME:(f + 1) * AUD_FRAME]:
+                e += int(v) * int(v)
+            energy.append(e)
+        runs = []                          # [start, end) active runs
+        cur = None
+        for f in range(nf):
+            if energy[f] >= AUD_THR:
+                if cur is None:
+                    cur = f
+            else:
+                if cur is not None:
+                    runs.append([cur, f])
+                    cur = None
+        if cur is not None:
+            runs.append([cur, nf])
+        merged = []
+        for r in runs:
+            if merged and r[0] - merged[-1][1] < AUD_MIN_GAP:
+                merged[-1][1] = r[1]
+            else:
+                merged.append(r)
+        seg = 0
+        for a, b in merged:
+            if b - a < AUD_MIN_LEN:
+                continue
+            rows.append((item["clip_id"], seg, a, b, b - a,
+                         sum(energy[a:b])))
+            seg += 1
+    return pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "seg": pa.array([r[1] for r in rows], pa.int64()),
+        "start_frame": pa.array([r[2] for r in rows], pa.int64()),
+        "end_frame": pa.array([r[3] for r in rows], pa.int64()),
+        "n_frames": pa.array([r[4] for r in rows], pa.int64()),
+        "energy_sum": pa.array([r[5] for r in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1045,6 +1100,7 @@ GOLDENS = {
     "embedding_pca": golden_embedding_pca,
     "geo_dbscan": golden_geo_dbscan,
     "video_scene_cuts": golden_video_scene_cuts,
+    "audio_segments": golden_audio_segments,
 }
 
 

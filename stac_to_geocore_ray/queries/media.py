@@ -646,3 +646,81 @@ def video_scene_cuts(sf_dir: str):
         key_col="video_id",
         raw_cols=["video_id", "frame_index", "frame_phash"],
         kernel=kernel)
+
+
+# ---------------------------------------------- audio activity segments
+
+AUD_N_CLIPS = 40
+AUD_FRAME = 160                 # 10 ms @ 16 kHz
+AUD_THR = 160_000_000           # per-frame Σs² activity threshold
+AUD_MIN_GAP = 3                 # silent frames; shorter gaps merge
+AUD_MIN_LEN = 2                 # frames; shorter spans drop
+
+
+def _activity_clips(sf_dir: str) -> list[dict]:
+    """Deterministic GAUD clips with PLANTED activity structure: a
+    silence floor of seeded ±50 noise (frame energy ≤ 160·50² — three
+    orders below AUD_THR), tone bursts at known frame positions
+    (energy ~ 1.4e10 — two orders above), plus two adversarial plants:
+    every third clip carries a 1-frame blip (must be DROPPED by
+    min_len) and every fourth clip's first two bursts sit 2 silent
+    frames apart (must MERGE under min_gap).  Shared construction spec
+    between the query and the golden; detection is independent."""
+    from ..stages.multimodal import encode_audio
+    clips = []
+    for k in range(AUD_N_CLIPS):
+        rng = np.random.RandomState(90_000 + k)
+        n_frames = 80 + (k * 7) % 40
+        n = n_frames * AUD_FRAME
+        x = (rng.uniform(-1.0, 1.0, n) * 50.0).astype(np.int16)
+        bursts = []
+        pos = 5 + k % 5
+        for b in range(1 + k % 4):
+            ln = 4 + (k + 3 * b) % 6
+            bursts.append((pos, ln))
+            gap = 2 if (k % 4 == 1 and b == 0) \
+                else 3 + (b + k) % 7
+            pos += ln + gap
+        if k % 3 == 0:
+            bursts.append((pos + 4, 1))          # droppable blip
+        t = np.arange(n, dtype=np.float64) / 16_000.0
+        f = 220.0 * (1 + k % 10)
+        tone = (0.4 * np.sin(2 * np.pi * f * t) * 32767.0) \
+            .astype(np.int16)
+        for a, ln in bursts:
+            if a + ln > n_frames:
+                continue
+            lo, hi = a * AUD_FRAME, (a + ln) * AUD_FRAME
+            x[lo:hi] = tone[lo:hi]
+        clips.append({"clip_id": f"act-{k:04d}",
+                      "bytes": encode_audio(x, 16_000)})
+    return clips
+
+
+def audio_segments(sf_dir: str):
+    """AUDIO ACTIVITY SEGMENTATION (energy-threshold VAD) over
+    deterministic GAUD clips: per clip, the merged activity segments
+    with exact integer frame spans and energy sums — the
+    silence-strip / speech-extract op an audio training-data pipeline
+    runs before transcription or feature extraction, the audio leg's
+    temporal-segmentation twin of video_scene_cuts.
+
+    Scale shape: one actor-pool map_batches
+    (stages/multimodal.AudioSegmenter) — decode, frame, threshold and
+    merge are all per-clip vectorized numpy; only ~48 B/segment rows
+    leave the stage, the PCM never shuffles.  All decisions are exact
+    int64 comparisons, so the output admits one correct answer under
+    any batching/concurrency.
+
+    Oracle: golden parquet — an independent scalar state-machine
+    replay over the same planted clips (goldens.golden_audio_segments).
+    """
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioSegmenter
+    ds = rd.from_items(_activity_clips(sf_dir))
+    return ds.map_batches(
+        AudioSegmenter, batch_format="pyarrow", concurrency=_auto(),
+        fn_constructor_kwargs={"frame": AUD_FRAME, "thr": AUD_THR,
+                               "min_gap": AUD_MIN_GAP,
+                               "min_len": AUD_MIN_LEN})

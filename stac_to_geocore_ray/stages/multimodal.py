@@ -297,3 +297,83 @@ def synth_clip(seed: int, rate: int = 16_000, seconds: float = 1.0) -> np.ndarra
          + 0.3 * np.sin(2 * np.pi * f2 * t)
          + 0.05 * rng.uniform(-1, 1, n))
     return np.clip(x * 32767 * 0.6, -32768, 32767).astype(np.int16)
+
+
+class AudioSegmenter:
+    """Actor-pool stage: (clip_id, bytes) rows -> one row per ACTIVITY
+    SEGMENT (energy-threshold VAD): frame the PCM into ``frame``-sample
+    windows, a frame is ACTIVE when its integer energy Σs² ≥ ``thr``,
+    consecutive active runs separated by < ``min_gap`` silent frames
+    merge, and merged spans shorter than ``min_len`` frames drop.
+
+    Every decision is EXACT int64 arithmetic (int16 samples → Σs² ≤
+    160·2^30 per frame), so segmentation admits one correct answer
+    under any batching — the golden replays it with scalar Python
+    ints.  Pixels-stay-in-stage rule: only (clip_id, seg, start, end,
+    energy) rows leave; the PCM never crosses a stage boundary.
+
+    Real-codec plug point: swap ``decode_audio`` for
+    ``decode_audio_any`` (librosa/soundfile import probe) — the
+    framing, thresholding and merge logic are codec-independent.
+    """
+
+    OUTPUT_SCHEMA = pa.schema([
+        ("clip_id", pa.string()),
+        ("seg", pa.int64()),
+        ("start_frame", pa.int64()),
+        ("end_frame", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("energy_sum", pa.int64()),
+    ])
+
+    def __init__(self, frame: int = 160, thr: int = 160_000_000,
+                 min_gap: int = 3, min_len: int = 2):
+        self.frame = frame
+        self.thr = thr
+        self.min_gap = min_gap
+        self.min_len = min_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("clip_id", "seg", "start_frame",
+                               "end_frame", "n_frames", "energy_sum")}
+        ids = batch["clip_id"].to_pylist()
+        for cid, buf in zip(ids, batch["bytes"].to_pylist()):
+            _, pcm = decode_audio(buf)
+            nf = len(pcm) // self.frame
+            if nf == 0:
+                continue
+            x = pcm[:nf * self.frame].astype(np.int64) \
+                .reshape(nf, self.frame)
+            energy = (x * x).sum(axis=1)            # exact int64
+            active = energy >= self.thr
+            if not active.any():
+                continue
+            # vectorized run extraction over the padded mask
+            pad = np.r_[False, active, False]
+            d = np.diff(pad.astype(np.int8))
+            starts = np.nonzero(d == 1)[0]
+            ends = np.nonzero(d == -1)[0]           # exclusive
+            # merge runs separated by < min_gap silent frames
+            if len(starts) > 1:
+                gap = starts[1:] - ends[:-1]
+                brk = gap >= self.min_gap
+                starts = starts[np.r_[True, brk]]
+                ends = ends[np.r_[brk, True]]
+            span = ends - starts
+            keep = span >= self.min_len
+            starts, ends, span = starts[keep], ends[keep], span[keep]
+            csum = np.r_[0, np.cumsum(energy)]
+            for s_i, (a, b, n) in enumerate(zip(starts, ends, span)):
+                out["clip_id"].append(cid)
+                out["seg"].append(s_i)
+                out["start_frame"].append(int(a))
+                out["end_frame"].append(int(b))
+                out["n_frames"].append(int(n))
+                out["energy_sum"].append(int(csum[b] - csum[a]))
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "seg": pa.array(out["seg"], pa.int64()),
+            "start_frame": pa.array(out["start_frame"], pa.int64()),
+            "end_frame": pa.array(out["end_frame"], pa.int64()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "energy_sum": pa.array(out["energy_sum"], pa.int64())})

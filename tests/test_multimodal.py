@@ -105,3 +105,43 @@ class TestVideoSceneCuts:
         assert (got.n_cuts == SCENE_COUNT - 1).all()
         expect_sum = sum(s * SCENE_LEN for s in range(1, SCENE_COUNT))
         assert (got.cut_idx_sum == expect_sum).all()
+
+
+class TestAudioSegmenter:
+    def test_planted_structure(self, ray_session):
+        import ray.data as rd
+
+        from stac_to_geocore_ray.queries.media import (
+            AUD_FRAME, AUD_MIN_GAP, AUD_MIN_LEN, AUD_THR,
+            _activity_clips)
+        from stac_to_geocore_ray.stages.multimodal import AudioSegmenter
+        seg = AudioSegmenter(frame=AUD_FRAME, thr=AUD_THR,
+                             min_gap=AUD_MIN_GAP, min_len=AUD_MIN_LEN)
+        clips = _activity_clips("/root/testdata/sf0.001")
+        import pyarrow as pa
+        out = seg(pa.table({
+            "clip_id": [c["clip_id"] for c in clips],
+            "bytes": [c["bytes"] for c in clips]})).to_pandas()
+        # every clip with >= 1 planted burst yields >= 1 segment
+        assert out.clip_id.nunique() == len(clips)
+        # the k%4==1 clips plant a 2-frame gap that must MERGE: their
+        # first segment spans both bursts (longer than any single
+        # planted burst of <= 9 frames + the 2-frame bridged gap)
+        merged = out[out.clip_id == "act-0001"]
+        assert merged.iloc[0].n_frames >= 10
+        # droppable 1-frame blips never appear
+        assert (out.n_frames >= AUD_MIN_LEN).all()
+        # segment energy dominated by tone frames: mean frame energy
+        # of every segment clears the threshold
+        assert (out.energy_sum / out.n_frames >= AUD_THR * 0.5).all()
+
+    def test_segment_invariants(self, ray_session):
+        from stac_to_geocore_ray.queries import audio_segments
+        out = audio_segments("/root/testdata/sf0.001").to_pandas()
+        g = out.sort_values(["clip_id", "seg"]).groupby("clip_id")
+        # segs index contiguously from 0 and never overlap
+        for cid, grp in g:
+            assert grp.seg.tolist() == list(range(len(grp)))
+            assert (grp.start_frame.to_numpy()[1:]
+                    >= grp.end_frame.to_numpy()[:-1]).all()
+        assert (out.end_frame - out.start_frame == out.n_frames).all()
