@@ -1074,6 +1074,49 @@ def golden_audio_segments(sf_dir: str) -> pa.Table:
         "energy_sum": pa.array([r[5] for r in rows], pa.int64())})
 
 
+
+
+def golden_graph_kcore(sf_dir: str) -> pa.Table:
+    """Exact Batagelj-Zaveršnik peel for graph_kcore: build the
+    co-purchase edge set with pandas, then repeatedly remove the
+    minimum-degree node, recording its coreness — independent of the
+    engine's distributed h-index fixpoint."""
+    import heapq
+
+    import pandas as pd
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"]) \
+        .drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    e = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().to_numpy()
+    adj = {}
+    for a, b in e:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    deg = {n: len(s) for n, s in adj.items()}
+    heap = [(d, n) for n, d in deg.items()]
+    heapq.heapify(heap)
+    core = {}
+    kmax = 0
+    removed = set()
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in removed or d != deg[n]:
+            continue                      # stale heap entry
+        kmax = max(kmax, deg[n])
+        core[n] = kmax
+        removed.add(n)
+        for nb in adj[n]:
+            if nb not in removed:
+                deg[nb] -= 1
+                heapq.heappush(heap, (deg[nb], nb))
+    items = sorted(core.items())
+    return pa.table({
+        "node": pa.array([k for k, _ in items], pa.int64()),
+        "coreness": pa.array([v for _, v in items], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1101,6 +1144,7 @@ GOLDENS = {
     "geo_dbscan": golden_geo_dbscan,
     "video_scene_cuts": golden_video_scene_cuts,
     "audio_segments": golden_audio_segments,
+    "graph_kcore": golden_graph_kcore,
 }
 
 

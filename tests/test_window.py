@@ -2791,3 +2791,43 @@ class TestDocInvertedIndex:
         # caps bind: no posting string exceeds the cap
         assert got.postings.str.split(",").str.len() \
             .le(IDX_POSTINGS_CAP).all()
+
+
+class TestGraphKcore:
+    def test_hindex_fixpoint_equals_exact_peel(self, ray_session,
+                                               tiny_blocks):
+        from stac_to_geocore_ray.goldens import golden_graph_kcore
+        from stac_to_geocore_ray.queries import graph_kcore
+        got = graph_kcore(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        ref = golden_graph_kcore(SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+        # coreness is bounded by degree and by the max possible core
+        assert (got.coreness >= 1).all()
+
+    def test_hindex_on_planted_graph(self):
+        # star + triangle: center of star has coreness 1, triangle 2
+        # (h-index iteration replayed by hand)
+        import heapq
+        edges = [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6), (4, 6)]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {n: len(s) for n, s in adj.items()}
+        heap = [(d, n) for n, d in deg.items()]
+        heapq.heapify(heap)
+        core, removed, kmax = {}, set(), 0
+        while heap:
+            d, n = heapq.heappop(heap)
+            if n in removed or d != deg[n]:
+                continue
+            kmax = max(kmax, deg[n])
+            core[n] = kmax
+            removed.add(n)
+            for nb in adj[n]:
+                if nb not in removed:
+                    deg[nb] -= 1
+                    heapq.heappush(heap, (deg[nb], nb))
+        assert core == {1: 1, 2: 1, 3: 1, 0: 1, 4: 2, 5: 2, 6: 2}
