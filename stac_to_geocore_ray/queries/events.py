@@ -4202,3 +4202,93 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag,
        END AS r_r
 FROM s
 """
+
+
+# ------------------------------------ chi-square independence test
+
+def events_chisq_independence(sf_dir: str):
+    """CHI-SQUARE TEST OF INDEPENDENCE between event type and
+    hour-of-day — "does activity mix shift across the day?", the
+    categorical-association sibling of events_ks_drift (distribution
+    drift) and events_type_corr (linear co-movement).  One output row:
+    N, the contingency dimensions, the degrees of freedom and the
+    chi² statistic.
+
+    Determinism contract: chi² is a SUM of float cell terms, and
+    float summation order is execution-dependent — so each cell's
+    term (O·N - R·C)²/(N·R·C) is fixed-pointed to floor(term·1e6 +
+    0.5) as an exact integer FIRST and the cells sum as int64
+    (order-free, hash-exact).  All products stay exact (Python ints /
+    HUGEINT; O·N ~ 4e14 and N·R·C ~ 2e20 at 20M events — past int64,
+    inside both).
+
+    Scale shape: the only distributed pass is the (type, hour-of-day)
+    contingency contraction — per-batch partials over a ≤ |types|×24
+    domain into one small_domain_fold; the cell sweep runs driver-side
+    on the output-sized table.  Zero cells participate (E > 0
+    whenever both margins are positive).
+
+    Oracle: full SQL — dense margin cross join, HUGEINT arithmetic,
+    identical per-cell float expression.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = df.ts.dt.hour.astype("int64")
+        g = df.groupby(["event_type", "h"], sort=False) \
+            .size().reset_index(name="o")
+        return table_from_pandas(g, preserve_index=False)
+
+    o = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "h"],
+                          sum_cols=["o"]).to_pandas()
+    types = sorted(o.event_type.unique())
+    hods = sorted(o.h.unique())
+    obs = {(t, h): int(v) for t, h, v in
+           zip(o.event_type, o.h, o.o)}
+    r = {t: sum(obs.get((t, h), 0) for h in hods) for t in types}
+    c = {h: sum(obs.get((t, h), 0) for t in types) for h in hods}
+    n = sum(r.values())
+    chi_fp = 0
+    for t in types:
+        for h in hods:
+            d = obs.get((t, h), 0) * n - r[t] * c[h]
+            chi_fp += int(np.floor(float(d * d) / float(n * r[t] * c[h])
+                                   * 1e6 + 0.5))
+    out = pd.DataFrame({
+        "n": [n], "n_types": [len(types)], "n_hours": [len(hods)],
+        "dof": [(len(types) - 1) * (len(hods) - 1)],
+        "chi2_fp": [chi_fp]})
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_CHISQ_SQL = """
+WITH o AS (
+  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT t, CAST(sum(o) AS HUGEINT) AS r FROM o GROUP BY 1),
+c AS (SELECT h, CAST(sum(o) AS HUGEINT) AS c FROM o GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM o),
+grid AS (
+  SELECT r.t, c.h, CAST(coalesce(o.o, 0) AS HUGEINT) AS o, r.r, c.c
+  FROM r CROSS JOIN c LEFT JOIN o ON o.t = r.t AND o.h = c.h),
+f AS (
+  SELECT CAST(floor(CAST((o * tot.n - r * c) * (o * tot.n - r * c)
+                         AS DOUBLE)
+                    / CAST(tot.n * r * c AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) AS fp
+  FROM grid CROSS JOIN tot)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_types,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_hours,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM r)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM c) AS dof,
+       CAST(sum(fp) AS BIGINT) AS chi2_fp
+FROM f
+"""

@@ -2831,3 +2831,35 @@ class TestGraphKcore:
                     deg[nb] -= 1
                     heapq.heappush(heap, (deg[nb], nb))
         assert core == {1: 1, 2: 1, 3: 1, 0: 1, 4: 2, 5: 2, 6: 2}
+
+
+class TestEventsChisq:
+    def test_matches_scipy_style_reference(self, ray_session,
+                                           tiny_blocks):
+        from stac_to_geocore_ray.queries import events_chisq_independence
+        got = events_chisq_independence(SF).to_pandas()
+        assert len(got) == 1
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type"])
+        tab = pd.crosstab(ev.event_type, ev.ts.dt.hour)
+        O = tab.to_numpy(dtype=np.float64)
+        R = O.sum(axis=1, keepdims=True)
+        C = O.sum(axis=0, keepdims=True)
+        N = O.sum()
+        E = R * C / N
+        chi2 = ((O - E) ** 2 / E).sum()
+        assert got.n.iloc[0] == int(N)
+        assert got.dof.iloc[0] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+        # fixed-point sum vs float reference: each of the <=120 cells
+        # contributes at most 5e-7 of rounding
+        assert abs(got.chi2_fp.iloc[0] / 1e6 - chi2) < 1e-4 + 120 * 5e-7
+
+    def test_independent_table_is_near_zero(self):
+        # perfectly proportional table -> chi2 exactly 0
+        O = np.outer([10, 20, 30], [1, 2, 3, 4])
+        R = O.sum(axis=1, keepdims=True)
+        C = O.sum(axis=0, keepdims=True)
+        N = O.sum()
+        d = O * N - R * C
+        assert (d == 0).all()
