@@ -4292,3 +4292,155 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
        CAST(sum(fp) AS BIGINT) AS chi2_fp
 FROM f
 """
+
+
+# ----------------------------------------------- nearest-event join
+
+def events_nearest_join(sf_dir: str):
+    """NEAREST-IN-TIME join: every 'click' gets the same user's
+    temporally CLOSEST 'purchase' — in either direction — with the
+    deterministic tie rule "equal distance → the earlier purchase":
+    the bidirectional sibling of events_asof_join (backward-only
+    LOCF), the sensor-alignment / nearest-fill temporal join Ray Data
+    has no native operator for.
+
+    Scale shape: the identical boundary-user decomposition — one
+    (user_id, ts, event_id) sort; interior users resolve in-block
+    with TWO vectorized carries (forward maximum.accumulate for the
+    previous purchase, reversed minimum.accumulate for the next),
+    straddling users defer to the keyed fold.  Distances compare as
+    exact int64 microseconds.
+
+    Oracle: full SQL — last_value/first_value IGNORE NULLS windows
+    for both carries, the same epoch-microsecond comparison.
+    """
+    import pandas as pd
+
+    LEFT, RIGHT = "click", "purchase"
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "nearest_ts": pd.Series([], dtype="datetime64[us]"),
+                "nearest_cents": pd.Series([], dtype="float64"),
+                "side": pd.Series([], dtype=object),
+                "delta_us": pd.Series([], dtype="float64")})
+        uid = df.user_id.to_numpy()
+        ts = df.ts.to_numpy("datetime64[us]")
+        tsi = ts.astype("int64")
+        etype = df.event_type.to_numpy()
+        cents = _cents(df.value.to_numpy())
+        idx = np.arange(n)
+        # previous purchase (strictly before in sort order), per user
+        lr = np.where(etype == RIGHT, idx, -1)
+        np.maximum.accumulate(lr, out=lr)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = lr[:-1]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        valid_prev = prev >= seg_start
+        # next purchase (strictly after in sort order), per user
+        BIG = n
+        rl = np.where(etype == RIGHT, idx, BIG)
+        rl = np.minimum.accumulate(rl[::-1])[::-1]
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[-1] = BIG
+        nxt[:-1] = rl[1:]
+        last_user = np.empty(n, dtype=bool)
+        last_user[-1] = True
+        last_user[:-1] = uid[1:] != uid[:-1]
+        seg_end = idx[last_user][np.cumsum(new_user) - 1]
+        valid_next = nxt <= seg_end
+        left = etype == LEFT
+        p = np.where(valid_prev, prev, 0)
+        q = np.where(valid_next, np.minimum(nxt, n - 1), 0)
+        d_prev = tsi - tsi[p]
+        d_next = tsi[q] - tsi
+        pick_prev = valid_prev & (~valid_next | (d_prev <= d_next))
+        pick_next = ~pick_prev & valid_next
+        none = ~pick_prev & ~pick_next
+        sel = np.where(pick_prev, p, q)
+        n_ts = np.where(none, np.datetime64("NaT"), ts[sel])
+        n_c = np.where(none, np.nan, cents[sel].astype("float64"))
+        d_us = np.where(none, np.nan,
+                        np.where(pick_prev, d_prev,
+                                 d_next).astype("float64"))
+        side = np.where(pick_prev, "prev",
+                        np.where(pick_next, "next", "none"))
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy()[left],
+            "user_id": uid[left],
+            "ts": ts[left],
+            "nearest_ts": n_ts[left],
+            "nearest_cents": n_c[left],
+            "side": side[left],
+            "delta_us": d_us[left]})
+
+    from ..stages.util import keyed_boundary_decompose
+    return keyed_boundary_decompose(
+        ds, sort_keys=["user_id", "ts", "event_id"], key_col="user_id",
+        raw_cols=["event_id", "user_id", "ts", "event_type", "value"],
+        kernel=kernel)
+
+
+EVENTS_NEAREST_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+o AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pts,
+         last_value(CASE WHEN event_type = 'purchase' THEN cents END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pc,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nts,
+         first_value(CASE WHEN event_type = 'purchase' THEN cents END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nc
+  FROM w)
+SELECT event_id, user_id, ts,
+       CASE WHEN pts IS NOT NULL AND (nts IS NULL OR
+                 epoch_us(ts) - epoch_us(pts)
+                   <= epoch_us(nts) - epoch_us(ts))
+            THEN pts ELSE nts END AS nearest_ts,
+       CAST(CASE WHEN pts IS NOT NULL AND (nts IS NULL OR
+                 epoch_us(ts) - epoch_us(pts)
+                   <= epoch_us(nts) - epoch_us(ts))
+            THEN pc ELSE nc END AS DOUBLE) AS nearest_cents,
+       CASE WHEN pts IS NOT NULL AND (nts IS NULL OR
+                 epoch_us(ts) - epoch_us(pts)
+                   <= epoch_us(nts) - epoch_us(ts))
+            THEN 'prev'
+            WHEN nts IS NOT NULL THEN 'next'
+            ELSE 'none' END AS side,
+       CAST(CASE WHEN pts IS NOT NULL AND (nts IS NULL OR
+                 epoch_us(ts) - epoch_us(pts)
+                   <= epoch_us(nts) - epoch_us(ts))
+            THEN epoch_us(ts) - epoch_us(pts)
+            WHEN nts IS NOT NULL THEN epoch_us(nts) - epoch_us(ts)
+            END AS DOUBLE) AS delta_us
+FROM o WHERE event_type = 'click'
+"""

@@ -3463,3 +3463,67 @@ def graph_kcore(sf_dir: str):
 
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "coreness": pa.array(est, pa.int64())})
+
+
+# ------------------------------------------------- entity resolution
+
+def customer_er_clusters(sf_dir: str):
+    """ENTITY-RESOLUTION CLUSTERS — connected components over the
+    Levenshtein≤1 fuzzy-match graph: every customer touching a fuzzy
+    pair gets a canonical id = min custkey of its component, the
+    merge step that turns customer_fuzzy_pairs' record-linkage EDGES
+    into golden-record GROUPS (the fourth cluster family after
+    phash / minhash / embedding dedup clusters).
+
+    Scale shape: the edge list is customer_fuzzy_pairs' FastSS
+    pipeline verbatim (narrow strings, bucket-bounded sweep, no
+    all-pairs); components go through the same size-dispatched switch
+    the other cluster ops pinned — driver union-find under 500k edges
+    (the realistic regime for lev≤1 name collisions), the root-hooked
+    distributed min-label propagation past it.
+
+    Oracle: full SQL — reachability via a recursive CTE over the same
+    pair predicate, min-reachable labeling.
+    """
+    from ..stages.dedup import union_find_components
+    pairs = customer_fuzzy_pairs(sf_dir) \
+        .drop_columns(["dist"]).materialize()
+    if pairs.count() > 500_000:
+        from ..stages.dedup import distributed_components
+        labels = distributed_components(
+            pairs.select_columns(["a_custkey", "b_custkey"]))
+        return labels.map_batches(
+            lambda b: pa.table({"c_custkey": b["node"],
+                                "cluster": b["label"]}),
+            batch_format="pyarrow")
+    df = pairs.to_pandas()
+    comp = union_find_components(df.a_custkey.tolist(),
+                                 df.b_custkey.tolist())
+    items = sorted(comp.items())
+    return pa.table({
+        "c_custkey": pa.array([int(k) for k, _ in items], pa.int64()),
+        "cluster": pa.array([int(v) for _, v in items], pa.int64())})
+
+
+CUSTOMER_ER_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND CASE WHEN length(a.c_name) = length(b.c_name)
+            THEN mismatches(a.c_name, b.c_name)
+            WHEN abs(length(a.c_name) - length(b.c_name)) = 1
+            THEN levenshtein(a.c_name, b.c_name)
+            ELSE 2 END <= 1),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+mins AS (
+  SELECT src AS c_custkey, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(CASE WHEN min_reach < c_custkey THEN min_reach
+                 ELSE c_custkey END AS BIGINT) AS cluster
+FROM mins
+"""

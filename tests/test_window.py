@@ -2863,3 +2863,77 @@ class TestEventsChisq:
         N = O.sum()
         d = O * N - R * C
         assert (d == 0).all()
+
+
+class TestCustomerERClusters:
+    def test_matches_union_find_reference(self, ray_session,
+                                          tiny_blocks):
+        from stac_to_geocore_ray.queries import (customer_er_clusters,
+                                                 customer_fuzzy_pairs)
+        got = customer_er_clusters(SF).to_pandas() \
+            .sort_values("c_custkey").reset_index(drop=True)
+        pairs = customer_fuzzy_pairs(SF).to_pandas()
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs.a_custkey, pairs.b_custkey):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ref = sorted((k, find(k)) for k in parent)
+        assert got.c_custkey.tolist() == [k for k, _ in ref]
+        assert got.cluster.tolist() == [v for _, v in ref]
+        # every cluster label is a member of its own cluster
+        labels = set(got.cluster)
+        assert labels <= set(got.c_custkey)
+
+
+class TestEventsNearestJoin:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_nearest_join
+        got = events_nearest_join(SF).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet") \
+            .sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        ev["cents"] = _cents(ev.value.to_numpy())
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            g = g.reset_index(drop=True)
+            purch = g[g.event_type == "purchase"]
+            for i, r in g[g.event_type == "click"].iterrows():
+                prevs = purch[purch.index < i]
+                nexts = purch[purch.index > i]
+                pts = prevs.iloc[-1] if len(prevs) else None
+                nts = nexts.iloc[0] if len(nexts) else None
+                if pts is not None and (nts is None or
+                        (r.ts - pts.ts) <= (nts.ts - r.ts)):
+                    rows.append((r.event_id, uid, r.ts, pts.ts,
+                                 float(pts.cents), "prev",
+                                 float((r.ts - pts.ts).value // 1000)))
+                elif nts is not None:
+                    rows.append((r.event_id, uid, r.ts, nts.ts,
+                                 float(nts.cents), "next",
+                                 float((nts.ts - r.ts).value // 1000)))
+                else:
+                    rows.append((r.event_id, uid, r.ts, pd.NaT,
+                                 np.nan, "none", np.nan))
+        ref = pd.DataFrame(rows, columns=got.columns.tolist()) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got.event_id.tolist() == ref.event_id.tolist()
+        assert got.side.tolist() == ref.side.tolist()
+        assert got.nearest_ts.tolist() == ref.nearest_ts.tolist()
+        assert np.allclose(got.nearest_cents, ref.nearest_cents,
+                           equal_nan=True)
+        assert np.allclose(got.delta_us, ref.delta_us, equal_nan=True)
+        # ties break to 'prev' and deltas are non-negative
+        ok = got.delta_us.dropna()
+        assert (ok >= 0).all()
