@@ -979,3 +979,110 @@ r AS (
 SELECT src, dst, dot_q, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {KNN_GRAPH_K}
 """
+
+
+# ------------------------------------------------ kNN-distance outliers
+
+OUT_K = 5            # score = squared L2 distance to the 5th neighbour
+OUT_TOP = 50
+
+
+def embedding_outliers(sf_dir: str):
+    """kNN-DISTANCE OUTLIER DETECTION (Ramaswamy et al., "Efficient
+    Algorithms for Mining Outliers", SIGMOD 2000): for the node sample
+    (vec_id % 10 == 0 — embedding_knn_graph's oracle-tractable
+    convention), the squared L2 distance to the OUT_K-th nearest
+    corpus neighbour, reported as the top-50 most isolated vectors —
+    the embedding-space anomaly scan a curation pipeline runs to
+    surface mislabeled / off-distribution samples before training.
+
+    Exactness: vectors quantize to the shared 1e-4 grid, so d² =
+    |a|² + |b|² - 2a·b is an exact int64 computed from three exact
+    integer-valued float64 BLAS products (components < 2^38, 64-dim
+    sums < 2^53); the k-th order statistic and the (d2 desc, vec_id)
+    ranking have no float hazard.
+
+    Scale shape: broadcast quantized corpus (the documented
+    EMB_BROADCAST_MAX_BYTES seam), one matmul per node batch, per-row
+    k-th order statistic via np.partition, per-batch top-50 partials
+    merged driver-side — no shuffle, output 50 rows at any corpus
+    size.  The IVF-bucketed route stands in past broadcast scale.
+
+    Oracle: full SQL — the same quantization, pairwise dot-product
+    distances, row_number() = OUT_K read-off, identical ranking.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import _as_matrix
+    tbl = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    q = _half_away_int(_as_matrix(tbl["embedding"]).astype(np.float64),
+                       KNN_GRAPH_SCALE)
+    order = np.argsort(ids)
+    corpus_ref = ray.put((ids[order], q[order].astype(np.float64)))
+
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+
+    def kth_partial(batch: pa.Table, _ref=corpus_ref) -> pa.Table:
+        cid, cmat = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) \
+            else _ref
+        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = vid % KNN_NODE_MOD == 0
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "d2_k": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        vid = vid[keep]
+        m = _half_away_int(
+            _as_matrix(batch["embedding"])[keep].astype(np.float64),
+            KNN_GRAPH_SCALE).astype(np.float64)
+        dots = m @ cmat.T                     # exact integer-valued f64
+        d2 = (m * m).sum(axis=1)[:, None] \
+            + (cmat * cmat).sum(axis=1)[None, :] - 2.0 * dots
+        self_col = np.searchsorted(cid, vid)
+        rows = np.arange(len(vid))
+        hit = cid[np.clip(self_col, 0, len(cid) - 1)] == vid
+        d2[rows[hit], self_col[hit]] = np.inf          # exclude self
+        kth = np.partition(d2, OUT_K - 1, axis=1)[:, OUT_K - 1]
+        df = {"vec_id": vid, "d2_k": kth.astype(np.int64)}
+        # per-batch top partial: keep only the OUT_TOP most isolated
+        sel = np.lexsort((df["vec_id"], -df["d2_k"]))[:OUT_TOP]
+        return pa.table({"vec_id": pa.array(df["vec_id"][sel]),
+                         "d2_k": pa.array(df["d2_k"][sel])})
+
+    parts = ds.map_batches(kth_partial, batch_format="pyarrow") \
+        .to_pandas()
+    parts = parts.sort_values(["d2_k", "vec_id"],
+                              ascending=[False, True]).head(OUT_TOP) \
+        .reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(parts.vec_id.to_numpy(),
+                                        pa.int64()),
+                     "d2_k": pa.array(parts.d2_k.to_numpy(), pa.int64())})
+
+
+EMB_OUTLIERS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {KNN_GRAPH_SCALE})
+                                  AS BIGINT)) AS v
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(a.v, a.v)
+              + list_dot_product(b.v, b.v)
+              - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {KNN_NODE_MOD} = 0),
+r AS (
+  SELECT src, d2,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY d2 ASC, dst ASC) AS rn
+  FROM p)
+SELECT src AS vec_id, d2 AS d2_k
+FROM r WHERE rn = {OUT_K}
+ORDER BY d2_k DESC, vec_id LIMIT {OUT_TOP}
+"""

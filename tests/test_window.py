@@ -2937,3 +2937,32 @@ class TestEventsNearestJoin:
         # ties break to 'prev' and deltas are non-negative
         ok = got.delta_us.dropna()
         assert (ok >= 0).all()
+
+
+class TestEmbeddingOutliers:
+    def test_matches_numpy_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import embedding_outliers
+        from stac_to_geocore_ray.queries.embeddings import (
+            KNN_GRAPH_SCALE, KNN_NODE_MOD, OUT_K, OUT_TOP)
+        got = embedding_outliers(SF).to_pandas()
+
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        ids = emb.vec_id.to_numpy(dtype=np.int64)
+        m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        qm = np.sign(m) * np.floor(np.abs(m) * KNN_GRAPH_SCALE + 0.5)
+        nodes = ids % KNN_NODE_MOD == 0
+        rows = []
+        for i in np.nonzero(nodes)[0]:
+            d2 = ((qm - qm[i]) ** 2).sum(axis=1)
+            d2[i] = np.inf
+            kth = np.partition(d2, OUT_K - 1)[OUT_K - 1]
+            rows.append((int(ids[i]), int(kth)))
+        ref = pd.DataFrame(rows, columns=["vec_id", "d2_k"]) \
+            .sort_values(["d2_k", "vec_id"],
+                         ascending=[False, True]).head(OUT_TOP) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+        # outlier scores descend and are positive
+        assert (np.diff(got.d2_k.to_numpy()) <= 0).all()
+        assert (got.d2_k > 0).all()
