@@ -2212,3 +2212,83 @@ SELECT CAST({G} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
              / (CAST({W} AS DOUBLE) * CAST(den.v AS DOUBLE)), 6) AS i_r
 FROM tot, num, den
 """
+
+
+# ------------------------------------------------------- mosaic pick
+
+def geo_mosaic_pick(sf_dir: str):
+    """MOSAIC COMPOSITING RULE — per occupied z=7 grid cell (centroid
+    binning, the focal/hotspot convention), the MOST RECENT item
+    (latest datetime, lexicographically-greatest item_id on ties) plus
+    the candidate count: the "latest-on-top" selection a tile-serving
+    / mosaicking pipeline runs per output cell, the argmax JOIN the
+    plain cell rollups stop short of.
+
+    Determinism contract: the winner rides argmax-by-ENCODING (the
+    events_mode_type trick) — ISO-8601 datetimes are fixed-width, so
+    ``datetime || '|' || item_id`` orders exactly by (datetime,
+    item_id) and a plain string MAX is reassociative: exact under any
+    batching, no per-group sort anywhere.
+
+    Scale shape: per-batch partials contract to the ≤ 4^z occupied
+    cells (one encoded max + one count per cell); the fold is
+    sorted_combine's max|sum path (weak contraction — every batch
+    touches much of the grid, the focal/rasterize lesson); the split
+    back into (datetime, item_id) runs on the output-sized cell table.
+
+    Oracle: full SQL — identical encoded max, split_part read-off.
+    """
+    import pandas as pd
+    p = _fx(sf_dir)
+    from ..stages.util import sorted_combine
+    ds = _meta_read(p["stac_items"],
+                    columns=["item_id", "bbox", "datetime"])
+    side = 1 << FOCAL_Z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bb = _bbox_matrix(batch)
+        ix, iy, keep = _grid_ixiy(bb, FOCAL_Z)
+        df = pd.DataFrame({
+            "ix": ix[keep], "iy": iy[keep],
+            "enc": (batch["datetime"].to_pandas().to_numpy()[keep]
+                    + "|"
+                    + batch["item_id"].to_pandas().to_numpy()[keep])})
+        g = df.groupby(["ix", "iy"], sort=False).agg(
+            best=("enc", "max"), n_items=("enc", "size")).reset_index()
+        g["n_items"] = g.n_items.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    cells = sorted_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["ix", "iy"], aggs={"best": "max", "n_items": "sum"})
+
+    def split(batch: pa.Table) -> pa.Table:
+        enc = batch["best"].to_pandas()
+        parts = enc.str.split("|", n=1, expand=True)
+        return pa.table({
+            "ix": pc.cast(batch["ix"], pa.int64()),
+            "iy": pc.cast(batch["iy"], pa.int64()),
+            "item_datetime": pa.array(parts[0], pa.string()),
+            "item_id": pa.array(parts[1], pa.string()),
+            "n_items": pc.cast(batch["n_items"], pa.int64())})
+
+    return cells.map_batches(split, batch_format="pyarrow")
+
+
+def _geo_mosaic_pick_sql() -> str:
+    side = 1 << FOCAL_Z
+    return f"""
+WITH c AS (
+  SELECT LEAST(CAST(floor(((bbox[1] + bbox[3]) / 2 + 180.0) / 360.0
+               * {float(side)}) AS BIGINT), {side - 1}) AS ix,
+         LEAST(CAST(floor(((bbox[2] + bbox[4]) / 2 + 90.0) / 180.0
+               * {float(side)}) AS BIGINT), {side - 1}) AS iy,
+         datetime || '|' || item_id AS enc
+  FROM read_parquet('{_fx_glob("stac_items")}')
+  WHERE bbox[1] <= bbox[3])
+SELECT ix, iy,
+       split_part(max(enc), '|', 1) AS item_datetime,
+       split_part(max(enc), '|', 2) AS item_id,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM c GROUP BY 1, 2
+"""

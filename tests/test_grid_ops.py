@@ -513,3 +513,45 @@ class TestMoransI:
                         if 0 <= a < side and 0 <= b < side:
                             num += int(d[i, j]) * int(d[a, b])
         assert (G * num) / (W * den) < 0
+
+
+class TestMosaicPick:
+    def test_matches_pandas_reference(self, ray_session):
+        from stac_to_geocore_ray.queries import geo_mosaic_pick
+        from stac_to_geocore_ray.queries.geo import FOCAL_Z
+        from stac_to_geocore_ray.queries._common import _fx
+        got = geo_mosaic_pick(SF).to_pandas() \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+
+        import glob
+        items = pd.concat([pd.read_parquet(f, columns=[
+            "item_id", "bbox", "datetime"])
+            for f in glob.glob(f"{_fx(SF)['stac_items']}/*.parquet")])
+        bb = np.stack(items.bbox.to_numpy())
+        keep = bb[:, 0] <= bb[:, 2]
+        items = items[keep]
+        bb = bb[keep]
+        side = 1 << FOCAL_Z
+        ix = np.minimum(np.floor(((bb[:, 0] + bb[:, 2]) / 2 + 180.0)
+                                 / 360.0 * side), side - 1).astype(int)
+        iy = np.minimum(np.floor(((bb[:, 1] + bb[:, 3]) / 2 + 90.0)
+                                 / 180.0 * side), side - 1).astype(int)
+        df = pd.DataFrame({"ix": ix, "iy": iy,
+                           "enc": items.datetime.to_numpy()
+                           + "|" + items.item_id.to_numpy()})
+        g = df.groupby(["ix", "iy"]).agg(
+            best=("enc", "max"), n_items=("enc", "size")).reset_index()
+        ref = pd.DataFrame({
+            "ix": g.ix, "iy": g.iy,
+            "item_datetime": g.best.str.split("|", n=1).str[0],
+            "item_id": g.best.str.split("|", n=1).str[1],
+            "n_items": g.n_items.astype("int64")}) \
+            .sort_values(["ix", "iy"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"ix": int, "iy": int}),
+            ref.astype({"ix": int, "iy": int}))
+        # the winner is genuinely the latest: no cell's winner predates
+        # another item in the same cell
+        m = df.merge(got, on=["ix", "iy"])
+        assert (m.enc.str.split("|", n=1).str[0]
+                <= m.item_datetime).all()
