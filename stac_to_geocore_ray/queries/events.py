@@ -4444,3 +4444,125 @@ SELECT event_id, user_id, ts,
             END AS DOUBLE) AS delta_us
 FROM o WHERE event_type = 'click'
 """
+
+
+# ------------------------------------------------- SAX symbolization
+
+SAX_W = 24           # PAA windows per series
+SAX_SYMS = "abcd"    # quartile alphabet
+
+
+def events_sax(sf_dir: str):
+    """SAX SYMBOLIZATION (Lin/Keogh et al., "A Symbolic Representation
+    of Time Series") of each type's hourly revenue series: the dense
+    hourly cents series is piecewise-aggregated into SAX_W equal
+    windows (window length = H // SAX_W hours — the truncated-tail
+    convention keeps windows EQUAL so sums rank exactly like means)
+    and each window maps to a quartile symbol a-d against the
+    equi-depth breakpoints of ALL window values — the
+    motif-index / cheap-similarity representation time-series
+    pipelines build before any DTW or matrix-profile pass.
+
+    Determinism: window sums are exact int64; breakpoints are
+    quantile_disc order statistics of the window-sum multiset (the
+    engine-wide disc convention); symbols are a pure integer
+    comparison — the output string admits exactly one answer.
+
+    Scale shape: the ONLY distributed pass is the hourly contraction
+    (≤ |types| × span-hours keys); PAA, breakpoints and
+    symbolization run on the output-sized folded grid.
+
+    Oracle: full SQL — integer window index, window sums, the same
+    disc breakpoints, CASE symbols, string_agg in window order.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h0, h1 = h.hour.min(), h.hour.max()
+    spine = pd.date_range(h0, h1, freq="h")
+    H = len(spine)
+    wlen = H // SAX_W
+    types = sorted(h.event_type.unique())
+    grid = np.zeros((len(types), H), dtype=np.int64)
+    t_ix = {t: i for i, t in enumerate(types)}
+    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
+    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
+        h.cents.to_numpy(dtype=np.int64)
+    # PAA: SAX_W equal windows of wlen hours, tail truncated
+    paa = grid[:, :SAX_W * wlen].reshape(len(types), SAX_W, wlen) \
+        .sum(axis=2)
+    allv = np.sort(paa.ravel())
+    n = len(allv)
+
+    def disc(q: float) -> int:
+        return int(allv[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)])
+
+    q1, q2, q3 = disc(0.25), disc(0.5), disc(0.75)
+    rows = []
+    for t in types:
+        v = paa[t_ix[t]]
+        sym = np.where(v <= q1, 0, np.where(v <= q2, 1,
+                       np.where(v <= q3, 2, 3)))
+        rows.append((t, "".join(SAX_SYMS[s] for s in sym),
+                     SAX_W, wlen))
+    out = pd.DataFrame(rows, columns=["event_type", "sax",
+                                      "n_windows", "win_hours"])
+    out["n_windows"] = out.n_windows.astype("int64")
+    out["win_hours"] = out.win_hours.astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_SAX_SQL = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT min(hour) AS h0,
+         CAST(date_diff('hour', min(hour), max(hour)) + 1 AS BIGINT)
+             AS nh
+  FROM h),
+par AS (SELECT h0, nh, nh // {SAX_W} AS wlen FROM span),
+hours AS (
+  SELECT unnest(generate_series(0, CAST(nh - 1 AS BIGINT))) AS hidx
+  FROM par),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+  SELECT t.event_type, hrs.hidx,
+         CAST(coalesce(h.cents, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN hours hrs CROSS JOIN par
+  LEFT JOIN h ON h.event_type = t.event_type
+             AND h.hour = par.h0 + to_hours(CAST(hrs.hidx AS BIGINT))),
+paa AS (
+  SELECT event_type, hidx // par.wlen AS w, sum(c) AS v
+  FROM grid CROSS JOIN par
+  WHERE hidx < par.wlen * {SAX_W}
+  GROUP BY 1, 2),
+brk AS (
+  SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(v, 0.5) AS BIGINT) AS q2,
+         CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+  FROM paa),
+sym AS (
+  SELECT event_type, w,
+         CASE WHEN v <= q1 THEN 'a' WHEN v <= q2 THEN 'b'
+              WHEN v <= q3 THEN 'c' ELSE 'd' END AS s
+  FROM paa CROSS JOIN brk)
+SELECT event_type, string_agg(s, '' ORDER BY w) AS sax,
+       CAST({SAX_W} AS BIGINT) AS n_windows,
+       (SELECT CAST(wlen AS BIGINT) FROM par) AS win_hours
+FROM sym GROUP BY event_type
+"""

@@ -2966,3 +2966,44 @@ class TestEmbeddingOutliers:
         # outlier scores descend and are positive
         assert (np.diff(got.d2_k.to_numpy()) <= 0).all()
         assert (got.d2_k > 0).all()
+
+
+class TestEventsSAX:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_sax
+        from stac_to_geocore_ray.queries.events import SAX_SYMS, SAX_W
+        got = events_sax(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        spine = pd.date_range(ev.hour.min(), ev.hour.max(), freq="h")
+        H = len(spine)
+        wlen = H // SAX_W
+        types = sorted(ev.event_type.unique())
+        paa = {}
+        for et in types:
+            s = ev[ev.event_type == et].groupby("hour")["cents"].sum() \
+                .reindex(spine, fill_value=0).to_numpy(np.int64)
+            paa[et] = s[:SAX_W * wlen].reshape(SAX_W, wlen).sum(axis=1)
+        allv = np.sort(np.concatenate(list(paa.values())))
+
+        def disc(q):
+            n = len(allv)
+            return int(allv[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)])
+
+        q1, q2, q3 = disc(0.25), disc(0.5), disc(0.75)
+        for _, row in got.iterrows():
+            v = paa[row.event_type]
+            want = "".join(
+                SAX_SYMS[0 if x <= q1 else 1 if x <= q2
+                         else 2 if x <= q3 else 3] for x in v)
+            assert row.sax == want
+            assert row.n_windows == SAX_W
+            assert row.win_hours == wlen
+        # equi-depth: pooled symbol distribution is roughly balanced
+        pooled = "".join(got.sax)
+        counts = [pooled.count(c) for c in SAX_SYMS]
+        assert min(counts) > 0
