@@ -3500,8 +3500,11 @@ def customer_er_clusters(sf_dir: str):
         .drop_columns(["dist"]).materialize()
     if pairs.count() > 500_000:
         from ..stages.dedup import distributed_components
-        labels = distributed_components(
-            pairs.select_columns(["a_custkey", "b_custkey"]))
+        edges = pairs.map_batches(
+            lambda b: pa.table({"a": b["a_custkey"],
+                                "b": b["b_custkey"]}),
+            batch_format="pyarrow")     # the components a/b contract
+        labels = distributed_components(edges)
         return labels.map_batches(
             lambda b: pa.table({"c_custkey": b["node"],
                                 "cluster": b["label"]}),

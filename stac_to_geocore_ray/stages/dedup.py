@@ -976,7 +976,17 @@ def _collect_nodes(edges_ds) -> np.ndarray:
     """Sorted unique endpoint array (per-batch unique partials, driver
     merge — nodes-sized, never edges-sized)."""
     def part(batch: pa.Table) -> pa.Table:
-        if not {"a", "b"} <= set(batch.column_names) or batch.num_rows == 0:
+        if not {"a", "b"} <= set(batch.column_names):
+            if batch.num_rows:
+                # fail LOUD: a non-empty edge batch without the a/b
+                # contract means the caller wired the wrong columns —
+                # returning empty here would silently produce an
+                # empty component table (found by the 30x ER probe)
+                raise ValueError(
+                    "distributed_components: edge batch columns "
+                    f"{batch.column_names} lack the required a/b")
+            return pa.table({"n": pa.array([], pa.string())})
+        if batch.num_rows == 0:
             return pa.table({"n": pa.array([], pa.string())})
         u = np.unique(np.concatenate([
             batch["a"].to_numpy(zero_copy_only=False),

@@ -3007,3 +3007,39 @@ class TestEventsSAX:
         pooled = "".join(got.sax)
         counts = [pooled.count(c) for c in SAX_SYMS]
         assert min(counts) > 0
+
+
+class TestCustomerERDistributedParity:
+    def test_fallback_matches_union_find(self, ray_session):
+        # the 30x probe found the a/b contract bug: exercise the
+        # distributed path explicitly on the small fixture and demand
+        # identical labels to the driver union-find
+        import pyarrow as pa
+
+        from stac_to_geocore_ray.queries import customer_fuzzy_pairs
+        from stac_to_geocore_ray.stages.dedup import (
+            distributed_components, union_find_components)
+        pairs = customer_fuzzy_pairs(SF).materialize()
+        edges = pairs.map_batches(
+            lambda b: pa.table({"a": b["a_custkey"],
+                                "b": b["b_custkey"]}),
+            batch_format="pyarrow")
+        got = distributed_components(edges).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        df = pairs.to_pandas()
+        ref = union_find_components(df.a_custkey.tolist(),
+                                    df.b_custkey.tolist())
+        items = sorted(ref.items())
+        assert got.node.tolist() == [k for k, _ in items]
+        assert got.label.tolist() == [v for _, v in items]
+
+    def test_wrong_columns_fail_loud(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from stac_to_geocore_ray.stages.dedup import \
+            distributed_components
+        bad = rd.from_arrow(pa.table({"x": [1, 2], "y": [2, 3]}))
+        with pytest.raises(Exception, match="a/b"):
+            distributed_components(bad).to_pandas()
