@@ -62,6 +62,15 @@ def main(argv=None) -> int:
     pc_.add_argument("--no-resume", action="store_true")
     pc_.add_argument("--collect-threshold", type=int, default=500_000)
 
+    kc = sub.add_parser("kcore",
+                        help="checkpointed k-core coreness run "
+                             "(per-round est checkpoints)")
+    kc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    kc.add_argument("--out", required=True)
+    kc.add_argument("--no-resume", action="store_true")
+    kc.add_argument("--checkpoint-every", type=int, default=8)
+    kc.add_argument("--fail-after", type=int, default=None)
+
     iv = sub.add_parser("ivm-view",
                         help="incrementally maintained hourly view "
                              "(base + late deltas, checkpointed)")
@@ -130,6 +139,12 @@ def main(argv=None) -> int:
             res = run_phash_clusters_to_parquet(
                 args.sf_dir, args.out, resume=not args.no_resume,
                 collect_threshold=args.collect_threshold)
+        elif args.cmd == "kcore":
+            from .pipelines.graph_runs import run_kcore_to_parquet
+            res = run_kcore_to_parquet(
+                args.sf_dir, args.out, resume=not args.no_resume,
+                checkpoint_every=args.checkpoint_every,
+                fail_after_rounds=args.fail_after)
         elif args.cmd == "ivm-view":
             from .pipelines.ivm import run_hourly_view_ivm
             res = run_hourly_view_ivm(args.sf_dir, args.out,

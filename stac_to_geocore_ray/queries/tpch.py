@@ -3392,13 +3392,19 @@ def graph_kcore(sf_dir: str):
     Oracle: golden parquet — the exact Batagelj-Zaveršnik scalar
     peel, independent of the h-index iteration.
     """
-    import pandas as pd
+    edges, nodes, est = _kcore_edges_nodes(sf_dir)
+    est, rounds = _kcore_iterate(edges, nodes, est)
+    graph_kcore.last_rounds = rounds          # probe/NOTES hook
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "coreness": pa.array(est, pa.int64())})
 
+
+def _kcore_edges_nodes(sf_dir: str):
+    """Shared k-core setup: CPU-matched materialized edge Dataset
+    (the pagerank lesson — per-round folds pay per-block fixed
+    costs), sorted node array, degree-initialized estimates."""
     import ray
 
-    from ..stages.util import sorted_combine
-    # CPU-matched edge blocks (the pagerank lesson: per-round folds pay
-    # per-block fixed costs)
     ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
     edges = _basket_pair_counts(sf_dir).drop_columns(["n"]) \
         .repartition(ncpu).materialize()
@@ -3414,9 +3420,22 @@ def graph_kcore(sf_dir: str):
     nodes = np.sort(deg_df["node"].to_numpy(dtype=np.int64))
     est = deg_df.set_index("node")["d"] \
         .reindex(nodes).to_numpy(dtype=np.int64)
+    return edges, nodes, est
 
-    rounds = 0
-    for rounds in range(1, KCORE_MAX_ROUNDS + 1):
+
+def _kcore_iterate(edges, nodes, est, *, start_round: int = 1,
+                   max_rounds: int | None = None, on_round=None):
+    """The h-index fixpoint loop (shared by graph_kcore and the
+    resumable pipeline run).  ``on_round(k, est)`` fires after every
+    round that CHANGED the estimate vector — the checkpoint hook.
+    Returns (coreness array, last round number)."""
+    import ray
+
+    from ..stages.util import sorted_combine
+    if max_rounds is None:
+        max_rounds = KCORE_MAX_ROUNDS
+    rounds = start_round - 1
+    for rounds in range(start_round, max_rounds + 1):
         est_ref = ray.put((nodes, est))
         m = int(est.max()) + 1
 
@@ -3466,13 +3485,13 @@ def graph_kcore(sf_dir: str):
         if np.array_equal(new_est, est):
             break
         est = new_est
+        if on_round is not None:
+            on_round(rounds, est)
     else:
         raise RuntimeError("graph_kcore: h-index iteration did not "
-                           f"converge in {KCORE_MAX_ROUNDS} rounds")
+                           f"converge in {max_rounds} rounds")
 
-    graph_kcore.last_rounds = rounds          # probe/NOTES hook
-    return pa.table({"node": pa.array(nodes, pa.int64()),
-                     "coreness": pa.array(est, pa.int64())})
+    return est, rounds
 
 
 # ------------------------------------------------- entity resolution

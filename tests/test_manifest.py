@@ -952,3 +952,74 @@ class TestJoinViewIvm:
         c.iloc[1:].to_parquet(f"{sf}/customer.parquet", index=False)
         with pytest.raises(Exception, match="dim snapshot stale"):
             _nation_rev_partials(sf, _keep_base_on("o_orderkey"))
+
+
+class TestKcoreRunResume:
+    """Kill-after-k resume for the k-core h-index leg (est-vector
+    checkpoints every N changed rounds; 124 rounds at the 30x probe
+    is the restart-from-zero cost this protocol removes)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _checksums(self, out):
+        return {p: m["checksum"]
+                for p, m in ManifestSink(out).completed().items()}
+
+    def test_kill_after_k_resume_byte_identical(self, ray_session,
+                                                tmp_path):
+        from stac_to_geocore_ray.pipelines.graph_runs import \
+            run_kcore_to_parquet
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        # sf0.001 converges in 10 rounds; checkpoint every 2, die at 5
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_kcore_to_parquet(self.SF, out1, checkpoint_every=2,
+                                 fail_after_rounds=5)
+        done = set(ManifestSink(out1).completed())
+        assert "est-r0002" in done and "est-r0004" in done
+        assert "coreness-0000" not in done
+        r1 = run_kcore_to_parquet(self.SF, out1, checkpoint_every=2)
+        # resumed from round 4: at most rounds 5..10 re-run
+        assert r1["resumed_from"] == 4
+        assert r1["rounds_this_run"] <= 6
+        r2 = run_kcore_to_parquet(self.SF, out2, checkpoint_every=2)
+        assert r2["resumed_from"] is None
+        assert r1["rows"] == r2["rows"] > 0
+        a = self._checksums(out1)["coreness-0000"]
+        b = self._checksums(out2)["coreness-0000"]
+        assert a == b
+        # a third invocation is a no-op on the final marker
+        r3 = run_kcore_to_parquet(self.SF, out1)
+        assert r3["resumed_final"] and r3["rounds_this_run"] == 0
+
+    def test_matches_query_output(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from stac_to_geocore_ray.pipelines.graph_runs import \
+            run_kcore_to_parquet
+        from stac_to_geocore_ray.queries import graph_kcore
+        out = str(tmp_path / "a")
+        run_kcore_to_parquet(self.SF, out)
+        f = glob.glob(f"{out}/part-coreness-0000.parquet")[0]
+        got = pq.read_table(f).to_pandas()
+        want = graph_kcore(self.SF).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert got.node.tolist() == want.node.tolist()
+        assert got.coreness.tolist() == want.coreness.tolist()
+
+    def test_rejects_foreign_checkpoint(self, ray_session, tmp_path):
+        import json as _json
+
+        from stac_to_geocore_ray.pipelines.graph_runs import \
+            run_kcore_to_parquet
+        out = str(tmp_path / "a")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_kcore_to_parquet(self.SF, out, checkpoint_every=2,
+                                 fail_after_rounds=5)
+        mpath = f"{out}/_manifest/est-r0002.json"
+        m = _json.load(open(mpath))
+        m["inputs"] = ["kcore:999:1:2"]
+        _json.dump(m, open(mpath, "w"))
+        with pytest.raises(ValueError, match="DIFFERENT edge set"):
+            run_kcore_to_parquet(self.SF, out)
