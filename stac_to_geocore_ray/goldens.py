@@ -1117,6 +1117,60 @@ def golden_graph_kcore(sf_dir: str) -> pa.Table:
         "coreness": pa.array([v for _, v in items], pa.int64())})
 
 
+
+
+def golden_knn_graph_ivf(sf_dir: str) -> pa.Table:
+    """Scalar replay of embedding_knn_graph_ivf's ALGORITHM (fit ->
+    assign -> probe -> in-bucket quantized top-k -> merge), independent
+    of the engine's shuffle/groupby path.  The centroid fit is the
+    shared deterministic spec (content-keyed sorted sample through
+    IVFIndex.fit_centroids — identical reconstruction, the ann_ivf
+    convention); everything downstream is replayed with plain numpy
+    per-row loops."""
+    from .queries.embeddings import (IVFG_N_PROBE, IVFG_NODE_MOD,
+                                     KNN_GRAPH_K, KNN_GRAPH_SCALE,
+                                     _half_away_int, _ivfg_params)
+    from .stages.ann import IVFIndex, _normalize
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    n_total = len(ids)
+    # shared-spec centroid fit: strided content-keyed sample, sorted
+    step = max(1, n_total // 2000)
+    sel = np.flatnonzero(ids % step == 0)
+    order = np.argsort(ids[sel])
+    sample = _normalize(mat[sel[order]].copy())
+    cents = IVFIndex.fit_centroids(sample,
+                                   n_centroids=_ivfg_params(n_total))
+    unit = _normalize(mat.copy())
+    dots_c = unit @ cents.T
+    assign = np.argmax(dots_c, axis=1)
+    buckets = {}
+    for i, b in enumerate(assign):
+        buckets.setdefault(int(b), []).append(i)
+    q = _half_away_int(mat, KNN_GRAPH_SCALE)
+    rows = []
+    for i in np.flatnonzero(ids % IVFG_NODE_MOD == 0):
+        probes = np.argsort(-dots_c[i], kind="stable")[:IVFG_N_PROBE]
+        cand = []
+        for b in probes:
+            for j in buckets.get(int(b), []):
+                if ids[j] == ids[i]:
+                    continue
+                d = int(np.dot(q[i], q[j]))
+                cand.append((-d, int(ids[j])))
+        cand.sort()
+        for rank, (nd, vid) in enumerate(cand[:KNN_GRAPH_K], start=1):
+            rows.append((int(ids[i]), vid, -nd, rank))
+    rows.sort()
+    return pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+        "dot_q": pa.array([r[2] for r in rows], pa.int64()),
+        "rank": pa.array([r[3] for r in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1145,6 +1199,7 @@ GOLDENS = {
     "video_scene_cuts": golden_video_scene_cuts,
     "audio_segments": golden_audio_segments,
     "graph_kcore": golden_graph_kcore,
+    "embedding_knn_graph_ivf": golden_knn_graph_ivf,
 }
 
 

@@ -1086,3 +1086,159 @@ SELECT src AS vec_id, d2 AS d2_k
 FROM r WHERE rn = {OUT_K}
 ORDER BY d2_k DESC, vec_id LIMIT {OUT_TOP}
 """
+
+
+# ------------------------------------------- IVF-bucketed kNN graph
+
+IVFG_NODE_MOD = 100       # node side = vec_id % 100 == 0
+IVFG_N_PROBE = 4
+
+
+def _ivfg_params(n_total: int) -> int:
+    """Centroid count ~ sqrt(n): bucket occupancy and bucket count
+    grow together, so in-bucket work stays ~sqrt(n) per node."""
+    return max(16, min(2048, int(round(np.sqrt(max(n_total, 1))))))
+
+
+def _ivfg_centroids(ds, n_total: int):
+    """Deterministic content-keyed sample + k-means-lite fit (the
+    ann_ivf convention, shared with the golden by identical
+    reconstruction: strided vec_id % step, sorted, normalized)."""
+    from ..stages.ann import IVFIndex, _as_matrix, _normalize
+    step = max(1, n_total // 2000)
+
+    def strided(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.take(np.flatnonzero(ids % step == 0))
+
+    sample_tbl = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    sample = _normalize(_as_matrix(sample_tbl["embedding"])
+                        .astype(np.float64))
+    return IVFIndex.fit_centroids(sample,
+                                  n_centroids=_ivfg_params(n_total))
+
+
+def embedding_knn_graph_ivf(sf_dir: str):
+    """IVF-BUCKETED kNN-GRAPH construction — the SCALE PATH of
+    embedding_knn_graph: instead of broadcasting the whole corpus to
+    every node batch (quadratic node-sample × corpus work — the exact
+    graph is the right tool only while the corpus broadcasts), vectors
+    shuffle ONCE into ~sqrt(n) coarse-quantizer buckets, each node
+    replicates to its IVFG_N_PROBE nearest buckets, and the exact
+    quantized-MIPS top-k runs INSIDE buckets (per-node work ~
+    n_probe·sqrt(n), total ~ n^1.5 instead of n²).  Approximate by
+    construction: recall against the exact graph is floor-gated in
+    pytest; hash-exactness is against a golden that replays THIS
+    algorithm scalar-ly, so bucketing/probing/merge are what is
+    value-checked.
+
+    Determinism: centroids are a pure function of the content-keyed
+    sorted sample (shared reconstruction, the ann_ivf convention);
+    assignment is np.argmax (first-index ties) on normalized dots;
+    probe lists use stable argsort; in-bucket ranking is the shared
+    1e-4-grid integer dot with (dot desc, dst asc) ties — every stage
+    admits one answer under any batching.
+
+    Scale shape: one assignment pass (narrow rows + the embedding),
+    one groupby shuffle on the bucket key, in-bucket BLAS matmuls,
+    and a per-src candidate merge over ≤ k·n_probe rows per node —
+    no broadcast of anything corpus-sized.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.ann import IVFIndex, _as_matrix, _normalize
+    ds = _meta_read(_t(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    n_total, _ = _parquet_nrows(_t(sf_dir, "embeddings"),
+                                stat_col="vec_id")
+    cents = _ivfg_centroids(ds, n_total)
+    cents_ref = ray.put(cents)
+    k = KNN_GRAPH_K
+
+    def tag(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+        c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        mat = _normalize(_as_matrix(batch["embedding"])
+                         .astype(np.float64))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dots = mat @ c.T
+        assign = np.argmax(dots, axis=1).astype(np.int64)
+        out = [pa.table({"bucket": pa.array(assign),
+                         "vec_id": batch["vec_id"],
+                         "embedding": batch["embedding"],
+                         "is_node": pa.array(
+                             np.zeros(len(ids), np.int8))})]
+        node = ids % IVFG_NODE_MOD == 0
+        if node.any():
+            nd = dots[node]
+            # stable argsort: float ties across centroids resolve to
+            # the lowest bucket id on both sides
+            probes = np.argsort(-nd, axis=1, kind="stable") \
+                [:, :IVFG_N_PROBE].astype(np.int64)
+            nid = ids[node]
+            emb = batch["embedding"].take(
+                pa.array(np.flatnonzero(node)))
+            # rows repeat node-major so vec_id aligns with probes
+            rep = pa.table({
+                "bucket": pa.array(probes.ravel()),
+                "vec_id": pa.array(np.repeat(nid, IVFG_N_PROBE)),
+                "embedding": emb.take(pa.array(
+                    np.repeat(np.arange(len(nid)), IVFG_N_PROBE))),
+                "is_node": pa.array(
+                    np.ones(len(nid) * IVFG_N_PROBE, np.int8))})
+            out.append(rep)
+        return pa.concat_tables(out)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df[df.is_node == 1]
+        corpus = df[df.is_node == 0]
+        if len(nodes) == 0 or len(corpus) == 0:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64"),
+                                 "dot_q": pd.Series([], dtype="int64")})
+        qm = _half_away_int(np.stack(nodes.embedding.to_numpy())
+                            .astype(np.float64), KNN_GRAPH_SCALE) \
+            .astype(np.float64)
+        cm = _half_away_int(np.stack(corpus.embedding.to_numpy())
+                            .astype(np.float64), KNN_GRAPH_SCALE) \
+            .astype(np.float64)
+        cid = corpus.vec_id.to_numpy(dtype=np.int64)
+        nid = nodes.vec_id.to_numpy(dtype=np.int64)
+        dots = qm @ cm.T                    # exact integer-valued f64
+        self_mask = cid[None, :] == nid[:, None]
+        dots[self_mask] = -np.inf
+        kk = min(k, dots.shape[1])
+        part = np.argpartition(-dots, kk - 1, axis=1)[:, :kk]
+        pd_ = np.take_along_axis(dots, part, axis=1)
+        pi = cid[part]
+        ord2 = np.lexsort((pi, -pd_), axis=1)[:, :kk]
+        dst = np.take_along_axis(pi, ord2, axis=1)
+        dq = np.take_along_axis(pd_, ord2, axis=1)
+        keep = np.isfinite(dq.ravel())
+        return pd.DataFrame({
+            "src": np.repeat(nid, kk)[keep],
+            "dst": dst.ravel()[keep],
+            "dot_q": dq.ravel()[keep].astype(np.int64)})
+
+    cand = tagged.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dot_q", "dst"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    out = cand.groupby("src").map_groups(merge, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b["src"], pa.int64()),
+            "dst": pc.cast(b["dst"], pa.int64()),
+            "dot_q": pc.cast(b["dot_q"], pa.int64()),
+            "rank": pc.cast(b["rank"], pa.int64())}),
+        batch_format="pyarrow")

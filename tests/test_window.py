@@ -3043,3 +3043,28 @@ class TestCustomerERDistributedParity:
         bad = rd.from_arrow(pa.table({"x": [1, 2], "y": [2, 3]}))
         with pytest.raises(Exception, match="a/b"):
             distributed_components(bad).to_pandas()
+
+
+class TestEmbeddingKnnGraphIVF:
+    def test_recall_floor_vs_exact_graph(self, ray_session,
+                                         tiny_blocks):
+        from stac_to_geocore_ray.queries import (embedding_knn_graph,
+                                                 embedding_knn_graph_ivf)
+        ivf = embedding_knn_graph_ivf(SF).to_pandas()
+        exact = embedding_knn_graph(SF).to_pandas()
+        assert len(ivf) > 0
+        recalls = []
+        for src, g in ivf.groupby("src"):
+            ex = set(exact.loc[exact.src == src, "dst"])
+            assert ex, "IVF node missing from the exact graph"
+            recalls.append(len(set(g.dst) & ex) / len(ex))
+        # approximate by construction; the probe=4-of-sqrt(n) regime
+        # must keep most true MIPS neighbours
+        assert np.mean(recalls) >= 0.6
+        # structural invariants: k rows max per src, ranks contiguous,
+        # no self edges, dot_q non-increasing within src
+        for src, g in ivf.groupby("src"):
+            g = g.sort_values("rank")
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+            assert (g.dst != src).all()
+            assert (np.diff(g.dot_q.to_numpy()) <= 0).all()
