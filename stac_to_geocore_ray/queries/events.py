@@ -4566,3 +4566,68 @@ SELECT event_type, string_agg(s, '' ORDER BY w) AS sax,
        (SELECT CAST(wlen AS BIGINT) FROM par) AS win_hours
 FROM sym GROUP BY event_type
 """
+
+
+# ------------------------------------------------ HLL set algebra
+
+def events_hll_overlap(sf_dir: str):
+    """SKETCH SET ALGEBRA — estimated distinct-user UNION and
+    INTERSECTION per event-type pair from the SAME per-type HLL
+    register tables events_hll_users builds: union(A, B) is a pure
+    register-wise MAX merge (HLL's defining property — no rescan of
+    the data), and intersection falls out by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| - |A∪B|, clamped at 0.  This is the audience-
+    overlap / cross-segment estimator run when the exact pair scan
+    (events_type_overlap — which must move every distinct
+    (user, type) pair) is too expensive, and the register tables are
+    already materialized by the counting pass.
+
+    Scale shape: the ONLY distributed pass is the register build
+    (≤ |types| × 2^p max-merged rows, size independent of event
+    count); every pairwise merge is a 2^p register max driver-side.
+    Rows-only by design (no SQL sketch is bit-replayable — the
+    events_hll_users precedent); accuracy against the EXACT pair
+    overlap is pinned in pytest.
+    """
+    import pandas as pd
+
+    from ..stages.sketch import DEFAULT_P, hll_estimate, hll_idx_rank
+    from ..stages.util import sorted_combine
+    p = DEFAULT_P
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_type", "user_id"])
+
+    def observe(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx, rank = hll_idx_rank(df.user_id.to_numpy(), p)
+        part = pd.DataFrame({"event_type": df.event_type,
+                             "idx": idx, "rank": rank})
+        g = part.groupby(["event_type", "idx"], sort=False)["rank"] \
+            .max().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    regs = sorted_combine(ds.map_batches(observe, batch_format="pyarrow"),
+                          keys=["event_type", "idx"],
+                          aggs={"rank": "max"}).to_pandas()
+    dense = {}
+    m = 1 << p
+    for t, g in regs.groupby("event_type", sort=True):
+        r = np.zeros(m, dtype=np.int64)
+        r[g["idx"].to_numpy(dtype=np.int64)] = \
+            g["rank"].to_numpy(dtype=np.int64)
+        dense[t] = r
+    types = sorted(dense)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            na = hll_estimate(dense[a], p)
+            nb = hll_estimate(dense[b], p)
+            nu = hll_estimate(np.maximum(dense[a], dense[b]), p)
+            rows.append((a, b, int(na), int(nb), int(nu),
+                         max(0, int(na) + int(nb) - int(nu))))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "hll_a",
+                                      "hll_b", "hll_union",
+                                      "hll_inter"])
+    for c in out.columns[2:]:
+        out[c] = out[c].astype("int64")
+    return table_from_pandas(out, preserve_index=False)

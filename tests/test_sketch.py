@@ -329,3 +329,34 @@ class TestEventsQuantileSketch:
         for sk, ex in (("p50_cents", "p50"), ("p90_cents", "p90"),
                        ("p99_cents", "p99")):
             assert got[sk].tolist() == exact[ex].tolist(), sk
+
+
+class TestHLLOverlap:
+    def test_union_intersection_accuracy(self, ray_session):
+        from stac_to_geocore_ray.queries import (events_hll_overlap,
+                                                 events_type_overlap)
+        got = events_hll_overlap("/root/testdata/sf0.001").to_pandas() \
+            .set_index(["type_a", "type_b"])
+        exact = events_type_overlap("/root/testdata/sf0.001") \
+            .to_pandas().set_index(["type_a", "type_b"])
+        assert set(got.index) == set(exact.index)
+        for key in got.index:
+            g, e = got.loc[key], exact.loc[key]
+            # p=12 registers: ~1.6% standard error; allow 6%
+            for est, true in ((g.hll_a, e.n_a), (g.hll_b, e.n_b),
+                              (g.hll_union, e.n_union),
+                              (g.hll_inter, e.n_inter)):
+                if true >= 100:
+                    assert abs(est - true) <= 0.06 * true, (key, est, true)
+        # sketch identities hold exactly: inter = a + b - union, >= 0
+        flat = got.reset_index()
+        assert (flat.hll_inter
+                == (flat.hll_a + flat.hll_b - flat.hll_union)
+                .clip(lower=0)).all()
+
+    def test_merge_is_register_max(self, ray_session):
+        # determinism: two runs produce identical estimates
+        from stac_to_geocore_ray.queries import events_hll_overlap
+        a = events_hll_overlap("/root/testdata/sf0.001").to_pandas()
+        b = events_hll_overlap("/root/testdata/sf0.001").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
