@@ -1171,6 +1171,36 @@ def golden_knn_graph_ivf(sf_dir: str) -> pa.Table:
         "rank": pa.array([r[3] for r in rows], pa.int64())})
 
 
+
+
+def golden_doc_compress_ratio(sf_dir: str) -> pa.Table:
+    """Scalar per-document replay of doc_compress_ratio: same zlib
+    level-6 kernel (shared by necessity), independent dict-accumulator
+    aggregation and the same integer half-away fixed point."""
+    import zlib
+
+    from .queries.docs import CR_REP_FP
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["lang", "text"])
+    acc = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        if not isinstance(text, str) or not text:
+            continue
+        raw = text.encode("utf-8")
+        num = len(zlib.compress(raw, 6)) * 1_000_000
+        fp = (2 * num + len(raw)) // (2 * len(raw))
+        r = acc.setdefault(lang, [0, 0, 0])
+        r[0] += 1
+        r[1] += fp
+        r[2] += 1 if fp < CR_REP_FP else 0
+    items = sorted(acc.items())
+    return pa.table({
+        "lang": pa.array([k for k, _ in items], pa.string()),
+        "n_docs": pa.array([v[0] for _, v in items], pa.int64()),
+        "sum_ratio_fp": pa.array([v[1] for _, v in items], pa.int64()),
+        "n_repetitive": pa.array([v[2] for _, v in items], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1200,6 +1230,7 @@ GOLDENS = {
     "audio_segments": golden_audio_segments,
     "graph_kcore": golden_graph_kcore,
     "embedding_knn_graph_ivf": golden_knn_graph_ivf,
+    "doc_compress_ratio": golden_doc_compress_ratio,
 }
 
 

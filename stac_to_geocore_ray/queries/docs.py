@@ -2952,3 +2952,62 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
            FILTER (rn <= {IDX_POSTINGS_CAP}) AS postings
 FROM r GROUP BY term
 """
+
+
+# ------------------------------------------ compression-ratio quality
+
+CR_REP_FP = 300_000          # ratio < 0.30 -> highly repetitive
+
+
+def doc_compress_ratio(sf_dir: str):
+    """COMPRESSION-RATIO QUALITY SIGNAL (the Gopher/MassiveText
+    "compresses too well" filter family): per language, document
+    count, the summed fixed-point zlib ratio floor(1e6·compressed/raw
+    + 0.5) (an exact int64, so the distributed sum is order-free) and
+    how many documents compress below 0.30 — boilerplate/repetition
+    that n-gram counters miss.  Null/empty texts are excluded on both
+    sides.
+
+    Scale shape: the zlib call is the per-document C kernel (the
+    batched-C-call class, like pHash DCT); partials contract to the
+    tiny language domain per batch and fold in one small_domain_fold
+    task.  Nothing grows with the corpus.
+
+    Oracle: golden parquet — a scalar per-document replay of the same
+    zlib-level-6 kernel with an independent dict-accumulator fold
+    (zlib itself is the shared kernel by necessity; what the golden
+    checks is the fixed-point contract and the distributed
+    aggregation).
+    """
+    import zlib
+
+    import pandas as pd
+
+    from ..stages.util import small_domain_fold
+    ds = _meta_read(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = {}
+        for lang, text in zip(df.lang, df.text):
+            if not isinstance(text, str) or not text:
+                continue
+            raw = text.encode("utf-8")
+            # half-away fixed point, integer arithmetic only
+            num = len(zlib.compress(raw, 6)) * 1_000_000
+            fp = (2 * num + len(raw)) // (2 * len(raw))
+            r = rows.setdefault(lang, [0, 0, 0])
+            r[0] += 1
+            r[1] += fp
+            r[2] += int(fp < CR_REP_FP)
+        out = pd.DataFrame(
+            [(k, *v) for k, v in rows.items()],
+            columns=["lang", "n_docs", "sum_ratio_fp", "n_repetitive"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    return small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"], sum_cols=["n_docs", "sum_ratio_fp",
+                                 "n_repetitive"])

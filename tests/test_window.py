@@ -3068,3 +3068,36 @@ class TestEmbeddingKnnGraphIVF:
             assert g["rank"].tolist() == list(range(1, len(g) + 1))
             assert (g.dst != src).all()
             assert (np.diff(g.dot_q.to_numpy()) <= 0).all()
+
+
+class TestDocCompressRatio:
+    def test_matches_scalar_reference_and_flags_repetition(
+            self, ray_session, tiny_blocks):
+        import zlib
+
+        from stac_to_geocore_ray.queries import doc_compress_ratio
+        from stac_to_geocore_ray.queries.docs import CR_REP_FP
+        got = doc_compress_ratio(SF).to_pandas() \
+            .sort_values("lang").reset_index(drop=True)
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["lang", "text"])
+        acc = {}
+        for lang, text in zip(docs.lang, docs.text):
+            if not isinstance(text, str) or not text:
+                continue
+            raw = text.encode("utf-8")
+            num = len(zlib.compress(raw, 6)) * 1_000_000
+            fp = (2 * num + len(raw)) // (2 * len(raw))
+            r = acc.setdefault(lang, [0, 0, 0])
+            r[0] += 1
+            r[1] += fp
+            r[2] += 1 if fp < CR_REP_FP else 0
+        ref = pd.DataFrame(
+            [(k, *v) for k, v in sorted(acc.items())],
+            columns=got.columns.tolist())
+        pd.testing.assert_frame_equal(
+            got, ref.astype({c: "int64" for c in ref.columns[1:]}))
+        # a pathologically repetitive synthetic doc trips the flag
+        rep = ("spam " * 500).encode()
+        num = len(zlib.compress(rep, 6)) * 1_000_000
+        assert (2 * num + len(rep)) // (2 * len(rep)) < CR_REP_FP
