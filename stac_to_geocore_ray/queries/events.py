@@ -4631,3 +4631,91 @@ def events_hll_overlap(sf_dir: str):
     for c in out.columns[2:]:
         out[c] = out[c].astype("int64")
     return table_from_pandas(out, preserve_index=False)
+
+
+# -------------------------------------------- forecast backtesting
+
+def events_forecast_backtest(sf_dir: str):
+    """FORECAST BACKTEST — per event type, the sum-of-absolute-errors
+    of the two canonical baseline forecasters over the dense hourly
+    cents series: NAIVE (ŷ_h = y_{h-1}) and SEASONAL-NAIVE
+    (ŷ_h = y_{h-24}) — the evaluation every forecasting pipeline
+    runs FIRST, because a model that cannot beat s-naive on MAE has
+    no business shipping.  A seasonal series shows sae24/n24 well
+    below sae1/n1; all error sums are EXACT int64 (integer cents on
+    the dense spine), so the comparison is hash-exact with no float
+    anywhere.
+
+    Scale shape: the only distributed pass is the hourly contraction
+    (≤ |types| × span-hours keys); the lagged-error scan runs on the
+    output-sized folded grid.
+
+    Oracle: full SQL — dense spine via generate_series, lag window
+    errors, the same integer sums.
+    """
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h0 = h.hour.min()
+    spine = pd.date_range(h0, h.hour.max(), freq="h")
+    types = sorted(h.event_type.unique())
+    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    t_ix = {t: i for i, t in enumerate(types)}
+    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
+    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
+        h.cents.to_numpy(dtype=np.int64)
+    rows = []
+    for t in types:
+        s = grid[t_ix[t]]
+        e1 = np.abs(s[1:] - s[:-1])
+        e24 = np.abs(s[24:] - s[:-24]) if len(s) > 24 \
+            else np.array([], dtype=np.int64)
+        rows.append((t, len(e1), int(e1.sum()),
+                     len(e24), int(e24.sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "n1", "sae1",
+                                      "n24", "sae24"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_BACKTEST_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+  SELECT t.event_type, hrs.hour,
+         CAST(coalesce(h.cents, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN h ON h.event_type = t.event_type AND h.hour = hrs.hour),
+lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY hour) AS c1,
+         lag(c, 24) OVER (PARTITION BY event_type ORDER BY hour) AS c24
+  FROM grid)
+SELECT event_type,
+       CAST(count(c1) AS BIGINT) AS n1,
+       CAST(coalesce(sum(abs(c - c1)), 0) AS BIGINT) AS sae1,
+       CAST(count(c24) AS BIGINT) AS n24,
+       CAST(coalesce(sum(abs(c - c24)), 0) AS BIGINT) AS sae24
+FROM lagged GROUP BY event_type
+"""

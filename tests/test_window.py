@@ -3101,3 +3101,33 @@ class TestDocCompressRatio:
         rep = ("spam " * 500).encode()
         num = len(zlib.compress(rep, 6)) * 1_000_000
         assert (2 * num + len(rep)) // (2 * len(rep)) < CR_REP_FP
+
+
+class TestEventsForecastBacktest:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_forecast_backtest
+        got = events_forecast_backtest(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        ev["hour"] = ev.ts.dt.floor("h")
+        ev["cents"] = _cents(ev.value.to_numpy())
+        spine = pd.date_range(ev.hour.min(), ev.hour.max(), freq="h")
+        rows = []
+        for et in sorted(ev.event_type.unique()):
+            s = ev[ev.event_type == et].groupby("hour")["cents"].sum() \
+                .reindex(spine, fill_value=0).to_numpy(np.int64)
+            e1 = np.abs(np.diff(s))
+            e24 = np.abs(s[24:] - s[:-24])
+            rows.append((et, len(e1), int(e1.sum()),
+                         len(e24), int(e24.sum())))
+        ref = pd.DataFrame(rows, columns=got.columns.tolist()) \
+            .astype({c: "int64" for c in got.columns[1:]})
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_seasonal_series_prefers_snaive(self):
+        # planted period-24 series: seasonal-naive error is exactly 0
+        s = np.tile(np.arange(24, dtype=np.int64) * 100, 10)
+        assert np.abs(s[24:] - s[:-24]).sum() == 0
+        assert np.abs(np.diff(s)).sum() > 0
