@@ -198,3 +198,69 @@ UNION ALL
 SELECT 'docs_nchars_mismatch', count(*) FROM documents
 WHERE n_chars <> length(text)
 """
+
+
+# ------------------------------------------------- k-anonymity audit
+
+K_ANON = 5
+
+
+def customer_k_anonymity(sf_dir: str):
+    """K-ANONYMITY AUDIT over the customer table's quasi-identifier
+    pair (nation, market segment): the privacy / re-identification
+    check a governance pipeline runs before an export — every
+    equivalence class smaller than k = 5 is a re-identification risk.
+    One summary row: class count, violating-class count, rows at
+    risk, and the smallest class size (the k the table actually
+    satisfies).
+
+    Scale shape: per-batch partials contract to the tiny QI domain
+    (|nations| × |segments|), one small_domain_fold, and the audit
+    scan runs on the output-sized class table.  dq_validate's
+    multi-table report is the completeness sibling; this is the
+    privacy one.
+
+    Oracle: full SQL — the same grouped counts and summary.
+    """
+    import pandas as pd
+
+    from ..stages.util import small_domain_fold
+    from ._common import _meta_read, _t
+    ds = _meta_read(_t(sf_dir, "customer"),
+                    columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["c_nationkey", "c_mktsegment"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g.n.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    cls = small_domain_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["c_nationkey", "c_mktsegment"], sum_cols=["n"]) \
+        .to_pandas()
+    viol = cls[cls.n < K_ANON]
+    out = pd.DataFrame({
+        "n_classes": [len(cls)],
+        "n_violating": [len(viol)],
+        "rows_at_risk": [int(viol.n.sum())],
+        "min_class_size": [int(cls.n.min())],
+        "k_required": [K_ANON]})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+CUSTOMER_K_ANON_SQL = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) FILTER (n < {K_ANON}) AS BIGINT) AS n_violating,
+       CAST(coalesce(sum(n) FILTER (n < {K_ANON}), 0) AS BIGINT)
+           AS rows_at_risk,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST({K_ANON} AS BIGINT) AS k_required
+FROM cls
+"""
