@@ -1046,7 +1046,17 @@ def embedding_outliers(sf_dir: str):
         rows = np.arange(len(vid))
         hit = cid[np.clip(self_col, 0, len(cid) - 1)] == vid
         d2[rows[hit], self_col[hit]] = np.inf          # exclude self
+        # small-corpus guard (review finding): a node needs OUT_K real
+        # (non-self) neighbours or it has no k-th distance — the SQL
+        # oracle's rn = OUT_K emits no row there; np.partition would
+        # raise (or surface the self inf as a bogus int64)
+        if d2.shape[1] <= OUT_K:
+            return empty
         kth = np.partition(d2, OUT_K - 1, axis=1)[:, OUT_K - 1]
+        ok = np.isfinite(kth)
+        vid, kth = vid[ok], kth[ok]
+        if not len(vid):
+            return empty
         df = {"vec_id": vid, "d2_k": kth.astype(np.int64)}
         # per-batch top partial: keep only the OUT_TOP most isolated
         sel = np.lexsort((df["vec_id"], -df["d2_k"]))[:OUT_TOP]

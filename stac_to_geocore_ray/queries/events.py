@@ -3982,6 +3982,39 @@ GROUP BY v.event_type, m.n, m.med_cents
 
 # ------------------------------------- type-pair series correlation
 
+def _dense_hourly_grid(sf_dir: str):
+    """Shared dense per-type hourly cents grid (review finding: four
+    ops carried verbatim copies).  One small_domain_fold over the
+    ≤ |types| × span-hours domain, then a driver-side output-sized
+    scatter.  Returns (types, spine, grid): int64 grid of shape
+    (T, H), 0 for absent hours."""
+    import pandas as pd
+
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["cents"] = _cents(df.value.to_numpy())
+        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys=["event_type", "hour"],
+                          sum_cols=["cents"]).to_pandas()
+    h0 = h.hour.min()
+    spine = pd.date_range(h0, h.hour.max(), freq="h")
+    types = sorted(h.event_type.unique())
+    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    t_ix = {t: i for i, t in enumerate(types)}
+    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
+    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
+        h.cents.to_numpy(dtype=np.int64)
+    return types, spine, grid
+
+
 def events_type_corr(sf_dir: str):
     """PAIRWISE PEARSON CORRELATION MATRIX between the per-type hourly
     revenue series — the metric-correlation scan behind dashboards and
@@ -4005,30 +4038,8 @@ def events_type_corr(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _meta_read(_t(sf_dir, "events"),
-                    columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df.ts.dt.floor("h")
-        df["cents"] = _cents(df.value.to_numpy())
-        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
-            .sum().reset_index()
-        return table_from_pandas(g, preserve_index=False)
-
-    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                          keys=["event_type", "hour"],
-                          sum_cols=["cents"]).to_pandas()
-    h0, h1 = h.hour.min(), h.hour.max()
-    import pandas as pd
-    spine = pd.date_range(h0, h1, freq="h")
-    types = sorted(h.event_type.unique())
-    # dense T×H int64 grid (0 for absent hours)
-    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    types, spine, grid = _dense_hourly_grid(sf_dir)
     t_ix = {t: i for i, t in enumerate(types)}
-    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
-    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
-        h.cents.to_numpy(dtype=np.int64)
 
     n = len(spine)
     # exact Python-int sufficient statistics (int64 matmul would
@@ -4115,28 +4126,8 @@ def events_acf(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _meta_read(_t(sf_dir, "events"),
-                    columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df.ts.dt.floor("h")
-        df["cents"] = _cents(df.value.to_numpy())
-        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
-            .sum().reset_index()
-        return table_from_pandas(g, preserve_index=False)
-
-    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                          keys=["event_type", "hour"],
-                          sum_cols=["cents"]).to_pandas()
-    h0, h1 = h.hour.min(), h.hour.max()
-    spine = pd.date_range(h0, h1, freq="h")
-    types = sorted(h.event_type.unique())
-    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    types, spine, grid = _dense_hourly_grid(sf_dir)
     t_ix = {t: i for i, t in enumerate(types)}
-    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
-    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
-        h.cents.to_numpy(dtype=np.int64)
 
     rows = []
     for t in types:
@@ -4477,32 +4468,16 @@ def events_sax(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _meta_read(_t(sf_dir, "events"),
-                    columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df.ts.dt.floor("h")
-        df["cents"] = _cents(df.value.to_numpy())
-        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
-            .sum().reset_index()
-        return table_from_pandas(g, preserve_index=False)
-
-    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                          keys=["event_type", "hour"],
-                          sum_cols=["cents"]).to_pandas()
-    h0, h1 = h.hour.min(), h.hour.max()
-    spine = pd.date_range(h0, h1, freq="h")
-    H = len(spine)
-    wlen = H // SAX_W
-    types = sorted(h.event_type.unique())
-    grid = np.zeros((len(types), H), dtype=np.int64)
+    types, spine, grid = _dense_hourly_grid(sf_dir)
     t_ix = {t: i for i, t in enumerate(types)}
-    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
-    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
-        h.cents.to_numpy(dtype=np.int64)
-    # PAA: SAX_W equal windows of wlen hours, tail truncated
-    paa = grid[:, :SAX_W * wlen].reshape(len(types), SAX_W, wlen) \
+    H = len(spine)
+    # short-span degradation (review finding: H < SAX_W made wlen 0
+    # — IndexError here, division-by-zero in the oracle): the
+    # effective window count is min(SAX_W, H) on BOTH sides
+    w_eff = min(SAX_W, H)
+    wlen = H // w_eff
+    # PAA: w_eff equal windows of wlen hours, tail truncated
+    paa = grid[:, :w_eff * wlen].reshape(len(types), w_eff, wlen) \
         .sum(axis=2)
     allv = np.sort(paa.ravel())
     n = len(allv)
@@ -4517,7 +4492,7 @@ def events_sax(sf_dir: str):
         sym = np.where(v <= q1, 0, np.where(v <= q2, 1,
                        np.where(v <= q3, 2, 3)))
         rows.append((t, "".join(SAX_SYMS[s] for s in sym),
-                     SAX_W, wlen))
+                     w_eff, wlen))
     out = pd.DataFrame(rows, columns=["event_type", "sax",
                                       "n_windows", "win_hours"])
     out["n_windows"] = out.n_windows.astype("int64")
@@ -4535,7 +4510,8 @@ span AS (
          CAST(date_diff('hour', min(hour), max(hour)) + 1 AS BIGINT)
              AS nh
   FROM h),
-par AS (SELECT h0, nh, nh // {SAX_W} AS wlen FROM span),
+par AS (SELECT h0, nh, LEAST(nh, {SAX_W}) AS w_eff,
+            nh // LEAST(nh, {SAX_W}) AS wlen FROM span),
 hours AS (
   SELECT unnest(generate_series(0, CAST(nh - 1 AS BIGINT))) AS hidx
   FROM par),
@@ -4549,7 +4525,7 @@ grid AS (
 paa AS (
   SELECT event_type, hidx // par.wlen AS w, sum(c) AS v
   FROM grid CROSS JOIN par
-  WHERE hidx < par.wlen * {SAX_W}
+  WHERE hidx < par.wlen * par.w_eff
   GROUP BY 1, 2),
 brk AS (
   SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
@@ -4562,7 +4538,7 @@ sym AS (
               WHEN v <= q3 THEN 'c' ELSE 'd' END AS s
   FROM paa CROSS JOIN brk)
 SELECT event_type, string_agg(s, '' ORDER BY w) AS sax,
-       CAST({SAX_W} AS BIGINT) AS n_windows,
+       (SELECT CAST(w_eff AS BIGINT) FROM par) AS n_windows,
        (SELECT CAST(wlen AS BIGINT) FROM par) AS win_hours
 FROM sym GROUP BY event_type
 """
@@ -4655,28 +4631,8 @@ def events_forecast_backtest(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _meta_read(_t(sf_dir, "events"),
-                    columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df.ts.dt.floor("h")
-        df["cents"] = _cents(df.value.to_numpy())
-        g = df.groupby(["event_type", "hour"], sort=False)["cents"] \
-            .sum().reset_index()
-        return table_from_pandas(g, preserve_index=False)
-
-    h = small_domain_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                          keys=["event_type", "hour"],
-                          sum_cols=["cents"]).to_pandas()
-    h0 = h.hour.min()
-    spine = pd.date_range(h0, h.hour.max(), freq="h")
-    types = sorted(h.event_type.unique())
-    grid = np.zeros((len(types), len(spine)), dtype=np.int64)
+    types, spine, grid = _dense_hourly_grid(sf_dir)
     t_ix = {t: i for i, t in enumerate(types)}
-    hi = ((h.hour - h0).dt.total_seconds() // 3600).astype(np.int64)
-    grid[h.event_type.map(t_ix).to_numpy(), hi.to_numpy()] = \
-        h.cents.to_numpy(dtype=np.int64)
     rows = []
     for t in types:
         s = grid[t_ix[t]]

@@ -2248,11 +2248,16 @@ def geo_mosaic_pick(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         bb = _bbox_matrix(batch)
         ix, iy, keep = _grid_ixiy(bb, FOCAL_Z)
-        df = pd.DataFrame({
-            "ix": ix[keep], "iy": iy[keep],
-            "enc": (batch["datetime"].to_pandas().to_numpy()[keep]
-                    + "|"
-                    + batch["item_id"].to_pandas().to_numpy()[keep])})
+        iid = batch["item_id"].to_pandas().to_numpy()[keep]
+        dt = batch["datetime"].to_pandas().to_numpy()[keep]
+        # the encoded-max contract needs a separator-free id: the SQL
+        # side reads it back with split_part (review finding — an id
+        # containing '|' would silently diverge between the sides)
+        if len(iid) and (np.char.find(iid.astype(str), "|") >= 0).any():
+            raise ValueError("geo_mosaic_pick: item_id contains the "
+                             "'|' encoding separator")
+        df = pd.DataFrame({"ix": ix[keep], "iy": iy[keep],
+                           "enc": dt + "|" + iid})
         g = df.groupby(["ix", "iy"], sort=False).agg(
             best=("enc", "max"), n_items=("enc", "size")).reset_index()
         g["n_items"] = g.n_items.astype("int64")

@@ -3223,6 +3223,20 @@ FROM r
 LP_K = 20          # seed set: the top-K hub parts by co-purchase degree
 
 
+def _edge_degrees(edges):
+    """Node-domain degree table from a (pa, pb) edge Dataset — the
+    shared per-batch unique-endpoint partial + small_domain_fold
+    (review finding: the block was copied per graph op)."""
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": u, "d": c.astype(np.int64)})
+
+    return small_domain_fold(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["d"]).to_pandas()
+
+
 def graph_link_predict(sf_dir: str):
     """SEEDED LINK PREDICTION over the co-purchase graph: for every
     pair among the top-``LP_K`` hub parts (degree desc, part id ties),
@@ -3260,15 +3274,7 @@ def graph_link_predict(sf_dir: str):
     import ray
 
     edges = _basket_pair_counts(sf_dir).drop_columns(["n"]).materialize()
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
-        u, c = np.unique(ids, return_counts=True)
-        return pa.table({"node": u, "d": c.astype(np.int64)})
-
-    deg_df = small_domain_fold(
-        edges.map_batches(deg_partial, batch_format="pyarrow"),
-        keys=["node"], sum_cols=["d"]).to_pandas()
+    deg_df = _edge_degrees(edges)
     deg_df = deg_df.sort_values(["d", "node"],
                                 ascending=[False, True])
     top = deg_df.head(LP_K)
@@ -3408,15 +3414,7 @@ def _kcore_edges_nodes(sf_dir: str):
     ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
     edges = _basket_pair_counts(sf_dir).drop_columns(["n"]) \
         .repartition(ncpu).materialize()
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        ids = np.r_[batch["pa"].to_numpy(), batch["pb"].to_numpy()]
-        u, c = np.unique(ids, return_counts=True)
-        return pa.table({"node": u, "d": c.astype(np.int64)})
-
-    deg_df = small_domain_fold(
-        edges.map_batches(deg_partial, batch_format="pyarrow"),
-        keys=["node"], sum_cols=["d"]).to_pandas()
+    deg_df = _edge_degrees(edges)
     nodes = np.sort(deg_df["node"].to_numpy(dtype=np.int64))
     est = deg_df.set_index("node")["d"] \
         .reindex(nodes).to_numpy(dtype=np.int64)

@@ -442,20 +442,29 @@ class TestMoransI:
         side = 1 << FOCAL_Z
         G = side * side
         W = 4 * side * (side - 1) + 4 * (side - 1) ** 2
-        grid = np.zeros((side, side), dtype=object)
+        s1 = int(occ.n.sum())
+        # full dense brute force (vectorized shifts: exact ints via
+        # object dtype) — review finding: this comparison was stubbed
+        grid = np.zeros((side, side), dtype=np.int64)
         grid[occ.ix.to_numpy(), occ.iy.to_numpy()] = \
             occ.n.to_numpy(dtype=np.int64)
-        s1 = int(occ.n.sum())
-        d = G * grid - s1
-        num = den = 0
-        ii, jj = np.nonzero(np.ones((side, side)))
-        # brute pair sum restricted to cells adjacent to an occupied
-        # cell would miss empty-empty pairs; do the full analytic check
-        # on a SMALL planted grid instead and check anchors here
+        d = (G * grid.astype(object) - s1)
+        den = int((d * d).sum())
+        num = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                a = d[max(dx, 0):side + min(dx, 0),
+                      max(dy, 0):side + min(dy, 0)]
+                b = d[max(-dx, 0):side + min(-dx, 0),
+                      max(-dy, 0):side + min(-dy, 0)]
+                num += int((a * b).sum())
+        i_brute = (G * num) / (W * den)
         assert got.n_cells.iloc[0] == G
         assert got.w_pairs.iloc[0] == W
         assert got.s1.iloc[0] == s1
-        assert -1.5 <= got.i_r.iloc[0] <= 1.0001
+        assert abs(got.i_r.iloc[0] - i_brute) < 1e-6
 
     def test_planted_grids(self):
         # analytic formulas vs brute force on tiny planted grids
