@@ -173,6 +173,21 @@ def run_bench() -> dict:
         timed("events_hourly_ivm",
               lambda: q.events_hourly_ivm(sf_dir).num_rows
               if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # bidirectional nearest-in-time join (two carries on the
+        # shared sorted stream)
+        timed("events_nearest_join",
+              lambda: q.events_nearest_join(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # exact MAD via the bounded-domain histogram (two-level
+        # holistic from ONE shuffle)
+        timed("events_mad",
+              lambda: q.events_mad(sf_dir).count()
+              if os.path.exists(os.path.join(sf_dir, "events.parquet")) else 0)
+        # PMI collocations: bigram pair-code fold + distributed
+        # fixed-point ranking
+        timed("doc_pmi",
+              lambda: q.doc_pmi_collocations(sf_dir).num_rows
+              if os.path.exists(os.path.join(sf_dir, "documents.parquet")) else 0)
 
     result = {
         "metric": "spatial-join + tile-assignment throughput",
