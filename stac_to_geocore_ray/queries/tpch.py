@@ -3557,3 +3557,115 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                  ELSE c_custkey END AS BIGINT) AS cluster
 FROM mins
 """
+
+
+# ------------------------------------------------- RFM segmentation
+
+def customer_rfm(sf_dir: str):
+    """RFM SEGMENTATION — per customer with ≥ 1 order: recency (days
+    from last order to the corpus max date), frequency (order count),
+    monetary (total cents), and the classic 3-digit quartile code
+    (4 = best quartile on each axis; recency inverts — fewer days is
+    better): the marketing/cohort segmentation every commerce
+    pipeline materializes.
+
+    Determinism: all three metrics are exact integers; quartile
+    thresholds are quantile_disc order statistics (ceil(q·n)-1, the
+    engine-wide convention) of each metric's customer-level
+    distribution, and the code CASE uses <= on those exact
+    thresholds — no ntile positional ambiguity, no floats.
+
+    Scale shape: per-batch partials contract orders to the CUSTOMER
+    domain (catalog-bounded, the pagerank/k-core driver-residency
+    rule) through sorted_combine (max date / sum / count); thresholds
+    and codes run on the output-sized customer table.
+
+    Oracle: full SQL — identical aggregates, quantile_disc
+    thresholds, identical CASE.
+    """
+    import pandas as pd
+
+    from ..stages.util import sorted_combine
+    from ._common import _cents
+    ds = _meta_read(_t(sf_dir, "orders"),
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = _cents(df.o_totalprice.to_numpy())
+        df["one"] = np.int64(1)
+        g = df.groupby("o_custkey", sort=False).agg(
+            last_date=("o_orderdate", "max"),
+            n_orders=("one", "sum"),
+            cents=("cents", "sum")).reset_index()
+        g["n_orders"] = g.n_orders.astype("int64")
+        g["cents"] = g.cents.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    cust = sorted_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"last_date": "max", "n_orders": "sum",
+              "cents": "sum"}).to_pandas()
+    anchor = cust.last_date.max()
+    r_days = ((anchor - cust.last_date).dt.total_seconds()
+              // 86400).astype(np.int64).to_numpy()
+    f = cust.n_orders.to_numpy(dtype=np.int64)
+    m = cust.cents.to_numpy(dtype=np.int64)
+
+    def disc(a: np.ndarray, q: float) -> int:
+        c = np.sort(a)
+        return int(c[min(max(int(np.ceil(q * len(c))) - 1, 0),
+                         len(c) - 1)])
+
+    def code_asc(a, q1, q2, q3):            # bigger = better
+        return np.where(a <= q1, 1, np.where(a <= q2, 2,
+                        np.where(a <= q3, 3, 4))).astype(np.int64)
+
+    rq = [disc(r_days, x) for x in (0.25, 0.5, 0.75)]
+    fq = [disc(f, x) for x in (0.25, 0.5, 0.75)]
+    mq = [disc(m, x) for x in (0.25, 0.5, 0.75)]
+    r_code = np.where(r_days <= rq[0], 4, np.where(r_days <= rq[1], 3,
+                      np.where(r_days <= rq[2], 2, 1))).astype(np.int64)
+    f_code = code_asc(f, *fq)
+    m_code = code_asc(m, *mq)
+    out = pd.DataFrame({
+        "c_custkey": cust.o_custkey.to_numpy(dtype=np.int64),
+        "r_days": r_days, "n_orders": f, "cents": m,
+        "rfm": (r_code * 100 + f_code * 10 + m_code).astype(np.int64)})
+    return table_from_pandas(out.sort_values("c_custkey"),
+                             preserve_index=False)
+
+
+CUSTOMER_RFM_SQL = """
+WITH c AS (
+  SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_date,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+a AS (SELECT max(last_date) AS anchor FROM c),
+r AS (
+  SELECT c.*, CAST(date_diff('day', last_date, anchor) AS BIGINT)
+             AS r_days
+  FROM c CROSS JOIN a),
+q AS (
+  SELECT quantile_disc(r_days, 0.25) AS r1, quantile_disc(r_days, 0.5)
+             AS r2, quantile_disc(r_days, 0.75) AS r3,
+         quantile_disc(n_orders, 0.25) AS f1,
+         quantile_disc(n_orders, 0.5) AS f2,
+         quantile_disc(n_orders, 0.75) AS f3,
+         quantile_disc(cents, 0.25) AS m1,
+         quantile_disc(cents, 0.5) AS m2,
+         quantile_disc(cents, 0.75) AS m3
+  FROM r)
+SELECT c_custkey, r_days, n_orders, cents,
+       CAST((CASE WHEN r_days <= r1 THEN 4 WHEN r_days <= r2 THEN 3
+                  WHEN r_days <= r3 THEN 2 ELSE 1 END) * 100
+            + (CASE WHEN n_orders <= f1 THEN 1 WHEN n_orders <= f2
+                    THEN 2 WHEN n_orders <= f3 THEN 3 ELSE 4 END) * 10
+            + (CASE WHEN cents <= m1 THEN 1 WHEN cents <= m2 THEN 2
+                    WHEN cents <= m3 THEN 3 ELSE 4 END)
+            AS BIGINT) AS rfm
+FROM r CROSS JOIN q
+"""

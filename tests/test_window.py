@@ -3131,3 +3131,49 @@ class TestEventsForecastBacktest:
         s = np.tile(np.arange(24, dtype=np.int64) * 100, 10)
         assert np.abs(s[24:] - s[:-24]).sum() == 0
         assert np.abs(np.diff(s)).sum() > 0
+
+
+class TestCustomerRFM:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import customer_rfm
+        got = customer_rfm(SF).to_pandas().reset_index(drop=True)
+
+        o = pd.read_parquet(f"{SF}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+        o["cents"] = _cents(o.o_totalprice.to_numpy())
+        c = o.groupby("o_custkey").agg(
+            last_date=("o_orderdate", "max"),
+            n_orders=("o_orderdate", "size"),
+            cents=("cents", "sum")).reset_index()
+        anchor = c.last_date.max()
+        c["r_days"] = ((anchor - c.last_date).dt.total_seconds()
+                       // 86400).astype("int64")
+
+        def disc(a, q):
+            s = np.sort(np.asarray(a))
+            return int(s[min(max(int(np.ceil(q * len(s))) - 1, 0),
+                             len(s) - 1)])
+
+        def code(a, qs, asc):
+            a = np.asarray(a)
+            c4 = np.where(a <= qs[0], 1, np.where(a <= qs[1], 2,
+                          np.where(a <= qs[2], 3, 4)))
+            return c4 if asc else 5 - c4
+
+        rq = [disc(c.r_days, x) for x in (0.25, 0.5, 0.75)]
+        fq = [disc(c.n_orders, x) for x in (0.25, 0.5, 0.75)]
+        mq = [disc(c.cents, x) for x in (0.25, 0.5, 0.75)]
+        rfm = (code(c.r_days, rq, False) * 100
+               + code(c.n_orders, fq, True) * 10
+               + code(c.cents, mq, True))
+        ref = pd.DataFrame({
+            "c_custkey": c.o_custkey.astype("int64"),
+            "r_days": c.r_days.astype("int64"),
+            "n_orders": c.n_orders.astype("int64"),
+            "cents": c.cents.astype("int64"),
+            "rfm": rfm.astype("int64")}) \
+            .sort_values("c_custkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+        # codes span the quartile range and best-best-best exists
+        assert got.rfm.between(111, 444).all()
