@@ -3669,3 +3669,154 @@ SELECT c_custkey, r_days, n_orders, cents,
             AS BIGINT) AS rfm
 FROM r CROSS JOIN q
 """
+
+
+# ------------------------------------------------ association rules
+
+RULE_MIN_CONF_FP = 20_000        # confidence >= 0.02
+
+
+def basket_rules(sf_dir: str):
+    """ASSOCIATION-RULE MINING — the directed rules a -> b over the
+    frequent co-purchase pairs (support ≥ BASKET_MINSUP), with exact
+    integer supports and fixed-point CONFIDENCE P(b|a) and LIFT
+    P(b|a)/P(b): the step that turns market_basket_pairs' undirected
+    pair counts into actionable recommendations.  Both directions
+    emit (a rule and its converse have different confidences); rules
+    below confidence 0.02 drop.
+
+    Determinism: conf_fp = floor(1e6·n_ab/n_a + 0.5) and lift_fp =
+    floor(1e6·n_ab·N/(n_a·n_b) + 0.5) via exact integer half-away
+    division on BOTH sides (no float division anywhere).
+
+    Scale shape: pair supports are the shared _basket_pair_counts
+    front; item supports (distinct baskets per part) contract
+    per-batch to the catalog domain; N (distinct baskets) comes from
+    a small fold; the rule expansion is per-pair vectorized with the
+    catalog-bounded support table broadcast.
+
+    Oracle: full SQL — same supports, same integer half-away fixed
+    points ((2·num + den) // (2·den)).
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.util import sorted_combine
+    pairs = _basket_pair_counts(sf_dir).materialize()
+
+    # item supports: distinct baskets containing the part
+    ds = _meta_read(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+
+    def item_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = df.groupby("l_partkey", sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g.n.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    # a basket lives in one block only after the pair front's sort;
+    # raw batches may split a basket, so count distinct (order, part)
+    # pairs through the same distinct machinery: per-batch dedup can
+    # overcount a (order, part) straddling batches — route through
+    # sorted_combine on the PAIR then count per part
+    def op_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["one"] = np.int64(1)
+        return table_from_pandas(df, preserve_index=False)
+
+    op = sorted_combine(ds.map_batches(op_partial, batch_format="pyarrow"),
+                        keys=["l_orderkey", "l_partkey"],
+                        aggs={"one": "max"})
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_partkey", sort=False)["one"].sum() \
+            .reset_index(name="n")
+        g["n"] = g.n.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    supp_df = small_domain_fold(op.map_batches(per_part,
+                                               batch_format="pyarrow"),
+                                keys=["l_partkey"],
+                                sum_cols=["n"]).to_pandas()
+
+    def basket_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["l_orderkey"]].drop_duplicates()
+        df["one"] = np.int64(1)
+        return table_from_pandas(df, preserve_index=False)
+
+    baskets = sorted_combine(
+        ds.map_batches(basket_partial, batch_format="pyarrow"),
+        keys=["l_orderkey"], aggs={"one": "max"})
+    n_baskets = int(baskets.count())
+
+    s_nodes = np.sort(supp_df.l_partkey.to_numpy(dtype=np.int64))
+    s_vals = supp_df.set_index("l_partkey")["n"] \
+        .reindex(s_nodes).to_numpy(dtype=np.int64)
+    supp_ref = ray.put((s_nodes, s_vals))
+
+    def rules(batch: pa.Table, _ref=supp_ref) -> pa.Table:
+        nd, sv = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) \
+            else _ref
+        t = batch.filter(pc.greater_equal(batch["n"], BASKET_MINSUP))
+        a = t["pa"].to_numpy()
+        b = t["pb"].to_numpy()
+        nab = pc.cast(t["n"], pa.int64()).to_numpy()
+        na = sv[np.searchsorted(nd, a)]
+        nb = sv[np.searchsorted(nd, b)]
+        # both directions
+        ante = np.r_[a, b]
+        cons = np.r_[b, a]
+        n_ante = np.r_[na, nb]
+        n_cons = np.r_[nb, na]
+        nab2 = np.r_[nab, nab]
+        conf = (2 * nab2 * 1_000_000 + n_ante) // (2 * n_ante)
+        lift_num = nab2.astype(object) * n_baskets * 1_000_000
+        lift_den = n_ante.astype(object) * n_cons
+        lift = ((2 * lift_num + lift_den)
+                // (2 * lift_den)).astype(np.int64)
+        keep = conf >= RULE_MIN_CONF_FP
+        return pa.table({
+            "antecedent": pa.array(ante[keep], pa.int64()),
+            "consequent": pa.array(cons[keep], pa.int64()),
+            "n_ab": pa.array(nab2[keep], pa.int64()),
+            "n_a": pa.array(n_ante[keep], pa.int64()),
+            "conf_fp": pa.array(conf[keep].astype(np.int64)),
+            "lift_fp": pa.array(lift[keep])})
+
+    return pairs.map_batches(rules, batch_format="pyarrow")
+
+
+BASKET_RULES_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {2}),
+s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       FROM d),
+dir2 AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab FROM p
+  UNION ALL
+  SELECT pb, pa, n_ab FROM p),
+r AS (
+  SELECT b.antecedent, b.consequent, b.n_ab, sa.n AS n_a,
+         (2 * b.n_ab * 1000000 + sa.n) // (2 * sa.n) AS conf_fp,
+         (2 * (CAST(b.n_ab AS HUGEINT) * nb.n_baskets * 1000000)
+          + CAST(sa.n AS HUGEINT) * sc.n)
+             // (2 * CAST(sa.n AS HUGEINT) * sc.n) AS lift_fp
+  FROM dir2 b
+  JOIN s sa ON sa.l_partkey = b.antecedent
+  JOIN s sc ON sc.l_partkey = b.consequent
+  CROSS JOIN nb)
+SELECT antecedent, consequent, n_ab, n_a,
+       CAST(conf_fp AS BIGINT) AS conf_fp,
+       CAST(lift_fp AS BIGINT) AS lift_fp
+FROM r WHERE conf_fp >= {RULE_MIN_CONF_FP}
+"""

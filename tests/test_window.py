@@ -3177,3 +3177,41 @@ class TestCustomerRFM:
         pd.testing.assert_frame_equal(got, ref)
         # codes span the quartile range and best-best-best exists
         assert got.rfm.between(111, 444).all()
+
+
+class TestBasketRules:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import basket_rules
+        from stac_to_geocore_ray.queries.tpch import (BASKET_MINSUP,
+                                                      RULE_MIN_CONF_FP)
+        got = basket_rules(SF).to_pandas() \
+            .sort_values(["antecedent", "consequent"]) \
+            .reset_index(drop=True)
+
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"]) \
+            .drop_duplicates()
+        m = li.merge(li, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        pc_ = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+        supp = li.groupby("l_partkey").size().to_dict()
+        N = li.l_orderkey.nunique()
+        rows = []
+        for (a, b), nab in pc_.items():
+            if nab < BASKET_MINSUP:
+                continue
+            for ante, cons in ((a, b), (b, a)):
+                na, nc = supp[ante], supp[cons]
+                conf = (2 * nab * 1_000_000 + na) // (2 * na)
+                lift = ((2 * nab * N * 1_000_000 + na * nc)
+                        // (2 * na * nc))
+                if conf >= RULE_MIN_CONF_FP:
+                    rows.append((ante, cons, nab, na, conf, lift))
+        ref = pd.DataFrame(rows, columns=got.columns.tolist()) \
+            .sort_values(["antecedent", "consequent"]) \
+            .reset_index(drop=True) \
+            .astype({c: "int64" for c in got.columns})
+        pd.testing.assert_frame_equal(got, ref)
+        # lift > 1e6 means positively associated; the strongest rule
+        # must clear independence
+        assert got.lift_fp.max() > 1_000_000
