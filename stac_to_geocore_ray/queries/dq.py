@@ -264,3 +264,124 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
        CAST({K_ANON} AS BIGINT) AS k_required
 FROM cls
 """
+
+
+# ---------------------------------------------------- column profiler
+
+PROFILE_NUM_COLS = ("event_id", "user_id")
+
+
+def events_profile(sf_dir: str):
+    """COLUMN PROFILING (the Deequ / dbt-docs class): per profiled
+    events column — row count, null count, EXACT distinct count, and
+    numeric min/max — the table-of-contents stats a pipeline
+    materializes before anyone writes a filter.  Numeric columns
+    profile (event_id, user_id, value-as-cents); event_type profiles
+    counts/distincts with NULL min/max (non-numeric).
+
+    Scale shape: counts and min/max contract per batch to ONE row per
+    column (sorted_combine's sum|min|max paths); the exact distinct
+    count moves every distinct (column, value) pair through one sort
+    — the honest cost of exactness (events_distinct_users' rule;
+    events_hll_users/hll_overlap are the sketch alternative when the
+    key domain itself is data-sized).
+
+    Oracle: full SQL — per-column UNION ALL of the same aggregates.
+    """
+    import pandas as pd
+
+    from ..stages.util import small_domain_fold, sorted_combine
+    from ._common import _cents
+    ds = _meta_read(_t(sf_dir, "events"),
+                    columns=["event_id", "user_id", "event_type",
+                             "value"])
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["value_cents"] = _cents(df.value.to_numpy())
+        rows = []
+        for col in (*PROFILE_NUM_COLS, "value_cents"):
+            v = df[col]
+            nn = v.notna()
+            rows.append((col, len(v), int((~nn).sum()),
+                         int(v[nn].min()) if nn.any() else None,
+                         int(v[nn].max()) if nn.any() else None))
+        v = df["event_type"]
+        rows.append(("event_type", len(v), int(v.isna().sum()),
+                     None, None))
+        out = pd.DataFrame(rows, columns=["column", "n", "n_null",
+                                          "mn", "mx"])
+        out["n"] = out.n.astype("int64")
+        out["n_null"] = out.n_null.astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    stats = sorted_combine(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        keys=["column"],
+        aggs={"n": "sum", "n_null": "sum", "mn": "min",
+              "mx": "max"}).to_pandas()
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["value_cents"] = _cents(df.value.to_numpy())
+        outs = []
+        for col in (*PROFILE_NUM_COLS, "value_cents", "event_type"):
+            u = df[col].dropna().astype(str).unique()
+            outs.append(pd.DataFrame({"column": col, "val": u}))
+        out = pd.concat(outs, ignore_index=True)
+        out["one"] = np.int64(1)
+        return table_from_pandas(out, preserve_index=False)
+
+    dv = sorted_combine(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        keys=["column", "val"], aggs={"one": "max"})
+
+    def count_per_col(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("column", sort=False)["one"].sum() \
+            .reset_index(name="n_distinct")
+        g["n_distinct"] = g.n_distinct.astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    nd = small_domain_fold(dv.map_batches(count_per_col,
+                                          batch_format="pyarrow"),
+                           keys=["column"],
+                           sum_cols=["n_distinct"]).to_pandas()
+    out = stats.merge(nd, on="column")
+    out = out.rename(columns={"mn": "min_v", "mx": "max_v"})
+    out = out[["column", "n", "n_null", "n_distinct",
+               "min_v", "max_v"]].sort_values("column") \
+        .reset_index(drop=True)
+    out["min_v"] = out.min_v.astype("float64")
+    out["max_v"] = out.max_v.astype("float64")
+    return table_from_pandas(out, preserve_index=False)
+
+
+EVENTS_PROFILE_SQL = """
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_v,
+       CAST(max(event_id) AS DOUBLE) AS max_v
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value_cents', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT))
+            AS BIGINT),
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE),
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       NULL, NULL
+FROM events
+"""

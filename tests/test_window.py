@@ -3215,3 +3215,24 @@ class TestBasketRules:
         # lift > 1e6 means positively associated; the strongest rule
         # must clear independence
         assert got.lift_fp.max() > 1_000_000
+
+
+class TestEventsProfile:
+    def test_matches_pandas_reference(self, ray_session, tiny_blocks):
+        from stac_to_geocore_ray.queries import events_profile
+        got = events_profile(SF).to_pandas().set_index("column")
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev["value_cents"] = _cents(ev.value.to_numpy())
+        for col in ("event_id", "user_id", "value_cents"):
+            r = got.loc[col]
+            assert r.n == len(ev)
+            assert r.n_null == int(ev[col].isna().sum())
+            assert r.n_distinct == ev[col].nunique()
+            assert r.min_v == float(ev[col].min())
+            assert r.max_v == float(ev[col].max())
+        r = got.loc["event_type"]
+        assert r.n_distinct == ev.event_type.nunique()
+        assert np.isnan(r.min_v) and np.isnan(r.max_v)
+        # event_id is the table key: distinct == rows
+        assert got.loc["event_id"].n_distinct == len(ev)
