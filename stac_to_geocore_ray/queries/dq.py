@@ -324,13 +324,17 @@ def events_profile(sf_dir: str):
     def distinct_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["value_cents"] = _cents(df.value.to_numpy())
-        outs = []
+        cols, vals = [], []
         for col in (*PROFILE_NUM_COLS, "value_cents", "event_type"):
             u = df[col].dropna().astype(str).unique()
-            outs.append(pd.DataFrame({"column": col, "val": u}))
-        out = pd.concat(outs, ignore_index=True)
-        out["one"] = np.int64(1)
-        return table_from_pandas(out, preserve_index=False)
+            cols.extend([col] * len(u))
+            vals.extend(u)
+        # typed arrow build: an all-null/empty batch would otherwise
+        # infer a null-typed val column (executor schema warning)
+        return pa.table({"column": pa.array(cols, pa.string()),
+                         "val": pa.array(vals, pa.string()),
+                         "one": pa.array(
+                             np.ones(len(cols), np.int64))})
 
     dv = sorted_combine(
         ds.map_batches(distinct_partial, batch_format="pyarrow"),

@@ -58,6 +58,7 @@ def main() -> None:
               lambda: q.events_chisq_independence(EVENTS))
         timed("events_nearest_join",
               lambda: q.events_nearest_join(EVENTS))
+        timed("events_profile", lambda: q.events_profile(EVENTS))
     if os.path.exists(os.path.join(DOCS, "documents.parquet")):
         timed("doc_pmi_collocations",
               lambda: q.doc_pmi_collocations(DOCS))
@@ -65,6 +66,8 @@ def main() -> None:
     if os.path.exists(os.path.join(TPCH, "lineitem.parquet")):
         timed("graph_kcore", lambda: q.graph_kcore(TPCH))
         timed("graph_link_predict", lambda: q.graph_link_predict(TPCH))
+        timed("customer_rfm", lambda: q.customer_rfm(TPCH))
+        timed("basket_rules", lambda: q.basket_rules(TPCH))
 
     tracker.stop()
     tracker.join(timeout=3)
