@@ -357,7 +357,16 @@ def keyed_boundary_decompose(ds, sort_keys: list[str], key_col: str,
 
     done = mixed.map_batches(take_done, batch_format="pandas")
     deferred = mixed.map_batches(take_deferred, batch_format="pandas") \
-        .groupby(key_col).map_groups(fold, batch_format="pandas")
+        .groupby(key_col).map_groups(fold, batch_format="pandas") \
+        .materialize()
+    # the fold's sort shuffle emits ~#partitions blocks over (at most)
+    # 2 straddler keys per input block, so most partitions are EMPTY
+    # and surface as zero-column blocks (lesson 28's bypass) — the one
+    # remaining source of the executor's mixed-schema warning at 20M+
+    # on every kbd op.  The deferred branch is output-small (straddler
+    # keys only), so pinning it and dropping empty refs is a
+    # metadata-only cleanup, not a streaming break.
+    deferred = drop_empty_blocks(deferred)
     return done.union(deferred)
 
 
