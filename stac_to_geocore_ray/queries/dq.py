@@ -290,7 +290,7 @@ def events_profile(sf_dir: str):
     """
     import pandas as pd
 
-    from ..stages.util import small_domain_fold, sorted_combine
+    from ..stages.util import small_domain_fold, sorted_combine  # noqa: F401
     from ._common import _cents
     ds = _meta_read(_t(sf_dir, "events"),
                     columns=["event_id", "user_id", "event_type",
@@ -315,11 +315,19 @@ def events_profile(sf_dir: str):
         out["n_null"] = out.n_null.astype("int64")
         return table_from_pandas(out, preserve_index=False)
 
-    stats = sorted_combine(
-        ds.map_batches(stat_partial, batch_format="pyarrow"),
-        keys=["column"],
-        aggs={"n": "sum", "n_null": "sum", "mn": "min",
-              "mx": "max"}).to_pandas()
+    # 4-key domain: a sorted_combine here shuffles ~200 mostly-empty
+    # partitions (the lesson-30 tiny-domain rule) — one fold task
+    # handles the O(#blocks x 4) partial rows instead
+    def stats_fold(df: pd.DataFrame):
+        g = df.groupby("column", as_index=False).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        return table_from_pandas(g)
+
+    stats = ds.map_batches(stat_partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(stats_fold, batch_format="pandas",
+                     batch_size=None).to_pandas()
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -1235,8 +1235,15 @@ def embedding_knn_graph_ivf(sf_dir: str):
             "dst": dst.ravel()[keep],
             "dot_q": dq.ravel()[keep].astype(np.int64)})
 
-    cand = tagged.groupby("bucket").map_groups(
-        bucket_topk, batch_format="pandas")
+    from ..stages.util import drop_empty_blocks
+    # the group shuffles emit empty partitions whose zero-column
+    # blocks would poison downstream schema handling (lesson 28);
+    # each stage is output-small, so pin + ref-level empty drop.
+    # The executor still LOGS its mixed-schema line while the
+    # map_groups operator itself runs — the documented Ray-internal
+    # cosmetic residue shared by every medium-domain map_groups op
+    cand = drop_empty_blocks(tagged.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas").materialize())
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["dot_q", "dst"],
@@ -1244,11 +1251,14 @@ def embedding_knn_graph_ivf(sf_dir: str):
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df
 
-    out = cand.groupby("src").map_groups(merge, batch_format="pandas")
-    return out.map_batches(
+    out = cand.groupby("src").map_groups(merge, batch_format="pandas") \
+        .map_batches(
         lambda b: pa.table({
             "src": pc.cast(b["src"], pa.int64()),
             "dst": pc.cast(b["dst"], pa.int64()),
             "dot_q": pc.cast(b["dot_q"], pa.int64()),
             "rank": pc.cast(b["rank"], pa.int64())}),
         batch_format="pyarrow")
+    # same empty-partition treatment for the per-src merge shuffle;
+    # the graph is k x |nodes| rows — output-sized, the pin is cheap
+    return drop_empty_blocks(out.materialize())
